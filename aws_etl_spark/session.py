@@ -1,0 +1,95 @@
+"""SparkSession factory.
+
+Re-expresses the reference's session-config block
+(``k8s/codes/transformation.py:57-75``, duplicated at
+``k8s/codes/csv-to-parquet.py:50-68`` and as spark-submit conf at
+``k8s/dags/etl_aws_vini.py:153-168``) as a single shared factory — the
+reference copies the same ~15 conf keys into three places; here there is
+exactly one.
+
+Differences from the reference, deliberate (100 TB discipline):
+
+* ``spark.sql.session.timeZone`` pinned to UTC so results are stable
+  across hosts and comparable to external oracles.
+* Arrow enabled for the pandas-UDF extension operators.
+* shuffle partitions default to the local core count instead of 200
+  (AQE coalescing then right-sizes them at runtime, as the reference's
+  ``advisoryPartitionSizeInBytes=128m`` already intended).
+* no ``coalesce(1)`` anywhere — output sizing is AQE's job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf shared by every session this engine creates. Mirrors the
+# reference's tuning block (transformation.py:57-75) where a key makes
+# sense off-EMR; EMR-isms (dynamicAllocation, external shuffle service)
+# are cluster-submit-time concerns, not session code.
+ENGINE_CONF: dict[str, str] = {
+    # --- reference-parity keys (transformation.py:60-74) ---
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.speculation": "false",
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    # --- engine additions ---
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    # decimal aggregation wider than default so exact-arithmetic
+    # aggregates used by the oracle corpus never overflow silently
+    "spark.sql.ansi.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_session(
+    app_name: str = "aws_etl_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[N]`` where N comes from
+    ``$SPARK_GRAFT_CPUS`` (driver contract) or the machine core count.
+    On a real cluster, pass ``master=None`` with a spark-submit-provided
+    master URL, or set it explicitly.
+    """
+    cores = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cores}]")
+    conf = dict(ENGINE_CONF)
+    # shuffle partitions ~ cores locally; a 1000-executor cluster would
+    # set this (or rely on AQE initialPartitionNum) much higher.
+    conf.setdefault("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    if os.environ.get("SPARK_LOCAL_DIRS") is None:
+        conf.setdefault("spark.local.dir", "/tmp/spark-local")
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_session() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
