@@ -20,6 +20,7 @@ from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
@@ -66,6 +67,10 @@ class CompareResult:
 def _norm_cell(v: object) -> str:
     if v is None:
         return "∅"
+    if not isinstance(v, (list, tuple, dict, np.ndarray)) and pd.isna(v):
+        # NULL representation differs per dtype after pandas conversion
+        # (None / NaN / NaT) — unify. Engine queries never emit real NaN.
+        return "∅"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -82,7 +87,7 @@ def _norm_cell(v: object) -> str:
         return "T" if v else "F"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())) + "}"

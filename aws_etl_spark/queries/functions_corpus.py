@@ -1,0 +1,285 @@
+"""Scalar / array / JSON function corpus (SURVEY.md §2.8).
+
+The reference's own scalar surface is: ``unix_timestamp(col,'M/d/yyyy')``,
+``from_unixtime``, ``cast``, nested ``replace``, ``NVL``
+(k8s/codes/variables.py:27-60). Those exact semantics are covered in
+``func_date_parse`` / ``func_conditional``; the rest is the broader
+builtin surface the oracle demands.
+
+Dialect notes (Spark vs DuckDB) are inline where the oracle diverges:
+DuckDB ``regexp_replace`` needs the ``'g'`` flag, ``strftime``/
+``strptime`` use C formats, ``unnest`` replaces ``explode``.
+"""
+
+from __future__ import annotations
+
+from aws_etl_spark.queries.registry import sql_query
+
+sql_query(
+    "func_string",
+    """
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           TRIM('  ' || c_name || ' ') AS name_trim,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           LENGTH(c_name) AS name_len,
+           c_name || '/' || c_mktsegment AS name_concat,
+           LPAD(CAST(c_custkey AS STRING), 10, '0') AS key_padded,
+           REVERSE(c_mktsegment) AS seg_rev,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_replaced,
+           POSITION('0' IN c_name) AS first_zero,
+           REPEAT(c_mktsegment, 2) AS seg_twice,
+           MD5(c_name) AS name_md5
+    FROM customer
+    """,
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           TRIM('  ' || c_name || ' ') AS name_trim,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           LENGTH(c_name) AS name_len,
+           c_name || '/' || c_mktsegment AS name_concat,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           REVERSE(c_mktsegment) AS seg_rev,
+           REPLACE(c_name, 'Customer', 'Cust') AS name_replaced,
+           POSITION('0' IN c_name) AS first_zero,
+           REPEAT(c_mktsegment, 2) AS seg_twice,
+           MD5(c_name) AS name_md5
+    FROM customer
+    """,
+    category="function",
+    doc="String builtin surface incl. md5 fingerprint.",
+    tables=("customer",),
+)
+
+sql_query(
+    "func_regexp",
+    """
+    SELECT p_partkey, p_name,
+           REGEXP_REPLACE(p_name, '[aeiou]', '_') AS devoweled,
+           REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word,
+           REGEXP_LIKE(p_name, '^[a-z]+ ') AS starts_lower_word
+    FROM part
+    """,
+    oracle="""
+    SELECT p_partkey, p_name,
+           REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word,
+           REGEXP_MATCHES(p_name, '^[a-z]+ ') AS starts_lower_word
+    FROM part
+    """,
+    category="function",
+    doc="Regexp replace/extract/match (DuckDB needs global flag).",
+    tables=("part",),
+)
+
+sql_query(
+    "func_date_extract",
+    """
+    SELECT o_orderkey,
+           YEAR(o_orderdate) AS yr,
+           MONTH(o_orderdate) AS mo,
+           DAY(o_orderdate) AS dy,
+           QUARTER(o_orderdate) AS qtr,
+           DATE_TRUNC('month', o_orderdate) AS month_start,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(MAKE_DATE(YEAR(o_orderdate), MONTH(o_orderdate), 1) AS TIMESTAMP)
+             AS first_of_month
+    FROM orders WHERE o_orderkey < 200
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           YEAR(o_orderdate) AS yr,
+           MONTH(o_orderdate) AS mo,
+           DAY(o_orderdate) AS dy,
+           QUARTER(o_orderdate) AS qtr,
+           DATE_TRUNC('month', o_orderdate) AS month_start,
+           CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(MAKE_DATE(YEAR(o_orderdate), MONTH(o_orderdate), 1) AS TIMESTAMP)
+             AS first_of_month
+    FROM orders WHERE o_orderkey < 200
+    """,
+    category="function",
+    doc=(
+        "Date part extraction + truncation + construction. Corpus "
+        "convention: temporal outputs are TIMESTAMP (or string), never "
+        "DATE — pandas renders DATE ambiguously across engines."
+    ),
+    tables=("orders",),
+)
+
+sql_query(
+    "func_date_parse",
+    """
+    SELECT o_orderkey,
+           DATE_FORMAT(o_orderdate, 'M/d/yyyy') AS us_date,
+           CAST(TO_DATE(DATE_FORMAT(o_orderdate, 'M/d/yyyy'), 'M/d/yyyy') AS TIMESTAMP)
+             AS reparsed,
+           CAST(FROM_UNIXTIME(UNIX_TIMESTAMP(DATE_FORMAT(o_orderdate, 'M/d/yyyy'),
+                                             'M/d/yyyy'), 'yyyy-MM-dd') AS TIMESTAMP)
+             AS via_epoch,
+           CAST(TO_DATE('not a date', 'M/d/yyyy') AS TIMESTAMP) AS bad_parse
+    FROM orders WHERE o_orderkey < 500
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(o_orderdate, '%-m/%-d/%Y') AS us_date,
+           CAST(CAST(TRY_STRPTIME(STRFTIME(o_orderdate, '%-m/%-d/%Y'), '%-m/%-d/%Y')
+                     AS DATE) AS TIMESTAMP) AS reparsed,
+           CAST(CAST(TRY_STRPTIME(STRFTIME(o_orderdate, '%-m/%-d/%Y'), '%-m/%-d/%Y')
+                     AS DATE) AS TIMESTAMP) AS via_epoch,
+           CAST(TRY_STRPTIME('not a date', '%-m/%-d/%Y') AS TIMESTAMP) AS bad_parse
+    FROM orders WHERE o_orderkey < 500
+    """,
+    category="function",
+    doc=(
+        "Reference date semantics (variables.py:27): M/d/yyyy string → date, "
+        "incl. the unix_timestamp/from_unixtime round-trip and NULL on "
+        "malformed input (lenient, non-ANSI)."
+    ),
+    tables=("orders",),
+)
+
+sql_query(
+    "func_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_quantity - 25) AS dist_from_25,
+           FLOOR(l_extendedprice / 1000) AS price_k_floor,
+           CEIL(l_discount * 100) AS disc_pct_ceil,
+           ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 2) AS price_rounded,
+           SQRT(l_quantity) AS qty_sqrt,
+           SIGN(l_quantity - 25) AS qty_sign,
+           MOD(l_orderkey, 7) AS key_mod,
+           GREATEST(l_quantity, 10.0) AS qty_floor10,
+           LEAST(l_quantity, 40.0) AS qty_cap40,
+           l_quantity * l_quantity AS qty_sq
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_quantity - 25) AS dist_from_25,
+           FLOOR(l_extendedprice / 1000) AS price_k_floor,
+           CEIL(l_discount * 100) AS disc_pct_ceil,
+           ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 2) AS price_rounded,
+           SQRT(l_quantity) AS qty_sqrt,
+           SIGN(l_quantity - 25) AS qty_sign,
+           MOD(l_orderkey, 7) AS key_mod,
+           GREATEST(l_quantity, 10.0) AS qty_floor10,
+           LEAST(l_quantity, 40.0) AS qty_cap40,
+           l_quantity * l_quantity AS qty_sq
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+    category="function",
+    doc="Math builtins (IEEE-deterministic scalar ops only).",
+    tables=("lineitem",),
+)
+
+sql_query(
+    "func_conditional",
+    """
+    SELECT s_suppkey,
+           NVL(NULLIF(s_name, ''), 'unknown') AS name_or_default,
+           COALESCE(NULLIF(s_acctbal, 0.0), -1.0) AS bal_or_flag,
+           CASE WHEN s_acctbal > 5000 THEN 'rich'
+                WHEN s_acctbal > 0 THEN 'ok'
+                ELSE 'poor' END AS bal_band,
+           IF(s_nationkey < 12, 'low', 'high') AS nation_band
+    FROM supplier
+    """,
+    oracle="""
+    SELECT s_suppkey,
+           COALESCE(NULLIF(s_name, ''), 'unknown') AS name_or_default,
+           COALESCE(NULLIF(s_acctbal, 0.0), -1.0) AS bal_or_flag,
+           CASE WHEN s_acctbal > 5000 THEN 'rich'
+                WHEN s_acctbal > 0 THEN 'ok'
+                ELSE 'poor' END AS bal_band,
+           IF(s_nationkey < 12, 'low', 'high') AS nation_band
+    FROM supplier
+    """,
+    category="function",
+    doc="NVL (reference variables.py:60) / coalesce / nullif / if / case.",
+    tables=("supplier",),
+)
+
+sql_query(
+    "func_json",
+    """
+    SELECT event_id, event_type,
+           CAST(GET_JSON_OBJECT(props, '$.k') AS INT) AS k_value
+    FROM events
+    WHERE GET_JSON_OBJECT(props, '$.k') IS NOT NULL
+    """,
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k_value
+    FROM events
+    WHERE JSON_EXTRACT_STRING(props, '$.k') IS NOT NULL
+    """,
+    category="function",
+    doc="JSON path extraction from a string column (events.props).",
+    tables=("events",),
+)
+
+sql_query(
+    "func_array",
+    """
+    SELECT vec_id,
+           SIZE(embedding) AS dim,
+           ELEMENT_AT(embedding, 1) AS first_el,
+           ELEMENT_AT(embedding, 1) + 2 * ELEMENT_AT(embedding, 2) AS lin_comb,
+           SLICE(embedding, 1, 3) AS head3
+    FROM embeddings WHERE vec_id < 100
+    """,
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           embedding[1] AS first_el,
+           embedding[1] + 2 * embedding[2] AS lin_comb,
+           embedding[1:3] AS head3
+    FROM embeddings WHERE vec_id < 100
+    """,
+    category="function",
+    doc="Array access/slice/size over embedding column (1-based both engines).",
+    tables=("embeddings",),
+)
+
+sql_query(
+    "func_explode_wordcount",
+    """
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT EXPLODE(SPLIT(text, ' ')) AS word FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    category="function",
+    doc="explode/unnest lateral word count over documents.",
+    tables=("documents",),
+)
+
+sql_query(
+    "func_collect_agg",
+    """
+    SELECT o_orderstatus,
+           ARRAY_JOIN(SORT_ARRAY(COLLECT_SET(o_orderpriority)), '|') AS priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    oracle="""
+    SELECT o_orderstatus,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderpriority)), '|') AS priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    category="function",
+    doc="Set-collecting aggregation rendered order-stable.",
+    tables=("orders",),
+)

@@ -68,9 +68,21 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver may hand us a session without our factory conf;
+            # timestamp→string rendering must not depend on host TZ, and
+            # events.parquet stores TIMESTAMP(NANOS) which Spark only
+            # reads via the nanosAsLong escape hatch.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = getattr(fn, "__name__", name)
+        wrapped.__doc__ = fn.__doc__
         REGISTRY[name] = QuerySpec(
             name=name,
-            fn=fn,
+            fn=wrapped,
             oracle=oracle,
             category=category,
             doc=doc or (fn.__doc__ or "").strip(),
@@ -83,7 +95,15 @@ def register(
 
 
 def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long (nanosAsLong): surface a real
+        # microsecond timestamp; integer DIV avoids double rounding of
+        # 1.7e18-scale nanos. Oracle side: CAST(ts AS TIMESTAMP).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def register_views(
@@ -148,6 +168,7 @@ def _ensure_loaded() -> None:
         return
     from aws_etl_spark.queries import (  # noqa: F401
         dedup_queries,
+        functions_corpus,
         llm_text,
         reference_parity,
         relational,
