@@ -1,1 +1,97 @@
-"""Placeholder — populated in a later milestone."""
+"""Dedup operator queries over the documents table (north-star §2.13).
+
+``dedup_exact`` and ``dedup_ngram_jaccard`` have full SQL oracles.
+MinHash-LSH and SimHash are not reasonably SQL-expressible (xxhash64
+has no DuckDB equivalent) → rows-only driver check; their *verify*
+stage is the exact-Jaccard operator that IS oracle-checked, so the
+sketch paths are cross-validated in tests instead
+(tests/test_dedup.py asserts LSH pairs ⊆ exact pairs + recall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_etl_spark.dedup import (
+    dedup_exact,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from aws_etl_spark.queries.registry import load_table, register
+
+_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id AS doc,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(string_split(trim(text), ' ')) - 2, 0) + 1),
+             i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' ')
+           )
+         ) AS shingles
+  FROM documents
+),
+e AS (SELECT doc, len(shingles) AS n, unnest(shingles) AS s FROM sh)
+SELECT a.doc AS id_a, b.doc AS id_b,
+       COUNT(*) AS n_common,
+       COUNT(*) * 1.0 / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) AS jaccard
+FROM e a JOIN e b ON a.s = b.s AND a.doc < b.doc
+GROUP BY a.doc, b.doc
+HAVING COUNT(*) * 1.0 / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.5
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY lang, source)
+    """,
+    category="dedup",
+    tables=("documents",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest; deterministic min-id survivor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, ["lang", "source"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    category="dedup",
+    tables=("documents",),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram shingle Jaccard pairs ≥ 0.5 (explode + self-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 sketch: not SQL-expressible; see module doc
+    category="dedup",
+    tables=("documents",),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16×4) candidates, exact-Jaccard-verified ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 sketch: not SQL-expressible; see module doc
+    category="dedup",
+    tables=("documents",),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dups within Hamming distance 3 (4-chunk pigeonhole)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_distance=3, chunks=4)

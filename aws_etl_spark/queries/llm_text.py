@@ -1,1 +1,152 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over the documents table (§2.13), each with a
+full DuckDB oracle mirroring the exact expression shapes (integer
+divisions and scalar double math only — bit-deterministic)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_spark.queries.registry import load_table, register
+from aws_etl_spark.text import (
+    fingerprint_md5,
+    fingerprint_min_shingle,
+    lang_id,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    regex_token_count,
+    stopword_ratio,
+    whitespace_token_count,
+)
+
+_SW = "['the','and','of','to','a','in','is','it','that','for']"
+
+_TOKENS_ORACLE = """
+SELECT doc_id,
+       LEN(STRING_SPLIT(TRIM(text), ' ')) AS n_tokens_ws,
+       LEN(REGEXP_EXTRACT_ALL(text, '\\w+|[^\\w\\s]')) AS n_tokens_re,
+       LENGTH(text) AS n_chars_computed,
+       n_chars AS n_chars_stored
+FROM documents
+"""
+
+
+@register(
+    "text_token_counts", oracle=_TOKENS_ORACLE, category="text", tables=("documents",)
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("n_tokens_ws"),
+        regex_token_count(F.col("text")).alias("n_tokens_re"),
+        F.length("text").alias("n_chars_computed"),
+        F.col("n_chars").alias("n_chars_stored"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         STRING_SPLIT(TRIM(LOWER(text)), ' ') AS w,
+         LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS nonspace,
+         LENGTH(REGEXP_REPLACE(text, '[\\w\\s]', '', 'g')) AS punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN LEN(w) > 0
+              THEN LEN(LIST_FILTER(w, x -> LIST_CONTAINS({_SW}, x))) * 1.0 / LEN(w)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN nonspace > 0 THEN punct * 1.0 / nonspace ELSE 0.0 END AS punct_ratio,
+         CASE WHEN LEN(w) > 0
+              THEN LIST_SUM(LIST_TRANSFORM(w, x -> LENGTH(x))) * 1.0 / LEN(w)
+              ELSE 0.0 END AS mean_word_len,
+         LENGTH(text) AS n
+  FROM t
+)
+SELECT doc_id, stopword_ratio, punct_ratio, mean_word_len,
+       (CASE WHEN n >= 50 AND n <= 10000 THEN 0.4 ELSE 0.0 END)
+       + LEAST(stopword_ratio * 2, 0.4)
+       + GREATEST(0.2 - punct_ratio, 0.0) AS quality
+FROM m
+"""
+
+
+@register(
+    "text_quality_score", oracle=_QUALITY_ORACLE, category="text", tables=("documents",)
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/punctuation quality heuristics + composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        punct_ratio(F.col("text")).alias("punct_ratio"),
+        mean_word_length(F.col("text")).alias("mean_word_len"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_LANGID_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang AS lang_actual,
+         LIST_DISTINCT(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang_actual,
+    LEN(LIST_INTERSECT(w, ['the','and','of','to','a','in','is','it','that','for'])) AS s_en,
+    LEN(LIST_INTERSECT(w, ['el','la','de','que','y','en','un','por','con','una'])) AS s_es,
+    LEN(LIST_INTERSECT(w, ['le','la','de','et','un','une','du','des','est','dans'])) AS s_fr,
+    LEN(LIST_INTERSECT(w, ['der','die','das','und','ist','von','ein','eine','mit','zu'])) AS s_de
+  FROM t
+)
+SELECT doc_id, lang_actual,
+       CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+            WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de) THEN 'de'
+            WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de) THEN 'en'
+            WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+
+@register(
+    "text_lang_id", oracle=_LANGID_ORACLE, category="text", tables=("documents",)
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language heuristic vs the stored lang label."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+_FP_ORACLE = """
+SELECT doc_id,
+       MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp_md5,
+       LIST_AGGREGATE(
+         LIST_TRANSFORM(
+           RANGE(1, GREATEST(LEN(STRING_SPLIT(TRIM(LOWER(text)), ' ')) - 2, 0) + 1),
+           i -> MD5(ARRAY_TO_STRING(STRING_SPLIT(TRIM(LOWER(text)), ' ')[i:i+2], ' '))
+         ), 'min') AS fp_min_shingle
+FROM documents
+"""
+
+
+@register(
+    "text_fingerprint", oracle=_FP_ORACLE, category="text", tables=("documents",)
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 + min-shingle-md5 document fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp_md5"),
+        fingerprint_min_shingle(F.col("text"), k=3).alias("fp_min_shingle"),
+    )

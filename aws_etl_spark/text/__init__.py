@@ -1,0 +1,29 @@
+"""Text analysis operators (see analysis module doc)."""
+
+from aws_etl_spark.text.analysis import (
+    STOPWORDS,
+    fingerprint_md5,
+    fingerprint_min_shingle,
+    lang_id,
+    lang_scores,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    regex_token_count,
+    stopword_ratio,
+    whitespace_token_count,
+)
+
+__all__ = [
+    "STOPWORDS",
+    "whitespace_token_count",
+    "regex_token_count",
+    "punct_ratio",
+    "mean_word_length",
+    "stopword_ratio",
+    "quality_score",
+    "lang_scores",
+    "lang_id",
+    "fingerprint_md5",
+    "fingerprint_min_shingle",
+]

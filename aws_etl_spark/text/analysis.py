@@ -1,0 +1,115 @@
+"""Text analysis operators for LLM-data pipelines (north-star §2.13):
+token counting, quality scoring, language ID, fingerprinting.
+
+Everything is built from JVM-side builtins (split / regexp /
+higher-order array fns) — no Python in the hot path, so throughput is
+bound by scan speed, not serde. Each operator is a Column factory so
+it composes into any projection without forcing extra passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-overlap
+# language heuristic. Deliberately small and ASCII so the same lists
+# embed in the SQL oracle verbatim.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "una"],
+    "fr": ["le", "la", "de", "et", "un", "une", "du", "des", "est", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "eine", "mit", "zu"],
+}
+
+TOKEN_REGEX = r"\w+|[^\w\s]"  # BPE-ish: words + standalone punctuation
+
+
+def words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish word/punct regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-space characters that are punctuation."""
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    punct = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    return F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    w = words(text)
+    total = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    return F.when(F.size(w) > 0, total / F.size(w)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are (any-language) stopwords — a
+    classic fluency signal; near zero for word salad / non-text."""
+    sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    w = words(F.lower(text))
+    hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword
+    presence − punctuation excess. Deterministic scalar math."""
+    n = F.length(text)
+    length_ok = F.when((n >= 50) & (n <= 10000), F.lit(0.4)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(text)
+    sw_term = F.least(sw * 2, F.lit(0.4))
+    punct_term = F.greatest(F.lit(0.2) - punct_ratio(text), F.lit(0.0))
+    return length_ok + sw_term + punct_term
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language distinct-stopword-overlap counts."""
+    w = F.array_distinct(words(F.lower(text)))
+    return {
+        lang: F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in sws])))
+        for lang, sws in STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = argmax stopword overlap; 'und' when no
+    stopwords of any language appear; ties → alphabetical-first."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Whitespace-normalized md5 content fingerprint."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def fingerprint_min_shingle(text: Column, k: int = 3) -> Column:
+    """Winnowing-style robust fingerprint: lexicographic min of the
+    md5s of word-k-gram shingles (stable under small edits away from
+    the minimizing shingle)."""
+    w = words(F.lower(text))
+    n = F.size(w)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, k))),
+    )
+    return F.array_min(shingles)

@@ -1,0 +1,79 @@
+"""Cross-validation of the sketch-based dedup paths against the exact
+path (the sketches have no SQL oracle — this is their correctness
+gate, per queries/dedup_queries.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_etl_spark.dedup import (
+    dedup_exact,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from aws_etl_spark.queries.registry import load_table
+
+
+def test_minhash_pairs_subset_of_exact_with_high_recall(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(
+            docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert lsh <= exact  # verify stage guarantees no false positives
+    assert len(exact) > 0
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_minhash_deterministic_across_runs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(
+        map(tuple, minhash_near_dup_pairs(docs, "doc_id", "text").collect())
+    )
+    b = sorted(
+        map(tuple, minhash_near_dup_pairs(docs, "doc_id", "text").collect())
+    )
+    assert a == b
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "completely different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = simhash_near_dup_pairs(df, "doc_id", "text", max_distance=3).collect()
+    assert {(r.id_a, r.id_b, r.hamming) for r in pairs} == {(1, 2, 0)}
+
+
+def test_dedup_exact_survivor_is_min(spark):
+    df = spark.createDataFrame(
+        [(5, "x", "a"), (2, "x", "a"), (9, "y", "b")], ["id", "c1", "c2"]
+    )
+    out = dedup_exact(df, ["c1", "c2"], "id")
+    assert {r.id for r in out.collect()} == {2, 9}
+    out_max = dedup_exact(df, ["c1", "c2"], "id", keep="max")
+    assert {r.id for r in out_max.collect()} == {5, 9}
+
+
+def test_dedup_exact_no_separator_ambiguity(spark):
+    # ("a b", "c") must not collide with ("a", "b c")
+    df = spark.createDataFrame([(1, "a b", "c"), (2, "a", "b c")], ["id", "c1", "c2"])
+    assert dedup_exact(df, ["c1", "c2"], "id").count() == 2
+
+
+def test_minhash_plan_has_no_python_udf(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = minhash_near_dup_pairs(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
