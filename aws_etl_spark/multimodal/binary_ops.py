@@ -1,0 +1,121 @@
+"""Multimodal column support: image/audio/video as opaque binary
+columns with typed metadata (north-star §2.13).
+
+Design:
+
+- payloads are ``BinaryType`` columns (from ``binaryFile`` sources or
+  in-table blobs) plus a metadata struct (``mime``, ``width``, ...);
+- per-item decode / feature-extraction runs as Arrow-batched
+  ``mapInPandas`` — the only sanctioned Python hot path in this
+  engine, because codec work is genuinely un-expressible in SQL;
+- batches stay bounded via ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  and payload-size salting (``repartition_by_size``) so one 4K video
+  doesn't ride in a batch sized for thumbnails.
+
+The actual codecs (PIL/ffmpeg/soundfile) are NOT in this image, so
+``decode_image`` raises ``NotImplementedError`` — the Spark-side
+plumbing (schemas, batch iteration, partitioning) is real and tested
+with the deterministic byte-level featurizer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("digest", T.StringType(), True),
+        T.StructField("mean_byte", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """Decode an image payload to pixels. STUB: no codec libraries in
+    this environment — plug PIL/torchvision here on a real cluster."""
+    raise NotImplementedError(
+        "image decoding requires a codec library (e.g. PIL) not present "
+        "in this environment; byte-level featurization works without it"
+    )
+
+
+def byte_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Deterministic byte-level features via Arrow-batched mapInPandas:
+    (item_id, byte_len, md5 digest, mean byte value)."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col],
+                    "byte_len": payloads.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
+                    "digest": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                    "mean_byte": payloads.map(
+                        lambda b: (sum(b) / len(b)) if b else None
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+def repartition_by_size(
+    df: DataFrame, payload_col: str, target_partition_bytes: int = 64 << 20
+) -> DataFrame:
+    """Range-partition items by payload size so Arrow batches carry
+    comparable byte volume (large media skews per-task memory
+    otherwise). At scale, combine with maxRecordsPerBatch."""
+    return df.withColumn("__sz", F.length(F.col(payload_col))).repartitionByRange(
+        "__sz"
+    ).drop("__sz")
+
+
+def frame_sample_plan(
+    df: DataFrame, id_col: str, meta_col: str, every_ms: int = 1000
+) -> DataFrame:
+    """Explode a per-item frame-sampling plan from metadata only (no
+    decode): one row per planned frame timestamp. The decode of each
+    planned frame is the stubbed step."""
+    n_frames = (F.col(f"{meta_col}.duration_ms") / every_ms).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+                lambda i: (i * every_ms).cast("long"),
+            )
+        ).alias("frame_ts_ms"),
+    )

@@ -170,6 +170,7 @@ def _ensure_loaded() -> None:
         dedup_queries,
         functions_corpus,
         llm_text,
+        multimodal_queries,
         reference_parity,
         relational,
         similarity_queries,

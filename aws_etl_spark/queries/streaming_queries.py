@@ -1,1 +1,145 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-time queries over the events table (SURVEY.md §2.10).
+
+Each registered query runs the BATCH formulation of a streaming
+transformation (the functions in aws_etl_spark.streaming are
+input-agnostic); the genuinely-streaming execution (readStream +
+watermark + AvailableNow) of the same functions is exercised in
+tests/test_streaming.py, where the streaming result is asserted equal
+to the batch result — a stronger check than an oracle can express.
+
+Oracle notes: events.ts is TIMESTAMP(NANOS) in parquet; Spark reads
+micros (DIV 1000), so oracles CAST(ts AS TIMESTAMP) to truncate to
+micros identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_spark.ops.asof import asof_join
+from aws_etl_spark.queries.registry import load_table, register
+from aws_etl_spark.streaming.sessions import session_rollup
+from aws_etl_spark.streaming.windows import sliding_window_avg, tumbling_counts
+
+_TUMBLING_ORACLE = """
+SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=_TUMBLING_ORACLE,
+    category="streaming",
+    tables=("events",),
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time window: count + exact value sum."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"), window="1 hour")
+
+
+_SLIDING_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h
+  FROM events
+),
+w AS (
+  SELECT event_type, UNNEST([h, h - INTERVAL 1 HOUR]) AS window_start FROM e
+)
+SELECT window_start, event_type, COUNT(*) AS n
+FROM w GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_sliding_window",
+    oracle=_SLIDING_ORACLE,
+    category="streaming",
+    tables=("events",),
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h windows (each event lands in two windows)."""
+    return sliding_window_avg(
+        load_table(spark, sf_dir, "events"), window="2 hours", slide="1 hour"
+    )
+
+
+_SESSION_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) >
+                   LAG(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+g AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM s
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM g GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "events_sessionization",
+    oracle=_SESSION_ORACLE,
+    category="streaming",
+    tables=("events",),
+)
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based (30 min) sessionization + per-session rollup."""
+    return session_rollup(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+_ASOF_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+signups AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS signup_event
+  FROM events WHERE event_type = 'signup'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       s.ts AS asof_ts, s.signup_event AS asof_signup_event
+FROM purchases p
+ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND s.ts <= p.ts
+"""
+
+
+@register(
+    "events_asof_join",
+    oracle=_ASOF_ORACLE,
+    category="streaming",
+    tables=("events",),
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase ↔ latest prior signup of the user
+    (union-sort implementation; DuckDB native ASOF JOIN as oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.filter("event_type = 'signup'").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event")
+    )
+    return asof_join(
+        purchases, signups, on=["user_id"], ts_col="ts",
+        right_value_cols=["signup_event"],
+    )

@@ -40,6 +40,8 @@ ENGINE_CONF: dict[str, str] = {
     # --- engine additions ---
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # driver testdata stores TIMESTAMP(NANOS); Spark reads them as long
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.files.maxPartitionBytes": "128m",
     # decimal aggregation wider than default so exact-arithmetic
