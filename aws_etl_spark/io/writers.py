@@ -1,0 +1,81 @@
+"""Writers (SURVEY.md §2.2).
+
+Deliberate departure from the reference: ``coalesce(1)`` forced every
+output into ONE file (csv-to-parquet.py:46, transformation.py:49) —
+a single-task funnel that caps write throughput at one core regardless
+of cluster size. Here output sizing is declarative
+(``maxRecordsPerFile`` + AQE-coalesced partitions); single-file output
+is an explicit opt-in for small reference outputs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    single_file: bool = False,
+) -> None:
+    writer = df.coalesce(1).write if single_file else df.write
+    writer = writer.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def save_as_table(
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+) -> None:
+    """Catalog-registered write — replaces the reference's post-hoc
+    Glue crawler (glue-crawler.tf:10-17): the schema is registered at
+    write time, no inference pass. ``bucket_by`` pre-co-locates later
+    equi-joins on the bucket keys (no shuffle at read)."""
+    writer = df.write.mode(mode).format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        writer = writer.bucketBy(n, *cols).sortBy(*cols)
+    writer.saveAsTable(name)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    batch_size: int = 10_000,
+    **options: str,
+) -> None:
+    """Distributed JDBC load — replaces the reference's single-node
+    pandas ``to_sql`` hop (etl_aws_vini.py:307-335), which also only
+    loaded the *last* parquet part-file (`:328`, a silent
+    correctness bug at >1 file). Every executor writes its partitions
+    over its own connection."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batch_size)
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -49,7 +49,7 @@ info AS (
     b.c_mktsegment AS market_segment,
     c.n_name AS nation_name,
     d.r_name AS region_name,
-    NVL(r.l_quantity, 0) AS return_quantity,
+    CAST(NVL(r.l_quantity, 0) AS DOUBLE) AS return_quantity,
     CAST(FROM_UNIXTIME(UNIX_TIMESTAMP(DATE_FORMAT(r.l_shipdate, 'M/d/yyyy'),
                                       'M/d/yyyy'), 'yyyy-MM-dd') AS TIMESTAMP)
       AS return_date
@@ -87,7 +87,7 @@ info AS (
     b.c_mktsegment AS market_segment,
     c.n_name AS nation_name,
     d.r_name AS region_name,
-    COALESCE(r.l_quantity, 0) AS return_quantity,
+    CAST(COALESCE(r.l_quantity, 0) AS DOUBLE) AS return_quantity,
     CAST(CAST(TRY_STRPTIME(STRFTIME(r.l_shipdate, '%-m/%-d/%Y'), '%-m/%-d/%Y')
               AS DATE) AS TIMESTAMP) AS return_date
   FROM all_sales a

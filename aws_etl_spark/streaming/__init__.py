@@ -1,0 +1,14 @@
+"""Structured Streaming operators (SURVEY §2.10)."""
+
+from aws_etl_spark.streaming.sessions import (
+    session_rollup,
+    sessionize,
+    streaming_session_window,
+)
+from aws_etl_spark.streaming.windows import (
+    read_events_stream,
+    run_available_now,
+    sliding_window_avg,
+    tumbling_counts,
+    watermark_dedup,
+)
