@@ -14,13 +14,18 @@ module only to verify candidate pairs; or pre-filter hot shingles
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def shingle_words(text: Column, k: int = 3) -> Column:
     """Distinct word-k-gram shingles of a text column (JVM higher-order
-    fns: split → sliding window via transform(sequence) → distinct)."""
+    fns: split → sliding window via transform(sequence) → distinct).
+
+    Reference semantics for small projections; the hot paths use
+    :func:`shingle_rows` — higher-order lambdas are interpreted
+    per-element and cost ~7 ms/doc on long documents.
+    """
     words = F.split(F.trim(text), r"\s+")
     n = F.size(words)
     shingles = F.transform(
@@ -28,6 +33,36 @@ def shingle_words(text: Column, k: int = 3) -> Column:
         lambda i: F.concat_ws(" ", F.slice(words, i, k)),
     )
     return F.array_distinct(shingles)
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Distinct (doc, shingle) rows via posexplode + lead() windows —
+    fully whole-stage-codegen'd (no interpreted array lambdas), one
+    shuffle on the doc id that downstream per-doc aggregations reuse
+    (same hash partitioning → no second exchange)."""
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos")
+    # all lead() parts must be computed in ONE projection over the
+    # un-filtered rows — a window fn after the filter would re-evaluate
+    # over the truncated partition and emit short tail shingles
+    parts = words.select(
+        "doc",
+        F.col("w").alias("w0"),
+        *[F.lead("w", i).over(win).alias(f"w{i}") for i in range(1, k)],
+    )
+    return (
+        parts.filter(F.col(f"w{k - 1}").isNotNull())
+        .select(
+            "doc",
+            F.concat_ws(" ", *[F.col(f"w{i}") for i in range(k)]).alias("shingle"),
+        )
+        .dropDuplicates(["doc", "shingle"])
+    )
 
 
 def ngram_jaccard_pairs(
@@ -42,12 +77,8 @@ def ngram_jaccard_pairs(
     Returns ``(id_a, id_b, n_common, jaccard)``; jaccard is an
     int/int division — bit-deterministic across engines.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), shingle_words(F.col(text_col), k).alias("shingles")
-    ).withColumn("n_shingles", F.size("shingles"))
-
-    exploded = sh.select(
-        "doc", "n_shingles", F.explode("shingles").alias("shingle")
+    exploded = shingle_rows(df, id_col, text_col, k).withColumn(
+        "n_shingles", F.count("*").over(Window.partitionBy("doc"))
     )
 
     a = exploded.alias("a")

@@ -89,38 +89,22 @@ def simhash_near_dup_pairs(
     banded = sigs.withColumn("ck", F.explode(chunk_keys)).select(
         "doc", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val")
     )
-    grouped = (
-        banded.groupBy("chunk", "val")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct("doc", "simhash"))), 1, max_bucket
-            ).alias("members")
-        )
-        .filter(F.size("members") > 1)
+    from pyspark.sql import Window
+
+    capped = banded.withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("chunk", "val").orderBy("doc")),
+    ).filter(F.col("__rn") <= max_bucket)
+    a_side = capped.select(
+        "chunk", "val", F.col("doc").alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b_side = capped.select(
+        "chunk", "val", F.col("doc").alias("id_b"), F.col("simhash").alias("sh_b")
     )
     pairs = (
-        grouped.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("members"),
-                            lambda m1: F.transform(
-                                F.col("members"),
-                                lambda m2: F.struct(
-                                    m1["doc"].alias("id_a"),
-                                    m2["doc"].alias("id_b"),
-                                    m1["simhash"].alias("sh_a"),
-                                    m2["simhash"].alias("sh_b"),
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda s: s["id_a"] < s["id_b"],
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
+        a_side.join(b_side, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     return (

@@ -34,7 +34,7 @@ sql_query(
                * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
       COUNT(*) AS count_order
     FROM lineitem
-    WHERE l_shipdate <= DATE '1998-09-02'
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
     category="agg",
@@ -133,7 +133,7 @@ sql_query(
     WHERE o_orderstatus IN ('O', 'F')
       AND o_totalprice BETWEEN 1000 AND 50000
       AND o_orderpriority LIKE '1-%'
-      AND o_orderdate >= DATE '1993-01-01'
+      AND o_orderdate >= TIMESTAMP '1993-01-01 00:00:00'
       AND NOT (o_custkey IS NULL)
     """,
     category="filter",

