@@ -1,3 +1,13 @@
-"""Relational operators Spark lacks natively (as-of join, ...)."""
+"""Relational operators Spark lacks natively (as-of join) and
+skew/shuffle-management rewrites for 100 TB plans (salting, bucketed
+co-located joins)."""
 
 from aws_etl_spark.ops.asof import asof_join
+from aws_etl_spark.ops.scale import (
+    bucketed_table,
+    hot_keys,
+    salted_agg,
+    salted_join,
+)
+
+__all__ = ["asof_join", "bucketed_table", "hot_keys", "salted_agg", "salted_join"]

@@ -1,0 +1,21 @@
+from aws_etl_spark.plans.inspect import (
+    PlanFacts,
+    assert_broadcast_join,
+    assert_filter_pushed,
+    assert_max_shuffles,
+    formatted_plan,
+    plan_facts,
+    read_columns,
+    simple_plan,
+)
+
+__all__ = [
+    "PlanFacts",
+    "assert_broadcast_join",
+    "assert_filter_pushed",
+    "assert_max_shuffles",
+    "formatted_plan",
+    "plan_facts",
+    "read_columns",
+    "simple_plan",
+]

@@ -1,0 +1,132 @@
+"""Physical-plan introspection: the ".explain and iterate" discipline
+as code.
+
+At 100 TB the difference between a good and a bad plan is not style —
+a scan that fails to push a filter reads the whole table; a join that
+misses a broadcast shuffles terabytes. These helpers turn the
+`explain("formatted")` text into assertions so every operator's plan
+shape is locked in by tests (tests/test_plans.py) instead of being
+re-checked by hand after each change.
+
+The reference delegates all planning to Catalyst and never inspects a
+plan (SURVEY.md §4 — zero optimizer code in camposvinicius/aws-etl);
+these utilities are the engine's addition on top.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The formatted physical plan (same text as .explain('formatted'),
+    returned instead of printed)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+@dataclass
+class PlanFacts:
+    """Scale-relevant facts mined from a physical plan."""
+
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    partition_filters: list[str] = field(default_factory=list)
+    n_exchanges: int = 0
+    n_broadcast_exchanges: int = 0
+    join_strategies: list[str] = field(default_factory=list)
+    has_wholestage_codegen: bool = False
+    n_scans: int = 0
+    aqe: bool = False
+
+
+_JOIN_RE = re.compile(
+    r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+    r"BroadcastNestedLoopJoin|CartesianProduct)"
+)
+
+
+def plan_facts(df: DataFrame) -> PlanFacts:
+    text = formatted_plan(df)
+    facts = PlanFacts()
+    facts.aqe = "AdaptiveSparkPlan" in text
+    facts.has_wholestage_codegen = "WholeStageCodegen" in text
+    for line in text.splitlines():
+        s = line.strip()
+        if s.startswith("PushedFilters:"):
+            val = s.split(":", 1)[1].strip()
+            if val not in ("[]", ""):
+                facts.pushed_filters.append(val)
+        elif s.startswith("ReadSchema:"):
+            facts.read_schemas.append(s.split(":", 1)[1].strip())
+        elif s.startswith("PartitionFilters:"):
+            val = s.split(":", 1)[1].strip()
+            if val not in ("[]", ""):
+                facts.partition_filters.append(val)
+    # operator census over the detail-section headers "(N) NodeName"
+    facts.n_broadcast_exchanges = len(
+        re.findall(r"^\(\d+\) BroadcastExchange\b", text, re.M)
+    )
+    facts.n_exchanges = len(re.findall(r"^\(\d+\) Exchange\b", text, re.M))
+    facts.join_strategies = _JOIN_RE.findall(
+        "\n".join(l for l in text.splitlines() if re.match(r"^\(\d+\) ", l))
+    )
+    facts.n_scans = len(re.findall(r"^\(\d+\) Scan parquet", text, re.M))
+    return facts
+
+
+def read_columns(df: DataFrame) -> list[str]:
+    """Column names the scans actually read (union over scans) — the
+    column-pruning check: a 2-column projection must not read 16."""
+    cols: set[str] = set()
+    for schema in plan_facts(df).read_schemas:
+        # ReadSchema: struct<l_returnflag:string,l_quantity:decimal(12,2)>
+        inner = schema[len("struct<"):-1] if schema.startswith("struct<") else schema
+        depth = 0
+        name = ""
+        for ch in inner:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                if ":" in name:
+                    cols.add(name.split(":", 1)[0])
+                name = ""
+                continue
+            name += ch
+        if ":" in name:
+            cols.add(name.split(":", 1)[0])
+    return sorted(cols)
+
+
+def assert_filter_pushed(df: DataFrame, fragment: str) -> None:
+    facts = plan_facts(df)
+    joined = " ".join(facts.pushed_filters)
+    assert fragment in joined, (
+        f"expected pushed filter containing {fragment!r}; got {facts.pushed_filters}"
+    )
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    facts = plan_facts(df)
+    assert facts.n_broadcast_exchanges >= 1, (
+        f"expected a broadcast exchange; joins={facts.join_strategies}"
+    )
+
+
+def assert_max_shuffles(df: DataFrame, n: int) -> None:
+    facts = plan_facts(df)
+    assert facts.n_exchanges <= n, (
+        f"expected ≤{n} shuffle exchanges, found {facts.n_exchanges}"
+    )

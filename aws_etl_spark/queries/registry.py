@@ -167,6 +167,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from aws_etl_spark.queries import (  # noqa: F401
+        advanced_rel,
         dedup_queries,
         functions_corpus,
         llm_text,
@@ -175,6 +176,7 @@ def _ensure_loaded() -> None:
         relational,
         similarity_queries,
         streaming_queries,
+        udf_queries,
     )
 
     _LOADED = True

@@ -5,6 +5,7 @@ from aws_etl_spark.streaming.sessions import (
     sessionize,
     streaming_session_window,
 )
+from aws_etl_spark.streaming.stateful import running_user_totals
 from aws_etl_spark.streaming.windows import (
     read_events_stream,
     run_available_now,

@@ -1,0 +1,82 @@
+"""Physical-plan shape assertions — locks in the scale-relevant plan
+properties (pushdown, pruning, broadcast, shuffle counts) so a
+regression that silently de-optimizes a plan fails CI, not a 100 TB
+run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_etl_spark.plans import (
+    assert_broadcast_join,
+    assert_filter_pushed,
+    assert_max_shuffles,
+    plan_facts,
+    read_columns,
+)
+from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded, load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    assert_filter_pushed(df, "GreaterThan(l_quantity")
+
+
+def test_column_pruning(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    cols = read_columns(df)
+    assert cols == ["l_orderkey", "l_quantity"], cols
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    df = cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+    assert_broadcast_join(df)
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    """The pricing-summary agg must be one partial+final hash agg pair:
+    exactly one shuffle (on the group keys), nothing else."""
+    _ensure_loaded()
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    assert_max_shuffles(df, 1)
+    facts = plan_facts(df)
+    assert facts.aqe, "AQE must be on"
+    assert facts.n_scans == 1
+
+
+def test_curated_join_chain_broadcasts_dims(spark, sf_dir):
+    """The reference-parity denormalization joins small dims — every
+    one must be broadcast (no shuffle of the fact side per join)."""
+    _ensure_loaded()
+    df = REGISTRY["curated_denormalization"].fn(spark, sf_dir)
+    facts = plan_facts(df)
+    assert facts.n_broadcast_exchanges >= 3, facts.join_strategies
+    # fact table shuffles at most for the union/write — not per-join
+    assert all(j != "CartesianProduct" for j in facts.join_strategies)
+
+
+def test_agg_is_partial_final(spark, sf_dir):
+    """Map-side combine: two HashAggregates around one exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    from aws_etl_spark.plans import formatted_plan
+
+    text = formatted_plan(df)
+    assert text.count("HashAggregate") >= 2
+    assert_max_shuffles(df, 1)
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    """orderBy().limit() must plan as TakeOrderedAndProject, not a
+    full global Exchange rangepartitioning sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.orderBy(F.col("o_totalprice").desc()).limit(10)
+    from aws_etl_spark.plans import formatted_plan
+
+    assert "TakeOrderedAndProject" in formatted_plan(df)

@@ -79,3 +79,49 @@ def test_streaming_session_window_runs(spark, sf_dir, tmp_path):
 
     batch_n = session_rollup(batch_events, gap_minutes=30).count()
     assert len(rows) == batch_n
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: per-user state folds across micro-batches
+    (maxFilesPerTrigger=1 over multiple files forces >1 batch); the
+    final emitted row per user must equal the batch aggregate."""
+    from aws_etl_spark.streaming.stateful import running_user_totals
+
+    batch_events = _events_batch(spark, sf_dir).filter(F.col("user_id") < 50)
+    path = f"{tmp_path}/stateful_src"
+    # several input files -> several micro-batches -> state is exercised
+    batch_events.repartition(4).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = running_user_totals(stream)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # memory sink in update mode appends each emitted update; the LAST
+    # row per user is the final state
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        for _ in [None]
+    }
+    # dict comprehension keeps the last occurrence per user (rows arrive
+    # in emission order within each micro-batch group)
+    expected = {
+        r.user_id: (r.n, r.total)
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got.keys() == expected.keys()
+    for uid, (n, total) in expected.items():
+        assert got[uid][0] == n, uid
+        assert abs(got[uid][1] - total) < 1e-6 * max(1.0, abs(total)), uid
