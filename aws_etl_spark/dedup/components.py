@@ -1,0 +1,124 @@
+"""Connected components over near-duplicate pair edges — turns the
+pairwise output of minhash/simhash/jaccard into duplicate CLUSTERS and
+a canonical survivor per cluster (the step that makes near-dup
+detection an actual dedup: keep one doc per component).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — the standard
+shuffle-based CC for data-parallel engines; converges in O(log² n)
+rounds, each round two self-joins expressed as groupBy minimums).
+Implemented with plain DataFrame ops and a driver-side convergence
+loop; each iteration is one shuffle per star step, and the edge set
+shrinks monotonically toward (node → component-min) stars.
+
+At 100 TB edge counts are sparse (near-dup graphs are mostly tiny
+cliques), so rounds converge fast; localCheckpoint truncates the
+lineage each round to keep plans from growing unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list → (u, v) with u < v, deduped."""
+    return (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) — component = min node id reachable.
+
+    Star-contraction loop: repeatedly attach every node to the minimum
+    id in its neighborhood (including itself) until the mapping stops
+    changing. Each iteration: one groupBy(min) + one join — two
+    shuffles on node id; iterations ≈ graph diameter after doubling,
+    log-bounded for near-dup cliques.
+    """
+    edges = _canonical_edges(pairs, src, dst)
+    # node → current component label (start: itself)
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        # propagate: every node adopts min(comp) over itself + neighbors
+        lab_u = labels.withColumnRenamed("node", "u").withColumnRenamed(
+            "comp", "comp_u"
+        )
+        lab_v = labels.withColumnRenamed("node", "v").withColumnRenamed(
+            "comp", "comp_v"
+        )
+        via_edges = (
+            edges.join(lab_u, "u")
+            .join(lab_v, "v")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("node"), F.col("comp_v").alias("cand")),
+                        F.struct(F.col("v").alias("node"), F.col("comp_u").alias("cand")),
+                    )
+                ).alias("e")
+            )
+            .select("e.node", "e.cand")
+        )
+        new_labels = (
+            labels.select("node", F.col("comp").alias("cand"))
+            .union(via_edges)
+            .groupBy("node")
+            .agg(F.min("cand").alias("comp"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(id, cluster, is_canonical) over the FULL corpus: nodes absent
+    from any pair form singleton clusters; the canonical survivor is
+    the min id per cluster (deterministic)."""
+    comp = connected_components(pairs, src, dst).withColumnRenamed(
+        "node", id_col
+    )
+    labeled = (
+        all_ids.select(id_col)
+        .join(comp, id_col, "left")
+        .withColumn("cluster", F.coalesce(F.col("comp"), F.col(id_col)))
+        .drop("comp")
+    )
+    return labeled.withColumn(
+        "is_canonical", (F.col(id_col) == F.col("cluster"))
+    )

@@ -36,7 +36,7 @@ def shingle_words(text: Column, k: int = 3) -> Column:
 
 
 def shingle_rows(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
 ) -> DataFrame:
     """Distinct (doc, shingle) rows via posexplode + lead() windows —
     fully whole-stage-codegen'd (no interpreted array lambdas), one
@@ -55,14 +55,13 @@ def shingle_rows(
         F.col("w").alias("w0"),
         *[F.lead("w", i).over(win).alias(f"w{i}") for i in range(1, k)],
     )
-    return (
-        parts.filter(F.col(f"w{k - 1}").isNotNull())
-        .select(
-            "doc",
-            F.concat_ws(" ", *[F.col(f"w{i}") for i in range(k)]).alias("shingle"),
-        )
-        .dropDuplicates(["doc", "shingle"])
+    rows = parts.filter(F.col(f"w{k - 1}").isNotNull()).select(
+        "doc",
+        F.concat_ws(" ", *[F.col(f"w{i}") for i in range(k)]).alias("shingle"),
     )
+    # skip the dedup pass for consumers where multiplicity is harmless
+    # (e.g. min-aggregation fingerprints)
+    return rows.dropDuplicates(["doc", "shingle"]) if distinct else rows
 
 
 def ngram_jaccard_pairs(
@@ -77,9 +76,11 @@ def ngram_jaccard_pairs(
     Returns ``(id_a, id_b, n_common, jaccard)``; jaccard is an
     int/int division — bit-deterministic across engines.
     """
+    # both sides of the shingle self-join read this — cache it so
+    # shingling runs once (multi-consumer caching policy, SURVEY.md §4)
     exploded = shingle_rows(df, id_col, text_col, k).withColumn(
         "n_shingles", F.count("*").over(Window.partitionBy("doc"))
-    )
+    ).cache()
 
     a = exploded.alias("a")
     b = exploded.alias("b")

@@ -97,7 +97,10 @@ def minhash_near_dup_pairs(
         raise ValueError(f"n_hashes={n_hashes} not divisible by bands={bands}")
     r = n_hashes // bands
 
-    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes, seed)
+    # signatures (shingle scan + 64 min-aggs) feed both sides of the
+    # banded self-join — cache so the scan runs once (multi-consumer
+    # caching policy, SURVEY.md §4)
+    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes, seed).cache()
 
     band_keys = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),

@@ -15,10 +15,25 @@ bitwise expressions; no UDF.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 BITS = 64
+
+
+_LANES_PER_AGG = 4  # 16-bit lanes per packed bigint aggregate
+_LANE_BITS = 16
+_MAX_TOKENS = (1 << _LANE_BITS) - 1  # per-doc bound for lane packing
+
+
+def _tokens_hashed(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    tokens = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return tokens.withColumn("h", F.xxhash64("tok"))
 
 
 def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -26,31 +41,75 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Token weights are term frequencies (repeat tokens count again) —
     the classic formulation.
+
+    Physical shape: tokenize + xxhash64 JVM-side (codegen'd), then ONE
+    applyInPandas kernel per doc group: unpack the 64 hash bits with
+    numpy, majority-vote each bit, repack. Bit-identical to the pure-
+    JVM aggregate (:func:`simhash_signature_jvm`) — kept because the
+    64-bit-count aggregate compiles a pathologically large generated
+    class (~3 s of Janino compile per fresh plan, 10× the actual
+    execution). The pandas path shuffles token rows instead of
+    map-side-combined partials, a fine trade until per-doc token
+    counts × docs/partition stress executor memory; at that scale
+    switch to the JVM variant and amortize its compile cost.
     """
-    tokens = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    h = tokens.withColumn("h", F.xxhash64("tok"))
-    # per-bit contribution: +1 if bit set else -1, summed over tokens
-    bit_sums = h.groupBy("doc").agg(
-        *[
-            F.sum(
-                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"b{j}")
-            for j in range(BITS)
-        ]
-    )
-    sig = None
-    for j in range(BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(1 << j).cast("long") if j < 63 else (
-            # bit 63 would overflow a positive literal; use shiftleft
-            F.when(F.col("b63") > 0, F.shiftleft(F.lit(1).cast("long"), 63))
-            .otherwise(F.lit(0).cast("long"))
+    hashed = _tokens_hashed(df, id_col, text_col)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["h"].to_numpy(dtype=np.int64)
+        # bit j of each hash, little-endian → column j
+        bits = np.unpackbits(
+            h.view(np.uint8).reshape(len(h), 8), axis=1, bitorder="little"
         )
-        sig = term if sig is None else sig + term
+        counts = bits.sum(axis=0, dtype=np.int64)
+        sig_bits = (2 * counts > len(h)).astype(np.uint64)
+        sig = np.int64((sig_bits << np.arange(64, dtype=np.uint64)).sum().astype(np.uint64))
+        return pd.DataFrame({"doc": [pdf["doc"].iloc[0]], "simhash": [sig]})
+
+    return hashed.groupBy("doc").applyInPandas(kernel, "doc bigint, simhash bigint")
+
+
+def simhash_signature_jvm(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Pure-JVM signature: 16 lane-packed sum() aggregates (4×16-bit
+    counts per bigint) + majority unpack. Map-side combine ⇒ the
+    shuffle carries one row per doc — the extreme-scale formulation;
+    pays one large codegen compile per fresh plan. Lane packing bounds
+    docs at 65535 whitespace tokens (chunk longer docs upstream)."""
+    h = _tokens_hashed(df, id_col, text_col)
+
+    def packed(agg_idx: int):
+        """Σ_tokens of [bit(j3)≪48 | bit(j2)≪32 | bit(j1)≪16 | bit(j0)]."""
+        terms = None
+        for lane in range(_LANES_PER_AGG):
+            j = agg_idx * _LANES_PER_AGG + lane
+            bit = F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+            t = F.shiftleft(bit, lane * _LANE_BITS)
+            terms = t if terms is None else terms + t
+        return F.sum(terms).alias(f"p{agg_idx}")
+
+    n_aggs = BITS // _LANES_PER_AGG
+    bit_sums = h.groupBy("doc").agg(
+        *[packed(i) for i in range(n_aggs)],
+        F.count("*").alias("__n"),
+    )
+    # bit j of the signature: set iff 2·count_set(j) > n_tokens
+    # (equivalent to the classic Σ(2b−1) > 0)
+    sig = None
+    for i in range(n_aggs):
+        for lane in range(_LANES_PER_AGG):
+            j = i * _LANES_PER_AGG + lane
+            cnt = F.shiftright(F.col(f"p{i}"), lane * _LANE_BITS).bitwiseAND(
+                F.lit(_MAX_TOKENS)
+            )
+            bit = F.when(cnt * 2 > F.col("__n"), F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = (
+                F.shiftleft(bit, j)
+                if j == 63  # 1<<63 literal would overflow a positive long
+                else bit * F.lit(1 << j).cast("long")
+            )
+            sig = term if sig is None else sig + term
     return bit_sums.select("doc", sig.alias("simhash"))
 
 
@@ -73,7 +132,11 @@ def simhash_near_dup_pairs(
     if max_distance >= chunks:
         raise ValueError("pigeonhole requires max_distance < chunks")
     width = BITS // chunks
-    sigs = simhash_signature(df, id_col, text_col)
+    # the signature scan (token explode + 64 bit-sums) feeds BOTH sides
+    # of the candidate self-join — cache it (one 16-byte row per doc)
+    # so the expensive pass runs once, not twice (engine caching policy:
+    # multi-consumer plans only, SURVEY.md §4)
+    sigs = simhash_signature(df, id_col, text_col).cache()
 
     chunk_keys = F.array(
         *[

@@ -9,6 +9,7 @@ from aws_etl_spark.io.readers import (
     read_csv,
     read_jdbc,
     read_json,
+    read_orc,
     read_parquet,
     read_table,
     with_source_file,
@@ -17,5 +18,6 @@ from aws_etl_spark.io.writers import (
     save_as_table,
     write_csv,
     write_jdbc,
+    write_orc,
     write_parquet,
 )

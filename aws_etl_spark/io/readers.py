@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-SUPPORTED_SOURCE_FORMATS = {"csv", "parquet", "json", "jdbc", "binaryFile"}
+SUPPORTED_SOURCE_FORMATS = {"csv", "parquet", "orc", "json", "jdbc", "binaryFile"}
 
 
 class UnsupportedFormatError(ValueError):
@@ -44,6 +44,11 @@ def read_csv(
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC read (vectorized, same pushdown/pruning surface as parquet)."""
+    return spark.read.orc(path)
 
 
 def read_json(
@@ -109,6 +114,8 @@ def read_table(
         return read_csv(spark, path, **kwargs)
     if fmt == "parquet":
         return read_parquet(spark, path)
+    if fmt == "orc":
+        return read_orc(spark, path)
     if fmt == "json":
         return read_json(spark, path, **kwargs)
     if fmt == "binaryFile":

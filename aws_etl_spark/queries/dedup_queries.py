@@ -71,6 +71,61 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
 
 
+_CLUSTER_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS doc,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(string_split(trim(text), ' ')) - 2, 0) + 1),
+             i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' ')
+           )
+         ) AS shingles
+  FROM documents
+),
+ex AS (SELECT doc, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc AS id_a, b.doc AS id_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+  HAVING COUNT(*) * 1.0 / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.5
+),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u
+),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u)
+SELECT d.doc_id,
+       COALESCE(c.cluster, d.doc_id) AS cluster,
+       d.doc_id = COALESCE(c.cluster, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+@register(
+    "dedup_clusters_cc",
+    oracle=_CLUSTER_ORACLE,
+    category="dedup",
+    tables=("documents",),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (exact 3-gram Jaccard ≥ 0.5) → connected
+    components (star contraction) → cluster + canonical survivor per
+    doc. Oracle: the same pairs via SQL + a recursive-CTE transitive
+    closure (tractable at oracle scale; the Spark path is the
+    log-rounds algorithm that scales)."""
+    from aws_etl_spark.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    return dedup_clusters(pairs, docs, "doc_id")
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=None,  # xxhash64 sketch: not SQL-expressible; see module doc

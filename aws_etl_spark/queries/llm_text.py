@@ -10,7 +10,8 @@ from pyspark.sql import functions as F
 from aws_etl_spark.queries.registry import load_table, register
 from aws_etl_spark.text import (
     fingerprint_md5,
-    fingerprint_min_shingle,
+    min_shingle_fingerprints,
+    tf_idf,
     lang_id,
     mean_word_length,
     punct_ratio,
@@ -127,6 +128,33 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id AS doc, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc, token, COUNT(*) AS tf FROM tok WHERE token <> ''
+  GROUP BY doc, token
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc, tf.token, tf.tf, dfreq.df,
+       tf.tf * LN(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf
+FROM tf JOIN dfreq USING (token) CROSS JOIN n
+WHERE dfreq.df >= 2
+"""
+
+
+@register(
+    "text_tf_idf", oracle=_TFIDF_ORACLE, category="text", tables=("documents",)
+)
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus TF-IDF (min_df=2) via explode + double aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tf_idf(docs, "doc_id", "text", min_df=2)
+
+
 _FP_ORACLE = """
 SELECT doc_id,
        MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp_md5,
@@ -143,10 +171,11 @@ FROM documents
     "text_fingerprint", oracle=_FP_ORACLE, category="text", tables=("documents",)
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized md5 + min-shingle-md5 document fingerprints."""
+    """Normalized md5 + min-shingle-md5 document fingerprints (row-wise
+    codegen pipeline; left join keeps <k-word docs with NULL)."""
     docs = load_table(spark, sf_dir, "documents")
+    mins = min_shingle_fingerprints(docs, "doc_id", "text", k=3)
     return docs.select(
         "doc_id",
         fingerprint_md5(F.col("text")).alias("fp_md5"),
-        fingerprint_min_shingle(F.col("text"), k=3).alias("fp_min_shingle"),
-    )
+    ).join(mins, "doc_id", "left")

@@ -4,6 +4,8 @@ from aws_etl_spark.text.analysis import (
     STOPWORDS,
     fingerprint_md5,
     fingerprint_min_shingle,
+    min_shingle_fingerprints,
+    tf_idf,
     lang_id,
     lang_scores,
     mean_word_length,
@@ -26,4 +28,6 @@ __all__ = [
     "lang_id",
     "fingerprint_md5",
     "fingerprint_min_shingle",
+    "min_shingle_fingerprints",
+    "tf_idf",
 ]

@@ -105,7 +105,12 @@ def fingerprint_md5(text: Column) -> Column:
 def fingerprint_min_shingle(text: Column, k: int = 3) -> Column:
     """Winnowing-style robust fingerprint: lexicographic min of the
     md5s of word-k-gram shingles (stable under small edits away from
-    the minimizing shingle)."""
+    the minimizing shingle).
+
+    Column form (interpreted higher-order lambdas) — for whole-table
+    fingerprinting use :func:`min_shingle_fingerprints`, which computes
+    the same value via a codegen'd row pipeline.
+    """
     w = words(F.lower(text))
     n = F.size(w)
     shingles = F.transform(
@@ -113,3 +118,61 @@ def fingerprint_min_shingle(text: Column, k: int = 3) -> Column:
         lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, k))),
     )
     return F.array_min(shingles)
+
+
+def tf_idf(
+    df,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+):
+    """(id, token, tf, df, tfidf) — classic TF-IDF, pure DataFrame ops
+    (SURVEY.md §2.13 text-analysis row).
+
+    tfidf = tf · ln(N/df): term count × inverse-document-frequency.
+    Physical shape: one explode → two map-side-combined aggregations
+    (term counts per doc; doc frequency per token) joined on token —
+    both shuffles are on high-cardinality keys (no skew beyond stopword
+    tokens, which ``min_df`` does not bound; cap hot tokens upstream if
+    a corpus is stopword-degenerate). N arrives via a broadcast
+    one-row cross join, not a driver round-trip.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tokens.groupBy("doc", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    return (
+        tf.join(dfreq.filter(F.col("df") >= min_df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("doc"),
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+
+
+def min_shingle_fingerprints(
+    df, id_col: str, text_col: str, k: int = 3
+):
+    """(id, fp_min_shingle) per document — row-wise formulation:
+    posexplode/lead shingling → md5 → one map-side-combined min()
+    aggregate. Whole-stage-codegen'd end to end; the shuffle carries
+    one 32-char row per doc. Docs with fewer than k words yield NULL
+    (join back on the caller side keeps them).
+    """
+    from aws_etl_spark.dedup.jaccard import shingle_rows
+
+    lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__t"))
+    sh = shingle_rows(lowered, id_col, "__t", k, distinct=False)
+    return sh.groupBy(F.col("doc").alias(id_col)).agg(
+        F.min(F.md5("shingle")).alias("fp_min_shingle")
+    )

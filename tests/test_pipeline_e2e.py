@@ -149,3 +149,17 @@ def test_dependency_cycle_rejected():
 def test_reconcile_mismatch_raises():
     with pytest.raises(AssertionError):
         reconcile_counts(10, 9, "x")
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC sink/source roundtrip preserves schema and rows."""
+    from aws_etl_spark.io import read_orc, read_table, write_orc
+    from aws_etl_spark.queries.registry import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path)
+    back = read_orc(spark, path)
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+    assert read_table(spark, "orc", path).count() == nation.count()
