@@ -39,16 +39,58 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable.
 
-    Star-contraction loop: repeatedly attach every node to the minimum
-    id in its neighborhood (including itself) until the mapping stops
-    changing. Each iteration: one groupBy(min) + one join — two
-    shuffles on node id; iterations ≈ graph diameter after doubling,
-    log-bounded for near-dup cliques.
+    Two execution paths, picked by measured edge count:
+
+    - **small graph** (≤ ``small_graph_edges``, the common case — the
+      dup graph after threshold filtering is a sparse set of tiny
+      cliques even on huge corpora): union-find on the driver. The
+      edge list is already materialized for the count; 2M edges ≈
+      32 MB on the driver, and union-find is ~O(E α(E)) — fractions
+      of a second vs. multiple distributed rounds of fixed stage
+      overhead.
+    - **distributed** (above the bound): star-contraction — repeatedly
+      attach every node to the minimum id in its neighborhood until
+      the mapping stops changing. Each iteration: one groupBy(min) +
+      one join; iterations ≈ cluster diameter, log-bounded for
+      near-dup cliques; localCheckpoint truncates lineage per round.
+
+    Both paths produce identical labels (component = min reachable id).
     """
     edges = _canonical_edges(pairs, src, dst)
+    edges = edges.localCheckpoint(eager=True)
+    n_edges = edges.count()
+    if n_edges == 0:
+        return edges.select(F.col("u").alias("node"), F.col("u").alias("comp"))
+    if n_edges <= small_graph_edges:
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.toLocalIterator():
+            ru, rv = find(row.u), find(row.v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        from pyspark.sql import types as T
+
+        labels = [(n, find(n)) for n in parent]
+        node_type = edges.schema["u"].dataType
+        return pairs.sparkSession.createDataFrame(
+            labels,
+            schema=T.StructType(
+                [T.StructField("node", node_type), T.StructField("comp", node_type)]
+            ),
+        )
     # node → current component label (start: itself)
     labels = (
         edges.select(F.col("u").alias("node"))
@@ -56,7 +98,6 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
-    edges = edges.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
 
     for _ in range(max_iterations):
@@ -80,11 +121,24 @@ def connected_components(
             )
             .select("e.node", "e.cand")
         )
-        new_labels = (
+        propagated = (
             labels.select("node", F.col("comp").alias("cand"))
             .union(via_edges)
             .groupBy("node")
             .agg(F.min("cand").alias("comp"))
+        )
+        # pointer jumping: comp ← comp's own comp. Plain neighbor
+        # propagation moves a label one hop per round (O(diameter) on
+        # chains); following the label mapping through itself doubles
+        # the jump each round → O(log diameter) convergence.
+        hop = propagated.select(
+            F.col("node").alias("comp"), F.col("comp").alias("comp2")
+        )
+        new_labels = (
+            propagated.join(hop, "comp", "left")
+            .select(
+                "node", F.coalesce("comp2", "comp").alias("comp")
+            )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (

@@ -3,6 +3,7 @@ skew/shuffle-management rewrites for 100 TB plans (salting, bucketed
 co-located joins)."""
 
 from aws_etl_spark.ops.asof import asof_join
+from aws_etl_spark.ops.incremental import rollup_partials, upsert
 from aws_etl_spark.ops.scale import (
     bucketed_table,
     hot_keys,
@@ -10,4 +11,4 @@ from aws_etl_spark.ops.scale import (
     salted_join,
 )
 
-__all__ = ["asof_join", "bucketed_table", "hot_keys", "salted_agg", "salted_join"]
+__all__ = ["asof_join", "rollup_partials", "upsert", "bucketed_table", "hot_keys", "salted_agg", "salted_join"]

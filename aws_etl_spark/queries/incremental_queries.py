@@ -1,0 +1,83 @@
+"""Incremental-maintenance queries: MERGE upsert and hourly→daily
+rollup of partials, both fully SQL-oracled."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_spark.ops.incremental import rollup_partials, upsert
+from aws_etl_spark.queries.registry import load_table, register
+from aws_etl_spark.streaming.windows import tumbling_counts
+
+_UPSERT_ORACLE = """
+WITH updates AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM updates
+UNION ALL
+SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment
+FROM customer t
+WHERE t.c_custkey NOT IN (SELECT c_custkey FROM updates)
+"""
+
+
+@register(
+    "merge_upsert",
+    oracle=_UPSERT_ORACLE,
+    category="incremental",
+    tables=("customer",),
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics: every 10th customer gets an updated balance;
+    the rest pass through untouched (anti-join + union, one shuffle)."""
+    cust = load_table(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    return upsert(cust, updates, ["c_custkey"])
+
+
+_ROLLUP_ORACLE = """
+WITH hourly AS (
+  SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT DATE_TRUNC('day', window_start) AS day,
+       event_type,
+       SUM(n) AS n,
+       CAST(SUM(CAST(total_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM hourly
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_rollup_daily",
+    oracle=_ROLLUP_ORACLE,
+    category="streaming",
+    tables=("events",),
+)
+def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern: daily view folded from the HOURLY
+    partials (never re-scans raw events — counts add, decimal-routed
+    sums add exactly)."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = tumbling_counts(events, window="1 hour")
+    daily = rollup_partials(
+        hourly.withColumn(
+            "total_value", F.col("total_value").cast("decimal(18,2)")
+        ).withColumn("day", F.date_trunc("day", "window_start")),
+        ["day", "event_type"],
+        sum_cols=["total_value"],
+        count_cols=["n"],
+    )
+    return daily.select(
+        "day", "event_type", "n", F.col("total_value").cast("double").alias("total_value")
+    )

@@ -170,6 +170,7 @@ def _ensure_loaded() -> None:
         advanced_rel,
         dedup_queries,
         functions_corpus,
+        incremental_queries,
         llm_text,
         multimodal_queries,
         reference_parity,

@@ -57,3 +57,15 @@ def test_dedup_clusters_full_corpus(spark, sf_dir):
     for cid, members in clusters.items():
         assert sum(m.is_canonical for m in members) == 1
         assert min(m.doc_id for m in members) == cid
+
+
+def test_cc_distributed_path_matches_fast_path(spark):
+    """Force the star-contraction path (small_graph_edges=0) and check
+    it agrees with driver union-find on a multi-round chain graph."""
+    edges = [(i, i + 1) for i in range(1, 40)] + [(100, 101), (101, 102)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r.node: r.comp
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
+    assert got == _union_find(edges)

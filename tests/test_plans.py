@@ -80,3 +80,31 @@ def test_topk_no_global_sort(spark, sf_dir):
     from aws_etl_spark.plans import formatted_plan
 
     assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+# queries whose semantics genuinely require a cross/nested-loop join
+_CARTESIAN_OK = {
+    "join_cross",          # explicit CROSS JOIN
+    "join_theta",          # pure inequality condition
+    "events_asof_join",    # range condition
+    "scalar_subquery",     # scalar broadcast
+    "text_tf_idf",         # broadcast one-row N cross join
+    "ann_cosine_topk_exact",   # block × query-set pairing
+    "ann_embedding_near_dup",  # block-pair triangle (range condition)
+    "cte_subquery",
+}
+
+
+def test_no_accidental_cartesian_products(spark, sf_dir):
+    """Every registry query's physical plan is audited: a
+    CartesianProduct outside the explicit allowlist is a planning
+    regression (at 100 TB it's a job that never finishes)."""
+    _ensure_loaded()
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        df = spec.fn(spark, sf_dir)
+        facts = plan_facts(df)
+        joins = set(facts.join_strategies)
+        if name not in _CARTESIAN_OK and "CartesianProduct" in joins:
+            offenders[name] = facts.join_strategies
+    assert not offenders, offenders
