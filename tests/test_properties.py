@@ -1,0 +1,107 @@
+"""Property-based differential tests (hypothesis): engine operators vs
+straight-Python models on randomized inputs. Complements the
+fixed-corpus oracle — hypothesis hunts the edge cases a static corpus
+misses (empty inputs, all-duplicate keys, single groups, negative
+values).
+
+Example counts are kept small: every example is a full Spark
+plan+execute round trip (~0.5 s); the value is input shape diversity,
+not volume.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aws_etl_spark.dedup import dedup_exact
+from aws_etl_spark.ops import salted_agg, upsert
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_kv_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key: few values → collisions
+        st.integers(min_value=-1000, max_value=1000),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@_settings
+@given(target=_kv_rows, updates=_kv_rows)
+def test_upsert_matches_dict_model(spark, target, updates):
+    """upsert == dict-overwrite model, up to per-key multiplicity:
+    updates fully replace a key's rows; untouched keys pass through."""
+    # model: dedupe updates to one row per key (merge-semantics input)
+    upd = {}
+    for k, v in updates:
+        upd[k] = v
+    t_df = spark.createDataFrame(target, ["k", "v"])
+    u_df = spark.createDataFrame(sorted(upd.items()), ["k", "v"])
+    got = Counter((r.k, r.v) for r in upsert(t_df, u_df, ["k"]).collect())
+    expected = Counter()
+    for k, v in upd.items():
+        expected[(k, v)] += 1
+    for k, v in target:
+        if k not in upd:
+            expected[(k, v)] += 1
+    assert got == expected
+
+
+@_settings
+@given(rows=_kv_rows)
+def test_dedup_exact_keeps_min_survivor(spark, rows):
+    """dedup_exact: exactly one survivor per distinct key group, and it
+    is the minimum id; idempotent on its own output."""
+    data = [(i, k) for i, (k, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["id", "k"])
+    out = dedup_exact(df, ["k"], "id")
+    got = {r.k: r.id for r in out.collect()}
+    expected = {}
+    for i, k in data:
+        expected[k] = min(expected.get(k, i), i)
+    assert got == expected
+    again = dedup_exact(out, ["k"], "id")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+@_settings
+@given(rows=_kv_rows, n_salts=st.integers(min_value=1, max_value=7))
+def test_salted_agg_matches_plain_groupby(spark, rows, n_salts):
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r.k: (r.s, r.n, r.mx)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"s": ("v", "sum"), "n": ("v", "count"), "mx": ("v", "max")},
+            n_salts=n_salts,
+        ).collect()
+    }
+    expected = {}
+    for k, v in rows:
+        s, n, mx = expected.get(k, (0, 0, None))
+        expected[k] = (s + v, n + 1, v if mx is None else max(mx, v))
+    assert got == expected
+
+
+@_settings
+@given(a=_kv_rows, b=_kv_rows)
+def test_set_ops_match_multiset_model(spark, a, b):
+    """exceptAll/intersectAll are MULTISET ops — model with Counters."""
+    da = spark.createDataFrame(a, ["k", "v"])
+    db = spark.createDataFrame(b, ["k", "v"])
+    ca, cb = Counter(a), Counter(b)
+    got_except = Counter(map(tuple, da.exceptAll(db).collect()))
+    got_inter = Counter(map(tuple, da.intersectAll(db).collect()))
+    assert got_except == ca - cb
+    assert got_inter == ca & cb
