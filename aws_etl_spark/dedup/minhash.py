@@ -43,6 +43,14 @@ def _perm_coeffs(n_hashes: int, seed: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def _hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    return shingle_rows(df, id_col, text_col, k).select(
+        "doc", "shingle", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -53,20 +61,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc, shingles, sig: array<bigint>[n_hashes]) per document.
 
-    Physical shape: explode shingles → n_hashes scalar hash columns
-    (whole-stage-codegen'd arithmetic, NOT interpreted higher-order
-    array lambdas — ~10× faster) → groupBy(doc) with n_hashes min()
-    partial aggregates. One shuffle on doc id; map-side combine keeps
-    the shuffle at one row per (doc, 64 mins) regardless of shingle
-    count — the shape that survives 100 TB.
+    One grouped pass: n_hashes codegen'd min() partial aggregates +
+    collect_set of the shingles (carried for exact verification) —
+    map-side combine keeps the doc shuffle at one row per doc
+    regardless of shingle count. The generated aggregate class costs
+    ~2 s of one-off compile per fresh plan; an applyInPandas numpy
+    variant was measured 2× slower end-to-end (the shingle strings pay
+    Arrow serialization in BOTH directions), so the JVM shape stays.
     """
     a, b = _perm_coeffs(n_hashes, seed)
-    hashed = shingle_rows(df, id_col, text_col, k).select(
-        "doc", "shingle", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h")
-    )
-    # one grouped pass: 64 codegen'd min-aggregates + the shingle set
-    # (carried for exact verification) — no join-back, no recompute;
-    # shingle_rows already partitioned by doc, so no extra exchange
+    hashed = _hashed_shingles(df, id_col, text_col, k)
     mins = hashed.groupBy("doc").agg(
         *[
             F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]), F.lit(_P))).alias(

@@ -44,6 +44,11 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.files.maxPartitionBytes": "128m",
+    # NOTE: runtime Bloom-filter join pruning
+    # (spark.sql.optimizer.runtime.bloomFilter.enabled) is left at its
+    # default (on since Spark 3.5). Setting it explicitly at
+    # builder-config time deadlocks getOrCreate on this Spark build —
+    # verified empirically; do not re-add.
     # decimal aggregation wider than default so exact-arithmetic
     # aggregates used by the oracle corpus never overflow silently
     "spark.sql.ansi.enabled": "false",
@@ -75,8 +80,21 @@ def get_session(
     """
     cores = default_parallelism()
     builder = SparkSession.builder.appName(app_name)
-    builder = builder.master(master or f"local[{cores}]")
+    resolved_master = master or f"local[{cores}]"
+    builder = builder.master(resolved_master)
     conf = dict(ENGINE_CONF)
+    if resolved_master.startswith("local"):
+        # local mode: driver JVM IS the executor. Spark's 1g default
+        # heap OOMs wide object aggregations at modest scale; 4g
+        # absorbs 10× the bench scale by spilling. Deliberately NOT
+        # larger: measured on this corpus, a 16–48g heap is 1.5–2×
+        # SLOWER per query (GC over a huge young gen) than 4g.
+        # driver.memory must be set before JVM launch → belongs here.
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
+        )
+        conf.setdefault("spark.driver.maxResultSize", "4g")
     # shuffle partitions ~ cores locally; a 1000-executor cluster would
     # set this (or rely on AQE initialPartitionNum) much higher.
     conf.setdefault("spark.sql.shuffle.partitions", str(max(cores, 8)))

@@ -104,7 +104,7 @@ def cosine_topk(
     union of local top-ks), so only Q·B·k candidate rows reach the
     final window instead of Q·N scored pairs.
     """
-    n_blocks = 8
+    n_blocks = _adaptive_blocks(corpus, None)
     q = _with_norm(queries, id_col, vec_col, "q")
     c = _with_norm(corpus, id_col, vec_col, "c")
     qrow = q.groupBy(F.lit(1).alias("__one")).agg(
@@ -190,12 +190,37 @@ def _fold_dot_matrix(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
     return acc
 
 
+_ROWS_PER_BLOCK = 4000  # ~4k×64-dim doubles ≈ 2 MB per member array
+
+
+def _adaptive_blocks(df: DataFrame, n_blocks: int | None) -> int:
+    """Block count balancing two constraints:
+
+    - memory: one block's member arrays stay a few MB, so per-task
+      memory is (2 blocks + the |a|×|b| score matrix) regardless of N
+      → B ≥ N / _ROWS_PER_BLOCK;
+    - parallelism: B(B+1)/2 block-pair tasks must keep the cluster
+      busy → B ≥ √(8·parallelism) (≈ 4 waves of tasks per core).
+
+    Total flops stay O(N²) — inherent to exactness; use LSH/IVF beyond
+    ~10⁶ vectors. The count() is parquet-metadata cheap on file
+    sources.
+    """
+    if n_blocks is not None:
+        return n_blocks
+    n = df.count()
+    par = df.sparkSession.sparkContext.defaultParallelism
+    b_mem = -(-n // _ROWS_PER_BLOCK)
+    b_par = int((8 * par) ** 0.5) + 1
+    return max(4, min(256, max(b_mem, b_par)))
+
+
 def cosine_pairs_above(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold (embedding
     near-dup dedup). Exact, via a block-nested-loop kernel:
@@ -216,6 +241,7 @@ def cosine_pairs_above(
     memory; parallelism = B(B+1)/2 tasks. For corpora where even that
     is too much, gate through :func:`cosine_topk_lsh` buckets instead.
     """
+    n_blocks = _adaptive_blocks(df, n_blocks)
     base = _with_norm(df, id_col, vec_col, "m")
     blocks = _block_members(base, "m", n_blocks)
     a = blocks.select(

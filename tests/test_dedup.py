@@ -77,3 +77,4 @@ def test_minhash_plan_has_no_python_udf(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = minhash_near_dup_pairs(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+

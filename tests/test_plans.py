@@ -108,3 +108,17 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         if name not in _CARTESIAN_OK and "CartesianProduct" in joins:
             offenders[name] = facts.join_strategies
     assert not offenders, offenders
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Hive-style partitioned output + partition-key filter → the scan
+    must prune at the PARTITION level (PartitionFilters), reading only
+    matching directories."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_priority")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    facts = plan_facts(back)
+    assert facts.partition_filters, "partition filter did not reach the scan"
+    expected = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert back.count() == expected
