@@ -4,6 +4,14 @@ co-located joins)."""
 
 from aws_etl_spark.ops.asof import asof_join
 from aws_etl_spark.ops.incremental import rollup_partials, upsert
+from aws_etl_spark.ops.quality import (
+    QualityError,
+    expect_contained,
+    expect_no_nulls,
+    expect_row_count,
+    expect_unique,
+    profile,
+)
 from aws_etl_spark.ops.scale import (
     bucketed_table,
     hot_keys,
@@ -11,4 +19,4 @@ from aws_etl_spark.ops.scale import (
     salted_join,
 )
 
-__all__ = ["asof_join", "rollup_partials", "upsert", "bucketed_table", "hot_keys", "salted_agg", "salted_join"]
+__all__ = ["asof_join", "rollup_partials", "upsert", "QualityError", "expect_contained", "expect_no_nulls", "expect_row_count", "expect_unique", "profile", "bucketed_table", "hot_keys", "salted_agg", "salted_join"]

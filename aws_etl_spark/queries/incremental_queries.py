@@ -40,6 +40,40 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert(cust, updates, ["c_custkey"])
 
 
+_PROFILE_ORACLE = """
+SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+"""
+
+
+@register(
+    "table_profile",
+    oracle=_PROFILE_ORACLE,
+    category="incremental",
+    tables=("orders",),
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profiling (ANALYZE TABLE as a query)."""
+    from aws_etl_spark.ops.quality import profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile(orders, ["o_orderkey", "o_orderstatus", "o_custkey"])
+
+
 _ROLLUP_ORACLE = """
 WITH hourly AS (
   SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,

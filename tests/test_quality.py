@@ -1,0 +1,84 @@
+"""Quality gates: each expectation passes on clean data and raises
+QualityError with a useful message on dirty data; sampling operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_spark.ops import (
+    QualityError,
+    expect_contained,
+    expect_no_nulls,
+    expect_row_count,
+    expect_unique,
+    profile,
+)
+from aws_etl_spark.queries.registry import load_table
+
+
+def test_profile_one_pass_shape(spark, sf_dir):
+    from aws_etl_spark.plans import plan_facts
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = profile(orders, ["o_orderkey", "o_orderstatus"])
+    rows = {r.column: r for r in p.collect()}
+    assert set(rows) == {"o_orderkey", "o_orderstatus"}
+    n = orders.count()
+    assert rows["o_orderkey"].n_rows == n
+    assert rows["o_orderkey"].n_distinct == n  # primary key
+    assert rows["o_orderkey"].n_nulls == 0
+    assert rows["o_orderstatus"].n_distinct <= 3
+    assert plan_facts(p).n_scans == 1  # ONE pass over the table
+
+
+def test_profile_approx_mode(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    p = {r.column: r for r in profile(orders, ["o_custkey"], approx_distinct=True).collect()}
+    exact = orders.select(F.count_distinct("o_custkey")).first()[0]
+    assert abs(p["o_custkey"].n_distinct - exact) / exact < 0.1
+
+
+def test_expect_row_count(spark):
+    df = spark.range(5)
+    assert expect_row_count(df, min_rows=5, max_rows=5) == 5
+    with pytest.raises(QualityError, match="row count"):
+        expect_row_count(df, min_rows=6)
+
+
+def test_expect_no_nulls(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["k", "v"])
+    expect_no_nulls(df, ["k"])
+    with pytest.raises(QualityError, match="null values present"):
+        expect_no_nulls(df, ["v"])
+
+
+def test_expect_unique(spark):
+    df = spark.createDataFrame([(1, 1), (1, 2)], ["a", "b"])
+    expect_unique(df, ["a", "b"])
+    with pytest.raises(QualityError, match="duplicate keys"):
+        expect_unique(df, ["a"])
+
+
+def test_expect_contained(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    expect_contained(cust, "c_nationkey", nation, "n_nationkey")
+    with pytest.raises(QualityError, match="missing"):
+        expect_contained(nation, "n_nationkey", cust.limit(0), "c_nationkey")
+
+
+def test_sampling(spark, sf_dir):
+    """df.sample: seeded determinism + fraction sanity; sampleBy:
+    per-stratum fractions honored approximately."""
+    orders = load_table(spark, sf_dir, "orders")
+    s1 = orders.sample(fraction=0.1, seed=7)
+    s2 = orders.sample(fraction=0.1, seed=7)
+    assert s1.count() == s2.count()  # seeded => reproducible
+    n = orders.count()
+    assert 0.05 * n < s1.count() < 0.15 * n
+    strat = orders.sampleBy("o_orderstatus", {"O": 0.5, "F": 0.05}, seed=7)
+    got = {r.o_orderstatus: r.n for r in strat.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    base = {r.o_orderstatus: r.n for r in orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    assert 0.3 < got.get("O", 0) / base["O"] < 0.7
+    assert got.get("P", 0) == 0  # stratum not in fractions => dropped
