@@ -28,13 +28,28 @@ def read_csv(
     sep: str = ",",
     encoding: str = "utf-8",
     infer_schema: bool = False,
+    mode: str = "PERMISSIVE",
+    corrupt_column: str | None = None,
 ) -> DataFrame:
     """CSV read. Default mirrors the reference: header on, no
     inference → every column StringType (typing is the transform
     stage's job, SURVEY §1.3). Pass ``schema`` (preferred at scale —
     inference scans the data twice) or ``infer_schema=True`` to type
-    at read."""
-    reader = spark.read.options(header=header, sep=sep, encoding=encoding)
+    at read.
+
+    Malformed-row policy (the reference has none — a bad row poisons
+    the daily run): ``mode`` is PERMISSIVE (nulls for bad fields) /
+    DROPMALFORMED / FAILFAST; with ``corrupt_column`` set, PERMISSIVE
+    additionally lands the raw text of each bad row in that column for
+    a quarantine sink.
+    """
+    reader = spark.read.options(header=header, sep=sep, encoding=encoding, mode=mode)
+    if corrupt_column is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
+        if schema is not None and isinstance(schema, T.StructType):
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField(corrupt_column, T.StringType())]
+            )
     if schema is not None:
         reader = reader.schema(schema)
     elif infer_schema:

@@ -20,9 +20,15 @@ def write_parquet(
     partition_by: list[str] | None = None,
     max_records_per_file: int | None = None,
     single_file: bool = False,
+    compression: str | None = None,
 ) -> None:
+    """``compression``: snappy (Spark default; fastest scans), zstd
+    (~30-40%% smaller at similar read cost — the 100 TB at-rest
+    default), gzip, lz4, none."""
     writer = df.coalesce(1).write if single_file else df.write
     writer = writer.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:

@@ -115,3 +115,27 @@ def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "event_type", "n", F.col("total_value").cast("double").alias("total_value")
     )
+
+
+_SK_ORACLE = """
+SELECT n_name, n_regionkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS BIGINT) AS sk
+FROM nation
+"""
+
+
+@register(
+    "surrogate_keys",
+    oracle=_SK_ORACLE,
+    category="incremental",
+    tables=("nation",),
+)
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered surrogate keys (deterministic tier; see ops/keys.py for
+    the shuffle-free contiguous and zero-cost sparse tiers)."""
+    from aws_etl_spark.ops.keys import with_ordered_ids
+
+    nation = load_table(spark, sf_dir, "nation")
+    return with_ordered_ids(nation, ["n_nationkey"]).select(
+        "n_name", "n_regionkey", F.col("sk").cast("bigint").alias("sk")
+    )

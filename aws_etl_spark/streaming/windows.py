@@ -98,3 +98,12 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (small)
+    static dimension — Spark broadcasts it per batch; no stream state.
+    The streaming analogue of the reference's curated dimension joins."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on, "left")

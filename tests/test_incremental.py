@@ -38,3 +38,24 @@ def test_rollup_requires_aggregates(spark):
     df = spark.createDataFrame([(1,)], ["k"])
     with pytest.raises(ValueError, match="no aggregate"):
         rollup_partials(df, ["k"])
+
+
+def test_contiguous_ids_dense_and_unique(spark, sf_dir):
+    from aws_etl_spark.ops import with_contiguous_ids
+    from aws_etl_spark.queries.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").repartition(7)
+    with_sk = with_contiguous_ids(orders)
+    n = orders.count()
+    ids = [r.sk for r in with_sk.select("sk").collect()]
+    assert sorted(ids) == list(range(n))  # dense 0..n-1, no dupes
+    assert set(with_sk.columns) == set(orders.columns) | {"sk"}
+
+
+def test_sparse_ids_unique(spark, sf_dir):
+    from aws_etl_spark.ops import with_sparse_ids
+    from aws_etl_spark.queries.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer").repartition(5)
+    with_sk = with_sparse_ids(cust)
+    assert with_sk.select("sk").distinct().count() == cust.count()

@@ -163,3 +163,43 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     assert back.schema == nation.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
     assert read_table(spark, "orc", path).count() == nation.count()
+
+
+def test_csv_malformed_row_policies(spark, tmp_path):
+    """PERMISSIVE quarantines bad rows in the corrupt column;
+    FAILFAST raises on first bad row."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from aws_etl_spark.io import read_csv
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("k,v\n1,10\nnot_an_int,20\n3,thirty\n")
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.IntegerType())]
+    )
+    good = read_csv(
+        spark, str(p), schema=schema, mode="PERMISSIVE", corrupt_column="_bad"
+    )
+    rows = good.collect()
+    assert len(rows) == 3
+    quarantined = [r for r in rows if r._bad is not None]
+    assert len(quarantined) == 2  # both malformed rows captured raw
+    # count() on CSV is pushdown-counted without parsing — collect to
+    # actually exercise the malformed-row drop
+    dropped = read_csv(spark, str(p), schema=schema, mode="DROPMALFORMED").collect()
+    assert [tuple(r) for r in dropped] == [(1, 10)]
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_csv(spark, str(p), schema=schema, mode="FAILFAST").collect()
+
+
+def test_parquet_compression_codecs(spark, sf_dir, tmp_path):
+    from aws_etl_spark.io import write_parquet
+    from aws_etl_spark.queries.registry import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    for codec in ["snappy", "zstd"]:
+        path = str(tmp_path / f"nation_{codec}")
+        write_parquet(nation, path, compression=codec)
+        back = spark.read.parquet(path)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))

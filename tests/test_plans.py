@@ -122,3 +122,15 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     assert facts.partition_filters, "partition filter did not reach the scan"
     expected = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert back.count() == expected
+
+
+def test_sql_broadcast_hint_honored(spark, sf_dir):
+    """SQL join hints flow through to the physical plan."""
+    from aws_etl_spark.queries.registry import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer"))
+    df = spark.sql("""
+        SELECT /*+ BROADCAST(c) */ o.o_orderkey, c.c_name
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """)
+    assert plan_facts(df).n_broadcast_exchanges >= 1
