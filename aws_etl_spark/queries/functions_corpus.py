@@ -283,3 +283,32 @@ sql_query(
     doc="Set-collecting aggregation rendered order-stable.",
     tables=("orders",),
 )
+
+sql_query(
+    "func_bitwise",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           o_orderkey ^ 21845 AS xored,
+           SHIFTLEFT(o_orderkey, 2) AS shl2,
+           SHIFTRIGHT(o_orderkey, 3) AS shr3,
+           BIT_COUNT(o_orderkey) AS popcount
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           XOR(o_orderkey, 21845) AS xored,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3,
+           BIT_COUNT(o_orderkey) AS popcount
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+    category="function",
+    doc="Bitwise operator surface (&, |, ^, shifts, popcount).",
+    tables=("orders",),
+)

@@ -406,6 +406,72 @@ def cosine_topk_lsh(
     )
 
 
+def _train_spherical_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    n_iters: int,
+    seed: int,
+    train_sample: int = 100_000,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means coarse quantizer: Lloyd iterations over UNIT
+    vectors (assign by cosine ≡ dot on unit sphere; new centroid =
+    re-normalized mean of members).
+
+    Trains on a seeded sample (standard IVF practice — the quantizer
+    needs the distribution, not every row; the full corpus is only
+    touched by the final assignment pass). Each iteration is one
+    posexplode + map-side-combined groupBy over sample×dim rows; the
+    (n_centroids × dim) sums are collected to the driver — tiny.
+    Empty clusters keep their previous centroid.
+    """
+    n = corpus.count()
+    frac = min(1.0, train_sample / max(n, 1))
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col)))
+    sample = (
+        corpus.sample(fraction=frac, seed=seed)
+        .select(F.col(id_col).alias("sid"), unit.alias("u"))
+        .cache()
+    )
+    init = sample.orderBy("sid").limit(n_centroids).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in row.u]) for i, row in enumerate(init)
+    ]
+    for _ in range(n_iters):
+        C_mat = [(cid, np.asarray(cv, dtype=np.float64)) for cid, cv in cents]
+
+        @F.pandas_udf("int")
+        def assign(xs: pd.Series) -> pd.Series:
+            A = np.stack(xs.to_numpy()).astype(np.float64)
+            D = np.stack([A @ cv for _, cv in C_mat], axis=1)
+            cids = np.asarray([cid for cid, _ in C_mat])
+            return pd.Series(cids[np.argmax(D, axis=1)].astype(np.int32))
+
+        sums = (
+            sample.withColumn("c", assign(F.col("u")))
+            .select("c", F.posexplode("u").alias("pos", "val"))
+            .groupBy("c", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_c.setdefault(r.c, {})[r.pos] = r.s
+        new_cents = []
+        for cid, old in cents:
+            dims = by_c.get(cid)
+            if not dims:
+                new_cents.append((cid, old))  # empty cluster
+                continue
+            v = np.asarray([dims[p] for p in sorted(dims)], dtype=np.float64)
+            nrm = float(np.sqrt((v * v).sum()))
+            new_cents.append((cid, list(v / nrm) if nrm > 0 else old))
+        cents = new_cents
+    sample.unpersist()
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -415,24 +481,19 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    kmeans_iters: int = 2,
 ) -> DataFrame:
-    """IVF approximate top-k: sample centroids from the corpus
-    (deterministic seed), assign corpus vectors to their nearest
+    """IVF approximate top-k: train a spherical-k-means coarse
+    quantizer on a sample, assign corpus vectors to their nearest
     centroid (one shuffle), probe the n_probe nearest lists per query.
 
     The centroid table is tiny and driver-collected once (like an IVF
     coarse quantizer); at 100 TB the corpus assignment is a single
     map + shuffle-on-centroid-id, and queries touch n_probe/C of data.
     """
-    cents = [
-        (i, [float(x) for x in row[1]])
-        for i, row in enumerate(
-            corpus.select(id_col, vec_col)
-            .sample(fraction=1.0, seed=seed)
-            .limit(n_centroids)
-            .collect()
-        )
-    ]
+    cents = _train_spherical_centroids(
+        corpus, id_col, vec_col, n_centroids, kmeans_iters, seed
+    )
 
     C_mat = [(cid, np.asarray(cvec, dtype=np.float64)) for cid, cvec in cents]
 

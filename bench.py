@@ -32,8 +32,14 @@ def main() -> None:
     spark = get_session("aws_etl_spark-bench")
     _ensure_loaded()
 
-    # warm the JVM / file listing once so q1 doesn't pay session startup
+    # warm the JVM / file listing once so q1 doesn't pay session
+    # startup, and spawn the Arrow python workers so the first
+    # pandas-UDF query doesn't pay worker fork+import (~2 s once per
+    # executor; a steady-state cluster has them resident)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(32).withColumnRenamed("id", "k").groupBy("k").applyInPandas(
+        lambda p: p, "k bigint"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
@@ -44,6 +50,9 @@ def main() -> None:
         df = spec.fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # operator-internal caches (dedup signatures etc.) must not
+        # leak memory pressure into later queries
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -28,7 +28,10 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     exact = _pairs(cosine_topk(emb, queries, k=5).collect())
     approx = _pairs(ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).collect())
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"IVF recall {recall}"
+    # spherical-k-means-trained quantizer: measured 0.84 (sf0.01) /
+    # 0.92 (sf0.1); gate well below to absorb data-seed variance but
+    # far above the untrained-centroid regime
+    assert recall >= 0.6, f"IVF recall {recall}"
 
 
 def test_exact_topk_rank_contract(spark, sf_dir):
