@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -48,6 +48,51 @@ def upsert(
     keys = list(keys)
     kept = target.join(updates.select(*keys), keys, "left_anti")
     return kept.unionByName(updates)
+
+
+def scd2_from_history(
+    history: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Build a Type-2 slowly-changing dimension from a change history.
+
+    Input: one row per observed (key, ts, attributes). Output: validity
+    intervals — ``valid_from`` = the change's timestamp, ``valid_to`` =
+    next change's timestamp per key (NULL = current), ``is_current``.
+    Consecutive rows with identical attributes are collapsed (no
+    zero-change versions).
+
+    One shuffle on the key; interval derivation is a lead() window over
+    the same partitioning. The reference's pipeline overwrites
+    dimensions daily and keeps no history at all — this is the
+    warehouse-grade replacement.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    # collapse no-change rows: keep a row only when any attribute
+    # differs from the previous observation of the same key
+    changed = F.lit(False)
+    for c in attr_cols:
+        prev = F.lag(F.col(c)).over(w)
+        changed = changed | ~(
+            (F.col(c) == prev) | (F.col(c).isNull() & prev.isNull())
+        )
+    first = F.row_number().over(w) == 1
+    versions = history.withColumn("__keep", first | changed).filter(
+        F.col("__keep")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    return (
+        versions.select(
+            *keys,
+            *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
 
 
 def rollup_partials(

@@ -139,3 +139,38 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_ordered_ids(nation, ["n_nationkey"]).select(
         "n_name", "n_regionkey", F.col("sk").cast("bigint").alias("sk")
     )
+
+
+_SCD2_ORACLE = """
+WITH h AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS rn
+  FROM events WHERE user_id < 100
+),
+v AS (
+  SELECT user_id, ts, event_type FROM h
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+FROM v
+"""
+
+
+@register(
+    "scd2_dimension",
+    oracle=_SCD2_ORACLE,
+    category="incremental",
+    tables=("events",),
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD intervals from the event history: per-user
+    event_type 'versions' with validity ranges, no-change rows
+    collapsed."""
+    from aws_etl_spark.ops.incremental import scd2_from_history
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return scd2_from_history(events, ["user_id"], "ts", ["event_type"])
