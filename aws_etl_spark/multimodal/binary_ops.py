@@ -119,3 +119,73 @@ def frame_sample_plan(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+MAGIC_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def _sniff_one(b: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """Container sniffing + dimension extraction from raw headers —
+    pure byte arithmetic, no codec library:
+
+    - PNG: IHDR width/height are big-endian u32 at offsets 16/20;
+    - GIF: logical-screen size is little-endian u16 at offsets 6/8;
+    - JPEG: scan markers for the first SOFn frame header;
+    - BMP: little-endian i32 at offsets 18/22.
+    """
+    if not b or len(b) < 12:
+        return None, None, None
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return "image/png", w, h
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return "image/gif", w, h
+    if b[:2] == b"BM" and len(b) >= 26:
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        return "image/bmp", w, abs(h)
+    if b[:2] == b"\xff\xd8":  # JPEG SOI; walk segment markers
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return "image/jpeg", w, h
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            i += 2 + seg_len
+        return "image/jpeg", None, None
+    return "application/octet-stream", None, None
+
+
+def sniff_media_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(item_id, mime, width, height) extracted from container headers
+    via Arrow-batched mapInPandas — REAL metadata (not stubbed): header
+    layouts are byte arithmetic, no codec needed. Pixel decode remains
+    the stubbed step (:func:`decode_image`)."""
+
+    def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [(_sniff_one(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col],
+                    "mime": [o[0] for o in out],
+                    "width": pd.array([o[1] for o in out], dtype="Int32"),
+                    "height": pd.array([o[2] for o in out], dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(sniff, MAGIC_SCHEMA)

@@ -1,0 +1,141 @@
+"""Event-analytics patterns over the events table: funnels and
+cohort retention — the product-analytics queries a warehouse serves
+daily, expressed as single-pass conditional aggregations (no joins per
+step, no self-joins per cohort cell).
+
+Funnel: per user, the earliest timestamp of each step where every
+step's ts must follow the previous step's; one groupBy(user) with
+min(CASE WHEN ...) chains. Cohort: bucket users by first-seen week,
+count distinct actives per (cohort, weeks-since) — two aggregations.
+Both shapes shuffle once on user_id and scale linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_spark.queries.registry import load_table, register
+
+_FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view
+  FROM events GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, p.t_view,
+         MIN(CASE WHEN e.event_type = 'click'
+                  AND CAST(e.ts AS TIMESTAMP) > p.t_view
+             THEN CAST(e.ts AS TIMESTAMP) END) AS t_click
+  FROM events e JOIN per_user p USING (user_id)
+  GROUP BY e.user_id, p.t_view
+),
+s3 AS (
+  SELECT e.user_id, s2.t_view, s2.t_click,
+         MIN(CASE WHEN e.event_type = 'purchase'
+                  AND CAST(e.ts AS TIMESTAMP) > s2.t_click
+             THEN CAST(e.ts AS TIMESTAMP) END) AS t_purchase
+  FROM events e JOIN s2 USING (user_id)
+  GROUP BY e.user_id, s2.t_view, s2.t_click
+)
+SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view,
+       CAST(COUNT(t_click) AS BIGINT) AS n_click,
+       CAST(COUNT(t_purchase) AS BIGINT) AS n_purchase
+FROM s3
+"""
+
+
+@register(
+    "events_funnel",
+    oracle=_FUNNEL_ORACLE,
+    category="streaming",
+    tables=("events",),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase ordered funnel (each step strictly after
+    the previous step's first occurrence)."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    s2 = (
+        events.join(per_user, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    s3 = (
+        events.join(s2, "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return s3.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, DATE_TRUNC('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(DATEDIFF('day', f.cohort_week,
+              DATE_TRUNC('week', CAST(e.ts AS TIMESTAMP))) / 7 AS INTEGER) AS weeks_since
+  FROM events e JOIN firsts f USING (user_id)
+)
+SELECT cohort_week, weeks_since,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity
+GROUP BY cohort_week, weeks_since
+"""
+
+
+@register(
+    "events_cohort_retention",
+    oracle=_COHORT_ORACLE,
+    category="streaming",
+    tables=("events",),
+)
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week,
+    distinct actives per (cohort, weeks since)."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "weeks_since").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )

@@ -169,6 +169,7 @@ def _ensure_loaded() -> None:
     from aws_etl_spark.queries import (  # noqa: F401
         advanced_rel,
         dedup_queries,
+        event_analytics,
         functions_corpus,
         incremental_queries,
         llm_text,

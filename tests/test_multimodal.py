@@ -57,3 +57,32 @@ def test_mapinpandas_path_uses_arrow(spark):
     df = _payload_df(spark)
     plan = byte_features(df, "item_id", "payload")._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+
+
+def test_sniff_media_metadata(spark):
+    """Header sniffing extracts real dimensions from crafted PNG/GIF/
+    BMP/JPEG payloads — no codec library involved."""
+    import struct
+
+    from aws_etl_spark.multimodal.binary_ops import sniff_media_metadata
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 8)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 8
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 1024, 768) + b"\x00" * 8
+    # minimal JPEG: SOI, APP0 (16 bytes), SOF0 with h=600 w=800
+    jpeg = (b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 600, 800)
+            + b"\x01" + b"\x00" * 3)
+    junk = b"not an image at all, just bytes"
+    rows = [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(bmp)),
+            (4, bytearray(jpeg)), (5, bytearray(junk)), (6, None)]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    got = {r.item_id: (r.mime, r.width, r.height)
+           for r in sniff_media_metadata(df, "item_id", "payload").collect()}
+    assert got[1] == ("image/png", 640, 480)
+    assert got[2] == ("image/gif", 320, 200)
+    assert got[3] == ("image/bmp", 1024, 768)
+    assert got[4] == ("image/jpeg", 800, 600)
+    assert got[5] == ("application/octet-stream", None, None)
+    assert got[6] == (None, None, None)
