@@ -312,3 +312,18 @@ sql_query(
     doc="Bitwise operator surface (&, |, ^, shifts, popcount).",
     tables=("orders",),
 )
+
+sql_query(
+    "func_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY CAST(FLOOR(o_totalprice / 50000) AS INT)
+    """,
+    category="function",
+    doc="Equi-width histogram via floor-division binning (WIDTH_BUCKET is not portable to DuckDB).",
+    tables=("orders",),
+)
