@@ -474,3 +474,41 @@ sql_query(
     doc="Uncorrelated scalar subquery in predicate (max: order-independent).",
     tables=("orders",),
 )
+
+sql_query(
+    "subquery_correlated_exists",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o2
+      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P'
+    )
+    """,
+    category="subquery",
+    doc="Correlated EXISTS / NOT EXISTS (planned as semi/anti joins).",
+    tables=("customer", "orders"),
+)
+
+sql_query(
+    "subquery_in_correlated_agg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (
+      SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    ) > 2 * (
+      SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    category="subquery",
+    doc="Correlated scalar aggregate subqueries (decorrelated by Catalyst into "
+        "joins); the avg comparison is cross-multiplied into exact decimal "
+        "arithmetic so borderline rows cannot flip between engines.",
+    tables=("orders",),
+)

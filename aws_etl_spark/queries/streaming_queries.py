@@ -143,3 +143,48 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, signups, on=["user_id"], ts_col="ts",
         right_value_cols=["signup_event"],
     )
+
+
+@register(
+    "events_stream_live_tumbling",
+    oracle=None,  # executes a REAL readStream (AvailableNow) — batch
+    # equivalence is oracle-checked via events_tumbling_hourly and
+    # asserted directly in tests/test_streaming.py
+    category="streaming",
+    tables=("events",),
+    bench=False,  # timing a stream spin-up is not comparable to a query
+)
+def q_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine Structured Streaming execution: file-source readStream
+    over the events parquet, watermarked tumbling counts, AvailableNow
+    trigger into a memory sink; returns the sink table."""
+    import uuid
+
+    from aws_etl_spark.streaming.windows import tumbling_counts
+
+    # the stream must use the RAW file schema (ts is TIMESTAMP(NANOS)
+    # stored as int64 under nanosAsLong); apply the same micros
+    # conversion load_table does, stream-side
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file streams need a DIRECTORY source; glob-filter the single
+    # events parquet out of the sf dir
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    agg = tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    name = f"live_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
