@@ -9,6 +9,7 @@ from aws_etl_spark.ops.keys import (
     with_ordered_ids,
     with_sparse_ids,
 )
+from aws_etl_spark.ops.range_join import range_overlap_join
 from aws_etl_spark.ops.quality import (
     QualityError,
     expect_contained,
@@ -24,4 +25,4 @@ from aws_etl_spark.ops.scale import (
     salted_join,
 )
 
-__all__ = ["asof_join", "rollup_partials", "upsert", "QualityError", "expect_contained", "expect_no_nulls", "expect_row_count", "expect_unique", "profile", "with_contiguous_ids", "with_ordered_ids", "with_sparse_ids", "bucketed_table", "hot_keys", "salted_agg", "salted_join"]
+__all__ = ["asof_join", "rollup_partials", "upsert", "QualityError", "expect_contained", "expect_no_nulls", "expect_row_count", "expect_unique", "profile", "range_overlap_join", "with_contiguous_ids", "with_ordered_ids", "with_sparse_ids", "bucketed_table", "hot_keys", "salted_agg", "salted_join"]

@@ -174,3 +174,42 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
     return scd2_from_history(events, ["user_id"], "ts", ["event_type"])
+
+
+_RANGE_JOIN_ORACLE = """
+WITH iv AS (
+  SELECT user_id AS id,
+         CAST(FLOOR(MIN(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS t_start,
+         CAST(FLOOR(MAX(epoch(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS t_end
+  FROM events WHERE user_id < 200 GROUP BY user_id
+)
+SELECT a.id AS l_id, b.id AS r_id,
+       a.t_start AS l_start, a.t_end AS l_end,
+       b.t_start AS r_start, b.t_end AS r_end
+FROM iv a JOIN iv b
+  ON a.t_start < b.t_end AND b.t_start < a.t_end AND a.id < b.id
+"""
+
+
+@register(
+    "join_range_overlap",
+    oracle=_RANGE_JOIN_ORACLE,
+    category="join",
+    tables=("events",),
+)
+def q_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via bin bucketing (linear equi-join on
+    bin id + exact verify), vs the oracle's naive theta join. Intervals
+    = each user's [first, last] event time."""
+    from aws_etl_spark.ops.range_join import range_overlap_join
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    iv = events.groupBy(F.col("user_id").alias("id")).agg(
+        F.unix_timestamp(F.min("ts")).alias("t_start"),
+        F.unix_timestamp(F.max("ts")).alias("t_end"),
+    )
+    pairs = range_overlap_join(
+        iv, iv, ("id", "t_start", "t_end"), ("id", "t_start", "t_end"),
+        bin_width=86_400,
+    )
+    return pairs.filter(F.col("l_id") < F.col("r_id"))

@@ -100,3 +100,26 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_range_overlap_join_matches_naive(spark):
+    from aws_etl_spark.ops import range_overlap_join
+
+    rows = [(1, 0, 10), (2, 5, 15), (3, 20, 30), (4, 10, 20), (5, 9, 21)]
+    df = spark.createDataFrame(rows, ["id", "s", "e"])
+    binned = range_overlap_join(
+        df, df, ("id", "s", "e"), ("id", "s", "e"), bin_width=7
+    ).filter(F.col("l_id") < F.col("r_id"))
+    got = {(r.l_id, r.r_id) for r in binned.collect()}
+    naive = {
+        (a[0], b[0])
+        for a in rows for b in rows
+        if a[0] < b[0] and a[1] < b[2] and b[1] < a[2]
+    }
+    # strict overlap: (1,4) touch at 10 and must NOT match; (3,4) touch at 20
+    assert (1, 4) not in got and (3, 4) not in got
+    assert got == naive
+    # and the plan is an equi-join on the bin, not a cartesian
+    from aws_etl_spark.plans import plan_facts
+
+    assert "CartesianProduct" not in plan_facts(binned).join_strategies
