@@ -117,3 +117,31 @@ def rollup_partials(
     if not aggs:
         raise ValueError("no aggregate columns given")
     return partials.groupBy(*group_cols).agg(*aggs)
+
+
+def encode_dictionary(
+    df: DataFrame, col: str, code_col: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Dictionary-encode a low-cardinality string column: returns
+    (encoded df, dictionary df) where the dictionary maps
+    ``code`` (dense 1..K by lexicographic value order — deterministic)
+    to ``value``.
+
+    The dictionary is built with one distinct + a tiny window over K
+    rows, then broadcast back — the fact table never shuffles. The
+    at-rest compression step for 100 TB string columns (int joins and
+    group-bys downstream are several times cheaper than string ones).
+    """
+    code_col = code_col or f"{col}_code"
+    dictionary = (
+        df.select(F.col(col).alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+        .withColumn(
+            "code", F.row_number().over(Window.orderBy("value")).cast("int")
+        )
+    )
+    encoded = df.join(
+        F.broadcast(dictionary.withColumnRenamed("value", col)), col, "left"
+    ).withColumnRenamed("code", code_col)
+    return encoded, dictionary

@@ -213,3 +213,30 @@ def q_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_width=86_400,
     )
     return pairs.filter(F.col("l_id") < F.col("r_id"))
+
+
+_DICT_ORACLE = """
+WITH d AS (
+  SELECT o_orderpriority AS value,
+         CAST(ROW_NUMBER() OVER (ORDER BY o_orderpriority) AS INT) AS code
+  FROM (SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderpriority IS NOT NULL)
+)
+SELECT o.o_orderkey, d.code AS o_orderpriority_code
+FROM orders o LEFT JOIN d ON o.o_orderpriority = d.value
+"""
+
+
+@register(
+    "dictionary_encoding",
+    oracle=_DICT_ORACLE,
+    category="incremental",
+    tables=("orders",),
+)
+def q_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encode o_orderpriority (dense codes by value order,
+    broadcast join back — the fact side never shuffles)."""
+    from aws_etl_spark.ops.incremental import encode_dictionary
+
+    orders = load_table(spark, sf_dir, "orders")
+    encoded, _ = encode_dictionary(orders, "o_orderpriority")
+    return encoded.select("o_orderkey", "o_orderpriority_code")
