@@ -173,3 +173,20 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "sample_stratified",
+    oracle=None,  # engine RNGs differ; seeded-determinism + per-stratum
+    # fraction bounds are asserted in tests/test_quality.py
+    category="agg",
+    tables=("orders",),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling (sampleBy): 10% of 'O' orders, 50%
+    of 'F' — per-partition Bernoulli, no shuffle, reproducible under a
+    fixed seed."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.sampleBy(
+        "o_orderstatus", {"O": 0.1, "F": 0.5}, seed=42
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
