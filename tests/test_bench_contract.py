@@ -1,0 +1,40 @@
+"""bench.py is a driver contract — a silent break zeroes the round's
+BENCH record. Run it end-to-end (fresh process, sf0.001) and validate
+the JSON line schema."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_bench_emits_contract_json():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+    )
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(REPO),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    last = out.stdout.strip().splitlines()[-1]
+    d = json.loads(last)
+    assert d["metric"] == "oracle_corpus_total_sec"
+    assert d["unit"] == "sec"
+    assert isinstance(d["value"], (int, float)) and d["value"] > 0
+    assert d["sf"] == 0.001
+    assert len(d["queries"]) >= 70
+    assert all(isinstance(v, (int, float)) for v in d["queries"].values())
+    # total is the sum of the per-query timings
+    assert abs(d["value"] - sum(d["queries"].values())) < 0.01
