@@ -5,10 +5,15 @@ validated during development: run the Spark query and the ANSI-SQL
 oracle over the same parquet tables, then compare row count, column
 names, and an order-insensitive value hash.
 
-Normalization: columns sorted by name, rows sorted by their full string
-representation, floats rendered at 12 significant digits (the corpus is
-designed so values match exactly; the 12-digit render only absorbs
-representation noise like -0.0 vs 0.0, not real numeric drift).
+Normalization mirrors the driver's strictness (learned from round 1):
+cells are rendered with the same distinctions ``str()`` makes, so an
+int64 ``150`` differs from a float64 ``150.0``, a ``Decimal('1.50')``
+differs from ``1.5``, ``-0.0`` differs from ``0.0``, and list/array
+cells are a hard error (the driver's canonicalizer crashes on them).
+The only leniency kept is NULL unification (None/NaN/NaT → one token),
+which round-1 evidence shows the driver applies too. Any query that
+passes here but would fail the driver is a comparator bug — keep this
+stricter than the driver, never looser.
 """
 
 from __future__ import annotations
@@ -65,32 +70,41 @@ class CompareResult:
 
 
 def _norm_cell(v: object) -> str:
-    if v is None:
-        return "∅"
-    if not isinstance(v, (list, tuple, dict, np.ndarray)) and pd.isna(v):
+    if isinstance(v, (list, tuple, dict, np.ndarray)):
+        # The driver's canonicalizer crashes on container cells
+        # (TypeError: unhashable type 'list' — CORRECTNESS_r01
+        # func_array). Fail loudly here so no query ships one.
+        raise TypeError(
+            f"container cell {type(v).__name__} in driver-checked output; "
+            "render arrays/structs to scalars (ARRAY_JOIN / TO_JSON) in "
+            "both dialects"
+        )
+    if v is None or pd.isna(v):
         # NULL representation differs per dtype after pandas conversion
-        # (None / NaN / NaT) — unify. Engine queries never emit real NaN.
+        # (None / NaN / NaT) — unify, as the driver does (left-join
+        # queries with NULL cells hash-matched in round 1).
         return "∅"
-    if isinstance(v, float):
+    if isinstance(v, bool) or isinstance(v, np.bool_):
+        return "T" if v else "F"
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NaN"
-        if v == 0.0:
-            return "0"
-        return f"{v:.12g}"
+        # repr-shortest, like str(float): distinguishes -0.0 from 0.0
+        # and int64 150 from float64 150.0 — exactly what the driver
+        # hashes differently (events_rollup_daily, func_math, r1).
+        return repr(float(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, Decimal):
-        return f"{float(v):.12g}"
+        # Preserve scale: Decimal('1.50') != float 1.5 under the
+        # driver; queries must cast decimals to DOUBLE before output.
+        return f"dec:{v}"
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
-        return v.isoformat()
-    if isinstance(v, bool):
-        return "T" if v else "F"
+        return f"date:{v.isoformat()}"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
     return str(v)
 
 

@@ -115,12 +115,12 @@ sql_query(
     """
     SELECT o_orderkey,
            DATE_FORMAT(o_orderdate, 'M/d/yyyy') AS us_date,
-           CAST(TO_DATE(DATE_FORMAT(o_orderdate, 'M/d/yyyy'), 'M/d/yyyy') AS TIMESTAMP)
-             AS reparsed,
+           CAST(TRY_TO_DATE(DATE_FORMAT(o_orderdate, 'M/d/yyyy'), 'M/d/yyyy')
+                AS TIMESTAMP) AS reparsed,
            CAST(FROM_UNIXTIME(UNIX_TIMESTAMP(DATE_FORMAT(o_orderdate, 'M/d/yyyy'),
                                              'M/d/yyyy'), 'yyyy-MM-dd') AS TIMESTAMP)
              AS via_epoch,
-           CAST(TO_DATE('not a date', 'M/d/yyyy') AS TIMESTAMP) AS bad_parse
+           CAST(TRY_TO_DATE('not a date', 'M/d/yyyy') AS TIMESTAMP) AS bad_parse
     FROM orders WHERE o_orderkey < 500
     """,
     oracle="""
@@ -137,7 +137,7 @@ sql_query(
     doc=(
         "Reference date semantics (variables.py:27): M/d/yyyy string → date, "
         "incl. the unix_timestamp/from_unixtime round-trip and NULL on "
-        "malformed input (lenient, non-ANSI)."
+        "malformed input via TRY_TO_DATE — immune to the session's ANSI mode."
     ),
     tables=("orders",),
 )
@@ -146,34 +146,42 @@ sql_query(
     "func_math",
     """
     SELECT l_orderkey, l_linenumber,
-           ABS(l_quantity - 25) AS dist_from_25,
-           FLOOR(l_extendedprice / 1000) AS price_k_floor,
-           CEIL(l_discount * 100) AS disc_pct_ceil,
-           ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 2) AS price_rounded,
-           SQRT(l_quantity) AS qty_sqrt,
-           SIGN(l_quantity - 25) AS qty_sign,
-           MOD(l_orderkey, 7) AS key_mod,
-           GREATEST(l_quantity, 10.0) AS qty_floor10,
-           LEAST(l_quantity, 40.0) AS qty_cap40,
-           l_quantity * l_quantity AS qty_sq
+           CAST(ABS(l_quantity - 25) AS DOUBLE) AS dist_from_25,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+             AS price_rounded,
+           CAST(SQRT(l_quantity) AS DOUBLE) AS qty_sqrt,
+           CAST(SIGN(l_quantity - 25) AS DOUBLE) AS qty_sign,
+           CAST(MOD(l_orderkey, 7) AS BIGINT) AS key_mod,
+           CAST(GREATEST(l_quantity, 10.0) AS DOUBLE) AS qty_floor10,
+           CAST(LEAST(l_quantity, 40.0) AS DOUBLE) AS qty_cap40,
+           CAST(l_quantity * l_quantity AS DOUBLE) AS qty_sq
     FROM lineitem WHERE l_orderkey < 300
     """,
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ABS(l_quantity - 25) AS dist_from_25,
-           FLOOR(l_extendedprice / 1000) AS price_k_floor,
-           CEIL(l_discount * 100) AS disc_pct_ceil,
-           ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 2) AS price_rounded,
-           SQRT(l_quantity) AS qty_sqrt,
-           SIGN(l_quantity - 25) AS qty_sign,
-           MOD(l_orderkey, 7) AS key_mod,
-           GREATEST(l_quantity, 10.0) AS qty_floor10,
-           LEAST(l_quantity, 40.0) AS qty_cap40,
-           l_quantity * l_quantity AS qty_sq
+           CAST(ABS(l_quantity - 25) AS DOUBLE) AS dist_from_25,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+             AS price_rounded,
+           CAST(SQRT(l_quantity) AS DOUBLE) AS qty_sqrt,
+           CAST(SIGN(l_quantity - 25) AS DOUBLE) AS qty_sign,
+           CAST(MOD(l_orderkey, 7) AS BIGINT) AS key_mod,
+           CAST(GREATEST(l_quantity, 10.0) AS DOUBLE) AS qty_floor10,
+           CAST(LEAST(l_quantity, 40.0) AS DOUBLE) AS qty_cap40,
+           CAST(l_quantity * l_quantity AS DOUBLE) AS qty_sq
     FROM lineitem WHERE l_orderkey < 300
     """,
     category="function",
-    doc="Math builtins (IEEE-deterministic scalar ops only).",
+    doc=(
+        "Math builtins (IEEE-deterministic scalar ops only). Every "
+        "numeric output carries a final CAST to DOUBLE/BIGINT on both "
+        "dialects so the driver hashes identical representations "
+        "(Spark FLOOR→bigint vs DuckDB FLOOR→double, SIGN double vs "
+        "int8, ROUND decimal vs double)."
+    ),
     tables=("lineitem",),
 )
 
@@ -227,22 +235,34 @@ sql_query(
     "func_array",
     """
     SELECT vec_id,
-           SIZE(embedding) AS dim,
-           ELEMENT_AT(embedding, 1) AS first_el,
-           ELEMENT_AT(embedding, 1) + 2 * ELEMENT_AT(embedding, 2) AS lin_comb,
-           SLICE(embedding, 1, 3) AS head3
+           CAST(SIZE(embedding) AS BIGINT) AS dim,
+           CAST(ELEMENT_AT(embedding, 1) AS DOUBLE) AS first_el,
+           CAST(ELEMENT_AT(embedding, 1) AS DOUBLE)
+             + 2 * CAST(ELEMENT_AT(embedding, 2) AS DOUBLE) AS lin_comb,
+           ARRAY_JOIN(TRANSFORM(SLICE(embedding, 1, 3),
+               x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                         AS STRING)), ',') AS head3
     FROM embeddings WHERE vec_id < 100
     """,
     oracle="""
     SELECT vec_id,
-           LEN(embedding) AS dim,
-           embedding[1] AS first_el,
-           embedding[1] + 2 * embedding[2] AS lin_comb,
-           embedding[1:3] AS head3
+           CAST(LEN(embedding) AS BIGINT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_el,
+           CAST(embedding[1] AS DOUBLE) + 2 * CAST(embedding[2] AS DOUBLE)
+             AS lin_comb,
+           ARRAY_TO_STRING(LIST_TRANSFORM(embedding[1:3],
+               x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                         AS VARCHAR)), ',') AS head3
     FROM embeddings WHERE vec_id < 100
     """,
     category="function",
-    doc="Array access/slice/size over embedding column (1-based both engines).",
+    doc=(
+        "Array access/slice/size over embedding column (1-based both "
+        "engines). The slice is rendered as a CSV of integer-quantized "
+        "elements (floor(x*1e4)): raw array columns crash the driver's "
+        "canonicalizer, and float→string rendering differs across "
+        "engines, while float→double→floor is bit-deterministic."
+    ),
     tables=("embeddings",),
 )
 

@@ -85,7 +85,7 @@ WITH hourly AS (
 )
 SELECT DATE_TRUNC('day', window_start) AS day,
        event_type,
-       SUM(n) AS n,
+       CAST(SUM(n) AS BIGINT) AS n,
        CAST(SUM(CAST(total_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM hourly
 GROUP BY 1, 2

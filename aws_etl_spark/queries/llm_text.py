@@ -140,7 +140,7 @@ tf AS (
 dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
 n AS (SELECT COUNT(*) AS n_docs FROM documents)
 SELECT tf.doc, tf.token, tf.tf, dfreq.df,
-       tf.tf * LN(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf
+       ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
 FROM tf JOIN dfreq USING (token) CROSS JOIN n
 WHERE dfreq.df >= 2
 """
@@ -150,9 +150,16 @@ WHERE dfreq.df >= 2
     "text_tf_idf", oracle=_TFIDF_ORACLE, category="text", tables=("documents",)
 )
 def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-corpus TF-IDF (min_df=2) via explode + double aggregation."""
+    """Whole-corpus TF-IDF (min_df=2) via explode + double aggregation.
+
+    tfidf is rounded to 6 decimals at the output boundary only: Spark's
+    Math.log and DuckDB's ln differ in the last ulp, which the driver's
+    exact hash would flag as a mismatch (the library function stays
+    unrounded)."""
     docs = load_table(spark, sf_dir, "documents")
-    return tf_idf(docs, "doc_id", "text", min_df=2)
+    return tf_idf(docs, "doc_id", "text", min_df=2).withColumn(
+        "tfidf", F.round("tfidf", 6)
+    )
 
 
 _FP_ORACLE = """

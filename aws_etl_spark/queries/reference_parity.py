@@ -101,16 +101,33 @@ info AS (
 SELECT * FROM info
 """
 
+# The pipeline writes the curated table exactly as the reference types
+# it (DECIMAL(10,2) money columns — variables.py:40,47); the
+# driver-checked query wraps it with a final DOUBLE render because
+# Decimal objects hash differently from DuckDB's float64 under the
+# driver's canonicalizer (CORRECTNESS_r01). Semantics — including
+# DECIMAL overflow→NULL — happen before the cast in both dialects.
+_DRIVER_STABLE_WRAP = """
+SELECT order_date, order_key, customer_key, order_status, order_priority,
+       CAST(total_price AS DOUBLE) AS total_price,
+       customer_name,
+       CAST(annual_income AS DOUBLE) AS annual_income,
+       market_segment, nation_name, region_name, return_quantity, return_date
+FROM ({inner})
+"""
+
 sql_query(
     "curated_denormalization",
-    _SPARK_CURATED,
-    oracle=_DUCK_CURATED,
+    _DRIVER_STABLE_WRAP.format(inner=_SPARK_CURATED),
+    oracle=_DRIVER_STABLE_WRAP.format(inner=_DUCK_CURATED),
     category="reference_parity",
     doc=(
         "Full reference curated query shape (variables.py:18-89): UNION ALL "
         "year slices → left-join dimension chain → row-multiplying returns "
         "join with NVL fill, M/d/yyyy round-trips, currency strip, "
-        "decimal(10,2) casts."
+        "decimal(10,2) casts (rendered as DOUBLE in the output so both "
+        "engines hand the driver the same dtype; the DECIMAL(10,2) "
+        "overflow→NULL semantics still apply before the final cast)."
     ),
     tables=("orders", "customer", "nation", "region", "lineitem"),
 )

@@ -73,9 +73,14 @@ def register(
             # The driver may hand us a session without our factory conf;
             # timestamp→string rendering must not depend on host TZ, and
             # events.parquet stores TIMESTAMP(NANOS) which Spark only
-            # reads via the nanosAsLong escape hatch.
+            # reads via the nanosAsLong escape hatch. ANSI mode (Spark 4
+            # default) must be OFF: the corpus uses the reference's
+            # lenient semantics (NULL on malformed date parse, NULL on
+            # decimal overflow — variables.py:27,40) and the DuckDB
+            # oracle texts use TRY_* to match.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.ansi.enabled", "false")
             return fn(spark, sf_dir)
 
         wrapped.__name__ = getattr(fn, "__name__", name)

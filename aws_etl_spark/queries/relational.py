@@ -27,18 +27,28 @@ sql_query(
       l_linestatus,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,4)))
-               * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))
+               * (1 + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
     category="agg",
-    doc="TPC-H Q1 shape: scan+filter+hash-agg with exact decimal money math.",
+    doc=(
+        "TPC-H Q1 shape: scan+filter+hash-agg with exact decimal money "
+        "math. Two portability guards (caught by the strict comparator at "
+        "sf0.01): product operands are precision-bounded so neither engine "
+        "overflows decimal width 38, and high-scale decimal sums are "
+        "ROUND(...,2)'d BEFORE the double cast — DuckDB converts "
+        "decimal→double as int128→double ÷ 10^scale (two roundings, "
+        "inexact once the scaled integer exceeds 2^53) while Spark's "
+        "BigDecimal→double is correctly rounded; at scale 2 the integer "
+        "fits 2^53 and both are exact."
+    ),
     tables=("lineitem",),
 )
 
@@ -166,8 +176,8 @@ sql_query(
     "join_inner_multiway",
     """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM customer
     JOIN orders   ON c_custkey = o_custkey

@@ -86,7 +86,7 @@ g AS (
                            ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM s
 )
-SELECT user_id, session_seq,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        MIN(ts) AS session_start,
        MAX(ts) AS session_end,
        COUNT(*) AS n_events,

@@ -6,6 +6,16 @@ prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+``value`` is the total seconds over the FULL benchable corpus. The
+``queries`` dict in the printed line is a fixed headline subset (one
+per operator family plus the heavy hitters) so the line stays well
+under the driver's output-capture limit — round 1 lost its bench
+record because the full 79-query dict made the line ~2.2 KB and the
+driver captured a truncated, unparseable tail. The complete per-query
+timing map is written to ``BENCH_DETAIL.json`` next to this script
+(same schema, full ``queries``), for the judge and for round-over-round
+comparison.
+
 Execution is measured with the ``noop`` sink so the full physical plan
 (scan → shuffle → agg/join) runs without sink-format overhead, the way
 a cluster job would, and without driver-side collect.
@@ -22,6 +32,26 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
+
+# Fixed headline subset for the printed line: stable across rounds so
+# BENCH_r{N} values are comparable, covering every operator family.
+HEADLINE = (
+    "q1_pricing_summary",
+    "join_inner_multiway",
+    "curated_denormalization",
+    "window_ranking",
+    "sort_limit_topk",
+    "events_sessionization",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_clusters_cc",
+    "ann_cosine_topk_exact",
+    "ann_cosine_topk_ivf",
+    "text_tf_idf",
+    "multimodal_byte_features",
+    "udaf_grouped_agg",
+    "merge_upsert",
+)
 
 
 def main() -> None:
@@ -49,28 +79,32 @@ def main() -> None:
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        timings[name] = round(time.perf_counter() - t0, 2)
         # operator-internal caches (dedup signatures etc.) must not
         # leak memory pressure into later queries
         spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "oracle_corpus_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+
+    record = {
+        "metric": "oracle_corpus_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+        "queries": {k: timings[k] for k in HEADLINE if k in timings},
+    }
+    # Full per-query map on disk (never printed: the line must stay
+    # small enough to survive the driver's output capture).
+    detail = dict(record, queries=timings)
+    (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
+    print(json.dumps(record, separators=(",", ":")))
     spark.stop()
 
 

@@ -29,12 +29,19 @@ def test_bench_emits_contract_json():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     last = out.stdout.strip().splitlines()[-1]
+    # Round 1 lost its BENCH record because the line outgrew the
+    # driver's output capture (~2 KB tail). Keep hard headroom.
+    assert len(last) < 1200, f"bench line too long ({len(last)} B)"
     d = json.loads(last)
     assert d["metric"] == "oracle_corpus_total_sec"
     assert d["unit"] == "sec"
     assert isinstance(d["value"], (int, float)) and d["value"] > 0
     assert d["sf"] == 0.001
-    assert len(d["queries"]) >= 70
+    assert 10 <= len(d["queries"]) <= 20  # fixed headline subset
     assert all(isinstance(v, (int, float)) for v in d["queries"].values())
-    # total is the sum of the per-query timings
-    assert abs(d["value"] - sum(d["queries"].values())) < 0.01
+    # full corpus timings land in BENCH_DETAIL.json; the headline
+    # value is the total over that full map
+    detail = json.loads((REPO / "BENCH_DETAIL.json").read_text())
+    assert len(detail["queries"]) >= 70
+    assert set(d["queries"]).issubset(detail["queries"])
+    assert abs(d["value"] - sum(detail["queries"].values())) < 0.05
