@@ -15,9 +15,13 @@ string columns without the ml Vector detour):
 3. split the signature into b bands of r rows; band key =
    (band_idx, xxhash64(band slice)); explode → capped self-join on the
    band key: docs sharing any band key are candidates
-   (p(collide) = 1−(1−J^r)^b);
-4. verify candidates with exact shingle Jaccard (array_intersect on
-   the already-carried shingle arrays) and keep pairs ≥ threshold.
+   (p(collide) = 1−(1−J^r)^b). The banded rows carry ONLY
+   (doc, band, bucket) — at 100 TB, carrying each doc's shingle set
+   ×bands ×2 sides through this shuffle would dominate the job;
+4. verify candidates with exact shingle Jaccard: join the surviving
+   (id_a, id_b) pairs — typically a tiny fraction of the corpus —
+   back to the cached (doc → shingles) map, once per side, and keep
+   pairs ≥ threshold.
 
 Skew note: identical boilerplate docs create hot buckets; the group
 size is capped (``max_bucket``) before pair expansion, which bounds
@@ -101,9 +105,9 @@ def minhash_near_dup_pairs(
         raise ValueError(f"n_hashes={n_hashes} not divisible by bands={bands}")
     r = n_hashes // bands
 
-    # signatures (shingle scan + 64 min-aggs) feed both sides of the
-    # banded self-join — cache so the scan runs once (multi-consumer
-    # caching policy, SURVEY.md §4)
+    # signatures (shingle scan + 64 min-aggs) feed the banded join AND
+    # the verification re-join — cache so the scan runs once
+    # (multi-consumer caching policy, SURVEY.md §4)
     sigs = minhash_signatures(df, id_col, text_col, k, n_hashes, seed).cache()
 
     band_keys = F.transform(
@@ -115,9 +119,13 @@ def minhash_near_dup_pairs(
             ),
         ),
     )
+    # slim banded rows: (doc, band, bucket) ONLY — the shingle sets
+    # stay out of the explode/shuffle/self-join entirely (round-1
+    # scale review: carrying them ×bands ×2 sides was the one
+    # shuffle that would not survive 100 TB)
     banded = (
         sigs.withColumn("bk", F.explode(band_keys))
-        .select("doc", "shingles", F.col("bk.band").alias("band"),
+        .select("doc", F.col("bk.band").alias("band"),
                 F.col("bk.bucket").alias("bucket"))
     )
 
@@ -134,21 +142,24 @@ def minhash_near_dup_pairs(
 
     # candidate pairs = capped self-join on the bucket key (codegen'd
     # hash join; pairs only materialize within colliding buckets)
-    a_side = capped.select(
-        "band", "bucket", F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a")
-    )
-    b_side = capped.select(
-        "band", "bucket", F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b")
-    )
+    a_side = capped.select("band", "bucket", F.col("doc").alias("id_a"))
+    b_side = capped.select("band", "bucket", F.col("doc").alias("id_b"))
     pairs = (
         a_side.join(b_side, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])  # same pair from multiple bands
     )
 
+    # exact verification: re-join the surviving pairs (a tiny fraction
+    # of the corpus) to the cached doc→shingles map, once per side
+    shingle_map = sigs.select("doc", "shingles")
     verified = (
-        pairs.withColumn(
+        pairs.join(shingle_map.withColumnRenamed("doc", "id_a")
+                   .withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(shingle_map.withColumnRenamed("doc", "id_b")
+              .withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn(
             "jaccard", jaccard_of_shingle_arrays(F.col("sh_a"), F.col("sh_b"))
         )
         .filter(F.col("jaccard") >= threshold)

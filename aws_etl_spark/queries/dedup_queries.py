@@ -114,15 +114,22 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
     tables=("documents",),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs (exact 3-gram Jaccard ≥ 0.5) → connected
-    components (star contraction) → cluster + canonical survivor per
-    doc. Oracle: the same pairs via SQL + a recursive-CTE transitive
-    closure (tractable at oracle scale; the Spark path is the
-    log-rounds algorithm that scales)."""
+    """Near-dup pairs (Jaccard ≥ 0.5) → connected components (star
+    contraction) → cluster + canonical survivor per doc.
+
+    Candidate generation is MinHash-LSH(64, 16×4) with exact-Jaccard
+    verification — banded/bucketed, the 100 TB path — rather than the
+    exact all-pairs shingle self-join (quadratic in stop-shingle
+    document frequency). The oracle derives the same pairs via exact
+    SQL + a recursive-CTE transitive closure: tests/test_dedup.py
+    pins LSH recall = 1.0 on this corpus (every true pair shares ≥1
+    of 16 bands), so both routes feed identical edges to the CC."""
     from aws_etl_spark.dedup import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
     return dedup_clusters(pairs, docs, "doc_id")
 
 

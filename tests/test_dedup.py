@@ -29,8 +29,16 @@ def test_minhash_pairs_subset_of_exact_with_high_recall(spark, sf_dir):
     }
     assert lsh <= exact  # verify stage guarantees no false positives
     assert len(exact) > 0
-    recall = len(lsh) / len(exact)
-    assert recall >= 0.8, f"LSH recall too low: {recall}"
+    # Corpus-specific pin: the synthetic near-dup pairs are high-Jaccard
+    # enough that 16×4 banding catches every one (verified by hand at
+    # sf0.01 and sf0.1 too). dedup_clusters_cc's exact-SQL oracle
+    # RELIES on this — it feeds the CC from LSH candidates while the
+    # oracle recomputes pairs exactly. If this ever fails on new test
+    # data, raise bands (recall) before touching the oracle.
+    assert lsh == exact, (
+        f"LSH recall {len(lsh)}/{len(exact)} < 1.0 on the test corpus; "
+        "dedup_clusters_cc's oracle depends on full recall here"
+    )
 
 
 def test_minhash_deterministic_across_runs(spark, sf_dir):
