@@ -70,6 +70,7 @@ def get_session(
     app_name: str = "aws_etl_spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive_metastore: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
@@ -77,9 +78,20 @@ def get_session(
     ``$SPARK_GRAFT_CPUS`` (driver contract) or the machine core count.
     On a real cluster, pass ``master=None`` with a spark-submit-provided
     master URL, or set it explicitly.
+
+    ``hive_metastore=True`` maps the reference's
+    ``enableHiveSupport()`` + Glue catalog (transformation.py:59): a
+    persistent Hive metastore so ``saveAsTable`` registrations outlive
+    the session. Off by default — the in-memory catalog has identical
+    query semantics, and this sandbox's Spark build ships without Hive
+    classes; on a cluster, the same flag plugs into the real metastore
+    (spark.sql.catalogImplementation=hive + hive.metastore.uris, or
+    the Glue catalog implementation on EMR).
     """
     cores = default_parallelism()
     builder = SparkSession.builder.appName(app_name)
+    if hive_metastore:
+        builder = builder.enableHiveSupport()
     resolved_master = master or f"local[{cores}]"
     builder = builder.master(resolved_master)
     conf = dict(ENGINE_CONF)
