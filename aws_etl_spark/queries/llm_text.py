@@ -186,3 +186,112 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fingerprint_md5(F.col("text")).alias("fp_md5"),
     ).join(mins, "doc_id", "left")
+
+
+_REPETITION_ORACLE = """
+WITH w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(
+           RANGE(1, GREATEST(LEN(ws) - 1, 0) + 1),
+           i -> ARRAY_TO_STRING(ws[i:i+1], ' ')
+         ) AS grams
+  FROM w
+)
+SELECT doc_id,
+       CAST(LEN(grams) AS BIGINT) AS n_grams,
+       CAST(LEN(LIST_DISTINCT(grams)) AS BIGINT) AS n_distinct,
+       1.0 - CAST(LEN(LIST_DISTINCT(grams)) AS DOUBLE) / LEN(grams) AS rep_ratio
+FROM g
+WHERE LEN(grams) > 0
+"""
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=_REPETITION_ORACLE,
+    category="text",
+    tables=("documents",),
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicate-2-gram fraction (Gopher/RefinedWeb-style
+    repetition quality signal); IEEE-exact int/int division."""
+    from aws_etl_spark.text import repetition_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_ratio(docs, "doc_id", "text", k=2)
+
+
+_TOP_NGRAMS_ORACLE = """
+WITH w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(
+           RANGE(1, GREATEST(LEN(ws) - 1, 0) + 1),
+           i -> ARRAY_TO_STRING(ws[i:i+1], ' ')
+         )) AS ngram
+  FROM w
+)
+SELECT ngram,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM g
+GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram
+LIMIT 50
+"""
+
+
+@register(
+    "text_top_ngrams",
+    oracle=_TOP_NGRAMS_ORACLE,
+    category="text",
+    tables=("documents",),
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-50 2-grams (contamination / stop-gram analysis);
+    deterministic (count desc, ngram asc) top-k."""
+    from aws_etl_spark.text import top_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngrams(docs, "doc_id", "text", k=2, n=50)
+
+
+_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM tok WHERE w <> '' GROUP BY doc_id, w
+),
+q AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct,
+         CAST(SUM(CAST(FLOOR(c * LN(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+              AS BIGINT) AS qsum
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       ROUND(LN(CAST(n_tokens AS DOUBLE)) - (qsum / 1000000.0) / n_tokens, 6)
+         AS entropy
+FROM q
+"""
+
+
+@register(
+    "text_word_entropy",
+    oracle=_ENTROPY_ORACLE,
+    category="text",
+    tables=("documents",),
+)
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc word-distribution Shannon entropy (vocab-diversity
+    quality signal). Per-term c·ln c quantized to BIGINT at 1e6 before
+    summing so the aggregate is order-independent (float sums are not)
+    and bit-identical across engines/partitionings."""
+    from aws_etl_spark.text import word_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return word_entropy(docs, "doc_id", "text")

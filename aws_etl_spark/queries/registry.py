@@ -173,6 +173,9 @@ _DRIVER_ORDER = (
     "func_histogram",
     "func_math",
     "text_token_counts",
+    "text_repetition_ratio",
+    "text_top_ngrams",
+    "text_word_entropy",
     "filter_predicates",
     "merge_upsert",
     "func_collect_agg",

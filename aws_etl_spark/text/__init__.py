@@ -12,8 +12,11 @@ from aws_etl_spark.text.analysis import (
     punct_ratio,
     quality_score,
     regex_token_count,
+    repetition_ratio,
     stopword_ratio,
+    top_ngrams,
     whitespace_token_count,
+    word_entropy,
 )
 
 __all__ = [
@@ -30,4 +33,7 @@ __all__ = [
     "fingerprint_min_shingle",
     "min_shingle_fingerprints",
     "tf_idf",
+    "repetition_ratio",
+    "top_ngrams",
+    "word_entropy",
 ]

@@ -176,3 +176,87 @@ def min_shingle_fingerprints(
     return sh.groupBy(F.col("doc").alias(id_col)).agg(
         F.min(F.md5("shingle")).alias("fp_min_shingle")
     )
+
+
+def repetition_ratio(df, id_col: str, text_col: str, k: int = 2):
+    """(id, n_grams, n_distinct, rep_ratio) per document.
+
+    rep_ratio = 1 − distinct/total word-k-grams: the Gopher/RefinedWeb
+    within-document repetition quality signal — boilerplate and
+    degenerate generations repeat n-grams heavily. One shingling pass
+    + one map-side-combined aggregate; the division is an IEEE double
+    op on two exact ints, bit-identical across engines.
+    """
+    from aws_etl_spark.dedup.jaccard import shingle_rows
+
+    sh = shingle_rows(df, id_col, text_col, k, distinct=False)
+    return sh.groupBy(F.col("doc").alias(id_col)).agg(
+        F.count("*").alias("n_grams"),
+        F.count_distinct("shingle").alias("n_distinct"),
+    ).select(
+        id_col,
+        "n_grams",
+        "n_distinct",
+        (
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_grams")
+        ).alias("rep_ratio"),
+    )
+
+
+def top_ngrams(df, id_col: str, text_col: str, k: int = 2, n: int = 50):
+    """Corpus-wide top-n word-k-grams: (ngram, n_docs, n_occurrences),
+    ordered (count desc, ngram asc) so top-k is deterministic.
+
+    Shape: shingle rows → one map-side-combined agg keyed by the gram
+    (high cardinality, no skew beyond stop-grams) → TakeOrderedAndProject
+    (no global sort materialization). The corpus-frequency view drives
+    contamination checks and stop-gram caps for the dedup family.
+    """
+    from aws_etl_spark.dedup.jaccard import shingle_rows
+
+    sh = shingle_rows(df, id_col, text_col, k, distinct=False)
+    return (
+        sh.groupBy(F.col("shingle").alias("ngram"))
+        .agg(
+            F.count_distinct("doc").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(n)
+    )
+
+
+def word_entropy(df, id_col: str, text_col: str):
+    """(id, n_tokens, n_distinct, entropy) — Shannon entropy of each
+    document's word distribution (nats), a vocabulary-diversity quality
+    signal (degenerate/templated docs score low).
+
+    Cross-engine determinism: H = ln(T) − (Σ c·ln c)/T is a sum of
+    doubles, and float sums are order-dependent — so each term c·ln c
+    is quantized to an exact BIGINT at 1e6 before summing (integer sum
+    is associative → bit-identical regardless of partitioning), and the
+    final expression rounds to 6 decimals. The ~1e-6 quantization bias
+    is documented and irrelevant for a quality signal.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    counts = tokens.groupBy("doc", "w").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy(F.col("doc").alias(id_col)).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(
+            F.floor(F.col("c") * F.log(F.col("c").cast("double")) * 1e6).cast("long")
+        ).alias("qsum"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            F.log(F.col("n_tokens").cast("double"))
+            - (F.col("qsum") / 1e6) / F.col("n_tokens"),
+            6,
+        ).alias("entropy"),
+    )
