@@ -134,3 +134,38 @@ def test_sql_broadcast_hint_honored(spark, sf_dir):
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     """)
     assert plan_facts(df).n_broadcast_exchanges >= 1
+
+
+def test_top_ngrams_plans_as_topk(spark, sf_dir):
+    """Corpus top-ngrams must be TakeOrderedAndProject over a
+    map-side-combined agg — no global sort materialization of the
+    full gram-frequency table."""
+    from aws_etl_spark.plans import formatted_plan
+    from aws_etl_spark.text import top_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = formatted_plan(top_ngrams(docs, "doc_id", "text", k=2, n=50))
+    assert "TakeOrderedAndProject" in text
+    assert "HashAggregate" in text
+
+
+def test_word_entropy_single_result_shuffle(spark, sf_dir):
+    """Entropy = two stacked aggs on (doc,word)→(doc): the second
+    groupBy reuses the doc-hash partitioning of the first, so only the
+    (doc,word) agg and the doc-partitioned window of shingle_rows
+    shuffle — no extra exchange for the final projection."""
+    from aws_etl_spark.plans import formatted_plan
+    from aws_etl_spark.text import word_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = formatted_plan(word_entropy(docs, "doc_id", "text"))
+    # the quantized entropy term must be summed as FLOOR-ed integers
+    # (order-independent), never as raw doubles
+    assert "sum(floor(" in text.lower(), text
+    assert "sum(((cast" not in text.lower()  # no un-quantized double sum
+    import re
+
+    # formatted plans list each node twice (tree + detail); count the
+    # unique detail headers
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", text))
+    assert n_exchanges <= 2, text
