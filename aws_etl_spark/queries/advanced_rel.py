@@ -190,3 +190,51 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.sampleBy(
         "o_orderstatus", {"O": 0.1, "F": 0.5}, seed=42
     ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+_RESERVOIR_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY MD5(CONCAT(CAST(o_orderkey AS VARCHAR), ':42')), o_orderkey
+         ) AS rk
+  FROM orders
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice, rk
+FROM ranked WHERE rk <= 20
+"""
+
+
+@register(
+    "sample_reservoir_deterministic",
+    oracle=_RESERVOIR_ORACLE,
+    category="agg",
+    tables=("orders",),
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-group reservoir sample, deterministic across engines
+    and partitionings: the 'random' order is md5(key || seed), so the
+    same 20 orders per status are chosen everywhere — unlike RNG-based
+    sampling (sample_stratified), this one is fully SQL-oracle-able.
+
+    Scale shape: one hash-partitioned window per group; at extreme
+    group skew, swap to the two-phase per-partition-top-k + merge the
+    same way TakeOrderedAndProject does (k rows per partition bound
+    memory)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":42"))),
+        F.col("o_orderkey"),
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 20)
+    )

@@ -173,6 +173,7 @@ _DRIVER_ORDER = (
     "func_histogram",
     "func_math",
     "text_token_counts",
+    "sample_reservoir_deterministic",
     "text_repetition_ratio",
     "text_top_ngrams",
     "text_word_entropy",

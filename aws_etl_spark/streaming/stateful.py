@@ -87,3 +87,99 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", LongType()),  # epoch micros
+        StructField("session_end", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+_GAP_US = 30 * 60 * 1_000_000  # 30 min, matches batch session_rollup
+
+
+def _session_close_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gap-based sessionizer with EVENT-TIME timeout: emits a session
+    row only when it CLOSES — either a later event arrives past the
+    gap, or the watermark passes last_event + gap (timeout). State is
+    four scalars per open session, never buffered events."""
+    (user_id,) = key
+
+    def row(start_us: int, last_us: int, n: int, total: float) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [start_us],
+                "session_end": [last_us],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    if state.hasTimedOut:
+        start_us, last_us, n, total = state.get
+        state.remove()
+        yield row(start_us, last_us, n, total)
+        return
+
+    start_us, last_us, n, total = (
+        state.get if state.exists else (None, None, 0, 0.0)
+    )
+    closed: list[pd.DataFrame] = []
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        ordered = pdf.sort_values(["ts", "event_id"])
+        for ts, value in zip(ordered["ts"], ordered["value"]):
+            ts_us = int(ts.value) // 1_000  # pandas ns → micros
+            if start_us is None:
+                start_us, last_us, n, total = ts_us, ts_us, 1, float(value)
+            elif ts_us - last_us > _GAP_US:
+                closed.append(row(start_us, last_us, n, total))
+                start_us, last_us, n, total = ts_us, ts_us, 1, float(value)
+            else:
+                last_us, n, total = ts_us, n + 1, total + float(value)
+    state.update((start_us, last_us, n, total))
+    # close via watermark: timeout fires once event time passes
+    # last_event + gap (setTimeoutTimestamp takes epoch millis)
+    state.setTimeoutTimestamp(last_us // 1_000 + _GAP_US // 1_000)
+    yield from closed
+
+
+def closed_sessions(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming gap-sessionization that emits each session exactly
+    once, when it closes (in-batch gap or event-time timeout). The
+    batch equivalent is sessions.session_rollup — the cross-validation
+    test drives both over the same files.
+
+    100 TB shape: state is O(open sessions) scalars, hash-partitioned
+    by user; watermark bounds state lifetime; no per-event buffering.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_close_fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -224,3 +224,68 @@ def test_cdc_apply_stream(spark, sf_dir, tmp_path):
     # pick either; compare timestamps which are the merge criterion)
     for k in expected:
         assert got[k][0] == expected[k][0], k
+
+
+def test_closed_sessions_event_time_timeout(spark, sf_dir, tmp_path):
+    """applyInPandasWithState with EventTimeTimeout: sessions are
+    emitted exactly once, on close (in-batch gap or watermark passing
+    last+gap). Cross-validated against the batch sessionizer: after a
+    far-future sentinel advances the watermark, every real user
+    session must have closed."""
+    import os
+    import time
+
+    from aws_etl_spark.streaming.sessions import session_rollup
+    from aws_etl_spark.streaming.stateful import closed_sessions
+
+    batch_events = _events_batch(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_rollup(
+            batch_events.withColumn("event_type", F.lit("x")), gap_minutes=30
+        ).collect()
+    }
+
+    src = f"{tmp_path}/closed_sessions_src"
+    os.makedirs(src, exist_ok=True)
+    batch_events.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # file source orders batches by modification time
+    sentinel = batch_events.limit(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = _run_to_memory(closed_sessions(stream), mode="append")
+    got_rows = spark.sql(
+        f"SELECT * FROM {name} WHERE user_id >= 0"
+    ).collect()
+    got = {
+        (
+            r["user_id"],
+            # state carries epoch micros; batch carries timestamps
+            __import__("datetime").datetime.fromtimestamp(
+                r["session_start"] / 1e6, tz=__import__("datetime").timezone.utc
+            ).replace(tzinfo=None),
+            __import__("datetime").datetime.fromtimestamp(
+                r["session_end"] / 1e6, tz=__import__("datetime").timezone.utc
+            ).replace(tzinfo=None),
+            r["n_events"],
+        )
+        for r in got_rows
+    }
+    # every emitted session is a true batch session, emitted once
+    assert len(got_rows) == len(got)
+    assert got <= expected
+    # the sentinel advanced the watermark past every real session's
+    # last+gap, so ALL real sessions must have closed
+    assert got == expected
