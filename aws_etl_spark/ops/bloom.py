@@ -1,0 +1,119 @@
+"""Distributed Bloom filter over integer keys, pure DataFrame ops.
+
+Completes the sketch family next to HLL (``agg_approx_distinct``):
+build a membership bitmap for a key set (e.g. "orders that shipped"),
+probe another table against it (semi-join pruning without shuffling
+the big side on the key).
+
+Spark's internal ``BloomFilterAggregate`` is not registered as a SQL
+function in stock builds (runtime join pruning uses it internally), so
+this is the engine's own formulation — with two properties the
+internal one lacks:
+
+* **Engine-portable determinism.** Hashes are universal integer
+  hashes h_i(x) = ((a_i·x + b_i) mod p) mod m over exact int64
+  arithmetic — no xxhash/md5-hex parsing — so DuckDB computes the
+  IDENTICAL bitmap and the build is fully SQL-oracle-checkable.
+* **Distributed shape.** The bitmap is a DataFrame of (word_idx,
+  bits): build = one map-side-combined ``bit_or`` shuffle over
+  m/32 rows; probe = broadcast join against that tiny table. At
+  100 TB the key set never funnels through the driver (contrast
+  ``df.stat.bloomFilter``, which collects the filter).
+
+Bits live in 32-bit words stored in BIGINT so ``1 << (pos & 31)``
+never touches the sign bit in either engine.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_P = (1 << 31) - 1  # Mersenne prime; a·x + b stays within int64
+
+
+def _coeffs(k: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(k)]
+
+
+def _positions(key: Column, coeffs: list[tuple[int, int]], m_bits: int) -> Column:
+    """array<bigint> of the k bit positions for a key.
+
+    The key is folded into [0, p) FIRST so (key mod p)·a ≤ 2^62 —
+    no int64 overflow even for 64-bit keys (raw key·a would overflow
+    once keys pass ~2^31, i.e. at real data scale)."""
+    folded = F.pmod(key.cast("long"), F.lit(_P))
+    return F.array(
+        *[
+            F.pmod(F.pmod(folded * F.lit(a) + F.lit(b), F.lit(_P)), F.lit(m_bits))
+            for a, b in coeffs
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(word_idx, bits) bitmap rows for the key set — m_bits/32 rows,
+    one map-side-combined bit_or shuffle."""
+    pos = F.explode(_positions(F.col(key_col), _coeffs(k, seed), m_bits)).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            # F.shiftleft only takes a literal count; the per-row shift
+            # needs the SQL expression form
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bitmap: DataFrame,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """df + ``might_contain`` boolean per row.
+
+    Probe keys explode to k positions, broadcast-join the bitmap, and
+    a key might be a member iff ALL k bits are set. Missing words
+    (never touched by the build) mean bit unset.
+    """
+    pos = (
+        df.select(F.col(key_col).alias("__k")).distinct()
+        .select(
+            "__k",
+            F.posexplode(_positions(F.col("__k"), _coeffs(k, seed), m_bits)).alias(
+                "__i", "pos"
+            ),
+        )
+        .select(
+            "__k",
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+        )
+    )
+    hit = (
+        pos.join(F.broadcast(bitmap), "word_idx", "left")
+        .withColumn(
+            "__set",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0),
+        )
+        .groupBy("__k")
+        .agg(F.min("__set").alias("might_contain"))
+    )
+    return df.join(
+        hit.withColumnRenamed("__k", key_col), key_col, "left"
+    )

@@ -240,3 +240,82 @@ def q_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     encoded, _ = encode_dictionary(orders, "o_orderpriority")
     return encoded.select("o_orderkey", "o_orderpriority_code")
+
+
+def _bloom_oracle() -> str:
+    """Oracle text with the SAME universal-hash coefficients the
+    library derives from seed 42 — embedded as literals so DuckDB
+    computes the bit-identical bitmap."""
+    from aws_etl_spark.ops.bloom import _P, _coeffs
+
+    rows = ", ".join(f"({a}, {b})" for a, b in _coeffs(5, 42))
+    return f"""
+WITH coeffs(a, b) AS (VALUES {rows}),
+fkeys AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+),
+bpos AS (
+  SELECT (((k % {_P}) * a + b) % {_P}) % 131072 AS pos
+  FROM fkeys CROSS JOIN coeffs
+),
+bitmap AS (
+  SELECT pos // 32 AS word_idx,
+         BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM bpos GROUP BY 1
+),
+probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+ppos AS (
+  SELECT k,
+         (((k % {_P}) * a + b) % {_P}) % 131072 AS pos
+  FROM probe CROSS JOIN coeffs
+),
+pw AS (
+  SELECT k, pos // 32 AS word_idx,
+         CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) AS bit
+  FROM ppos
+),
+hit AS (
+  SELECT k, BOOL_AND((COALESCE(bits, 0) & bit) <> 0) AS might_contain
+  FROM pw LEFT JOIN bitmap USING (word_idx) GROUP BY k
+)
+SELECT h.k AS l_orderkey, h.might_contain,
+       (m.k IS NOT NULL) AS is_member
+FROM hit h
+LEFT JOIN fkeys m ON h.k = m.k
+"""
+
+
+@register(
+    "bloom_filter_membership",
+    oracle=_bloom_oracle(),
+    category="incremental",
+    tables=("orders", "lineitem"),
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom filter (sketch family, next to HLL): bitmap
+    built over 'F'-status orderkeys via bit_or aggregation, lineitem
+    keys probed through a broadcast join. Universal integer hashing
+    makes the bitmap bit-identical in DuckDB, so even the false
+    positives hash-match the oracle. No false negatives by
+    construction: is_member → might_contain."""
+    from aws_etl_spark.ops.bloom import bloom_build, bloom_probe
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    fkeys = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    bitmap = bloom_build(fkeys, "o_orderkey", m_bits=1 << 17, k=5, seed=42)
+    probe = lineitem.select(F.col("l_orderkey")).distinct()
+    probed = bloom_probe(probe, "l_orderkey", bitmap, m_bits=1 << 17, k=5, seed=42)
+    members = fkeys.distinct().withColumn("is_member", F.lit(True))
+    return (
+        probed.join(
+            members.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "l_orderkey",
+            "left",
+        )
+        .select(
+            "l_orderkey",
+            "might_contain",
+            F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
+        )
+    )

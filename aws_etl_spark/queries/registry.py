@@ -174,6 +174,7 @@ _DRIVER_ORDER = (
     "func_math",
     "text_token_counts",
     "sample_reservoir_deterministic",
+    "bloom_filter_membership",
     "text_repetition_ratio",
     "text_top_ngrams",
     "text_word_entropy",

@@ -1,0 +1,49 @@
+"""Distributed Bloom filter: correctness gates beyond the oracle
+(which already pins the bitmap bit-for-bit vs DuckDB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_etl_spark.ops.bloom import bloom_build, bloom_probe
+from aws_etl_spark.queries.registry import load_table
+
+M_BITS = 1 << 17
+
+
+def _build_and_probe(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    fkeys = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    bitmap = bloom_build(fkeys, "o_orderkey", m_bits=M_BITS)
+    probe = lineitem.select("l_orderkey").distinct()
+    probed = bloom_probe(probe, "l_orderkey", bitmap, m_bits=M_BITS)
+    members = {r.o_orderkey for r in fkeys.distinct().collect()}
+    return probed.collect(), members
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    rows, members = _build_and_probe(spark, sf_dir)
+    for r in rows:
+        if r.l_orderkey in members:
+            assert r.might_contain, f"false negative for {r.l_orderkey}"
+
+
+def test_bloom_false_positive_rate_bounded(spark, sf_dir):
+    rows, members = _build_and_probe(spark, sf_dir)
+    non_members = [r for r in rows if r.l_orderkey not in members]
+    fps = sum(1 for r in non_members if r.might_contain)
+    # m=131072 bits, k=5, n≈|members| → theoretical fpr ≪ 1%; allow 2%
+    assert non_members, "test data has no non-members"
+    assert fps / len(non_members) < 0.02, f"{fps}/{len(non_members)} FPs"
+
+
+def test_bloom_probe_broadcasts_bitmap(spark, sf_dir):
+    from aws_etl_spark.plans import formatted_plan
+
+    orders = load_table(spark, sf_dir, "orders")
+    fkeys = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    bitmap = bloom_build(fkeys, "o_orderkey", m_bits=M_BITS)
+    probe = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    plan = formatted_plan(bloom_probe(probe, "k", bitmap, m_bits=M_BITS))
+    assert "BroadcastHashJoin" in plan, plan
