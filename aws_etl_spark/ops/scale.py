@@ -135,3 +135,38 @@ def explode_salt(n_salts: int) -> Column:
     """The replication column used by :func:`salted_join`, exposed for
     composing custom salted operators."""
     return F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+
+
+def bloom_pruned_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join where the big side is Bloom-pruned BEFORE its shuffle.
+
+    At 100 TB the dominant cost of ``big.join(small, key)`` is
+    shuffling every big-side row — including the (often vast) majority
+    whose key never appears in ``small``. Building a Bloom bitmap over
+    the small side's keys (one tiny bit_or aggregation) and
+    broadcast-probing the big side first drops non-matching rows at
+    scan time, so only might-match rows pay the shuffle. False
+    positives only cost wasted shuffle rows — the join itself remains
+    exact. (This is what Spark's runtime-filter optimization does for
+    eligible shapes; here it is explicit, composable, and applies to
+    shapes the optimizer does not cover.)
+    """
+    from aws_etl_spark.ops.bloom import bloom_build, bloom_probe
+
+    bitmap = bloom_build(
+        small.select(F.col(key)), key, m_bits=m_bits, k=k, seed=seed
+    )
+    pruned = (
+        bloom_probe(big, key, bitmap, m_bits=m_bits, k=k, seed=seed)
+        .filter(F.col("might_contain"))
+        .drop("might_contain")
+    )
+    return pruned.join(small, key, how)

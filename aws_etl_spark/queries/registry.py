@@ -54,6 +54,55 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# applicationIds whose Python workers have been given the package zip.
+_SHIPPED: set[str] = set()
+_PKG_ZIP: str | None = None
+
+
+def _package_zip() -> str:
+    """Zip the ``aws_etl_spark`` package once per process (tempdir)."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        import tempfile
+        import zipfile
+        from pathlib import Path
+
+        pkg = Path(__file__).resolve().parents[1]
+        fd, path = tempfile.mkstemp(
+            prefix="aws_etl_spark_", suffix=".zip"
+        )
+        import os
+
+        os.close(fd)
+        with zipfile.ZipFile(path, "w") as zf:
+            for py in sorted(pkg.rglob("*.py")):
+                zf.write(py, f"{pkg.name}/{py.relative_to(pkg)}")
+        _PKG_ZIP = path
+    return _PKG_ZIP
+
+
+def _ensure_workers_importable(spark: SparkSession) -> None:
+    """Ship this package to the session's Python workers (idempotent).
+
+    Module-level pandas-UDF / applyInPandas kernels are cloudpickled BY
+    REFERENCE (module + qualname), so the worker must be able to
+    ``import aws_etl_spark``. On our own session factory the repo is on
+    PYTHONPATH; on the driver's vanilla session workers only inherit
+    its cwd, which may not be the repo. ``addPyFile`` of a package zip
+    makes every query self-contained on any session.
+    """
+    try:
+        sc = spark.sparkContext
+        app = sc.applicationId
+        if app in _SHIPPED:
+            return
+        sc.addPyFile(_package_zip())
+        _SHIPPED.add(app)
+    except Exception:
+        # Connect-only sessions expose no sparkContext; queries that
+        # reach workers by reference simply require PYTHONPATH there.
+        pass
+
 
 def register(
     name: str,
@@ -81,6 +130,7 @@ def register(
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             spark.conf.set("spark.sql.ansi.enabled", "false")
+            _ensure_workers_importable(spark)
             return fn(spark, sf_dir)
 
         wrapped.__name__ = getattr(fn, "__name__", name)

@@ -188,3 +188,45 @@ def q_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "events_stream_closed_sessions",
+    oracle=None,  # real readStream + applyInPandasWithState; batch
+    # equivalence (sessions emitted exactly once, on close) is
+    # asserted in tests/test_streaming.py against session_rollup
+    category="streaming",
+    tables=("events",),
+    bench=False,  # stream spin-up timing is not comparable to a query
+)
+def q_stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine stateful streaming: gap-sessionizer with EVENT-TIME
+    timeout (applyInPandasWithState) over a file-source readStream —
+    sessions emit exactly once when the watermark closes them."""
+    import uuid
+
+    from aws_etl_spark.streaming.stateful import closed_sessions
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    out = closed_sessions(
+        stream.select("user_id", "event_id", "ts", "value")
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

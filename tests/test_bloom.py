@@ -47,3 +47,19 @@ def test_bloom_probe_broadcasts_bitmap(spark, sf_dir):
     probe = orders.select(F.col("o_orderkey").alias("k")).distinct()
     plan = formatted_plan(bloom_probe(probe, "k", bitmap, m_bits=M_BITS))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_pruned_join_matches_plain_join(spark, sf_dir):
+    from aws_etl_spark.ops.scale import bloom_pruned_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    small = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice"
+    )
+    plain = lineitem.join(small, "o_orderkey").collect()
+    pruned = bloom_pruned_join(lineitem, small, "o_orderkey").collect()
+    key = lambda r: (r.o_orderkey, r.l_quantity, r.o_totalprice)
+    assert sorted(map(key, pruned)) == sorted(map(key, plain))
