@@ -157,3 +157,65 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dups within Hamming distance 3 (4-chunk pigeonhole)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_distance=3, chunks=4)
+
+
+_DECONTAM_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT UNNEST(
+    LIST_TRANSFORM(
+      RANGE(1, GREATEST(LEN(STRING_SPLIT(TRIM(text), ' ')) - 4, 0) + 1),
+      i -> ARRAY_TO_STRING(STRING_SPLIT(TRIM(text), ' ')[i:i+4], ' ')
+    )
+  ) AS s
+  FROM documents WHERE source = 'src0'
+),
+c AS (
+  SELECT doc_id, UNNEST(
+    LIST_TRANSFORM(
+      RANGE(1, GREATEST(LEN(STRING_SPLIT(TRIM(text), ' ')) - 4, 0) + 1),
+      i -> ARRAY_TO_STRING(STRING_SPLIT(TRIM(text), ' ')[i:i+4], ' ')
+    )
+  ) AS s
+  FROM documents WHERE source <> 'src0'
+),
+bad AS (SELECT DISTINCT c.doc_id FROM c JOIN b USING (s))
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+@register(
+    "dedup_decontaminate",
+    oracle=_DECONTAM_ORACLE,
+    category="dedup",
+    tables=("documents",),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop corpus docs sharing any 5-gram
+    with the held-out set (here: source 'src0' stands in for the eval
+    benchmark; cf. GPT-3/C4 13-gram decontamination, scaled to this
+    corpus's short docs).
+
+    Plan shape for 100 TB: the benchmark shingle set is tiny (eval
+    suites are ~MBs) → broadcast; corpus shingles stream past it in a
+    broadcast semi-join, then a broadcast anti-join of the (small)
+    contaminated-id set against the corpus — the corpus itself never
+    shuffles.
+    """
+    from aws_etl_spark.dedup.jaccard import shingle_rows
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    bench_sh = shingle_rows(bench, "doc_id", "text", k=5).select("shingle").distinct()
+    corp_sh = shingle_rows(corpus, "doc_id", "text", k=5, distinct=False)
+    contaminated = (
+        corp_sh.join(F.broadcast(bench_sh), "shingle")
+        .select(F.col("doc").alias("doc_id"))
+        .distinct()
+    )
+    return corpus.join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    ).select("doc_id", "lang", "source", "n_chars")

@@ -9,7 +9,10 @@ from pyspark.sql import functions as F
 
 from aws_etl_spark.queries.registry import load_table, register
 from aws_etl_spark.text import (
+    c4_filter_flags,
     fingerprint_md5,
+    pii_counts,
+    pii_redact,
     min_shingle_fingerprints,
     tf_idf,
     lang_id,
@@ -295,3 +298,117 @@ def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return word_entropy(docs, "doc_id", "text")
+
+
+# PII is synthesized deterministically from doc_id (the test corpus
+# contains none) so the redaction rules are genuinely exercised and
+# both engines transform identical inputs.
+_PII_INJECT_SQL = (
+    "'ping user' || CAST(doc_id AS VARCHAR) || '@mail.example or 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-867-' || "
+    "LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+    "' ssn 123-45-6789 ' || text"
+)
+
+_PII_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_PII_INJECT_SQL} AS pt FROM documents
+)
+SELECT doc_id,
+  CAST(LEN(REGEXP_EXTRACT_ALL(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+  CAST(LEN(REGEXP_EXTRACT_ALL(pt, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS BIGINT) AS n_ssn,
+  CAST(LEN(REGEXP_EXTRACT_ALL(pt, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS BIGINT) AS n_phone,
+  CAST(LEN(REGEXP_EXTRACT_ALL(pt, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+  REGEXP_REPLACE(
+    REGEXP_REPLACE(
+      REGEXP_REPLACE(
+        REGEXP_REPLACE(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+        '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+      '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g'),
+    '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IPV4>', 'g') AS redacted
+FROM t
+"""
+
+
+@register(
+    "text_pii_redaction", oracle=_PII_ORACLE, category="text", tables=("documents",)
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails/SSNs/phones/IPv4 →
+    ``<CLASS>`` placeholders) — the scrubbing pass every training-data
+    pipeline runs before tokenization. Pure regexp builtins: scan-bound,
+    no shuffle, trivially partition-parallel at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.lit("ping user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example or 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7 call 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-6789 "), F.col("text"),
+    )
+    pt = docs.select("doc_id", injected.alias("pt"))
+    counts = pii_counts(F.col("pt"))
+    return pt.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_email"),
+        counts["ssn"].cast("long").alias("n_ssn"),
+        counts["phone"].cast("long").alias("n_phone"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        pii_redact(F.col("pt")).alias("redacted"),
+    )
+
+
+_C4_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+         LEN(w) AS n_words,
+         CASE WHEN LEN(w) > 0
+              THEN LIST_SUM(LIST_TRANSFORM(w, x -> LENGTH(x))) * 1.0 / LEN(w)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN LEN(w) > 0
+              THEN LEN(LIST_FILTER(w, x -> LIST_CONTAINS({_SW}, x))) * 1.0 / LEN(w)
+              ELSE 0.0 END AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len, stopword_ratio,
+       n_words BETWEEN 50 AND 100000 AS ok_len,
+       mean_word_len BETWEEN 3.0 AND 10.0 AS ok_word_len,
+       stopword_ratio >= 0.05 AS ok_stopwords,
+       NOT CONTAINS(LOWER(text), 'lorem ipsum') AS ok_no_lorem,
+       NOT CONTAINS(text, '{{') AS ok_no_brace,
+       (n_words BETWEEN 50 AND 100000)
+       AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       AND (stopword_ratio >= 0.05)
+       AND NOT CONTAINS(LOWER(text), 'lorem ipsum')
+       AND NOT CONTAINS(text, '{{') AS kept
+FROM m
+"""
+
+
+@register(
+    "text_c4_filter", oracle=_C4_ORACLE, category="text", tables=("documents",)
+)
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality filter: per-rule boolean flags + the
+    composite keep decision, so downstream can audit WHY a document
+    was dropped (the shape used to debias web-scale filtering). All
+    JVM scalar/array builtins — scan-bound, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = c4_filter_flags(F.col("text"))
+    kept = flags["ok_len"]
+    for name in ("ok_word_len", "ok_stopwords", "ok_no_lorem", "ok_no_brace"):
+        kept = kept & flags[name]
+    from aws_etl_spark.text import mean_word_length, stopword_ratio, whitespace_token_count
+
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).cast("long").alias("n_words"),
+        mean_word_length(F.col("text")).alias("mean_word_len"),
+        stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        *[flags[n].alias(n) for n in ("ok_len", "ok_word_len", "ok_stopwords", "ok_no_lorem", "ok_no_brace")],
+        kept.alias("kept"),
+    )

@@ -24,6 +24,15 @@ STOPWORDS: dict[str, list[str]] = {
 
 TOKEN_REGEX = r"\w+|[^\w\s]"  # BPE-ish: words + standalone punctuation
 
+# PII patterns shared by Spark (Java regex) and the DuckDB oracle
+# (RE2) — restricted to the syntax both engines interpret identically.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
 
 def words(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
@@ -95,6 +104,49 @@ def lang_id(text: Column) -> Column:
     for lang in sorted(STOPWORDS, reverse=True):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match count per PII class (emails, SSNs, phones, IPv4s)."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII match with a ``<CLASS>`` placeholder.
+
+    Order matters: emails go first (their local part may contain
+    digit runs a later pattern would half-match), then SSN before
+    phone (both are dash-digit shapes of different arity).
+    """
+    out = text
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def c4_filter_flags(text: Column, stopwords_min: float = 0.05) -> dict[str, Column]:
+    """C4/Gopher-style document-quality rule flags (each independently
+    reported so downstream can audit WHY a doc was dropped):
+
+    - ``ok_len``: 50–100k words;
+    - ``ok_word_len``: mean word length in [3, 10] (outside ≈ code /
+      minified / DNA-like strings);
+    - ``ok_stopwords``: stopword ratio ≥ ``stopwords_min`` (fluency);
+    - ``ok_no_lorem``: no 'lorem ipsum' boilerplate;
+    - ``ok_no_brace``: no '{' (code / templating leakage).
+    """
+    n_words = F.size(words(text))
+    mwl = mean_word_length(text)
+    return {
+        "ok_len": (n_words >= 50) & (n_words <= 100_000),
+        "ok_word_len": (mwl >= 3.0) & (mwl <= 10.0),
+        "ok_stopwords": stopword_ratio(text) >= stopwords_min,
+        "ok_no_lorem": ~F.contains(F.lower(text), F.lit("lorem ipsum")),
+        "ok_no_brace": ~F.contains(text, F.lit("{")),
+    }
 
 
 def fingerprint_md5(text: Column) -> Column:

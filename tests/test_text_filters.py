@@ -1,0 +1,115 @@
+"""PII redaction, C4-style quality filtering, benchmark
+decontamination — unit semantics + plan discipline. (The oracle sweep
+in test_oracle_corpus.py already hash-checks the registry entries;
+these tests pin the operator semantics on hand-built rows where the
+expected answer is known by construction.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_etl_spark.text import c4_filter_flags, pii_counts, pii_redact
+
+
+def test_pii_redact_all_classes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io, ssn 123-45-6789, tel 555-123-4567, host 10.0.0.1 ok"),
+            (2, "no pii here at all"),
+        ],
+        ["id", "t"],
+    )
+    out = df.select(
+        "id",
+        pii_redact(F.col("t")).alias("r"),
+        *[v.alias(k) for k, v in pii_counts(F.col("t")).items()],
+    ).collect()
+    r1 = {row.id: row for row in out}
+    assert r1[1].r == "mail <EMAIL>, ssn <SSN>, tel <PHONE>, host <IPV4> ok"
+    assert (r1[1].email, r1[1].ssn, r1[1].phone, r1[1].ipv4) == (1, 1, 1, 1)
+    assert r1[2].r == "no pii here at all"
+    assert (r1[2].email, r1[2].ssn, r1[2].phone, r1[2].ipv4) == (0, 0, 0, 0)
+
+
+def test_pii_ssn_not_eaten_by_phone(spark):
+    # 123-45-6789 (3-2-4) and 555-123-4567 (3-3-4) must bind to their
+    # own classes even when adjacent
+    df = spark.createDataFrame([(1, "123-45-6789 555-123-4567")], ["id", "t"])
+    row = df.select(pii_redact(F.col("t")).alias("r")).first()
+    assert row.r == "<SSN> <PHONE>"
+
+
+def test_c4_flags_by_construction(spark):
+    good = " ".join(["the quick brown fox jumps over that lazy dog again"] * 6)
+    df = spark.createDataFrame(
+        [
+            (1, good),  # 54 words, stopwords present, clean
+            (2, "short text only"),  # fails ok_len
+            (3, good + " lorem ipsum dolor"),  # boilerplate
+            (4, good + " x{y}"),  # brace leakage
+        ],
+        ["id", "t"],
+    )
+    flags = c4_filter_flags(F.col("t"))
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id", *[v.alias(k) for k, v in flags.items()]
+        ).collect()
+    }
+    assert all(
+        getattr(rows[1], k)
+        for k in ("ok_len", "ok_word_len", "ok_stopwords", "ok_no_lorem", "ok_no_brace")
+    )
+    assert not rows[2].ok_len
+    assert not rows[3].ok_no_lorem and rows[3].ok_len
+    assert not rows[4].ok_no_brace
+
+
+def test_decontaminate_drops_only_overlapping_docs(spark):
+    from aws_etl_spark.dedup.jaccard import shingle_rows
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text, "bench"),
+            # shares the 5-gram "alpha beta gamma delta epsilon"
+            (1, "x y alpha beta gamma delta epsilon q r", "web"),
+            # same words, order broken → no shared 5-gram
+            (2, "alpha beta gamma q delta epsilon zeta", "web"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    bench = docs.filter(F.col("source") == "bench")
+    corpus = docs.filter(F.col("source") != "bench")
+    bench_sh = shingle_rows(bench, "doc_id", "text", k=5).select("shingle").distinct()
+    corp_sh = shingle_rows(corpus, "doc_id", "text", k=5, distinct=False)
+    contaminated = (
+        corp_sh.join(F.broadcast(bench_sh), "shingle")
+        .select(F.col("doc").alias("doc_id"))
+        .distinct()
+    )
+    kept = corpus.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    assert [r.doc_id for r in kept.collect()] == [2]
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, sf_dir):
+    from aws_etl_spark.plans import formatted_plan
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    plan = formatted_plan(REGISTRY["dedup_decontaminate"].fn(spark, sf_dir))
+    # both the shingle semi-join and the final anti-join must be
+    # broadcasts: the (big) corpus never shuffles
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pii_and_c4_plans_are_scan_bound(spark, sf_dir):
+    from aws_etl_spark.plans import formatted_plan
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    for name in ("text_pii_redaction", "text_c4_filter"):
+        plan = formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
