@@ -12,6 +12,7 @@ from aws_etl_spark.io.readers import (
     read_orc,
     read_parquet,
     read_table,
+    read_xml,
     with_source_file,
 )
 from aws_etl_spark.io.writers import (
@@ -20,4 +21,5 @@ from aws_etl_spark.io.writers import (
     write_jdbc,
     write_orc,
     write_parquet,
+    write_xml,
 )

@@ -12,7 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-SUPPORTED_SOURCE_FORMATS = {"csv", "parquet", "orc", "json", "jdbc", "binaryFile"}
+SUPPORTED_SOURCE_FORMATS = {
+    "csv", "parquet", "orc", "json", "xml", "jdbc", "binaryFile",
+}
 
 
 class UnsupportedFormatError(ValueError):
@@ -75,6 +77,21 @@ def read_json(
     return reader.json(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """XML read (built-in datasource since Spark 4; one DataFrame row
+    per ``row_tag`` element). Schema inference costs an extra pass —
+    pass an explicit schema on large inputs, as with csv/json."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
@@ -133,6 +150,8 @@ def read_table(
         return read_orc(spark, path)
     if fmt == "json":
         return read_json(spark, path, **kwargs)
+    if fmt == "xml":
+        return read_xml(spark, path, **kwargs)
     if fmt == "binaryFile":
         return read_binary_files(spark, path)
     raise UnsupportedFormatError(f"jdbc requires read_jdbc(url=..., table=...)")

@@ -52,6 +52,14 @@ def write_csv(
     df.write.mode(mode).option("header", header).csv(path)
 
 
+def write_xml(
+    df: DataFrame, path: str, row_tag: str, mode: str = "overwrite"
+) -> None:
+    """XML write (built-in since Spark 4): one ``row_tag`` element per
+    row, partition-parallel like every other sink here."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
 def save_as_table(
     df: DataFrame,
     name: str,

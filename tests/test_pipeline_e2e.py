@@ -203,3 +203,24 @@ def test_parquet_compression_codecs(spark, sf_dir, tmp_path):
         write_parquet(nation, path, compression=codec)
         back = spark.read.parquet(path)
         assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """XML sink/source roundtrip (built-in datasource, Spark 4): one
+    element per row, schema given explicitly on read-back (XML
+    inference widens integral types)."""
+    from aws_etl_spark.io import read_table, read_xml, write_xml
+    from aws_etl_spark.queries.registry import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_xml")
+    write_xml(nation, path, row_tag="nation")
+    back = read_xml(spark, path, row_tag="nation", schema=nation.schema)
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.select(*nation.columns).collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+    assert (
+        read_table(spark, "xml", path, row_tag="nation", schema=nation.schema).count()
+        == nation.count()
+    )
