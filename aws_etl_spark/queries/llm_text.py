@@ -412,3 +412,61 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[flags[n].alias(n) for n in ("ok_len", "ok_word_len", "ok_stopwords", "ok_no_lorem", "ok_no_brace")],
         kept.alias("kept"),
     )
+
+
+_PACKING_ORACLE = """
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(LEN(STRING_SPLIT(TRIM(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_offset,
+       (cum - n_tokens) // 2048 AS bin_id,
+       (cum - n_tokens) % 2048 AS offset_in_bin
+FROM c
+"""
+
+
+@register(
+    "text_sequence_packing",
+    oracle=_PACKING_ORACLE,
+    category="text",
+    tables=("documents",),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents head-to-tail
+    per shard (ordered by doc_id) and chunk the stream into 2048-token
+    context windows — each doc gets (bin, offset), docs may straddle
+    bins, zero padding waste (GPT-style pretraining packing).
+
+    Scale shape: sharding by doc_id % N makes the running sum
+    per-shard — N independent window partitions instead of one global
+    ordering, which is exactly how distributed packing runs at 100 TB
+    (per-worker streams). Integer arithmetic only → hash-exact.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        whitespace_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id", "shard", "n_tokens",
+        (F.col("cum") - F.col("n_tokens")).alias("start_offset"),
+        F.expr("(cum - n_tokens) DIV 2048").alias("bin_id"),
+        ((F.col("cum") - F.col("n_tokens")) % 2048).alias("offset_in_bin"),
+    )

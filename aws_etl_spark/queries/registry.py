@@ -228,6 +228,10 @@ _DRIVER_ORDER = (
     "text_repetition_ratio",
     "text_top_ngrams",
     "text_word_entropy",
+    "text_pii_redaction",
+    "text_c4_filter",
+    "text_sequence_packing",
+    "embeddings_quantize_int8",
     "filter_predicates",
     "merge_upsert",
     "func_collect_agg",
@@ -285,6 +289,7 @@ _DRIVER_ORDER = (
     "func_string",
     "table_profile",
     "ann_cosine_topk_exact",
+    "dedup_decontaminate",
     "dedup_ngram_jaccard",
     "join_inner_multiway",
     "dedup_clusters_cc",

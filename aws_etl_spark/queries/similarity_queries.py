@@ -95,3 +95,58 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 (16 lists, probe 4)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter("vec_id < 20"), k=5)
+
+
+_QUANTIZE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, r.i AS pos, CAST(embedding[r.i] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN range(1, 1025) r(i)
+  WHERE r.i <= LEN(embedding)
+),
+s AS (SELECT pos, MAX(ABS(val)) AS mx FROM e GROUP BY pos)
+SELECT e.vec_id, e.pos,
+       CASE WHEN s.mx = 0 THEN 0
+            ELSE CAST(FLOOR(e.val / s.mx * 127 + 0.5) AS BIGINT) END AS q8
+FROM e JOIN s USING (pos)
+"""
+
+
+@register(
+    "embeddings_quantize_int8",
+    oracle=_QUANTIZE_ORACLE,
+    category="similarity",
+    tables=("embeddings",),
+)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension symmetric int8 quantization (q = round(x/max|x|
+    ·127)) — the embedding-compression pass ANN indexes run before
+    sharding (4× memory cut, dot products stay proportional).
+
+    Two passes: a (dims)-sized max-abs aggregate (map-side combined,
+    broadcast back — never a driver round-trip), then a scan-bound
+    projection. FLOOR(x + 0.5) instead of ROUND: both engines
+    half-up the same way; float32 inputs are cast to double BEFORE
+    dividing (DuckDB would otherwise divide in float32 while Spark
+    promotes to double). Output exploded (vec_id, pos, q8) — array
+    cells would crash the driver's canonicalizer.
+    """
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "v")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).cast("long").alias("pos"),
+        F.col("v").cast("double").alias("val"),
+    )
+    scales = e.groupBy("pos").agg(F.max(F.abs(F.col("val"))).alias("mx"))
+    return e.join(F.broadcast(scales), "pos").select(
+        "vec_id",
+        "pos",
+        F.when(F.col("mx") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(F.col("val") / F.col("mx") * 127 + F.lit(0.5)).cast("long")
+        )
+        .alias("q8"),
+    )

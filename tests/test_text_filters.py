@@ -113,3 +113,59 @@ def test_pii_and_c4_plans_are_scan_bound(spark, sf_dir):
     for name in ("text_pii_redaction", "text_c4_filter"):
         plan = formatted_plan(REGISTRY[name].fn(spark, sf_dir))
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_packing_single_shuffle_and_quantize_broadcast(spark, sf_dir):
+    from aws_etl_spark.plans import formatted_plan
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    pack = formatted_plan(REGISTRY["text_sequence_packing"].fn(spark, sf_dir))
+    # one hash partition on shard feeding the window — no second
+    # exchange (formatted mode prints each node twice: tree + detail)
+    assert pack.count("+- Exchange") == 1, pack
+    quant = formatted_plan(REGISTRY["embeddings_quantize_int8"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in quant, quant
+    assert "SortMergeJoin" not in quant, quant
+
+
+def test_packing_bins_are_contiguous(spark, sf_dir):
+    """Within a shard, start offsets tile the token stream exactly:
+    next start = prev start + prev n_tokens (no gaps, no overlap)."""
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = (
+        REGISTRY["text_sequence_packing"].fn(spark, sf_dir)
+        .orderBy("shard", "doc_id")
+        .collect()
+    )
+    by_shard = {}
+    for r in rows:
+        prev = by_shard.get(r.shard)
+        if prev is not None:
+            assert r.start_offset == prev.start_offset + prev.n_tokens
+        assert r.bin_id == r.start_offset // 2048
+        assert r.offset_in_bin == r.start_offset % 2048
+        by_shard[r.shard] = r
+
+
+def test_quantize_int8_range_and_sign(spark, sf_dir):
+    import math
+
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    out = REGISTRY["embeddings_quantize_int8"].fn(spark, sf_dir)
+    stats = out.agg(
+        F.min("q8").alias("mn"), F.max("q8").alias("mx"), F.count("*").alias("n")
+    ).first()
+    assert -127 <= stats.mn and stats.mx <= 127 and stats.mx == 127
+    # the per-dimension argmax element must quantize to ±127 exactly
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = emb.select("vec_id", F.posexplode("embedding").alias("p", "v")).filter(
+        F.col("p") == 0
+    )
+    top = max(first.collect(), key=lambda r: abs(r.v))
+    got = out.filter((F.col("vec_id") == top.vec_id) & (F.col("pos") == 1)).first()
+    assert abs(got.q8) == 127 and (got.q8 > 0) == (top.v > 0)
