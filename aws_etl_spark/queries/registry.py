@@ -270,6 +270,7 @@ _DRIVER_ORDER = (
     "agg_percentiles",
     "subquery_in_correlated_agg",
     "udaf_grouped_agg",
+    "udtf_word_ngrams",
     "func_json",
     "pivot_revenue_by_year",
     "agg_grouping_sets",

@@ -71,3 +71,34 @@ def q_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_topk(
         cust, ["c_mktsegment"], order_col="c_acctbal", k=3, tiebreak_col="c_custkey"
     )
+
+
+_UDTF_NGRAMS_ORACLE = """
+WITH w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS ws FROM documents)
+SELECT doc_id, r.i - 1 AS pos, ARRAY_TO_STRING(ws[r.i:r.i+2], ' ') AS ngram
+FROM w CROSS JOIN range(1, 1001) r(i)
+WHERE r.i <= LEN(ws) - 2
+"""
+
+
+@register(
+    "udtf_word_ngrams",
+    oracle=_UDTF_NGRAMS_ORACLE,
+    category="udf",
+    tables=("documents",),
+)
+def q_udtf_word_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) via LATERAL join: one doc
+    row → (pos, ngram) rows. The JVM shingle pipeline
+    (dedup/jaccard.py shingle_rows) is the hot path; this is the
+    user-facing row-generating extension point, oracle-checked
+    equivalent on the same corpus."""
+    from aws_etl_spark.functions.udtfs import register_udtfs
+    from aws_etl_spark.queries.registry import register_views
+
+    register_udtfs(spark)
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        "SELECT doc_id, n.pos, n.ngram "
+        "FROM documents, LATERAL word_ngrams(text, 3) n"
+    )

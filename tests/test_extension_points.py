@@ -1,0 +1,87 @@
+"""Spark-4 extension points: Python UDTF + custom Python DataSource."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_udtf_lateral_ngrams(spark):
+    from aws_etl_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, None)], ["id", "t"]
+    ).createOrReplaceTempView("udtf_in")
+    rows = spark.sql(
+        "SELECT id, n.pos, n.ngram FROM udtf_in, LATERAL word_ngrams(t, 3) n"
+    ).collect()
+    got = sorted((r.id, r.pos, r.ngram) for r in rows)
+    # 2-word and NULL docs emit nothing; 4-word doc emits two 3-grams
+    assert got == [(1, 0, "a b c"), (1, 1, "b c d")]
+
+
+def test_udtf_matches_jvm_shingles(spark, sf_dir):
+    """The Python UDTF and the JVM shingle pipeline agree exactly."""
+    from aws_etl_spark.dedup.jaccard import shingle_rows
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded, load_table
+
+    _ensure_loaded()
+    udtf_out = REGISTRY["udtf_word_ngrams"].fn(spark, sf_dir)
+    jvm = shingle_rows(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
+        distinct=False,
+    )
+    a = {(r.doc_id, r.ngram) for r in udtf_out.collect()}
+    b = {(r.doc, r.shingle) for r in jvm.collect()}
+    assert a == b
+
+
+def test_python_datasource_partition_parallel(spark):
+    from aws_etl_spark.io.pydatasource import register_python_datasources
+
+    register_python_datasources(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", 200).option("partitions", 7).load()
+    )
+    assert df.count() == 200
+    assert df.select("part").distinct().count() == 7
+    assert df.schema.simpleString() == (
+        "struct<doc_id:bigint,text:string,part:int>"
+    )
+    # scan runs as 7 real tasks
+    assert df.rdd.getNumPartitions() == 7
+
+
+def test_python_datasource_content_partition_invariant(spark):
+    """Content is a function of (seed, doc_id) only — re-planning the
+    scan with a different partition count yields the same corpus."""
+    from aws_etl_spark.io.pydatasource import register_python_datasources
+
+    register_python_datasources(spark)
+
+    def corpus(parts: int) -> dict[int, str]:
+        df = (
+            spark.read.format("synthetic_docs")
+            .option("n", 150).option("partitions", parts).load()
+        )
+        return {r.doc_id: r.text for r in df.collect()}
+
+    assert corpus(3) == corpus(11)
+
+
+def test_python_datasource_composes_with_engine_ops(spark):
+    """The custom source is a first-class scan: engine operators run
+    on top of it unchanged."""
+    from aws_etl_spark.io.pydatasource import register_python_datasources
+    from aws_etl_spark.text import whitespace_token_count
+
+    register_python_datasources(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", 300).option("words_per_doc", 17).load()
+    )
+    out = df.select(whitespace_token_count(F.col("text")).alias("n")).agg(
+        F.min("n"), F.max("n")
+    ).first()
+    assert out == (17, 17)
