@@ -100,6 +100,47 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> None:
     q.awaitTermination()
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    max_lag: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: a right-side event joins
+    left-side events of the same key whose timestamp falls in
+    [right.ts − max_lag, right.ts] (click-joins-impression shape).
+
+    Both sides are watermarked so the join state is bounded: Spark
+    buffers each side only until the other's watermark passes the
+    interval bound, then GCs — the only safe way to join two unbounded
+    streams. The time-bound predicate is REQUIRED (an unbounded-state
+    equi-join on two append streams would otherwise buffer forever).
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col(ts_col).alias("l_ts"),
+        *[c for c in left.columns if c not in (key, ts_col)],
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in (key, ts_col)
+        ],
+    ).withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        F.expr(
+            f"l_key = r_key AND l_ts BETWEEN r_ts - INTERVAL {max_lag} "
+            "AND r_ts"
+        ),
+    )
+
+
 def enrich_stream(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static join: each micro-batch joins against the (small)
     static dimension — Spark broadcasts it per batch; no stream state.

@@ -289,3 +289,44 @@ def test_closed_sessions_event_time_timeout(spark, sf_dir, tmp_path):
     # the sentinel advanced the watermark past every real session's
     # last+gap, so ALL real sessions must have closed
     assert got == expected
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream join equals the batch interval join:
+    'views' (even event ids) join 'actions' (odd event ids) of the
+    same user within a 5-minute lookback."""
+    from aws_etl_spark.streaming.windows import stream_stream_interval_join
+
+    events = _events_batch(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "value"
+    ).limit(2000)
+    views = events.filter(F.col("event_id") % 2 == 0)
+    actions = events.filter(F.col("event_id") % 2 == 1)
+
+    batch = (
+        views.alias("v")
+        .join(
+            actions.alias("a"),
+            F.expr(
+                "v.user_id = a.user_id AND "
+                "v.ts BETWEEN a.ts - INTERVAL 5 minutes AND a.ts"
+            ),
+        )
+        .select(
+            F.col("v.event_id").alias("l_event"),
+            F.col("a.event_id").alias("r_event"),
+        )
+    )
+    expected = sorted(map(tuple, batch.collect()))
+
+    vs = _stream_from(spark, views, tmp_path / "views")
+    ast = _stream_from(spark, actions, tmp_path / "actions")
+    joined = stream_stream_interval_join(
+        vs, ast, key="user_id", watermark="1 hour", max_lag="5 minutes"
+    ).select(
+        F.col("event_id").alias("l_event"),
+        F.col("r_event_id").alias("r_event"),
+    )
+    name = _run_to_memory(joined, mode="append")
+    got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+    assert got == expected and len(got) > 0
