@@ -87,33 +87,44 @@ def bloom_probe(
 ) -> DataFrame:
     """df + ``might_contain`` boolean per row.
 
-    Probe keys explode to k positions, broadcast-join the bitmap, and
-    a key might be a member iff ALL k bits are set. Missing words
-    (never touched by the build) mean bit unset.
+    k chained broadcast left-joins of the (tiny) bitmap — one per hash
+    function, each on that hash's word index — then AND the k bit
+    tests. The probed side is NEVER shuffled, deduplicated, or
+    re-joined: the earlier formulation (distinct keys → explode →
+    regroup → join back) hid a full big-side key shuffle, which is the
+    exact cost this operator exists to avoid. Missing words (never
+    touched by the build) mean bit unset.
     """
-    pos = (
-        df.select(F.col(key_col).alias("__k")).distinct()
-        .select(
-            "__k",
-            F.posexplode(_positions(F.col("__k"), _coeffs(k, seed), m_bits)).alias(
-                "__i", "pos"
+    folded = F.pmod(F.col(key_col).cast("long"), F.lit(_P))
+    out = df
+    tests = []
+    for i, (a, b) in enumerate(_coeffs(k, seed)):
+        pos = F.pmod(F.pmod(folded * F.lit(a) + F.lit(b), F.lit(_P)), F.lit(m_bits))
+        out = (
+            out.withColumn(f"__p{i}", pos)
+            .withColumn(f"__w{i}", (F.col(f"__p{i}") / 32).cast("long"))
+            .withColumn(
+                f"__b{i}",
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 32 AS INT))"
+                ),
+            )
+        )
+        out = out.join(
+            F.broadcast(
+                bitmap.withColumnRenamed("word_idx", f"__w{i}")
+                .withColumnRenamed("bits", f"__bits{i}")
             ),
+            f"__w{i}",
+            "left",
         )
-        .select(
-            "__k",
-            (F.col("pos") / 32).cast("long").alias("word_idx"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+        tests.append(
+            F.coalesce(F.col(f"__bits{i}"), F.lit(0)).bitwiseAND(
+                F.col(f"__b{i}")
+            )
+            != 0
         )
-    )
-    hit = (
-        pos.join(F.broadcast(bitmap), "word_idx", "left")
-        .withColumn(
-            "__set",
-            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0),
-        )
-        .groupBy("__k")
-        .agg(F.min("__set").alias("might_contain"))
-    )
-    return df.join(
-        hit.withColumnRenamed("__k", key_col), key_col, "left"
-    )
+    might = tests[0]
+    for t in tests[1:]:
+        might = might & t
+    return out.select(*df.columns, might.alias("might_contain"))

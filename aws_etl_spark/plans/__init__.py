@@ -3,6 +3,7 @@ from aws_etl_spark.plans.inspect import (
     assert_broadcast_join,
     assert_filter_pushed,
     assert_max_shuffles,
+    executed_shuffle_bytes,
     formatted_plan,
     plan_facts,
     read_columns,
@@ -14,6 +15,7 @@ __all__ = [
     "assert_broadcast_join",
     "assert_filter_pushed",
     "assert_max_shuffles",
+    "executed_shuffle_bytes",
     "formatted_plan",
     "plan_facts",
     "read_columns",

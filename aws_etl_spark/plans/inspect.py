@@ -130,3 +130,43 @@ def assert_max_shuffles(df: DataFrame, n: int) -> None:
     assert facts.n_exchanges <= n, (
         f"expected ≤{n} shuffle exchanges, found {facts.n_exchanges}"
     )
+
+
+def executed_shuffle_bytes(df: DataFrame) -> int:
+    """RUN the plan (a count action) and sum ``shuffleBytesWritten``
+    over every exchange of the executed adaptive plan.
+
+    Static plan checks prove shape (how many exchanges); this proves
+    volume — the number that actually decides whether a plan survives
+    100 TB. Used by tests to pin quantitative claims like "Bloom
+    pruning cuts the big side's shuffle" with measured bytes rather
+    than prose.
+
+    Executes via ``collect()`` — a ``count()`` would spawn a SEPARATE
+    QueryExecution and leave this plan's metrics untouched. Test-scale
+    helper: do not point it at an unbounded result.
+    """
+    df.collect()
+
+    total = 0
+
+    def walk(node) -> None:
+        nonlocal total
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(node.plan())
+            return
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "shuffleBytesWritten":
+                total += kv._2().value()
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return total

@@ -63,3 +63,56 @@ def test_bloom_pruned_join_matches_plain_join(spark, sf_dir):
     pruned = bloom_pruned_join(lineitem, small, "o_orderkey").collect()
     key = lambda r: (r.o_orderkey, r.l_quantity, r.o_totalprice)
     assert sorted(map(key, pruned)) == sorted(map(key, plain))
+
+
+def test_bloom_pruning_cuts_shuffle_bytes(spark, sf_dir):
+    """Quantitative scale evidence: with automatic broadcasts off (the
+    100 TB regime — neither join side fits in memory), Bloom-pruning
+    the big side before its shuffle cuts measured shuffle volume by
+    >2× at matching results."""
+    from aws_etl_spark.ops.scale import bloom_pruned_join
+    from aws_etl_spark.plans import executed_shuffle_bytes
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_rf = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # Spark's own runtime filter covers THIS exact shape (and prunes it
+    # identically — verified); turn it off to simulate the shapes it
+    # does not cover, which is what the explicit operator exists for.
+    # Runtime conf.set only: the builder-time form deadlocks (session.py).
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    try:
+        lineitem = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_quantity", "l_extendedprice", "l_shipdate",
+        )
+        # selective on NON-key columns: a key predicate (e.g.
+        # o_orderkey % 37 = 0) would be constraint-propagated by
+        # Catalyst onto the big side's scan, pruning the "plain" join
+        # for free — verified; non-key selectivity is the shape where
+        # only a runtime membership filter can prune
+        small = (
+            load_table(spark, sf_dir, "orders")
+            .filter(
+                (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 10000)
+            )
+            .select("o_orderkey", "o_totalprice")
+        )
+        plain = lineitem.join(small, "o_orderkey")
+        # bitmap sized to the key count (~40 keys here): its one
+        # constant-size agg shuffle must not drown the comparison at
+        # fixture scale — at 100 TB it is noise by construction
+        pruned = bloom_pruned_join(
+            lineitem, small, "o_orderkey", m_bits=1 << 12
+        )
+        assert pruned.count() == plain.count() > 0
+        b_plain = executed_shuffle_bytes(plain)
+        b_pruned = executed_shuffle_bytes(pruned)
+        assert b_pruned * 2 < b_plain, (b_pruned, b_plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", old_rf
+        )
