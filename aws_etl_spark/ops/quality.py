@@ -117,3 +117,43 @@ def expect_contained(
     )
     if orphans:
         raise QualityError(f"{child_key} values missing from {parent_key}")
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Key-level reconciliation between two snapshots of a table:
+    one row per key with status ``added`` (right only), ``removed``
+    (left only), ``changed`` (both, any compared column differs,
+    null-safe), or ``same``.
+
+    The cross-store validation the reference does by COUNT alone
+    (etl_aws_vini.py:566-585 Athena-vs-Postgres) — upgraded to
+    key+value level. One full outer join on the key (single shuffle
+    each side); comparison is null-safe <=> so NULL→value transitions
+    count as changes.
+    """
+    from pyspark.sql import functions as F
+
+    if compare_cols is None:
+        compare_cols = [c for c in left.columns if c not in keys]
+    # presence flags come from sentinel columns, not value nullness —
+    # a key present with all-NULL values is not "added"
+    l = left.select(*keys, F.lit(True).alias("__in_l"),
+                    *[F.col(c).alias(f"__l_{c}") for c in compare_cols])
+    r = right.select(*keys, F.lit(True).alias("__in_r"),
+                     *[F.col(c).alias(f"__r_{c}") for c in compare_cols])
+    j = l.join(r, list(keys), "full_outer")
+    any_diff = F.lit(False)
+    for c in compare_cols:
+        any_diff = any_diff | ~F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
+    status = (
+        F.when(F.col("__in_l").isNull(), F.lit("added"))
+        .when(F.col("__in_r").isNull(), F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return j.select(*keys, status.alias("status"))

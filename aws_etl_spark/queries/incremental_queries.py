@@ -319,3 +319,66 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("is_member"), F.lit(False)).alias("is_member"),
         )
     )
+
+
+_TABLE_DIFF_ORACLE = """
+WITH l AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+r AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 103 = 0
+),
+j AS (
+  SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+         l.o_orderkey IS NOT NULL AS in_l,
+         r.o_orderkey IS NOT NULL AS in_r,
+         (l.o_totalprice IS DISTINCT FROM r.o_totalprice)
+         OR (l.o_orderstatus IS DISTINCT FROM r.o_orderstatus) AS diff
+  FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_l THEN 'added'
+            WHEN NOT in_r THEN 'removed'
+            WHEN diff THEN 'changed'
+            ELSE 'same' END AS status
+FROM j
+"""
+
+
+@register(
+    "table_diff_reconcile",
+    oracle=_TABLE_DIFF_ORACLE,
+    category="incremental",
+    tables=("orders",),
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: key-level added/removed/changed/same
+    between two table versions (the right side derived deterministically
+    — keys %101 removed, %97 repriced, %103 re-keyed as inserts). The
+    reference validates cross-store loads by COUNT alone
+    (etl_aws_vini.py:566-585); this is the key+value upgrade. One full
+    outer join = one shuffle per side; null-safe comparison."""
+    from aws_etl_spark.ops.quality import table_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    right = orders.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = orders.filter(F.col("o_orderkey") % 103 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    return table_diff(
+        orders, right.unionByName(added), ["o_orderkey"]
+    )

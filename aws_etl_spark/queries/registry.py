@@ -234,6 +234,7 @@ _DRIVER_ORDER = (
     "embeddings_quantize_int8",
     "filter_predicates",
     "merge_upsert",
+    "table_diff_reconcile",
     "func_collect_agg",
     "set_union_all",
     "sort_limit_topk",

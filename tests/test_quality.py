@@ -82,3 +82,20 @@ def test_sampling(spark, sf_dir):
     base = {r.o_orderstatus: r.n for r in orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
     assert 0.3 < got.get("O", 0) / base["O"] < 0.7
     assert got.get("P", 0) == 0  # stratum not in fractions => dropped
+
+
+def test_table_diff_statuses_by_construction(spark):
+    from aws_etl_spark.ops.quality import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "d", None)],
+        ["k", "s", "v"],
+    )
+    right = spark.createDataFrame(
+        # 1 unchanged; 2 value change; 3 NULL→value change; 4 dropped;
+        # 5 added
+        [(1, "a", 10.0), (2, "B", 20.0), (3, "c", 30.0), (5, "e", 50.0)],
+        ["k", "s", "v"],
+    )
+    got = {r.k: r.status for r in table_diff(left, right, ["k"]).collect()}
+    assert got == {1: "same", 2: "changed", 3: "changed", 4: "removed", 5: "added"}
