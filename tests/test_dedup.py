@@ -86,3 +86,32 @@ def test_minhash_plan_has_no_python_udf(spark, sf_dir):
     plan = minhash_near_dup_pairs(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+
+
+def test_minhash_band_join_carries_no_shingles_measured(spark, sf_dir):
+    """Quantitative pin of the round-2 restructure: total shuffle
+    volume of the full LSH pipeline stays within a small multiple of
+    ONE doc→shingles aggregation (the unavoidable linear cost). The
+    pre-restructure plan carried each doc's shingle set through the
+    band self-join ×bands ×2 sides — an order of magnitude more."""
+    from aws_etl_spark.dedup.minhash import (
+        minhash_near_dup_pairs,
+        minhash_signatures,
+    )
+    from aws_etl_spark.plans import executed_shuffle_bytes
+    from aws_etl_spark.queries.registry import load_table
+
+    # earlier tests cache the identical signatures plan; a cache hit
+    # would read zero shuffle bytes and void the measurement
+    spark.catalog.clearCache()
+    docs = load_table(spark, sf_dir, "documents")
+    base = executed_shuffle_bytes(
+        minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=64)
+    )
+    full = executed_shuffle_bytes(
+        minhash_near_dup_pairs(
+            docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5
+        )
+    )
+    assert base > 0
+    assert full < 3 * base, (full, base)
