@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -189,3 +190,71 @@ def sniff_media_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFr
             )
 
     return df.select(id_col, payload_col).mapInPandas(sniff, MAGIC_SCHEMA)
+
+
+def decode_image_fake(payload: bytes, width: int, height: int) -> "np.ndarray":
+    """Deterministic FAKE decoder: tiles the payload bytes into a
+    (height, width) uint8 grayscale array. Stands in for a real codec
+    (none in this environment) so the resize/feature plumbing runs and
+    is byte-for-byte reproducible; swap for PIL/torchvision decode on
+    a real cluster (same signature: bytes → HxW array)."""
+    buf = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    need = width * height
+    reps = -(-need // len(buf))
+    return np.tile(buf, reps)[:need].reshape(height, width)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.BinaryType(), True),
+        T.StructField("mean_px", T.DoubleType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    width: int = 32,
+    height: int = 32,
+    decoder=decode_image_fake,
+) -> DataFrame:
+    """Decode + nearest-neighbor resize via Arrow-batched mapInPandas:
+    (item_id, width, height, pixels, mean_px) with pixels a
+    width×height uint8 buffer.
+
+    The decoder is pluggable (default: the deterministic fake — see
+    :func:`decode_image_fake`); the Spark-side plumbing (schema,
+    size-aware partitioning upstream, batch iteration, binary output
+    column) is the real production shape either way. Resize is
+    index-sampling (nearest neighbor) in pure numpy, so it needs no
+    image library."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                img = decoder(payload, 64, 64)  # decode at native-ish res
+                ys = (np.arange(height) * img.shape[0] // height)
+                xs = (np.arange(width) * img.shape[1] // width)
+                small = img[np.ix_(ys, xs)].astype(np.uint8)
+                out_rows.append(
+                    (
+                        int(item_id),
+                        width,
+                        height,
+                        small.tobytes(),
+                        float(small.mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["item_id", "width", "height", "pixels", "mean_px"],
+            )
+
+    src = df.select(F.col(id_col), F.col(payload_col))
+    return src.mapInPandas(work, RESIZE_SCHEMA)

@@ -149,3 +149,98 @@ sql_query(
         "suite: Athena/Postgres count(*), etl_aws_vini.py:244-256) in-engine."
     ),
 )
+
+
+# Classic TPC-H-shaped analytics over the driver tables (columns
+# restricted to the synthetic schema). One SQL text runs verbatim on
+# both engines; money math routes through exact DECIMAL and is rounded
+# before the final DOUBLE cast (DuckDB's decimal→double cast
+# double-rounds above 2^53 otherwise).
+
+sql_query(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.08
+  AND l_quantity < 24
+""",
+    category="reference",
+    doc="TPC-H Q6 shape: single-scan forecast-revenue aggregate "
+    "(predicate-pushdown showcase; no shuffle beyond the final agg).",
+    tables=("lineitem",),
+)
+
+sql_query(
+    "tpch_q3_unshipped_revenue",
+    """
+SELECT l_orderkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE)
+         AS revenue,
+       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-07-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    category="reference",
+    doc="TPC-H Q3 shape: 3-way join, decimal revenue agg, top-10 with "
+    "unique-key tiebreak.",
+    tables=("customer", "orders", "lineitem"),
+)
+
+sql_query(
+    "tpch_q12_priority_shipping",
+    """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+    category="reference",
+    doc="TPC-H Q12 shape: join + conditional counts (BIGINT-cast: "
+    "DuckDB SUM yields HUGEINT).",
+    tables=("orders", "lineitem"),
+)
+
+sql_query(
+    "tpch_q14_promo_revenue",
+    """
+WITH s AS (
+  SELECT
+    CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE)
+      AS promo,
+    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE)
+      AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+)
+SELECT ROUND(100 * promo / total, 6) AS promo_revenue_pct, promo, total
+FROM s
+""",
+    category="reference",
+    doc="TPC-H Q14 shape: promo revenue share — both sums settled to "
+    "exact-decimal-then-double BEFORE the (IEEE-identical) division.",
+    tables=("lineitem", "part"),
+)

@@ -233,6 +233,10 @@ _DRIVER_ORDER = (
     "text_sequence_packing",
     "embeddings_quantize_int8",
     "filter_predicates",
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_priority_shipping",
+    "tpch_q3_unshipped_revenue",
+    "tpch_q14_promo_revenue",
     "merge_upsert",
     "table_diff_reconcile",
     "func_collect_agg",

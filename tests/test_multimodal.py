@@ -86,3 +86,38 @@ def test_sniff_media_metadata(spark):
     assert got[4] == ("image/jpeg", 800, 600)
     assert got[5] == ("application/octet-stream", None, None)
     assert got[6] == (None, None, None)
+
+
+def test_resize_images_fake_decoder_shape_and_determinism(spark):
+    from aws_etl_spark.multimodal.binary_ops import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(256))), (2, b"\x80" * 100), (3, b"")],
+        ["item_id", "content"],
+    )
+    out = resize_images(df, "item_id", "content", width=8, height=4)
+    rows = {r.item_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert (r.width, r.height) == (8, 4)
+        assert len(r.pixels) == 32
+    assert rows[2].mean_px == 128.0  # constant-byte payload
+    # byte-deterministic across runs
+    again = {r.item_id: r.pixels for r in
+             resize_images(df, "item_id", "content", width=8, height=4).collect()}
+    assert {k: v.pixels for k, v in rows.items()} == again
+
+
+def test_resize_images_decoder_pluggable(spark):
+    import numpy as np
+
+    from aws_etl_spark.multimodal.binary_ops import resize_images
+
+    def all_sevens(payload, w, h):
+        return np.full((h, w), 7, dtype=np.uint8)
+
+    df = spark.createDataFrame([(1, b"x")], ["item_id", "content"])
+    row = resize_images(
+        df, "item_id", "content", width=4, height=4, decoder=all_sevens
+    ).first()
+    assert row.mean_px == 7.0 and set(row.pixels) == {7}
