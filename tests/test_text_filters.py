@@ -169,3 +169,65 @@ def test_quantize_int8_range_and_sign(spark, sf_dir):
     top = max(first.collect(), key=lambda r: abs(r.v))
     got = out.filter((F.col("vec_id") == top.vec_id) & (F.col("pos") == 1)).first()
     assert abs(got.q8) == 127 and (got.q8 > 0) == (top.v > 0)
+
+
+def test_pii_redaction_is_idempotent(spark, sf_dir):
+    """redact(redact(x)) == redact(x): placeholders contain no digits
+    or @, so a second pass is a no-op — the property that makes the
+    operator safe to re-run over partially-processed partitions."""
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    once = REGISTRY["text_pii_redaction"].fn(spark, sf_dir)
+    twice = once.select(
+        "doc_id", pii_redact(F.col("redacted")).alias("redacted")
+    )
+    a = {r.doc_id: r.redacted for r in once.select("doc_id", "redacted").collect()}
+    b = {r.doc_id: r.redacted for r in twice.collect()}
+    assert a == b
+
+
+def test_table_diff_identity_and_disjoint(spark, sf_dir):
+    from aws_etl_spark.ops.quality import table_diff
+    from aws_etl_spark.queries.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    same = table_diff(orders, orders, ["o_orderkey"])
+    assert same.filter(F.col("status") != "same").count() == 0
+    shifted = orders.withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100_000_000
+    )
+    disj = (
+        table_diff(orders, shifted, ["o_orderkey"])
+        .groupBy("status").count().collect()
+    )
+    counts = {r.status: r["count"] for r in disj}
+    n = orders.count()
+    assert counts == {"removed": n, "added": n}
+
+
+def test_decontaminate_is_idempotent(spark, sf_dir):
+    """Running decontamination on an already-clean corpus removes
+    nothing more (the kept set is a fixed point)."""
+    from aws_etl_spark.dedup.jaccard import shingle_rows
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded, load_table
+
+    _ensure_loaded()
+    kept = REGISTRY["dedup_decontaminate"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    bench_sh = shingle_rows(bench, "doc_id", "text", k=5).select("shingle").distinct()
+    kept_docs = docs.join(
+        kept.select("doc_id"), "doc_id", "left_semi"
+    )
+    again = kept_docs.join(
+        shingle_rows(kept_docs, "doc_id", "text", k=5, distinct=False)
+        .join(F.broadcast(bench_sh), "shingle")
+        .select(F.col("doc").alias("doc_id"))
+        .distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    assert again.count() == kept.count()
