@@ -15,7 +15,12 @@ for tests that need corpora bigger than the fixtures.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _WORDS = (
     "the data spark table row scan filter join agg window value key "
@@ -68,3 +73,51 @@ class SyntheticDocsReader(DataSourceReader):
 def register_python_datasources(spark) -> None:
     """Register all custom Python data sources (idempotent)."""
     spark.dataSource.register(SyntheticDocsDataSource)
+    spark.dataSource.register(SyntheticEventsStreamDataSource)
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_events")`` — a Python
+    STREAMING data source (Spark 4 SimpleDataSourceStreamReader):
+    deterministic event batches with replayable offsets, the
+    engine-native mount point for external feeds (queues, ticking
+    APIs) the reference polled with sensor operators.
+
+    Options: ``rows_per_batch`` (default 10), ``max_rows`` (default
+    50 — the source reports caught-up after this, so
+    ``Trigger.AvailableNow`` terminates).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "v bigint, batch_no bigint"
+
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.rows_per_batch = int(options.get("rows_per_batch", 10))
+        self.max_rows = int(options.get("max_rows", 50))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def _rows(self, start: int, end: int):
+        return iter(
+            [(i, i // self.rows_per_batch) for i in range(start, end)]
+        )
+
+    def read(self, start):
+        s = start["offset"]
+        e = min(s + self.rows_per_batch, self.max_rows)
+        return self._rows(s, e), {"offset": e}
+
+    def readBetweenOffsets(self, start, end):
+        # exactly-once replay on recovery: rows are a pure function of
+        # the offset range
+        return self._rows(start["offset"], end["offset"])

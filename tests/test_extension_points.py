@@ -70,6 +70,40 @@ def test_python_datasource_content_partition_invariant(spark):
     assert corpus(3) == corpus(11)
 
 
+def test_python_streaming_datasource_available_now(spark, tmp_path):
+    """The Python STREAMING source drains deterministically across
+    micro-batches (PythonMicroBatchStream does not support
+    Trigger.AvailableNow — drive the default trigger and stop once the
+    bounded offset range is consumed)."""
+    import time
+
+    from aws_etl_spark.io.pydatasource import register_python_datasources
+
+    register_python_datasources(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 7).option("max_rows", 23).load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM pyds_stream").count() >= 23:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT v, batch_no FROM pyds_stream").collect()
+    got = sorted((r.v, r.batch_no) for r in rows)
+    assert got == [(i, i // 7) for i in range(23)]
+
+
 def test_python_datasource_composes_with_engine_ops(spark):
     """The custom source is a first-class scan: engine operators run
     on top of it unchanged."""
