@@ -355,6 +355,7 @@ def _ensure_loaded() -> None:
         relational,
         similarity_queries,
         streaming_queries,
+        tpch_suite,
         udf_queries,
     )
 

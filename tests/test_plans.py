@@ -169,3 +169,28 @@ def test_word_entropy_single_result_shuffle(spark, sf_dir):
     # unique detail headers
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", text))
     assert n_exchanges <= 2, text
+
+
+def test_tpch_q17_correlated_subquery_decorrelates(spark, sf_dir):
+    """Q17's per-part 20%-of-average threshold must plan as an
+    aggregate re-joined to lineitem (Catalyst decorrelation) — never
+    per-row subquery execution — with the filtered part dim broadcast."""
+    from aws_etl_spark.plans import formatted_plan
+
+    _ensure_loaded()
+    df = REGISTRY["tpch_q17_small_qty_revenue"].fn(spark, sf_dir)
+    facts = plan_facts(df)
+    assert "CartesianProduct" not in facts.join_strategies
+    assert facts.n_broadcast_exchanges >= 1, facts.join_strategies
+    # the correlated AVG becomes a real partial+final aggregate pair
+    assert formatted_plan(df).count("HashAggregate") >= 2
+
+
+def test_tpch_q5_snowflake_broadcasts_dims(spark, sf_dir):
+    """Q5's 6-way snowflake join must broadcast its dimension chain —
+    the lineitem fact side is never shuffled per-join."""
+    _ensure_loaded()
+    df = REGISTRY["tpch_q5_local_supplier_volume"].fn(spark, sf_dir)
+    facts = plan_facts(df)
+    assert "CartesianProduct" not in facts.join_strategies
+    assert facts.n_broadcast_exchanges >= 3, facts.join_strategies
