@@ -232,6 +232,11 @@ _DRIVER_ORDER = (
     "text_c4_filter",
     "text_sequence_packing",
     "embeddings_quantize_int8",
+    "corpus_split_assign",
+    "corpus_mixture_sample",
+    "text_chunking",
+    "text_normalize_unicode",
+    "embeddings_dim_stats",
     "filter_predicates",
     "tpch_q6_forecast_revenue",
     "tpch_q12_priority_shipping",
@@ -299,6 +304,7 @@ _DRIVER_ORDER = (
     "dedup_ngram_jaccard",
     "join_inner_multiway",
     "dedup_clusters_cc",
+    "dedup_survivors",
     # rows-only checks (no oracle → weaker driver signal) go last
     "sample_stratified",
     "agg_approx_distinct",
@@ -345,6 +351,7 @@ def _ensure_loaded() -> None:
         return
     from aws_etl_spark.queries import (  # noqa: F401
         advanced_rel,
+        corpus_queries,
         dedup_queries,
         event_analytics,
         functions_corpus,
