@@ -131,3 +131,52 @@ def mixture_rate_sql(source_expr: str, weights: dict[str, float],
         for s, w in weights.items()
     )
     return f"CASE {whens} ELSE {int(default_weight * N_BUCKETS)} END"
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shuffle-epoch-0",
+) -> DataFrame:
+    """Deterministic training-order shuffle: ``shard`` + ``rank``
+    (dense within shard) from a salted md5 of the key.
+
+    A 100 TB corpus cannot be globally sorted into one sequence (a
+    total order means one range-partitioned sort whose final
+    concatenation is inherently serial to consume) — and training
+    loaders don't want one: they read S shards in parallel, each
+    internally ordered. So the operator emits the standard sharded
+    shuffle: shard = hash mod S (balanced by construction), rank =
+    row_number within shard ordered by the salted hash — each shard's
+    window sorts independently in parallel, no global bottleneck.
+    Changing ``salt`` re-deals the entire order (a new epoch);
+    keeping it reproduces the exact order on every engine (md5
+    portability, same property as :func:`hash_bucket`).
+    """
+    from pyspark.sql import Window
+
+    skey = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string")))
+    out = df.withColumn("skey", skey).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring(F.col("skey"), 1, 4), 16, 10).cast("int"),
+            F.lit(n_shards),
+        ).cast("long"),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", key_col)
+    return out.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def shuffle_shards_sql(key_expr: str, n_shards: int,
+                       salt: str = "shuffle-epoch-0") -> tuple[str, str, str]:
+    """DuckDB (skey, shard, rank) expressions mirroring
+    :func:`shuffle_shards` for a query's oracle text."""
+    skey = f"md5('{salt}:' || {key_expr})"
+    bucket = duckdb_bucket_sql(f"'{salt}:' || {key_expr}")
+    shard = f"CAST({bucket} % {n_shards} AS BIGINT)"
+    rank = (
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY {bucket} % {n_shards} "
+        f"ORDER BY {skey}, {key_expr}) AS BIGINT)"
+    )
+    return skey, shard, rank

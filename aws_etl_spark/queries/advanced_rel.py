@@ -176,6 +176,33 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_percentiles",
+    oracle=None,  # KLL/GK sketch values differ per engine; error-gated
+    # in tests/test_advanced_rel.py against the exact interpolated
+    # percentiles (agg_percentiles, which IS oracle-checked)
+    category="agg",
+    tables=("lineitem",),
+)
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the 100 TB
+    substitute for exact percentiles: exact interpolation needs a full
+    sort (or all values per group on one node); the sketch is
+    fixed-size per group, mergeable map-side, with a declared accuracy
+    knob (here 1/10000 relative rank error)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile_approx(
+        "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
+    )
+    return li.groupBy("l_returnflag").agg(
+        pct[0].alias("p25"),
+        pct[1].alias("p50"),
+        pct[2].alias("p75"),
+        pct[3].alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "sample_stratified",
     oracle=None,  # engine RNGs differ; seeded-determinism + per-stratum
     # fraction bounds are asserted in tests/test_quality.py

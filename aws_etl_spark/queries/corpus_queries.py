@@ -18,6 +18,8 @@ from aws_etl_spark.ops.corpus import (
     hash_bucket,
     mixture_rate_sql,
     mixture_sample,
+    shuffle_shards,
+    shuffle_shards_sql,
     split_assign,
     split_case_sql,
     duckdb_bucket_sql,
@@ -212,6 +214,36 @@ def q_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_N_SHARDS = 8
+_SHUF_SKEY, _SHUF_SHARD, _SHUF_RANK = shuffle_shards_sql(
+    "CAST(doc_id AS VARCHAR)", _N_SHARDS
+)
+
+_SHUFFLE_ORACLE = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {_SHUF_SKEY} AS skey,
+       {_SHUF_SHARD} AS shard,
+       {_SHUF_RANK} AS rank
+FROM documents
+"""
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle=_SHUFFLE_ORACLE,
+    category="corpus",
+    tables=("documents",),
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded training-order shuffle: salted-md5 sort
+    key → shard (hash mod 8) + within-shard rank. Shards sort
+    independently in parallel — the scale-safe alternative to a
+    global ORDER BY (see ops/corpus.py shuffle_shards)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = shuffle_shards(docs, "doc_id", _N_SHARDS)
+    return out.select("doc_id", "skey", "shard", "rank")
 
 
 def _survivors_oracle() -> str:

@@ -234,6 +234,7 @@ _DRIVER_ORDER = (
     "embeddings_quantize_int8",
     "corpus_split_assign",
     "corpus_mixture_sample",
+    "corpus_shuffle_shards",
     "text_chunking",
     "text_normalize_unicode",
     "embeddings_dim_stats",
@@ -308,6 +309,7 @@ _DRIVER_ORDER = (
     # rows-only checks (no oracle → weaker driver signal) go last
     "sample_stratified",
     "agg_approx_distinct",
+    "agg_approx_percentiles",
     "ann_cosine_topk_lsh",
     "dedup_simhash",
     "ann_cosine_topk_ivf",

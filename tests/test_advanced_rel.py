@@ -26,3 +26,29 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     for k, est in approx.items():
         rel_err = abs(est - exact[k]) / exact[k]
         assert rel_err < 0.10, (k, est, exact[k])
+
+
+def test_approx_percentiles_within_rank_error(spark, sf_dir):
+    """Sketch estimates must land within a small relative-rank window
+    of the exact order statistics (accuracy=10000 ⇒ ±1e-4 rank error;
+    gate at ±1% rank for slack across group sizes)."""
+    _ensure_loaded()
+    rows = REGISTRY["agg_approx_percentiles"].fn(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    by_flag = {
+        r.l_returnflag: sorted(
+            x.l_extendedprice
+            for x in li.filter(F.col("l_returnflag") == r.l_returnflag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        for r in rows
+    }
+    for r in rows:
+        vals = by_flag[r.l_returnflag]
+        n = len(vals)
+        assert r.n == n
+        for q, est in ((0.25, r.p25), (0.5, r.p50), (0.75, r.p75), (0.95, r.p95)):
+            lo = vals[max(0, int((q - 0.01) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.01) * n))]
+            assert lo <= est <= hi, (r.l_returnflag, q, est, lo, hi)

@@ -182,6 +182,78 @@ def test_dim_stats_match_numpy(spark, sf_dir):
         assert r.mean_approx == pytest.approx(Q[:, d].sum() / M.shape[0] / 1e6)
 
 
+# --------------------------------------------------------- shuffle shards
+
+
+def test_shuffle_shards_properties(spark, sf_dir):
+    """Deterministic, balanced, dense ranks per shard; a different
+    salt re-deals the order."""
+    from aws_etl_spark.ops.corpus import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = shuffle_shards(docs, "doc_id", 8).select("doc_id", "shard", "rank")
+    b = shuffle_shards(docs, "doc_id", 8).select("doc_id", "shard", "rank")
+    rows_a = sorted(map(tuple, a.collect()))
+    assert rows_a == sorted(map(tuple, b.collect()))  # deterministic
+    by_shard: dict[int, list[int]] = {}
+    for _, shard, rank in rows_a:
+        by_shard.setdefault(shard, []).append(rank)
+    assert set(by_shard) == set(range(8))
+    n = len(rows_a)
+    for shard, ranks in by_shard.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))  # dense
+        assert len(ranks) > n / 16  # no empty/starved shard at n=500
+    other = shuffle_shards(docs, "doc_id", 8, salt="shuffle-epoch-1")
+    rows_o = sorted(map(tuple, other.select("doc_id", "shard", "rank").collect()))
+    assert rows_a != rows_o  # new salt ⇒ new deal
+
+
+# --------------------------------------------------------- streaming dedup
+
+
+def test_dedup_documents_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Planted exact duplicates arriving as a stream: one survivor per
+    distinct content fingerprint, matching the batch dropDuplicates
+    over the same arrivals."""
+    import uuid
+
+    from aws_etl_spark.streaming.dedup_stream import (
+        content_fingerprint,
+        dedup_documents_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    dups = docs.limit(30).withColumn("doc_id", F.col("doc_id") + 100000)
+    arrivals = docs.unionByName(dups).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 1000)
+    )
+    path = f"{tmp_path}/docs_stream_src"
+    arrivals.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(path)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_documents_stream(stream, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(f"SELECT fp FROM {name}").collect()
+    want = (
+        arrivals.withColumn("fp", content_fingerprint(F.col("text")))
+        .select("fp")
+        .distinct()
+        .collect()
+    )
+    assert sorted(r.fp for r in got) == sorted(r.fp for r in want)
+    # every planted duplicate collapsed: 130 arrivals → 100 survivors
+    assert len(got) == 100
+
+
 # --------------------------------------------------------- semantic dedup
 
 

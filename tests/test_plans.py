@@ -194,3 +194,36 @@ def test_tpch_q5_snowflake_broadcasts_dims(spark, sf_dir):
     facts = plan_facts(df)
     assert "CartesianProduct" not in facts.join_strategies
     assert facts.n_broadcast_exchanges >= 3, facts.join_strategies
+
+
+def test_corpus_ops_are_shuffle_free(spark, sf_dir):
+    """Split assignment, mixture sampling, and chunking are narrow
+    maps/generates — ZERO exchanges. The property that makes them
+    linear at any corpus size."""
+    for name in ("corpus_split_assign", "corpus_mixture_sample", "text_chunking"):
+        assert_max_shuffles(REGISTRY[name].fn(spark, sf_dir), 0)
+
+
+def test_dim_stats_single_partial_agg_shuffle(spark, sf_dir):
+    """Per-dimension stats: posexplode then ONE map-side-combined
+    groupBy — the shuffle carries dim-count partials per task, not
+    corpus rows."""
+    df = REGISTRY["embeddings_dim_stats"].fn(spark, sf_dir)
+    assert_max_shuffles(df, 1)
+    from aws_etl_spark.plans import formatted_plan
+
+    text = formatted_plan(df)
+    import re
+
+    aggs = re.findall(r"\(\d+\) HashAggregate", text)
+    assert len(aggs) >= 2, text  # partial before the exchange + final after
+
+
+def test_shuffle_shards_single_window_shuffle(spark, sf_dir):
+    """Sharded training shuffle: one hash exchange on shard, then the
+    per-shard sorts run independently — no global range sort."""
+    df = REGISTRY["corpus_shuffle_shards"].fn(spark, sf_dir)
+    assert_max_shuffles(df, 1)
+    from aws_etl_spark.plans import formatted_plan
+
+    assert "rangepartitioning" not in formatted_plan(df).lower()
