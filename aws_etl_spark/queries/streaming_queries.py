@@ -230,3 +230,46 @@ def q_stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "docs_stream_neardup_filter",
+    oracle=None,  # real readStream + foreachBatch incremental SimHash
+    # filter; the emitted-set invariant (pairwise Hamming > d, store
+    # consistency, cross-batch drops) is asserted in tests/test_corpus.py
+    category="streaming",
+    tables=("documents",),
+    bench=False,  # stream spin-up timing is not comparable to a query
+)
+def q_stream_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate filter: file-source readStream over the
+    documents parquet through the incremental SimHash dedup
+    (foreachBatch + persistent signature store); returns the surviving
+    documents. The reference appends blindly every daily run
+    (etl_aws_vini.py); this is the §2.13 streaming-ingest dedup path."""
+    import shutil
+    import tempfile
+
+    from aws_etl_spark.streaming.neardup_stream import near_dup_filter_stream
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    work = tempfile.mkdtemp(prefix="neardup_stream_")
+    try:
+        q = near_dup_filter_stream(
+            stream,
+            store_path=f"{work}/store",
+            out_path=f"{work}/out",
+            checkpoint_path=f"{work}/ckpt",
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(f"{work}/out").orderBy("doc_id")
+        # materialize before the workdir disappears
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

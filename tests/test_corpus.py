@@ -298,3 +298,148 @@ def test_semantic_dedup_recall_within_cluster(spark, sf_dir):
                 float(U[pos[r.vec_id]] @ U[pos[m.vec_id]]) for m in members[:j]
             )
             assert r.is_dup == (best >= 0.4 - 1e-9), (r, best)
+
+
+# ------------------------------------------------------ streaming near-dup
+
+
+def _perturbed(text_col):
+    """Change one word (token #5) — a genuine near-dup with a tiny
+    signature drift, not an exact copy. Pure JVM expression (a Python
+    UDF defined in a test module cannot be imported by workers)."""
+    return F.array_join(
+        F.transform(
+            F.split(F.trim(text_col), r"\s+"),
+            lambda w, i: F.when(i == 5, F.lit("zzznear")).otherwise(w),
+        ),
+        " ",
+    )
+
+
+def test_near_dup_apply_batch_incremental(spark, sf_dir, tmp_path):
+    """Three arrival waves through the incremental filter: planted
+    near-copies arriving later are dropped against the store; the
+    final emitted set is pairwise Hamming > d (the operator's
+    invariant), and wave 1 matches the batch keep-min rule exactly."""
+    from aws_etl_spark.dedup.simhash import simhash_near_dup_pairs, simhash_signature
+    from aws_etl_spark.streaming.neardup_stream import near_dup_apply_batch
+
+    store = f"{tmp_path}/sig_store"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wave1 = docs.filter(F.col("doc_id") < 60)
+    # wave 2: fresh docs + near-copies of wave-1 docs (higher ids)
+    copies2 = (
+        wave1.filter(F.col("doc_id") < 20)
+        .select((F.col("doc_id") + 10_000).alias("doc_id"),
+                _perturbed(F.col("text")).alias("text"))
+    )
+    wave2 = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 120)).unionByName(copies2)
+    # wave 3: near-copies of wave-2 survivors-to-be
+    copies3 = (
+        docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 80))
+        .select((F.col("doc_id") + 20_000).alias("doc_id"),
+                _perturbed(F.col("text")).alias("text"))
+    )
+
+    kept1 = near_dup_apply_batch(spark, wave1, store).collect()
+    kept2 = near_dup_apply_batch(spark, wave2, store).collect()
+    kept3 = near_dup_apply_batch(spark, copies3, store).collect()
+
+    # wave 1 == the batch keep-min rule on the same docs
+    from aws_etl_spark.dedup.components import dedup_clusters
+
+    pairs = simhash_near_dup_pairs(wave1, "doc_id", "text").select("id_a", "id_b")
+    want1 = {
+        r.doc_id
+        for r in dedup_clusters(pairs, wave1, "doc_id")
+        .filter(F.col("is_canonical"))
+        .collect()
+    }
+    assert {r.doc_id for r in kept1} == want1
+
+    # planted near-copies must be dropped iff their signature is
+    # actually within distance of the original's (perturbation is
+    # near-guaranteed to stay ≤3 bits; verify rather than assume)
+    all_in = wave1.unionByName(wave2).unionByName(copies3)
+    sig = {r.doc: r.simhash for r in simhash_signature(all_in, "doc_id", "text").collect()}
+    emitted = {r.doc_id for r in kept1} | {r.doc_id for r in kept2} | {r.doc_id for r in kept3}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    n_close_copies = 0
+    for cid in list(range(10_000, 10_020)) + list(range(20_060, 20_080)):
+        orig = cid % 10_000 if cid < 20_000 else cid - 20_000
+        if orig in emitted and ham(sig[cid], sig[orig]) <= 3:
+            n_close_copies += 1
+            assert cid not in emitted, (cid, orig, ham(sig[cid], sig[orig]))
+    assert n_close_copies >= 30  # the perturbation really is a near-dup
+
+    # operator invariant: emitted set pairwise Hamming > 3
+    em = sorted(emitted)
+    for i, a in enumerate(em):
+        for b in em[i + 1 :]:
+            assert ham(sig[a], sig[b]) > 3, (a, b)
+
+
+def test_near_dup_filter_stream_wiring(spark, sf_dir, tmp_path):
+    """The foreachBatch wiring end-to-end on a real stream: survivors
+    land in the sink, signatures land in the store, and a second
+    availableNow run of pure re-arrivals is filtered by the store.
+    Doc sets are built with deterministic id filters (``limit`` is
+    plan-nondeterministic across re-evaluations)."""
+    from aws_etl_spark.streaming.neardup_stream import near_dup_filter_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 80)
+    dups = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 50_000
+    )
+    src = f"{tmp_path}/nd_src"
+    base.unionByName(dups).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    q = near_dup_filter_stream(
+        stream, f"{tmp_path}/nd_store", f"{tmp_path}/nd_out", f"{tmp_path}/nd_ckpt"
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{tmp_path}/nd_out")
+    n_store = spark.read.parquet(f"{tmp_path}/nd_store").count()
+    assert out.count() == n_store
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert kept
+    # an exact copy and its original can never BOTH be emitted
+    # (distance 0; either within-batch CC or the store catches it)
+    for cid in range(50_000, 50_020):
+        assert not (cid in kept and cid - 50_000 in kept), cid
+    # second run: re-arrivals (exact copies of round-1 docs) are
+    # filtered against the store
+    from aws_etl_spark.dedup.simhash import simhash_signature
+
+    store_sigs = [
+        r.simhash
+        for r in spark.read.parquet(f"{tmp_path}/nd_store").collect()
+    ]
+    rerun = docs.filter(F.col("doc_id") < 80).withColumn(
+        "doc_id", F.col("doc_id") + 60_000
+    )
+    rerun.write.mode("overwrite").parquet(f"{tmp_path}/nd_src2")
+    stream2 = spark.readStream.schema(base.schema).parquet(f"{tmp_path}/nd_src2")
+    q2 = near_dup_filter_stream(
+        stream2, f"{tmp_path}/nd_store", f"{tmp_path}/nd_out", f"{tmp_path}/nd_ckpt2"
+    )
+    q2.awaitTermination()
+    out2 = {r.doc_id for r in spark.read.parquet(f"{tmp_path}/nd_out").collect()}
+    emitted2 = {i for i in out2 if i >= 60_000}
+    # exact copies of round-1 emitted docs MUST be dropped
+    assert not {i + 60_000 for i in kept} & emitted2
+    # and anything emitted is > d from every pre-run-2 store signature
+    sig2 = {
+        r.doc: r.simhash
+        for r in simhash_signature(rerun, "doc_id", "text").collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    for i in emitted2:
+        assert min(ham(sig2[i], s) for s in store_sigs) > 3, i
