@@ -149,16 +149,32 @@ def register(
     return deco
 
 
-def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (nanosAsLong): surface a real
-        # microsecond timestamp; integer DIV avoids double rounding of
-        # 1.7e18-scale nanos. Oracle side: CAST(ts AS TIMESTAMP).
-        from pyspark.sql import functions as F
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize driver-file timestamp encodings to session-TZ TIMESTAMP.
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    The driver's parquet has shipped two encodings across rounds:
+    TIMESTAMP(NANOS) (readable only as long via nanosAsLong) and plain
+    TIMESTAMP_NTZ micros. Both must surface as TimestampType so query
+    outputs hash identically to the DuckDB oracle (session TZ pinned to
+    UTC in the registry wrapper, so NTZ→TZ preserves the wall-clock
+    value).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            # integer DIV avoids double rounding of 1.7e18-scale nanos
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return normalize_timestamps(
+        spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    )
 
 
 def register_views(

@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_etl_spark.ops.asof import asof_join
-from aws_etl_spark.queries.registry import load_table, register
+from aws_etl_spark.queries.registry import (
+    load_table,
+    normalize_timestamps,
+    register,
+)
 from aws_etl_spark.streaming.sessions import session_rollup
 from aws_etl_spark.streaming.windows import sliding_window_avg, tumbling_counts
 
@@ -162,21 +166,16 @@ def q_stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from aws_etl_spark.streaming.windows import tumbling_counts
 
-    # the stream must use the RAW file schema (ts is TIMESTAMP(NANOS)
-    # stored as int64 under nanosAsLong); apply the same micros
-    # conversion load_table does, stream-side
+    # the stream must use the RAW file schema; normalize ts to
+    # TimestampType stream-side the same way load_table does batch-side
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file streams need a DIRECTORY source; glob-filter the single
     # events parquet out of the sf dir
-    stream = (
+    stream = normalize_timestamps(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
     agg = tumbling_counts(stream, window="1 hour", watermark="2 hours")
     name = f"live_{uuid.uuid4().hex[:8]}"
     q = (
@@ -208,15 +207,11 @@ def q_stream_closed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_spark.streaming.stateful import closed_sessions
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
+    stream = normalize_timestamps(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
     out = closed_sessions(
         stream.select("user_id", "event_id", "ts", "value")
     )
