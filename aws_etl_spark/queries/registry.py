@@ -380,6 +380,8 @@ def _ensure_loaded() -> None:
         relational,
         similarity_queries,
         streaming_queries,
+        stats_queries,
+        timeseries_queries,
         tpch_suite,
         udf_queries,
     )

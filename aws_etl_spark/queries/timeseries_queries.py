@@ -1,0 +1,317 @@
+"""Time-series operators over the events table: gap-filled hourly
+rollups with last-observation-carried-forward, windowed anomaly
+detection, OHLC resampling, and session transition matrices.
+
+These are the hypertable-style queries a metrics warehouse serves
+(Timescale's ``time_bucket_gapfill``/``locf``, Flink's interval
+anomaly jobs) re-expressed as single-shuffle Spark plans:
+
+* gapfill: one hash aggregation to hourly grain, a per-key ``sequence``
+  spine (no driver round-trip — bounds stay distributed), one window
+  pass for LOCF. Scales as O(keys x hours), shuffled on the series key.
+* anomaly z-score: one window pass with a ROWS frame; mean/variance
+  come from exact DECIMAL frame sums so the flagged set is identical
+  on any partitioning/engine (double co-moment aggregation would
+  drift in the last ulp between engines and partition orders).
+* OHLC: one aggregation; open/close via rank-1 conditional min/max
+  (``row_number`` tiebroken on event_id), which both engines express
+  identically — no ``min_by``/``arg_min`` dialect divergence.
+* transitions: ``lead`` over (user, ts) then one count aggregation —
+  the Markov-chain page-flow query, linear in events.
+
+Reference parity note: the reference pipeline's analytics end at
+curated parquet + Athena SQL (etl_aws_vini.py:522-543); these extend
+the engine's event-analytics family per SURVEY.md §2.13.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_spark.queries.registry import load_table, register
+
+_GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v_dec,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+  FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT event_type,
+         UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+)
+SELECT s.event_type,
+       s.hour,
+       CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+       CAST(LAST_VALUE(h.v_dec IGNORE NULLS) OVER (
+              PARTITION BY s.event_type ORDER BY s.hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS v_filled,
+       CAST(CASE WHEN h.n_events IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_gap
+FROM spine s
+LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
+"""
+
+
+@register(
+    "events_gapfill_locf",
+    oracle=_GAPFILL_ORACLE,
+    category="timeseries",
+    tables=("events",),
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type rollup on a dense hour spine, empty hours
+    filled by carrying the last observed hourly sum forward
+    (``time_bucket_gapfill`` + ``locf`` semantics).
+
+    The spine is generated per key from its own min/max hour with
+    ``sequence`` — fully distributed, no driver collect; LOCF is one
+    ordered window (``last ignorenulls``) per series."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v_dec"),
+        F.count("*").alias("n_events"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias(
+                "hour"
+            ),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias(
+            "n_events"
+        ),
+        F.last("v_dec", ignorenulls=True)
+        .over(w)
+        .cast("double")
+        .alias("v_filled"),
+        F.when(F.col("n_events").isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_gap"),
+    )
+
+
+# Trailing frame: the 100 events before this one (never the current
+# row — the tested value must not contaminate its own baseline).
+_Z_FRAME = 100
+_Z_MIN_N = 20
+_Z_THRESHOLD = 3.0
+
+_ANOMALY_ORACLE = f"""
+WITH scored AS (
+  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+         COUNT(v) OVER w AS n,
+         SUM(v) OVER w AS s1,
+         SUM(v2) OVER w AS s2
+  FROM (
+    SELECT *,
+           CAST(value AS DECIMAL(12,2)) AS v,
+           CAST(CAST(value AS DECIMAL(12,2))
+                * CAST(value AS DECIMAL(12,2)) AS DECIMAL(25,4)) AS v2
+    FROM events
+  )
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN {_Z_FRAME} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, ts, value, z
+FROM (
+  SELECT *,
+         (value - CAST(s1 AS DOUBLE) / n)
+         / sqrt((CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                / (n - 1)) AS z
+  FROM scored WHERE n >= {_Z_MIN_N}
+)
+WHERE abs(z) > {_Z_THRESHOLD}
+"""
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=_ANOMALY_ORACLE,
+    category="timeseries",
+    tables=("events",),
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flagging: each event scored against the
+    mean/stddev of the previous 100 same-type events.
+
+    Mean and variance derive from exact DECIMAL frame sums, then one
+    IEEE division/sqrt — so the flagged set is bit-stable across
+    engines and partitionings (a double co-moment window would drift
+    in the last ulp and flip borderline flags). One window pass,
+    shuffled on event_type."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(12,2)")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_FRAME, -1)
+    )
+    scored = events.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.count(v).over(w).alias("n"),
+        F.sum(v).over(w).alias("s1"),
+        F.sum((v * v).cast("decimal(25,4)")).over(w).alias("s2"),
+    ).filter(F.col("n") >= _Z_MIN_N)
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    n = F.col("n")
+    z = (F.col("value") - s1d / n) / F.sqrt(
+        (s2d - s1d * s1d / n) / (n - 1)
+    )
+    return (
+        scored.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > _Z_THRESHOLD)
+        .select("event_id", "event_type", "ts", "value", "z")
+    )
+
+
+_OHLC_ORACLE = """
+WITH ranked AS (
+  SELECT event_type,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         value,
+         CAST(value AS DECIMAL(18,6)) AS v_dec,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_first,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_last
+  FROM events
+)
+SELECT event_type, hour,
+       MAX(CASE WHEN rn_first = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_last = 1 THEN value END) AS close,
+       CAST(SUM(v_dec) AS DOUBLE) AS volume,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM ranked
+GROUP BY event_type, hour
+"""
+
+
+@register(
+    "events_ohlc_bars",
+    oracle=_OHLC_ORACLE,
+    category="timeseries",
+    tables=("events",),
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC resampling per event type (the financial-bars /
+    downsampling query): open/close via rank-1 conditional aggregates
+    (row_number tiebroken on event_id), high/low/volume in the same
+    single aggregation — one window pass + one groupBy, both shuffled
+    on the same (type, hour) key so AQE coalesces them."""
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    base = events.select(
+        "event_type", hour, "value", "ts", "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v_dec"),
+    )
+    w_first = Window.partitionBy("event_type", "hour").orderBy(
+        "ts", "event_id"
+    )
+    w_last = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = base.select(
+        "event_type",
+        "hour",
+        "value",
+        "v_dec",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    return ranked.groupBy("event_type", "hour").agg(
+        F.max(F.when(F.col("rn_first") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("value"))).alias("close"),
+        F.sum("v_dec").cast("double").alias("volume"),
+        F.count("*").cast("bigint").alias("n_ticks"),
+    )
+
+
+_TRANSITION_ORACLE = """
+WITH pairs AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+  FROM events
+),
+counts AS (
+  SELECT src, dst, COUNT(*) AS n
+  FROM pairs WHERE dst IS NOT NULL
+  GROUP BY src, dst
+)
+SELECT src, dst, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+FROM counts
+"""
+
+
+@register(
+    "events_transition_matrix",
+    oracle=_TRANSITION_ORACLE,
+    category="timeseries",
+    tables=("events",),
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event flows:
+    ``lead`` over (user, ts) pairs consecutive events, one count
+    aggregation, row probabilities from exact BIGINT counts. Linear
+    in events; shuffles once on user_id then once on (src, dst)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w_src = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(w_src).cast("double")
+        ).alias("p"),
+    )
