@@ -1,0 +1,406 @@
+"""Statistics, sketching, linkage and layout operators: count-min
+sketch, blocked fuzzy record linkage, deterministic weighted
+sampling, exact-arithmetic Pearson correlation, an inverted text
+index, Z-order layout statistics, and a data-quality expectation
+gate.
+
+Everything here is expressed as shared SQL text (via ``sql_query``)
+with only the genuinely dialect-divergent fragment — the md5 hash
+bucket — generated per engine, so the Spark plan and the DuckDB
+oracle are the same algebra by construction.
+
+Determinism notes (the driver hashes values):
+
+* All "random" choices (sampling, sketch hashing) come from md5 of a
+  key string — identical hex text on both engines, no RNG state.
+* Double outputs are produced only by IEEE ops (div/sqrt) over
+  exact DECIMAL sums that stay below 2^53 scaled units before the
+  final double cast (DuckDB's decimal→double is int128→double ÷
+  10^scale, which double-rounds above 2^53 — the round-1 q1 lesson,
+  see queries/relational.py).
+
+Reference parity note: the reference has no sketching/linkage surface
+(its analytics end at Athena SQL over curated parquet,
+etl_aws_vini.py:522-543); these extend SURVEY.md §2.13.
+"""
+
+from __future__ import annotations
+
+from aws_etl_spark.ops.corpus import duckdb_bucket_sql
+from aws_etl_spark.queries.registry import sql_query
+
+
+def _spark_bucket(key_expr: str) -> str:
+    """Spark SQL for the shared md5 16-bit bucket (ops/corpus.py)."""
+    return f"CAST(CONV(SUBSTRING(MD5({key_expr}), 1, 4), 16, 10) AS INT)"
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: d=4 hash rows x w=64 buckets over event user_ids.
+# The sketch build is one grouped count per hash row (map-side
+# combinable); estimation probes the d cells and takes the min. At
+# 100 TB the sketch is 256 cells regardless of cardinality — the
+# whole point — and the build is a single pass. Estimates are exact
+# upper bounds: est >= exact always, with overcounts where buckets
+# collide (visible at w=64 with 150+ keys).
+# --------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 64
+
+
+def _cms_sql(bucket) -> str:
+    key = "CONCAT(CAST(user_id AS {vchar}), ':', '{seed}')"
+
+    def b(seed: int, vchar: str) -> str:
+        return f"({bucket(key.format(vchar=vchar, seed=seed))} % {_CMS_W})"
+
+    vchar = "STRING" if bucket is _spark_bucket else "VARCHAR"
+    rows_cells = "\n    UNION ALL ".join(
+        f"SELECT {d} AS seed, {b(d, vchar)} AS bucket FROM events"
+        for d in range(_CMS_D)
+    )
+    rows_probes = "\n    UNION ALL ".join(
+        f"SELECT user_id, exact_n, {d} AS seed, {b(d, vchar)} AS bucket FROM exact"
+        for d in range(_CMS_D)
+    )
+    return f"""
+WITH cells AS (
+  SELECT seed, bucket, COUNT(*) AS cnt
+  FROM ({rows_cells}) t
+  GROUP BY seed, bucket
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+),
+probes AS (
+  {rows_probes}
+),
+est AS (
+  SELECT p.user_id, MIN(p.exact_n) AS exact_n, MIN(c.cnt) AS est_n
+  FROM probes p JOIN cells c ON p.seed = c.seed AND p.bucket = c.bucket
+  GROUP BY p.user_id
+)
+SELECT user_id,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(est_n AS BIGINT) AS est_n,
+       CAST(est_n - exact_n AS BIGINT) AS overcount
+FROM est
+"""
+
+
+sql_query(
+    "sketch_count_min",
+    _cms_sql(_spark_bucket),
+    oracle=_cms_sql(duckdb_bucket_sql),
+    category="sketch",
+    doc=(
+        "Count-min sketch (d=4, w=64) built as one grouped count per "
+        "hash row, probed for every key and compared against exact "
+        "counts — est >= exact with collision overcounts visible. "
+        "Hashes are md5-derived (engine-portable, no RNG); sketch size "
+        "is O(d*w) independent of cardinality, the 100 TB story."
+    ),
+    tables=("events",),
+)
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy record linkage: candidate pairs only within a blocking
+# key (nation), scored with edit distance. The blocking turns an
+# O(N^2) all-pairs into sum over blocks of O(B^2) — the standard
+# entity-resolution shape; at 100 TB block on a higher-cardinality
+# key (zip, name-prefix) to keep B bounded.
+# --------------------------------------------------------------------------
+
+_FUZZY_SQL = """
+SELECT a.c_custkey AS a_custkey,
+       b.c_custkey AS b_custkey,
+       a.c_name AS a_name,
+       b.c_name AS b_name,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+sql_query(
+    "join_fuzzy_blocked",
+    _FUZZY_SQL,
+    category="linkage",
+    doc=(
+        "Blocked fuzzy self-linkage: equi-join on the blocking key "
+        "(nation) generates candidates, levenshtein <= 2 keeps "
+        "near-identical names. Shuffles once on the block key; "
+        "quadratic only within a block."
+    ),
+    tables=("customer",),
+)
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted Bernoulli sampling: keep probability
+# proportional to document length, decided row-locally from the md5
+# bucket — reproducible on any engine/partitioning, no RNG state,
+# no shuffle (the max-weight normalizer is one whole-table window).
+# --------------------------------------------------------------------------
+
+
+def _weighted_sql(bucket, vchar: str) -> str:
+    return f"""
+SELECT doc_id, source, n_chars, bucket
+FROM (
+  SELECT doc_id, source, n_chars,
+         CAST({bucket(f"CAST(doc_id AS {vchar})")} AS BIGINT) AS bucket,
+         MAX(n_chars) OVER () AS mx
+  FROM documents
+) t
+WHERE CAST(bucket AS DOUBLE) < 65536.0 * CAST(n_chars AS DOUBLE)
+                                       / CAST(mx AS DOUBLE)
+"""
+
+
+sql_query(
+    "sample_weighted",
+    _weighted_sql(_spark_bucket, "STRING"),
+    oracle=_weighted_sql(duckdb_bucket_sql, "VARCHAR"),
+    category="sampling",
+    doc=(
+        "Length-weighted deterministic Bernoulli sample: "
+        "P(keep) = n_chars / max(n_chars), decided from the doc's md5 "
+        "bucket — append-stable and engine-portable; one pass plus a "
+        "single whole-table max."
+    ),
+    tables=("documents",),
+)
+
+
+# --------------------------------------------------------------------------
+# Pearson correlation from exact INTEGER co-moment sums over per-order
+# rollups (items per order vs total quantity vs distinct suppliers).
+# Every sum is a BIGINT (< 2^53 through sf100, so the double casts are
+# exact on both engines); the finishing math is pure IEEE ops on
+# identical inputs → bit-identical across engines and partition
+# orders, which a native corr() double aggregation is NOT (its
+# co-moments accumulate in doubles in partition order). Raw money
+# columns are excluded deliberately: sum(price^2) exceeds 2^53 cents
+# already at sf0.01, where DuckDB's int128→double÷10^scale cast
+# double-rounds — integer-valued features dodge the whole class.
+# --------------------------------------------------------------------------
+
+_CORR_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_items,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+         COUNT(DISTINCT l_suppkey) AS n_suppliers
+  FROM lineitem GROUP BY l_orderkey
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         SUM(n_items) AS sx,
+         SUM(total_qty) AS sy,
+         SUM(n_suppliers) AS sz,
+         SUM(n_items * n_items) AS sxx,
+         SUM(total_qty * total_qty) AS syy,
+         SUM(n_suppliers * n_suppliers) AS szz,
+         SUM(n_items * total_qty) AS sxy,
+         SUM(n_items * n_suppliers) AS sxz
+  FROM per_order
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_items_qty,
+       (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                   - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+         AS corr_items_suppliers
+FROM s
+"""
+
+sql_query(
+    "stat_correlation",
+    _CORR_SQL,
+    category="stats",
+    doc=(
+        "Pearson correlation of per-order features via exact BIGINT "
+        "co-moment sums + IEEE finishing math — deterministic under "
+        "parallel aggregation, unlike a native double corr(). Two "
+        "map-side-combined aggregations (lineitem→order→global)."
+    ),
+    tables=("lineitem",),
+)
+
+
+# --------------------------------------------------------------------------
+# Inverted index: term -> document frequency, total occurrences, and
+# a capped sorted posting list (rendered as text for the driver).
+# One explode + one aggregation; postings capped at 10 so reducer
+# memory is bounded no matter how common the term.
+# --------------------------------------------------------------------------
+
+_INVIDX_SPARK = """
+SELECT word,
+       COUNT(DISTINCT doc_id) AS doc_freq,
+       COUNT(*) AS n_occurrences,
+       ARRAY_JOIN(TRANSFORM(SLICE(SORT_ARRAY(COLLECT_SET(doc_id)), 1, 10),
+                            x -> CAST(x AS STRING)), ',') AS postings_head
+FROM (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS word FROM documents) t
+WHERE word <> ''
+GROUP BY word
+HAVING COUNT(DISTINCT doc_id) >= 3
+"""
+
+_INVIDX_ORACLE = """
+SELECT word,
+       COUNT(DISTINCT doc_id) AS doc_freq,
+       COUNT(*) AS n_occurrences,
+       ARRAY_TO_STRING(LIST_SLICE(LIST_SORT(LIST(DISTINCT doc_id)), 1, 10),
+                       ',') AS postings_head
+FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+      FROM documents) t
+WHERE word <> ''
+GROUP BY word
+HAVING COUNT(DISTINCT doc_id) >= 3
+"""
+
+sql_query(
+    "text_inverted_index",
+    _INVIDX_SPARK,
+    oracle=_INVIDX_ORACLE,
+    category="text",
+    doc=(
+        "Inverted index build: explode terms, aggregate per-term "
+        "document frequency + capped sorted postings (stringified for "
+        "the driver's hasher). Posting cap bounds reducer memory on "
+        "stop-word-frequency terms."
+    ),
+    tables=("documents",),
+)
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout statistics: interleave the low 16 bits of
+# two join/filter dimensions, bucket rows by the top bits of the
+# Morton code, and report each bucket's bounding box in BOTH
+# dimensions. Narrow boxes in both dims at once are exactly what
+# makes min/max data skipping work for 2-D predicates — the writer-
+# side layout story (cluster-by-zvalue before write) measured as SQL.
+# --------------------------------------------------------------------------
+
+
+def _morton_terms(xcol: str, ycol: str, bits: int, dialect: str) -> str:
+    terms = []
+    for i in range(bits):
+        if dialect == "spark":
+            terms.append(f"SHIFTLEFT(SHIFTRIGHT({xcol}, {i}) & 1, {2 * i})")
+            terms.append(f"SHIFTLEFT(SHIFTRIGHT({ycol}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _zorder_sql(dialect: str) -> str:
+    # Normalize each dimension to an 8-bit coordinate from its global
+    # min/max (scalar-subquery bounds → one tiny agg each, broadcast
+    # into the scan; scale-invariant, unlike raw key bits). Integer
+    # division is exact on both engines.
+    div = "DIV" if dialect == "spark" else "//"
+    x8 = f"(((l_partkey - lo_p) * 256) {div} (hi_p - lo_p + 1))"
+    y8 = f"(((l_suppkey - lo_s) * 256) {div} (hi_s - lo_s + 1))"
+    z = _morton_terms("x8", "y8", 8, dialect)
+    shift = "SHIFTRIGHT(zval, 10)" if dialect == "spark" else "(zval >> 10)"
+    return f"""
+WITH bounds AS (
+  SELECT (SELECT MIN(l_partkey) FROM lineitem) AS lo_p,
+         (SELECT MAX(l_partkey) FROM lineitem) AS hi_p,
+         (SELECT MIN(l_suppkey) FROM lineitem) AS lo_s,
+         (SELECT MAX(l_suppkey) FROM lineitem) AS hi_s
+),
+coded AS (
+  SELECT l_partkey, l_suppkey, ({z}) AS zval
+  FROM (
+    SELECT l_partkey, l_suppkey, {x8} AS x8, {y8} AS y8
+    FROM lineitem, bounds
+  ) norm
+)
+SELECT CAST({shift} AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(l_partkey) AS BIGINT) AS part_lo,
+       CAST(MAX(l_partkey) AS BIGINT) AS part_hi,
+       CAST(MIN(l_suppkey) AS BIGINT) AS supp_lo,
+       CAST(MAX(l_suppkey) AS BIGINT) AS supp_hi
+FROM coded
+GROUP BY 1
+"""
+
+
+sql_query(
+    "layout_zorder_stats",
+    _zorder_sql("spark"),
+    oracle=_zorder_sql("duck"),
+    category="layout",
+    doc=(
+        "Morton/Z-order layout audit: bucket rows by the top bits of "
+        "the interleaved (partkey, suppkey) code and report per-bucket "
+        "bounding boxes — each bucket is narrow in BOTH dimensions, "
+        "the property that makes file-level min/max skipping serve "
+        "2-D predicates after a cluster-by-zvalue write."
+    ),
+    tables=("lineitem",),
+)
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectation gate: one pass per table computing the
+# expectation counters a pipeline would gate a load on (the
+# reference's count-reconciliation step generalized). Single row out;
+# every counter is an exact BIGINT.
+# --------------------------------------------------------------------------
+
+_QUALITY_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+  (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL) AS null_quantity,
+  (SELECT COUNT(*) FROM lineitem
+    WHERE l_quantity < 1 OR l_quantity > 50) AS qty_range_violations,
+  (SELECT COUNT(*) FROM lineitem
+    WHERE l_discount < 0 OR l_discount > 0.1) AS discount_range_violations,
+  (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+     FROM lineitem) AS pk_duplicates,
+  (SELECT COUNT(*) FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    AS orphan_lineitems,
+  (SELECT COUNT(*) FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    AS orphan_orders
+"""
+
+_QUALITY_SPARK = _QUALITY_SQL.replace(
+    "COUNT(DISTINCT (l_orderkey, l_linenumber))",
+    "COUNT(DISTINCT l_orderkey, l_linenumber)",
+)
+
+sql_query(
+    "quality_expectations",
+    _QUALITY_SPARK,
+    oracle=_QUALITY_SQL,
+    category="quality",
+    doc=(
+        "Expectation-suite gate: null/range/uniqueness/referential "
+        "counters in one statement (scalar subqueries -> independent "
+        "single-pass aggs; the NOT IN probes build-broadcast). The "
+        "generalized form of the reference's load reconciliation "
+        "(dags/etl_aws_vini.py:333-344)."
+    ),
+    tables=("lineitem", "orders", "customer"),
+)
