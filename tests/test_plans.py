@@ -227,3 +227,60 @@ def test_shuffle_shards_single_window_shuffle(spark, sf_dir):
     from aws_etl_spark.plans import formatted_plan
 
     assert "rangepartitioning" not in formatted_plan(df).lower()
+
+
+def test_fuzzy_blocked_join_is_sort_merge_on_block_key(spark, sf_dir):
+    """The linkage self-join must be an equi-join on the blocking key
+    (shuffle/broadcast on c_nationkey) — never a CartesianProduct; the
+    levenshtein predicate rides as a post-join filter."""
+    df = REGISTRY["join_fuzzy_blocked"].fn(spark, sf_dir)
+    facts = plan_facts(df)
+    assert all(j != "CartesianProduct" for j in facts.join_strategies), (
+        facts.join_strategies
+    )
+
+
+def test_zorder_bounds_broadcast_not_windowed(spark, sf_dir):
+    """The min/max normalizers must come from scalar-subquery aggs
+    (tiny, broadcast), NOT a whole-table Window over () — a single
+    global window partition would serialize the table through one
+    task at 100 TB."""
+    from aws_etl_spark.plans import formatted_plan
+
+    df = REGISTRY["layout_zorder_stats"].fn(spark, sf_dir)
+    text = formatted_plan(df)
+    assert "Window" not in text, "global window in zorder plan"
+
+
+def test_weighted_sample_single_scan_shuffle_bound(spark, sf_dir):
+    """Weighted sampling pays one whole-table max (an agg or a window
+    over a single small exchange) and one pass — never a join-back of
+    the table to itself."""
+    df = REGISTRY["sample_weighted"].fn(spark, sf_dir)
+    facts = plan_facts(df)
+    assert all(j != "CartesianProduct" for j in facts.join_strategies)
+    assert facts.n_exchanges <= 2, facts
+
+
+def test_correlation_is_chained_partial_aggs(spark, sf_dir):
+    """Integer co-moment corr: lineitem→(order,supp) dedup (the
+    COUNT(DISTINCT) expansion)→order agg→global agg — every stage
+    map-side combined, ≤3 shuffles, single scan, no join."""
+    df = REGISTRY["stat_correlation"].fn(spark, sf_dir)
+    facts = plan_facts(df)
+    assert facts.n_scans == 1, facts
+    assert facts.join_strategies == [], facts
+    assert_max_shuffles(df, 3)
+
+
+def test_count_min_sketch_cells_are_bounded(spark, sf_dir):
+    """CMS build: the cells aggregation yields d*w rows regardless of
+    key cardinality; the probe join is tiny-to-tiny. Assert no
+    cartesian and that the sketch side collapses to ≤ d*w rows."""
+    df = REGISTRY["sketch_count_min"].fn(spark, sf_dir)
+    facts = plan_facts(df)
+    assert all(j != "CartesianProduct" for j in facts.join_strategies)
+    from aws_etl_spark.queries.stats_queries import _CMS_D, _CMS_W
+
+    est = df.count()
+    assert est <= _CMS_D * _CMS_W * 64  # keys, not cells — sanity bound
