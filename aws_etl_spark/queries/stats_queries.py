@@ -113,15 +113,20 @@ sql_query(
 # --------------------------------------------------------------------------
 
 _FUZZY_SQL = """
-SELECT a.c_custkey AS a_custkey,
-       b.c_custkey AS b_custkey,
-       a.c_name AS a_name,
-       b.c_name AS b_name,
-       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
-FROM customer a
-JOIN customer b
-  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-WHERE levenshtein(a.c_name, b.c_name) <= 2
+SELECT a_custkey, b_custkey, a_name, b_name, edit_dist
+FROM (
+  SELECT a.c_custkey AS a_custkey,
+         b.c_custkey AS b_custkey,
+         a.c_name AS a_name,
+         b.c_name AS b_name,
+         CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+  FROM customer a
+  JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+) pairs
+WHERE edit_dist <= 2
 """
 
 sql_query(
@@ -129,10 +134,14 @@ sql_query(
     _FUZZY_SQL,
     category="linkage",
     doc=(
-        "Blocked fuzzy self-linkage: equi-join on the blocking key "
-        "(nation) generates candidates, levenshtein <= 2 keeps "
-        "near-identical names. Shuffles once on the block key; "
-        "quadratic only within a block."
+        "Blocked fuzzy self-linkage: equi-join on the composite "
+        "blocking key (nation x segment) generates candidates, "
+        "levenshtein <= 2 keeps near-identical names. Shuffles once "
+        "on the block key; quadratic only within a block — the block "
+        "cardinality (125 here) is the parallelism AND the cost knob, "
+        "the standard entity-resolution dial. At 100 TB, block on a "
+        "higher-cardinality key (name prefix + geo) so candidate "
+        "pairs per block stay bounded."
     ),
     tables=("customer",),
 )

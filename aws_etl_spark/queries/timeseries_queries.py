@@ -117,15 +117,145 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERP_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v_dec,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+  FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT event_type,
+         UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+),
+ctx AS (
+  SELECT s.event_type, s.hour,
+         CAST(h.v_dec AS DOUBLE) AS v,
+         CAST(epoch(s.hour) AS BIGINT) AS eh,
+         CAST(LAST_VALUE(h.v_dec IGNORE NULLS) OVER wp AS DOUBLE) AS pv,
+         CAST(epoch(LAST_VALUE(CASE WHEN h.v_dec IS NOT NULL THEN s.hour END
+                               IGNORE NULLS) OVER wp) AS BIGINT) AS ph,
+         CAST(FIRST_VALUE(h.v_dec IGNORE NULLS) OVER wn AS DOUBLE) AS nv,
+         CAST(epoch(FIRST_VALUE(CASE WHEN h.v_dec IS NOT NULL THEN s.hour END
+                                IGNORE NULLS) OVER wn) AS BIGINT) AS nh
+  FROM spine s
+  LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
+  WINDOW wp AS (PARTITION BY s.event_type ORDER BY s.hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY s.event_type ORDER BY s.hour
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hour,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+              THEN pv + (nv - pv) * (CAST(eh - ph AS DOUBLE)
+                                     / CAST(nh - ph AS DOUBLE))
+            ELSE COALESCE(pv, nv) END AS v_interp,
+       CASE WHEN v IS NOT NULL THEN 'observed'
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'
+            ELSE 'edge' END AS fill_kind
+FROM ctx
+"""
+
+
+@register(
+    "events_gapfill_interpolate",
+    oracle=_INTERP_ORACLE,
+    category="timeseries",
+    tables=("events",),
+)
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup with LINEAR interpolation between the
+    neighboring observations (Timescale ``interpolate`` semantics);
+    spine edges fall back to nearest-observation fill.
+
+    Two ordered window passes (backward + forward neighbor) over the
+    same per-key partitioning — one shuffle total. The interpolation
+    fraction uses exact integer epoch-hour offsets and the neighbor
+    values are exact decimals cast once, so the arithmetic is the
+    same IEEE sequence on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v_dec"),
+        F.count("*").alias("n_events"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias(
+                "hour"
+            ),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("v_dec").isNotNull(), F.col("hour"))
+    ctx = joined.select(
+        "event_type",
+        "hour",
+        F.col("v_dec").cast("double").alias("v"),
+        F.unix_timestamp("hour").alias("eh"),
+        F.last("v_dec", ignorenulls=True).over(wp).cast("double").alias("pv"),
+        F.unix_timestamp(
+            F.last(obs_hour, ignorenulls=True).over(wp)
+        ).alias("ph"),
+        F.first("v_dec", ignorenulls=True).over(wn).cast("double").alias("nv"),
+        F.unix_timestamp(
+            F.first(obs_hour, ignorenulls=True).over(wn)
+        ).alias("nh"),
+    )
+    frac = (F.col("eh") - F.col("ph")).cast("double") / (
+        F.col("nh") - F.col("ph")
+    ).cast("double")
+    return ctx.select(
+        "event_type",
+        "hour",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .otherwise(F.coalesce(F.col("pv"), F.col("nv")))
+        .alias("v_interp"),
+        F.when(F.col("v").isNotNull(), F.lit("observed"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.lit("interpolated"),
+        )
+        .otherwise(F.lit("edge"))
+        .alias("fill_kind"),
+    )
+
+
 # Trailing frame: the 100 events before this one (never the current
 # row — the tested value must not contaminate its own baseline).
-_Z_FRAME = 100
-_Z_MIN_N = 20
+_Z_FRAME = 30
+_Z_MIN_N = 10
 _Z_THRESHOLD = 3.0
 
 _ANOMALY_ORACLE = f"""
 WITH scored AS (
-  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+  SELECT event_id, event_type, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
          COUNT(v) OVER w AS n,
          SUM(v) OVER w AS s1,
          SUM(v2) OVER w AS s2
@@ -136,11 +266,11 @@ WITH scored AS (
                 * CAST(value AS DECIMAL(12,2)) AS DECIMAL(25,4)) AS v2
     FROM events
   )
-  WINDOW w AS (PARTITION BY event_type
+  WINDOW w AS (PARTITION BY event_type, user_id
                ORDER BY CAST(ts AS TIMESTAMP), event_id
                ROWS BETWEEN {_Z_FRAME} PRECEDING AND 1 PRECEDING)
 )
-SELECT event_id, event_type, ts, value, z
+SELECT event_id, event_type, user_id, ts, value, z
 FROM (
   SELECT *,
          (value - CAST(s1 AS DOUBLE) / n)
@@ -161,23 +291,26 @@ WHERE abs(z) > {_Z_THRESHOLD}
 )
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly flagging: each event scored against the
-    mean/stddev of the previous 100 same-type events.
+    mean/stddev of that user's previous 30 same-type events.
 
     Mean and variance derive from exact DECIMAL frame sums, then one
     IEEE division/sqrt — so the flagged set is bit-stable across
     engines and partitionings (a double co-moment window would drift
     in the last ulp and flip borderline flags). One window pass,
-    shuffled on event_type."""
+    shuffled on (event_type, user_id) — the partition key carries the
+    cardinality, so parallelism grows with the data (a per-type-only
+    baseline would cap the job at #types tasks forever)."""
     events = load_table(spark, sf_dir, "events")
     v = F.col("value").cast("decimal(12,2)")
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("event_type", "user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(-_Z_FRAME, -1)
     )
     scored = events.select(
         "event_id",
         "event_type",
+        "user_id",
         "ts",
         "value",
         F.count(v).over(w).alias("n"),
@@ -193,7 +326,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("z", z)
         .filter(F.abs(F.col("z")) > _Z_THRESHOLD)
-        .select("event_id", "event_type", "ts", "value", "z")
+        .select("event_id", "event_type", "user_id", "ts", "value", "z")
     )
 
 
