@@ -381,6 +381,7 @@ def _ensure_loaded() -> None:
         similarity_queries,
         streaming_queries,
         stats_queries,
+        temporal_queries,
         timeseries_queries,
         tpch_suite,
         udf_queries,

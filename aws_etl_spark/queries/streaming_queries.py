@@ -268,3 +268,44 @@ def q_stream_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "events_stream_heavy_hitters",
+    oracle=None,  # Misra-Gries sketch state: not SQL-expressible; the
+    # under-estimate + error-bound contract vs exact batch counts is
+    # pinned in tests/test_streaming.py
+    category="streaming",
+    tables=("events",),
+    bench=False,  # stream spin-up timing is not comparable to a query
+)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frequent-items: sharded Misra-Gries summaries held in
+    applyInPandasWithState state (bounded counters per shard — NOT
+    O(distinct keys)), merged associatively and top-k'd at read time."""
+    import uuid
+
+    from aws_etl_spark.streaming.heavy_hitters import (
+        merge_shard_summaries,
+        streaming_heavy_hitters,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_timestamps(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    summaries = streaming_heavy_hitters(
+        stream.select("event_type", "user_id")
+    )
+    name = f"hh_{uuid.uuid4().hex[:8]}"
+    q = (
+        summaries.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return merge_shard_summaries(spark.table(name))

@@ -330,3 +330,43 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
     name = _run_to_memory(joined, mode="append")
     got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
     assert got == expected and len(got) > 0
+
+
+def test_streaming_heavy_hitters_error_contract(spark, sf_dir):
+    """Misra-Gries guarantees: per shard, counter ≤ true count and
+    true − counter ≤ decrements ≤ shard_rows/(capacity+1); every value
+    with true count above the decrement bound MUST appear."""
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from aws_etl_spark.streaming.heavy_hitters import DEFAULT_CAPACITY
+
+    _ensure_loaded()
+    # run the live stream query (memory sink), then read its inputs
+    merged = REGISTRY["events_stream_heavy_hitters"].fn(spark, sf_dir)
+    top = {
+        (r.event_type, r.user_id): r.est_count for r in merged.collect()
+    }
+    assert top, "stream produced no summaries"
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_spark.queries.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        (r.event_type, r.user_id): r.n
+        for r in events.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    shard_rows = {
+        (r.event_type, r.shard): r.n
+        for r in events.withColumn("shard", F.pmod("user_id", F.lit(8)))
+        .groupBy("event_type", "shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for (etype, user), est in top.items():
+        true = exact[(etype, user)]
+        bound = shard_rows[(etype, user % 8)] // (DEFAULT_CAPACITY + 1)
+        assert est <= true, (etype, user, est, true)
+        assert true - est <= bound, (etype, user, est, true, bound)
