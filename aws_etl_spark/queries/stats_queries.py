@@ -413,3 +413,54 @@ sql_query(
     ),
     tables=("lineitem", "orders", "customer"),
 )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram WITHOUT a global sort: decile boundaries come
+# from one exact-percentile aggregation (a single reduce to 9
+# doubles), rows are then bucketed by a narrow CASE map and counted.
+# The global-NTILE formulation of this query is a one-partition window
+# — unusable at scale; this is the same answer in two bounded aggs.
+# Both engines linear-interpolate exact percentiles on the sorted
+# values (pinned by agg_percentiles), so the boundary doubles are
+# bit-identical and bucket assignment cannot diverge.
+# --------------------------------------------------------------------------
+
+_DECILES = [i / 10 for i in range(1, 10)]
+
+
+def _equidepth_sql(pctl_fn: str) -> str:
+    bounds = ",\n         ".join(
+        f"{pctl_fn}(value, {p}) AS b{i}"
+        for i, p in enumerate(_DECILES, start=1)
+    )
+    case = " ".join(
+        f"WHEN value <= b{i} THEN {i}" for i in range(1, 10)
+    )
+    return f"""
+WITH bounds AS (
+  SELECT {bounds}
+  FROM events
+)
+SELECT CAST(CASE {case} ELSE 10 END AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(value) AS lo,
+       MAX(value) AS hi
+FROM events, bounds
+GROUP BY 1
+"""
+
+
+sql_query(
+    "stat_equidepth_histogram",
+    _equidepth_sql("PERCENTILE"),
+    oracle=_equidepth_sql("QUANTILE_CONT"),
+    category="stats",
+    doc=(
+        "Equi-depth decile histogram via percentile boundaries + a "
+        "narrow CASE bucketing map — two bounded aggregations instead "
+        "of the global-NTILE single-partition window. The same "
+        "boundary-then-assign shape Spark's range partitioner uses."
+    ),
+    tables=("events",),
+)

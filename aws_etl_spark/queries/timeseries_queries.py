@@ -448,3 +448,69 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(w_src).cast("double")
         ).alias("p"),
     )
+
+
+_TWA_ORACLE = """
+WITH stamped AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(12,2)) AS v,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt_us
+  FROM events
+),
+held AS (
+  SELECT user_id, v, (nxt_us - t_us) // 1000000 AS dt_s
+  FROM stamped WHERE nxt_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dt_s) AS BIGINT) AS held_seconds,
+       CAST(SUM(v * dt_s) AS DOUBLE) / CAST(SUM(dt_s) AS DOUBLE)
+         AS time_weighted_avg
+FROM held
+GROUP BY user_id
+HAVING SUM(dt_s) > 0
+"""
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle=_TWA_ORACLE,
+    category="timeseries",
+    tables=("events",),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average (Timescale ``time_weight`` /
+    'avg of a step function held between observations'): each value is
+    weighted by how long it was the latest observation.
+
+    One window pass (lead over the user partition) + one aggregation
+    on the same key — AQE reuses the partitioning, so it costs a
+    single shuffle. Hold durations are exact integer seconds (micros
+    diff, floor-divided identically on both engines); the weighted sum
+    is exact DECIMAL — the division at the end is the only float op."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stamped = events.select(
+        "user_id",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt_us"),
+    ).filter(F.col("nxt_us").isNotNull())
+    held = stamped.withColumn(
+        "dt_s", F.expr("(nxt_us - t_us) DIV 1000000")
+    )
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum("dt_s").cast("bigint").alias("held_seconds"),
+            (
+                F.sum(F.col("v") * F.col("dt_s")).cast("double")
+                / F.sum("dt_s").cast("double")
+            ).alias("time_weighted_avg"),
+        )
+        .filter(F.col("held_seconds") > 0)
+    )
