@@ -398,6 +398,7 @@ def _ensure_loaded() -> None:
         incremental_queries,
         llm_text,
         multimodal_queries,
+        pipeline_e2e,
         reference_parity,
         relational,
         similarity_queries,
