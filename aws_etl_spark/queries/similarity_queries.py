@@ -10,6 +10,7 @@ tests/test_similarity.py and are rows-only for the driver.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from aws_etl_spark.queries.registry import load_table, register
 from aws_etl_spark.similarity import (
@@ -149,4 +150,95 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("val") / F.col("mx") * 127 + F.lit(0.5)).cast("long")
         )
         .alias("q8"),
+    )
+
+
+_CENTROID_COS_ORACLE = """
+WITH e AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+q AS (
+  SELECT label, dim,
+         CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS q6
+  FROM e
+),
+sums AS (
+  SELECT label, dim, SUM(q6) AS s
+  FROM q GROUP BY label, dim
+),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(CAST(a.s AS DECIMAL(19,0))
+                  * CAST(b.s AS DECIMAL(19,0))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(a.s AS DECIMAL(19,0))
+                  * CAST(a.s AS DECIMAL(19,0))) AS DOUBLE) AS naa,
+         CAST(SUM(CAST(b.s AS DECIMAL(19,0))
+                  * CAST(b.s AS DECIMAL(19,0))) AS DOUBLE) AS nbb
+  FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT CAST(label_a AS BIGINT) AS label_a,
+       CAST(label_b AS BIGINT) AS label_b,
+       dot / (sqrt(naa) * sqrt(nbb)) AS centroid_cosine
+FROM dots
+"""
+
+
+@register(
+    "embeddings_label_centroids",
+    oracle=_CENTROID_COS_ORACLE,
+    category="similarity",
+    tables=("embeddings",),
+)
+def q_label_centroid_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label centroids (class-prototype
+    similarity — the embedding-space confusion audit).
+
+    Components quantize to 1e-6 before summing (order-independent
+    exact integers, the dim-stats idiom); the per-label scale factors
+    1/n cancel inside cosine, so the whole computation is exact
+    integer/DECIMAL sums with one IEEE finish — bit-identical across
+    engines. Shuffle inventory: one map-side-combined groupBy to
+    (label, dim) — constant rows per partition — then a join over the
+    tiny centroid table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q6 = F.floor(F.col("val").cast("double") * F.lit(1e6)).cast("long")
+    sums = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            F.col("label"),
+            (F.col("pos") + 1).alias("dim"),
+            q6.alias("q6"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum("q6").alias("s"))
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"),
+        F.col("dim").alias("dim"),
+        F.col("s").cast("decimal(19,0)").alias("sa"),
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim"),
+        F.col("s").cast("decimal(19,0)").alias("sb"),
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).cast("double").alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).cast("double").alias("naa"),
+            F.sum(F.col("sb") * F.col("sb")).cast("double").alias("nbb"),
+        )
+    )
+    return dots.select(
+        F.col("label_a").cast("bigint").alias("label_a"),
+        F.col("label_b").cast("bigint").alias("label_b"),
+        (F.col("dot") / (F.sqrt("naa") * F.sqrt("nbb"))).alias(
+            "centroid_cosine"
+        ),
     )

@@ -464,3 +464,73 @@ sql_query(
     ),
     tables=("events",),
 )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: per-customer recency/frequency/monetary, each
+# scored into quintiles by percentile boundaries (one tiny boundary
+# agg + a narrow CASE map - same scale-honest shape as the equi-depth
+# histogram; no global NTILE). Monetary routes through DECIMAL cents;
+# recency is integer days from exact micros arithmetic.
+# --------------------------------------------------------------------------
+
+
+def _rfm_sql(pctl_fn: str, micros_fn: str) -> str:
+    def score(col: str, prefix: str, reverse: bool = False) -> str:
+        case = " ".join(
+            f"WHEN {col} <= {prefix}{i} THEN {i if not reverse else 6 - i}"
+            for i in range(1, 5)
+        )
+        return f"CAST(CASE {case} ELSE {5 if not reverse else 1} END AS BIGINT)"
+
+    def cuts(col: str, prefix: str) -> str:
+        return ",\n         ".join(
+            f"{pctl_fn}({col}, {i / 5.0}) AS {prefix}{i}" for i in range(1, 5)
+        )
+
+    return f"""
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary,
+         MAX(CAST(o_orderdate AS TIMESTAMP)) AS last_order
+  FROM orders
+  GROUP BY o_custkey
+),
+gmax AS (
+  SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) AS now_ts FROM orders
+),
+rfm AS (
+  SELECT custkey, frequency, monetary,
+         CAST(({micros_fn}(g.now_ts) - {micros_fn}(last_order))
+              // 86400000000 AS BIGINT) AS recency_days
+  FROM base, gmax g
+),
+bounds AS (
+  SELECT {cuts("recency_days", "r")},
+         {cuts("frequency", "f")},
+         {cuts("monetary", "m")}
+  FROM rfm
+)
+SELECT custkey, recency_days, frequency, monetary,
+       {score("recency_days", "r", reverse=True)} AS r_score,
+       {score("frequency", "f")} AS f_score,
+       {score("monetary", "m")} AS m_score
+FROM rfm, bounds
+"""
+
+
+sql_query(
+    "stat_rfm_segmentation",
+    _rfm_sql("PERCENTILE", "UNIX_MICROS").replace("//", "DIV"),
+    oracle=_rfm_sql("QUANTILE_CONT", "EPOCH_US"),
+    category="stats",
+    doc=(
+        "RFM customer segmentation: recency/frequency/monetary per "
+        "customer, quintile-scored against percentile boundaries "
+        "(boundary agg + narrow CASE map, no global NTILE window). "
+        "Monetary is exact DECIMAL cents; recency is integer days "
+        "from exact micros arithmetic."
+    ),
+    tables=("orders",),
+)
