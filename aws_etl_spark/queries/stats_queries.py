@@ -156,12 +156,15 @@ sql_query(
 
 
 def _weighted_sql(bucket, vchar: str) -> str:
+    # the max-weight normalizer is a scalar subquery (tiny agg,
+    # broadcast into the scan) — NOT a window over (), which would
+    # funnel the whole table through one window partition
     return f"""
 SELECT doc_id, source, n_chars, bucket
 FROM (
   SELECT doc_id, source, n_chars,
          CAST({bucket(f"CAST(doc_id AS {vchar})")} AS BIGINT) AS bucket,
-         MAX(n_chars) OVER () AS mx
+         (SELECT MAX(n_chars) FROM documents) AS mx
   FROM documents
 ) t
 WHERE CAST(bucket AS DOUBLE) < 65536.0 * CAST(n_chars AS DOUBLE)
@@ -178,7 +181,7 @@ sql_query(
         "Length-weighted deterministic Bernoulli sample: "
         "P(keep) = n_chars / max(n_chars), decided from the doc's md5 "
         "bucket — append-stable and engine-portable; one pass plus a "
-        "single whole-table max."
+        "broadcast scalar max."
     ),
     tables=("documents",),
 )

@@ -284,3 +284,13 @@ def test_count_min_sketch_cells_are_bounded(spark, sf_dir):
 
     est = df.count()
     assert est <= _CMS_D * _CMS_W * 64  # keys, not cells — sanity bound
+
+
+def test_weighted_sample_has_no_global_window(spark, sf_dir):
+    """The max normalizer must be a scalar-subquery agg (broadcast),
+    never a whole-table Window over () — one window partition would
+    serialize the corpus through a single task."""
+    from aws_etl_spark.plans import formatted_plan
+
+    df = REGISTRY["sample_weighted"].fn(spark, sf_dir)
+    assert "Window" not in formatted_plan(df)
