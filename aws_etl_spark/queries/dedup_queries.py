@@ -11,6 +11,7 @@ sketch paths are cross-validated in tests instead
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from aws_etl_spark.dedup import (
     dedup_exact,
@@ -219,3 +220,43 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.join(
         F.broadcast(contaminated), "doc_id", "left_anti"
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+_DEGREE_ORACLE = f"""
+WITH pairs AS ({_JACCARD_ORACLE}),
+deg AS (
+  SELECT id_a AS doc, COUNT(*) AS d FROM pairs GROUP BY id_a
+  UNION ALL
+  SELECT id_b AS doc, COUNT(*) AS d FROM pairs GROUP BY id_b
+)
+SELECT CAST(doc AS BIGINT) AS doc_id,
+       CAST(SUM(d) AS BIGINT) AS degree
+FROM deg GROUP BY doc
+"""
+
+
+@register(
+    "dedup_graph_degrees",
+    oracle=_DEGREE_ORACLE,
+    category="dedup",
+    tables=("documents",),
+)
+def q_dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree per node in the near-dup graph (Jaccard ≥ 0.5 pairs) —
+    the boilerplate-detection survey: a heavy-degree doc is template
+    text duplicated across the corpus, exactly what document-frequency
+    caps and hot-bucket bounds defend against. Candidate generation is
+    the banded LSH path (not all-pairs); degrees are one count-agg
+    over each pair endpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
+    a = pairs.groupBy(F.col("id_a").alias("doc")).count()
+    b = pairs.groupBy(F.col("id_b").alias("doc")).count()
+    return (
+        a.unionByName(b)
+        .groupBy("doc")
+        .agg(F.sum("count").cast("bigint").alias("degree"))
+        .select(F.col("doc").cast("bigint").alias("doc_id"), "degree")
+    )
