@@ -1,0 +1,96 @@
+"""PageRank over the near-duplicate graph — bounded-iteration
+DataFrame power iteration.
+
+Complements connected-components: CC says *which* docs form a dup
+cluster, PageRank says which doc is the cluster's hub (the template a
+boilerplate family radiates from), an authority signal for canonical-
+survivor selection beyond min-id.
+
+Execution shape per iteration: one join (ranks → edge sources, the
+rank table is small — O(nodes in the dup graph), typically broadcast)
+and one map-side-combined groupBy(dst). Lineage is truncated with
+``localCheckpoint`` every few rounds so the plan does not grow with
+iteration count — the standard Spark iterative-algorithm hygiene
+(same discipline as the star-contraction CC path). Dangling nodes
+(no out-edges — impossible here since the graph is undirected, kept
+for API generality) and rank leakage are handled by the uniform
+teleport term.
+
+Determinism: double rank sums accumulate in partition order, so runs
+agree only to float tolerance — the operator is rows-only for the
+driver; tests/test_dedup.py pins values against an exact driver-side
+power iteration at 1e-9 relative tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+N_ITER = 10
+
+
+def pagerank(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    damping: float = DAMPING,
+    n_iter: int = N_ITER,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(node, rank, degree) for the undirected graph given as pairs.
+
+    Ranks sum to ~1 over the graph's nodes (teleport keeps the chain
+    ergodic). The rank table stays O(graph nodes) — for a dup graph
+    that is a small fraction of the corpus, so every iteration's join
+    broadcasts the ranks against the (also small) edge list.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    degrees = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    n_nodes = degrees.count()
+    if n_nodes == 0:
+        return edges.select(
+            F.col("u").alias("node"),
+            F.lit(0.0).alias("rank"),
+            F.lit(0).cast("bigint").alias("degree"),
+        )
+    teleport = (1.0 - damping) / n_nodes
+    ranks = degrees.select(
+        "u", F.lit(1.0 / n_nodes).alias("rank"), F.col("deg")
+    )
+    for i in range(n_iter):
+        contribs = (
+            edges.join(ranks, "u")
+            .select(
+                F.col("v").alias("u"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("u")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            degrees.join(contribs, "u", "left")
+            .select(
+                "u",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+                "deg",
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        F.col("u").alias("node"),
+        "rank",
+        F.col("deg").cast("bigint").alias("degree"),
+    )

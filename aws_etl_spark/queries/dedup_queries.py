@@ -260,3 +260,27 @@ def q_dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("count").cast("bigint").alias("degree"))
         .select(F.col("doc").cast("bigint").alias("doc_id"), "degree")
     )
+
+
+@register(
+    "dedup_graph_pagerank",
+    oracle=None,  # iterative double power iteration: partition-order
+    # float sums → rows-only for the driver; values pinned vs an exact
+    # driver-side power iteration in tests/test_dedup.py
+    category="dedup",
+    tables=("documents",),
+)
+def q_dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph: the hub score that identifies
+    the template a boilerplate family radiates from (authority-based
+    canonical selection). Bounded iterations, localCheckpoint lineage
+    truncation, rank table stays O(dup-graph nodes)."""
+    from aws_etl_spark.dedup.pagerank import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
+    return pagerank(pairs).select(
+        F.col("node").cast("bigint").alias("doc_id"), "rank", "degree"
+    )

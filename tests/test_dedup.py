@@ -115,3 +115,38 @@ def test_minhash_band_join_carries_no_shingles_measured(spark, sf_dir):
     )
     assert base > 0
     assert full < 3 * base, (full, base)
+
+
+def test_pagerank_matches_exact_power_iteration(spark, sf_dir):
+    """Distributed PageRank must agree with an exact driver-side power
+    iteration (same damping/iterations) to float tolerance, and ranks
+    must sum to ~1."""
+    from aws_etl_spark.dedup.minhash import minhash_near_dup_pairs
+    from aws_etl_spark.dedup.pagerank import DAMPING, N_ITER, pagerank
+    from aws_etl_spark.queries.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
+    got = {r.node: r.rank for r in pagerank(pairs).collect()}
+    assert got, "empty dup graph in fixture"
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    n = len(adj)
+    ranks = {u: 1.0 / n for u in adj}
+    for _ in range(N_ITER):
+        contrib = {u: 0.0 for u in adj}
+        for u, nbrs in adj.items():
+            share = ranks[u] / len(nbrs)
+            for v in nbrs:
+                contrib[v] += share
+        ranks = {u: (1 - DAMPING) / n + DAMPING * contrib[u] for u in adj}
+    assert set(got) == set(ranks)
+    for u in ranks:
+        assert abs(got[u] - ranks[u]) <= 1e-9 + 1e-6 * abs(ranks[u]), u
