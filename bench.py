@@ -51,6 +51,10 @@ HEADLINE = (
     "multimodal_byte_features",
     "udaf_grouped_agg",
     "merge_upsert",
+    # r2-cont additions: one representative per new family
+    "corpus_e2e_pipeline",
+    "join_scd2_pointintime",
+    "events_gapfill_locf",
 )
 
 

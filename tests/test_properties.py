@@ -105,3 +105,44 @@ def test_set_ops_match_multiset_model(spark, a, b):
     got_inter = Counter(map(tuple, da.intersectAll(db).collect()))
     assert got_except == ca - cb
     assert got_inter == ca & cb
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries kernel invariants (pure python — the streaming heavy
+# hitters' correctness core, independent of Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=5),
+)
+def test_misra_gries_bounds(stream, capacity, n_batches):
+    """For ANY stream, batch split, and capacity: every counter is an
+    under-estimate, the error is bounded by total decrements, and
+    decrements ≤ n/(capacity+1)."""
+    import pandas as pd
+
+    from aws_etl_spark.streaming.heavy_hitters import _mg_update
+
+    counters: dict = {}
+    decrements = 0
+    size = max(1, len(stream) // n_batches)
+    for i in range(0, len(stream), size):
+        batch = pd.Series(stream[i : i + size]).value_counts()
+        decrements += _mg_update(counters, batch, capacity)
+    exact = pd.Series(stream).value_counts().to_dict()
+    assert len(counters) <= capacity
+    assert decrements <= len(stream) // (capacity + 1)
+    for v, c in counters.items():
+        assert c <= exact[v]
+        assert exact[v] - c <= decrements
+    # completeness: anything with true count > decrements must survive
+    for v, n in exact.items():
+        if n > decrements:
+            assert v in counters, (v, n, decrements, counters)
