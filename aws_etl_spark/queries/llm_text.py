@@ -470,3 +470,77 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(cum - n_tokens) DIV 2048").alias("bin_id"),
         ((F.col("cum") - F.col("n_tokens")) % 2048).alias("offset_in_bin"),
     )
+
+
+def _gopher_sql(tok_from: str) -> str:
+    """Gopher-style quality rule bundle over the token stream.
+
+    ``tok_from`` is the dialect-specific tokenizing FROM clause; all
+    downstream math is engine-shared (integer counts, one int/int
+    division per ratio — deterministic doubles).
+    """
+    return f"""
+WITH tok AS (
+  SELECT doc_id, w FROM ({tok_from}) t WHERE w <> ''
+),
+wc AS (
+  SELECT doc_id,
+         COUNT(*) AS n_words,
+         SUM(LENGTH(w)) AS total_chars,
+         SUM(CASE WHEN w IN ('the','and','of','to','a','in','is','it',
+                             'that','for') THEN 1 ELSE 0 END) AS n_stop
+  FROM tok GROUP BY doc_id
+),
+dom AS (
+  SELECT doc_id, MAX(c) AS top_word_n
+  FROM (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w) x
+  GROUP BY doc_id
+),
+flags AS (
+  SELECT w.doc_id,
+         CAST(w.n_words AS BIGINT) AS n_words,
+         CASE WHEN w.n_words >= 50 AND w.n_words <= 100000
+              THEN 1 ELSE 0 END AS ok_word_count,
+         CASE WHEN w.n_words > 0
+               AND CAST(w.total_chars AS DOUBLE) / w.n_words >= 3
+               AND CAST(w.total_chars AS DOUBLE) / w.n_words <= 10
+              THEN 1 ELSE 0 END AS ok_mean_word_len,
+         CASE WHEN w.n_stop >= 2 THEN 1 ELSE 0 END AS ok_stopwords,
+         CASE WHEN CAST(d.top_word_n AS DOUBLE) / w.n_words <= 0.2
+              THEN 1 ELSE 0 END AS ok_dominance
+  FROM wc w JOIN dom d ON w.doc_id = d.doc_id
+)
+SELECT doc_id, n_words,
+       CAST(ok_word_count AS BIGINT) AS ok_word_count,
+       CAST(ok_mean_word_len AS BIGINT) AS ok_mean_word_len,
+       CAST(ok_stopwords AS BIGINT) AS ok_stopwords,
+       CAST(ok_dominance AS BIGINT) AS ok_dominance,
+       CAST(ok_word_count * ok_mean_word_len * ok_stopwords
+            * ok_dominance AS BIGINT) AS keep
+FROM flags
+"""
+
+
+_GOPHER_SPARK_TOK = (
+    "SELECT doc_id, EXPLODE(SPLIT(TRIM(text), ' ')) AS w FROM documents"
+)
+_GOPHER_DUCK_TOK = (
+    "SELECT doc_id, UNNEST(STRING_SPLIT(TRIM(text), ' ')) AS w FROM documents"
+)
+
+from aws_etl_spark.queries.registry import sql_query  # noqa: E402
+
+sql_query(
+    "text_gopher_rules",
+    _gopher_sql(_GOPHER_SPARK_TOK),
+    oracle=_gopher_sql(_GOPHER_DUCK_TOK),
+    category="text",
+    doc=(
+        "Gopher-style quality rule bundle: word-count band, mean word "
+        "length band, minimum stopword evidence, single-word dominance "
+        "cap — named boolean flags plus the composite keep decision. "
+        "One explode + two stacked aggs on doc_id (map-side combined); "
+        "ratios are single int/int divisions — deterministic doubles."
+    ),
+    tables=("documents",),
+)
