@@ -245,12 +245,18 @@ def q_dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree per node in the near-dup graph (Jaccard ≥ 0.5 pairs) —
     the boilerplate-detection survey: a heavy-degree doc is template
     text duplicated across the corpus, exactly what document-frequency
-    caps and hot-bucket bounds defend against. Candidate generation is
-    the banded LSH path (not all-pairs); degrees are one count-agg
-    over each pair endpoint."""
+    caps and hot-bucket bounds defend against.
+
+    Candidate generation uses the EXACT bucketed shingle self-join
+    (dedup_ngram_jaccard's path), not LSH: per-node degrees are
+    sensitive to every individual edge, so a probabilistically missed
+    borderline pair (J barely over threshold misses all 16 bands with
+    ~1/3 probability) would break oracle parity — unlike
+    connected-components, which tolerates a missing intra-cluster
+    edge. Degrees are one count-agg over each pair endpoint."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(
-        docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5
     ).select("id_a", "id_b")
     a = pairs.groupBy(F.col("id_a").alias("doc")).count()
     b = pairs.groupBy(F.col("id_b").alias("doc")).count()

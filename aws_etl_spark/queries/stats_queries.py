@@ -49,31 +49,30 @@ _CMS_D, _CMS_W = 4, 64
 
 
 def _cms_sql(bucket) -> str:
-    key = "CONCAT(CAST(user_id AS {vchar}), ':', '{seed}')"
+    key = "CONCAT(CAST(user_id AS {vchar}), ':', CAST(seed AS {vchar}))"
 
-    def b(seed: int, vchar: str) -> str:
-        return f"({bucket(key.format(vchar=vchar, seed=seed))} % {_CMS_W})"
+    def b(vchar: str) -> str:
+        return f"({bucket(key.format(vchar=vchar))} % {_CMS_W})"
 
     vchar = "STRING" if bucket is _spark_bucket else "VARCHAR"
-    rows_cells = "\n    UNION ALL ".join(
-        f"SELECT {d} AS seed, {b(d, vchar)} AS bucket FROM events"
-        for d in range(_CMS_D)
-    )
-    rows_probes = "\n    UNION ALL ".join(
-        f"SELECT user_id, exact_n, {d} AS seed, {b(d, vchar)} AS bucket FROM exact"
-        for d in range(_CMS_D)
-    )
+    seeds = ",".join(f"({d})" for d in range(_CMS_D))
+    # ONE scan of events cross-joined against the d-row seed constant
+    # (broadcast nested loop on a 4-row side) — not d UNION ALL scans
     return f"""
 WITH cells AS (
   SELECT seed, bucket, COUNT(*) AS cnt
-  FROM ({rows_cells}) t
+  FROM (
+    SELECT s.seed, {b(vchar)} AS bucket
+    FROM events, (VALUES {seeds}) AS s(seed)
+  ) t
   GROUP BY seed, bucket
 ),
 exact AS (
   SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
 ),
 probes AS (
-  {rows_probes}
+  SELECT user_id, exact_n, s.seed, {b(vchar)} AS bucket
+  FROM exact, (VALUES {seeds}) AS s(seed)
 ),
 est AS (
   SELECT p.user_id, MIN(p.exact_n) AS exact_n, MIN(c.cnt) AS est_n
@@ -260,15 +259,32 @@ sql_query(
 # --------------------------------------------------------------------------
 
 _INVIDX_SPARK = """
-SELECT word,
-       COUNT(DISTINCT doc_id) AS doc_freq,
-       COUNT(*) AS n_occurrences,
-       ARRAY_JOIN(TRANSFORM(SLICE(SORT_ARRAY(COLLECT_SET(doc_id)), 1, 10),
-                            x -> CAST(x AS STRING)), ',') AS postings_head
-FROM (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS word FROM documents) t
-WHERE word <> ''
-GROUP BY word
-HAVING COUNT(DISTINCT doc_id) >= 3
+WITH tok AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS word FROM documents) t
+  WHERE word <> ''
+),
+stats AS (
+  SELECT word,
+         COUNT(DISTINCT doc_id) AS doc_freq,
+         COUNT(*) AS n_occurrences
+  FROM tok GROUP BY word
+  HAVING COUNT(DISTINCT doc_id) >= 3
+),
+ranked AS (
+  SELECT word, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+  FROM (SELECT DISTINCT word, doc_id FROM tok) d
+),
+heads AS (
+  SELECT word,
+         ARRAY_JOIN(TRANSFORM(SORT_ARRAY(COLLECT_LIST(doc_id)),
+                              x -> CAST(x AS STRING)), ',') AS postings_head
+  FROM ranked WHERE rn <= 10
+  GROUP BY word
+)
+SELECT s.word, s.doc_freq, s.n_occurrences, h.postings_head
+FROM stats s JOIN heads h ON s.word = h.word
 """
 
 _INVIDX_ORACLE = """
@@ -290,10 +306,12 @@ sql_query(
     oracle=_INVIDX_ORACLE,
     category="text",
     doc=(
-        "Inverted index build: explode terms, aggregate per-term "
-        "document frequency + capped sorted postings (stringified for "
-        "the driver's hasher). Posting cap bounds reducer memory on "
-        "stop-word-frequency terms."
+        "Inverted index build: explode terms; doc-freq/occurrence "
+        "counters aggregate with bounded state, and the capped posting "
+        "list collects ONLY the rank<=10 postings (row_number window "
+        "before the collect) — per-term aggregation state stays O(cap) "
+        "even for stop-word-frequency terms, unlike a collect-then-"
+        "slice which buffers the full posting set."
     ),
     tables=("documents",),
 )

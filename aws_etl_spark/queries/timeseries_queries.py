@@ -247,8 +247,8 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Trailing frame: the 100 events before this one (never the current
-# row — the tested value must not contaminate its own baseline).
+# Trailing frame: the _Z_FRAME events before this one (never the
+# current row — the tested value must not contaminate its own baseline).
 _Z_FRAME = 30
 _Z_MIN_N = 10
 _Z_THRESHOLD = 3.0

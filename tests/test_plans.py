@@ -273,17 +273,30 @@ def test_correlation_is_chained_partial_aggs(spark, sf_dir):
     assert_max_shuffles(df, 3)
 
 
-def test_count_min_sketch_cells_are_bounded(spark, sf_dir):
-    """CMS build: the cells aggregation yields d*w rows regardless of
-    key cardinality; the probe join is tiny-to-tiny. Assert no
-    cartesian and that the sketch side collapses to ≤ d*w rows."""
+def test_count_min_sketch_single_scan_and_bounded_cells(spark, sf_dir):
+    """CMS build must read events ONCE (d-row seed constant cross-
+    joined, not d UNION ALL scans), the seed side must broadcast (no
+    CartesianProduct), and the output must be exactly one estimate per
+    distinct key (no fan-out leakage from the probe join)."""
+    from aws_etl_spark.queries.registry import load_table
+
     df = REGISTRY["sketch_count_min"].fn(spark, sf_dir)
     facts = plan_facts(df)
     assert all(j != "CartesianProduct" for j in facts.join_strategies)
-    from aws_etl_spark.queries.stats_queries import _CMS_D, _CMS_W
+    n_event_scans = sum(
+        "events.parquet" in s for s in _scan_locations(df)
+    )
+    assert n_event_scans <= 2, n_event_scans  # cells scan + exact scan
+    events = load_table(spark, sf_dir, "events")
+    n_keys = events.select("user_id").distinct().count()
+    assert df.count() == n_keys
 
-    est = df.count()
-    assert est <= _CMS_D * _CMS_W * 64  # keys, not cells — sanity bound
+
+def _scan_locations(df):
+    from aws_etl_spark.plans import formatted_plan
+    import re
+
+    return re.findall(r"Location: \S*\[([^\]]*)\]", formatted_plan(df))
 
 
 def test_weighted_sample_has_no_global_window(spark, sf_dir):
