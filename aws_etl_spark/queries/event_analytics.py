@@ -139,3 +139,82 @@ def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "weeks_since").agg(
         F.count(F.lit(1)).alias("active_users")
     )
+
+
+_PATTERN = "v[csv]*c[csv]*p"  # view ... click ... purchase, no error/
+# signup between (letters: v=view c=click p=purchase e=error s=signup
+# — s IS allowed in the gaps; e is the excluded breaker)
+
+_SEQ_ORACLE = f"""
+WITH strung AS (
+  SELECT user_id,
+         STRING_AGG(CASE event_type
+                      WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                      WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                      ELSE 's' END, ''
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(LENGTH(seq) AS BIGINT) AS n_events,
+       CAST(LEN(REGEXP_EXTRACT_ALL(seq, '{_PATTERN}')) AS BIGINT)
+         AS n_matches,
+       CAST(CASE WHEN REGEXP_MATCHES(seq, '{_PATTERN}')
+                 THEN 1 ELSE 0 END AS BIGINT) AS matched
+FROM strung
+"""
+
+
+@register(
+    "events_sequence_pattern",
+    oracle=_SEQ_ORACLE,
+    category="timeseries",
+    tables=("events",),
+)
+def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection: per user,
+    count non-overlapping view→click→purchase funnels with no error
+    event inside the window (regex over the user's ordered event-type
+    string — the encode-then-regex trick that replaces a multi-way
+    self-join; Spark has no MATCH_RECOGNIZE).
+
+    One aggregation on user_id: the ordered event string builds via
+    sort_array(collect_list(struct(ts, event_id, char))) — per-user
+    state is the user's own event count, the same bound any
+    sessionized operator carries; at 100 TB cap the string per
+    (user, day) instead of (user). Both regex engines (Java util.regex
+    / RE2) agree on this pattern class (character classes + star —
+    leftmost non-overlapping)."""
+    events = load_table(spark, sf_dir, "events")
+    chr_col = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("s")
+    )
+    strung = (
+        events.select(
+            "user_id",
+            F.struct("ts", "event_id", chr_col.alias("ch")).alias("evt"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("evt")), lambda s: s["ch"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return strung.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.size(
+            F.expr(f"regexp_extract_all(seq, '{_PATTERN}', 0)")
+        ).cast("bigint").alias("n_matches"),
+        F.expr(f"CAST(CASE WHEN seq RLIKE '{_PATTERN}' THEN 1 ELSE 0 END AS BIGINT)").alias(
+            "matched"
+        ),
+    )
