@@ -258,3 +258,142 @@ def resize_images(
 
     src = df.select(F.col(id_col), F.col(payload_col))
     return src.mapInPandas(work, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("byte_mean", T.DoubleType(), True),
+        T.StructField("byte_crc", T.LongType(), True),
+    ]
+)
+
+
+def default_frame_decoder(payload: bytes, frame_idx: int, window: int = 256):
+    """Deterministic stand-in for a codec frame decode (no av libs in
+    this environment): 'frame' = a byte window at a position derived
+    from the frame index. Swap for a real codec via the ``decoder``
+    arg of :func:`extract_frames`; the Spark-side plumbing (schema,
+    batching, partitioning) is identical either way."""
+    if not payload:
+        return None
+    start = (frame_idx * 9973) % max(len(payload) - window, 1)
+    return payload[start : start + window]
+
+
+def extract_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    meta_col: str,
+    every_ms: int = 1000,
+    decoder=default_frame_decoder,
+) -> DataFrame:
+    """Frame sampling over binary media: plan frames from metadata
+    (``frame_sample_plan`` grain), decode each planned frame with the
+    pluggable ``decoder``, emit per-frame feature rows.
+
+    Scale shape: mapInPandas over Arrow batches — each task holds one
+    batch of payloads plus its own frames, nothing is shuffled until
+    the (much smaller) feature rows come out. Pair with
+    ``repartition_by_size`` upstream so one giant video cannot skew a
+    task; the decoder runs per (item, frame) and its output is reduced
+    to features immediately (frames are never retained whole)."""
+    import zlib
+
+    n_frames_col = (
+        (F.col(f"{meta_col}.duration_ms") / every_ms).cast("int").alias("__nf")
+    )
+    slim = df.select(
+        F.col(id_col).alias("item_id"),
+        F.col(payload_col).alias("__payload"),
+        F.greatest(n_frames_col, F.lit(1)).alias("__nf"),
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "item_id", "frame_idx", "frame_ts_ms",
+                "n_bytes", "byte_mean", "byte_crc",
+            )}
+            for item_id, payload, nf in zip(
+                pdf["item_id"], pdf["__payload"], pdf["__nf"]
+            ):
+                for i in range(int(nf)):
+                    frame = decoder(payload, i)
+                    out["item_id"].append(item_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * every_ms)
+                    if frame is None:
+                        out["n_bytes"].append(None)
+                        out["byte_mean"].append(None)
+                        out["byte_crc"].append(None)
+                    else:
+                        arr = np.frombuffer(frame, dtype=np.uint8)
+                        out["n_bytes"].append(len(frame))
+                        out["byte_mean"].append(float(arr.mean()))
+                        out["byte_crc"].append(zlib.crc32(frame))
+            yield pd.DataFrame(out)
+
+    return slim.mapInPandas(work, schema=FRAME_SCHEMA)
+
+
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("is_wav", T.BooleanType(), False),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate_hz", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def _parse_wav_one(b: bytes | None):
+    """RIFF/WAVE header walk (real parsing, no codec needed): fmt
+    chunk → channels/rate/bits, data chunk size → duration."""
+    import struct
+
+    if not b or len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return (False, None, None, None, None)
+    pos, n_ch, rate, bits, data_len = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if cid == b"fmt " and pos + 24 <= len(b):
+            n_ch, rate = struct.unpack("<HI", b[pos + 10 : pos + 16])
+            (bits,) = struct.unpack("<H", b[pos + 22 : pos + 24])
+        elif cid == b"data":
+            data_len = size
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    dur = None
+    if data_len and rate and n_ch and bits:
+        dur = int(data_len * 8000 // (rate * n_ch * bits))
+    return (True, n_ch, rate, bits, dur)
+
+
+def parse_wav_headers(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Audio-modality metadata: parse WAV headers from the binary
+    column (Arrow-batched, no shuffle — a narrow mapInPandas)."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_parse_wav_one(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col].values,
+                    "is_wav": [r[0] for r in rows],
+                    "n_channels": [r[1] for r in rows],
+                    "sample_rate_hz": [r[2] for r in rows],
+                    "bits_per_sample": [r[3] for r in rows],
+                    "duration_ms": [r[4] for r in rows],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        work, schema=WAV_SCHEMA
+    )

@@ -36,3 +36,30 @@ def q_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_features(docs, "doc_id", "payload").select(
         "item_id", "byte_len", "digest"
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # the frame decoder is a Python kernel (pluggable
+    # codec seam) — plumbing + determinism + feature math pinned in
+    # tests/test_multimodal.py::test_extract_frames_plumbing
+    category="multimodal",
+    tables=("documents",),
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over binary media payloads: plan one
+    frame per second from metadata, decode each planned frame with
+    the pluggable decoder (deterministic byte-window fake in this
+    codec-less env), reduce to per-frame features inside the same
+    Arrow batch. documents.text bytes stand in for media payloads;
+    duration metadata derives from payload size."""
+    from aws_etl_spark.multimodal.binary_ops import extract_frames
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            (F.length("text") * 25).cast("long").alias("duration_ms")
+        ).alias("meta"),
+    )
+    return extract_frames(docs, "doc_id", "payload", "meta", every_ms=1000)

@@ -121,3 +121,73 @@ def test_resize_images_decoder_pluggable(spark):
         df, "item_id", "content", width=4, height=4, decoder=all_sevens
     ).first()
     assert row.mean_px == 7.0 and set(row.pixels) == {7}
+
+
+def test_extract_frames_plumbing(spark):
+    """Frame sampling: one row per planned frame, features computed
+    from the decoded window; deterministic across runs; null payload
+    yields null features but keeps the plan rows."""
+    import zlib
+
+    from pyspark.sql import Row, functions as F
+
+    from aws_etl_spark.multimodal.binary_ops import (
+        default_frame_decoder,
+        extract_frames,
+    )
+
+    payload = bytes(range(256)) * 40  # 10240 bytes
+    df = spark.createDataFrame(
+        [
+            Row(item_id=1, payload=payload,
+                meta=Row(duration_ms=3500)),
+            Row(item_id=2, payload=None,
+                meta=Row(duration_ms=1500)),
+        ]
+    )
+    out = extract_frames(df, "item_id", "payload", "meta", every_ms=1000)
+    rows = {(r.item_id, r.frame_idx): r for r in out.collect()}
+    assert len(rows) == 3 + 1  # 3500ms→3 frames; null payload→max(nf,1)=1
+    f0 = rows[(1, 0)]
+    expected = default_frame_decoder(payload, 0)
+    assert f0.n_bytes == len(expected)
+    assert f0.byte_crc == zlib.crc32(expected)
+    assert abs(f0.byte_mean - sum(expected) / len(expected)) < 1e-9
+    assert rows[(2, 0)].n_bytes is None
+    # run twice → identical (no RNG state)
+    again = {(r.item_id, r.frame_idx): r.byte_crc for r in out.collect()}
+    assert again == {k: v.byte_crc for k, v in rows.items()}
+
+
+def test_parse_wav_headers(spark):
+    """Real RIFF/WAVE header parsing on synthetic audio bytes."""
+    import struct
+
+    from pyspark.sql import Row
+
+    from aws_etl_spark.multimodal.binary_ops import parse_wav_headers
+
+    def wav_bytes(n_ch=2, rate=16000, bits=16, n_samples=16000):
+        data_len = n_samples * n_ch * bits // 8
+        fmt = struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, n_ch, rate,
+            rate * n_ch * bits // 8, n_ch * bits // 8, bits,
+        )
+        data = b"data" + struct.pack("<I", data_len) + b"\x00" * data_len
+        body = b"WAVE" + fmt + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    df = spark.createDataFrame(
+        [
+            Row(item_id=1, payload=wav_bytes()),
+            Row(item_id=2, payload=b"\x89PNG not audio"),
+            Row(item_id=3, payload=None),
+        ]
+    )
+    got = {r.item_id: r for r in parse_wav_headers(df, "item_id", "payload").collect()}
+    assert got[1].is_wav and got[1].n_channels == 2
+    assert got[1].sample_rate_hz == 16000
+    assert got[1].bits_per_sample == 16
+    assert got[1].duration_ms == 1000  # 16000 samples at 16 kHz
+    assert not got[2].is_wav and got[2].sample_rate_hz is None
+    assert not got[3].is_wav
