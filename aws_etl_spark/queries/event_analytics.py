@@ -218,3 +218,145 @@ def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matched"
         ),
     )
+
+
+_MART_ORACLE = """
+WITH base AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         MIN(CAST(ts AS TIMESTAMP)) AS first_seen,
+         MAX(CAST(ts AS TIMESTAMP)) AS last_seen,
+         DATE_TRUNC('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week,
+         MIN(CASE WHEN event_type = 'view'
+                  THEN CAST(ts AS TIMESTAMP) END) AS t_view
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = 'click'
+                  AND CAST(e.ts AS TIMESTAMP) > b.t_view
+             THEN CAST(e.ts AS TIMESTAMP) END) AS t_click
+  FROM events e JOIN base b USING (user_id) GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = 'purchase'
+                  AND CAST(e.ts AS TIMESTAMP) > c.t_click
+             THEN CAST(e.ts AS TIMESTAMP) END) AS t_purchase
+  FROM events e JOIN c USING (user_id) GROUP BY e.user_id
+),
+s AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) >
+                   LAG(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+g AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM s
+),
+sess AS (
+  SELECT user_id, MAX(session_seq) AS n_sessions,
+         MAX(cnt) AS max_session_events
+  FROM (SELECT user_id, session_seq, COUNT(*) AS cnt
+        FROM g GROUP BY user_id, session_seq) x
+  GROUP BY user_id
+)
+SELECT b.user_id, CAST(b.n_events AS BIGINT) AS n_events,
+       b.total_value, b.first_seen, b.last_seen, b.cohort_week,
+       CAST(sess.n_sessions AS BIGINT) AS n_sessions,
+       CAST(sess.max_session_events AS BIGINT) AS max_session_events,
+       CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS converted
+FROM base b
+JOIN sess USING (user_id)
+JOIN p USING (user_id)
+"""
+
+
+@register(
+    "events_e2e_mart",
+    oracle=_MART_ORACLE,
+    category="streaming",
+    tables=("events",),
+)
+def q_events_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-user analytics mart as ONE composed plan: base activity
+    stats + gap-sessionization rollup + the ordered view→click→
+    purchase funnel flag — the events-side counterpart of
+    corpus_e2e_pipeline. Every branch keys on user_id, so the joins
+    reuse one hash partitioning (AQE coalesces the exchanges); the
+    composition adds no kernels beyond the registry's own session and
+    funnel operators."""
+    from aws_etl_spark.streaming.sessions import session_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+    )
+    c = (
+        events.join(base.select("user_id", "t_view"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    p = (
+        events.join(c, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    sess = (
+        session_rollup(events, gap_minutes=30)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_seq").cast("bigint").alias("n_sessions"),
+            F.max("n_events").cast("bigint").alias("max_session_events"),
+        )
+    )
+    return (
+        base.join(sess, "user_id")
+        .join(p, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "total_value",
+            "first_seen",
+            "last_seen",
+            "cohort_week",
+            "n_sessions",
+            "max_session_events",
+            F.when(F.col("t_purchase").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("converted"),
+        )
+    )
