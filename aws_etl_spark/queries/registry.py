@@ -229,127 +229,136 @@ def sql_query(
 _DRIVER_ORDER = (
     "func_regexp",
     "surrogate_keys",
-    "text_token_counts",
-    "window_lag_lead",
     "sort_limit_topk",
-    "window_running_sum",
+    "window_lag_lead",
+    "text_token_counts",
     "stat_correlation",
-    "func_conditional",
-    "text_sequence_packing",
-    "func_date_parse",
-    "text_pii_redaction",
-    "func_math",
     "func_array",
     "func_bitwise",
+    "func_conditional",
+    "window_running_sum",
+    "func_date_parse",
+    "text_sequence_packing",
     "dictionary_encoding",
-    "set_union_all",
-    "agg_grouping_sets",
-    "text_normalize_unicode",
-    "func_string",
-    "sample_weighted",
     "join_cross",
-    "text_lang_id",
+    "func_string",
     "filter_predicates",
-    "agg_having",
-    "window_ranking",
+    "text_lang_id",
+    "sample_weighted",
     "corpus_shuffle_shards",
-    "udaf_grouped_agg",
-    "text_quality_score",
-    "tpch_q6_forecast_revenue",
-    "func_date_extract",
-    "text_fingerprint",
-    "func_json",
-    "join_theta",
-    "join_right",
-    "agg_cube",
-    "filter_case_when",
-    "set_union_distinct",
-    "q1_pricing_summary",
-    "join_composite_key",
-    "text_c4_filter",
-    "corpus_split_assign",
-    "merge_upsert",
-    "scalar_subquery",
-    "text_chunking",
-    "func_histogram",
-    "join_left",
-    "text_word_entropy",
-    "table_profile",
-    "join_anti",
-    "window_range_frame",
-    "func_explode_wordcount",
-    "set_except",
-    "events_sliding_window",
-    "agg_rollup",
+    "func_math",
     "func_collect_agg",
-    "join_semi",
-    "join_full_outer",
-    "join_fuzzy_blocked",
-    "subquery_correlated_exists",
-    "events_gapfill_interpolate",
+    "text_normalize_unicode",
+    "text_pii_redaction",
+    "corpus_split_assign",
+    "set_union_all",
+    "events_sliding_window",
+    "join_composite_key",
+    "tpch_q6_forecast_revenue",
+    "agg_grouping_sets",
+    "func_date_extract",
+    "join_left",
+    "text_fingerprint",
+    "agg_cube",
+    "func_explode_wordcount",
+    "join_right",
+    "text_quality_score",
     "events_tumbling_hourly",
-    "tpch_q14_promo_revenue",
-    "events_gapfill_locf",
-    "agg_distinct_counts",
-    "set_intersect",
+    "events_asof_join",
+    "join_fuzzy_blocked",
+    "func_histogram",
+    "join_anti",
+    "filter_case_when",
+    "func_json",
+    "udaf_grouped_agg",
+    "events_gapfill_interpolate",
+    "agg_having",
+    "merge_upsert",
+    "events_time_weighted_avg",
+    "q1_pricing_summary",
     "events_ohlc_bars",
-    "quality_expectations",
+    "subquery_correlated_exists",
+    "window_range_frame",
+    "join_theta",
+    "window_ranking",
+    "agg_distinct_counts",
+    "events_gapfill_locf",
+    "scalar_subquery",
+    "text_c4_filter",
+    "tpch_q14_promo_revenue",
+    "stat_rfm_segmentation",
+    "table_profile",
+    "agg_rollup",
+    "tpch_q19_disjunctive_revenue",
+    "set_union_distinct",
+    "text_word_entropy",
+    "join_full_outer",
+    "events_transition_matrix",
+    "join_semi",
     "unpivot_part_metrics",
     "corpus_mixture_sample",
-    "events_rollup_daily",
-    "tpch_q19_disjunctive_revenue",
-    "subquery_in_correlated_agg",
-    "events_asof_join",
-    "embeddings_quantize_int8",
-    "events_transition_matrix",
-    "dedup_exact",
-    "grouped_map_topk",
-    "text_inverted_index",
-    "scd2_dimension",
-    "tpch_q13_order_distribution",
-    "text_repetition_ratio",
-    "events_funnel",
-    "embeddings_dim_stats",
-    "udtf_word_ngrams",
-    "events_sessionization",
-    "cte_subquery",
+    "set_except",
+    "quality_expectations",
+    "text_chunking",
     "tpch_q4_priority_returns",
+    "events_rollup_daily",
+    "embeddings_quantize_int8",
+    "dedup_exact",
+    "text_repetition_ratio",
+    "tpch_q13_order_distribution",
+    "events_sequence_pattern",
+    "events_sessionization",
+    "subquery_in_correlated_agg",
+    "set_intersect",
+    "cte_subquery",
     "events_anomaly_zscore",
-    "text_top_ngrams",
-    "tpch_q12_priority_shipping",
-    "layout_zorder_stats",
-    "tpch_q15_top_supplier",
     "tpch_q17_small_qty_revenue",
+    "events_funnel",
+    "scd2_dimension",
+    "tpch_q12_priority_shipping",
+    "embeddings_dim_stats",
+    "grouped_map_topk",
     "events_cohort_retention",
-    "tpch_q9_product_profit",
-    "tpch_q22_dormant_customers",
-    "table_diff_reconcile",
-    "agg_percentiles",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q11_important_parts",
-    "tpch_q21_sole_return_suppliers",
-    "join_scd2_pointintime",
-    "tpch_q18_volume_customers",
+    "embeddings_label_centroids",
+    "tpch_q15_top_supplier",
+    "text_top_ngrams",
     "tpch_q10_returned_items",
+    "table_diff_reconcile",
+    "layout_zorder_stats",
+    "tpch_q11_important_parts",
+    "text_inverted_index",
+    "join_scd2_pointintime",
+    "tpch_q22_dormant_customers",
+    "text_gopher_rules",
+    "agg_percentiles",
+    "sketch_count_min",
+    "tpch_q18_volume_customers",
+    "tpch_q9_product_profit",
     "tpch_q3_unshipped_revenue",
-    "join_range_overlap",
+    "stat_equidepth_histogram",
+    "tpch_q21_sole_return_suppliers",
     "tpch_q7_volume_shipping",
     "join_inner_multiway",
+    "join_range_overlap",
+    "tpch_q5_local_supplier_volume",
+    "corpus_e2e_pipeline",
+    "tpch_q16_supplier_part_counts",
+    "udtf_word_ngrams",
+    "bloom_filter_membership",
+    "events_e2e_mart",
+    "tpch_q8_market_share",
+    "tpch_q2_min_cost_supplier",
+    "ann_embedding_near_dup",
+    "curated_denormalization",
     "sample_reservoir_deterministic",
     "tpch_q20_promotion_suppliers",
-    "curated_denormalization",
-    "tpch_q5_local_supplier_volume",
-    "bloom_filter_membership",
-    "ann_embedding_near_dup",
-    "ann_cosine_topk_exact",
-    "tpch_q8_market_share",
-    "row_count_validation",
     "dedup_decontaminate",
-    "tpch_q2_min_cost_supplier",
-    "sketch_count_min",
-    "dedup_ngram_jaccard",
-    "pivot_revenue_by_year",
+    "ann_cosine_topk_exact",
+    "row_count_validation",
+    "dedup_graph_degrees",
     "multimodal_byte_features",
+    "pivot_revenue_by_year",
+    "dedup_ngram_jaccard",
     "text_tf_idf",
     "dedup_survivors",
     "dedup_clusters_cc",
