@@ -290,3 +290,75 @@ def q_dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(pairs).select(
         F.col("node").cast("bigint").alias("doc_id"), "rank", "degree"
     )
+
+
+def _pagerank_oracle(n_iter: int, damping_pct: int) -> str:
+    """DuckDB oracle for quantized PageRank: the iteration unrolled as
+    CTE stages over the exact-Jaccard edge list — identical integer
+    arithmetic to the Spark loop."""
+    q = 10**12
+    its = []
+    for k in range(n_iter):
+        prev = f"it{k}"
+        its.append(f"""
+it{k + 1} AS (
+  SELECT d.u,
+         CAST(tq.teleport_q
+              + ({damping_pct} * COALESCE(c.contrib, 0)) // 100
+           AS BIGINT) AS rank_q,
+         d.deg
+  FROM deg d CROSS JOIN tq
+  LEFT JOIN (
+    SELECT e.v AS u, SUM(r.rank_q // r.deg) AS contrib
+    FROM edges e JOIN {prev} r ON e.u = r.u
+    GROUP BY e.v
+  ) c ON c.u = d.u
+)""")
+    return f"""
+WITH pairs AS ({_JACCARD_ORACLE}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+tq AS (
+  SELECT ((100 - {damping_pct}) * {q}) // (100 * n) AS teleport_q,
+         {q} // n AS init_q
+  FROM nn
+),
+it0 AS (
+  SELECT d.u, CAST(tq.init_q AS BIGINT) AS rank_q, d.deg
+  FROM deg d CROSS JOIN tq
+),{",".join(its)}
+SELECT CAST(u AS BIGINT) AS doc_id, rank_q,
+       CAST(deg AS BIGINT) AS degree
+FROM it{n_iter}
+"""
+
+
+@register(
+    "dedup_graph_pagerank_exact",
+    oracle=_pagerank_oracle(10, 85),
+    category="dedup",
+    tables=("documents",),
+)
+def q_dedup_graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-integer PageRank over the near-dup graph, EXACTLY
+    oracle-matched: ranks in 1e-12 units, every update pure integer
+    multiply/divide — bit-identical across engines and partitionings,
+    so a 10-round iterative graph algorithm hash-matches DuckDB's
+    unrolled-CTE evaluation. Same per-round plan as the float
+    variant (broadcast rank join + map-side-combined groupBy).
+    Candidates come from the exact bucketed shingle join (edge-exact,
+    like dedup_graph_degrees)."""
+    from aws_etl_spark.dedup.pagerank import pagerank_quantized
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    ).select("id_a", "id_b")
+    return pagerank_quantized(pairs).select(
+        F.col("node").cast("bigint").alias("doc_id"), "rank_q", "degree"
+    )

@@ -150,3 +150,21 @@ def test_pagerank_matches_exact_power_iteration(spark, sf_dir):
     assert set(got) == set(ranks)
     for u in ranks:
         assert abs(got[u] - ranks[u]) <= 1e-9 + 1e-6 * abs(ranks[u]), u
+
+
+def test_quantized_pagerank_tracks_float(spark, sf_dir):
+    """The oracle-able integer-unit PageRank must agree with the float
+    variant to quantization tolerance (1e-9 of rank mass per node)."""
+    from aws_etl_spark.dedup.minhash import minhash_near_dup_pairs
+    from aws_etl_spark.dedup.pagerank import Q_SCALE, pagerank, pagerank_quantized
+    from aws_etl_spark.queries.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
+    fl = {r.node: r.rank for r in pagerank(pairs).collect()}
+    qz = {r.node: r.rank_q / Q_SCALE for r in pagerank_quantized(pairs).collect()}
+    assert set(fl) == set(qz)
+    for n in fl:
+        assert abs(fl[n] - qz[n]) < 1e-7, (n, fl[n], qz[n])
