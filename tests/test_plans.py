@@ -307,3 +307,31 @@ def test_weighted_sample_has_no_global_window(spark, sf_dir):
 
     df = REGISTRY["sample_weighted"].fn(spark, sf_dir)
     assert "Window" not in formatted_plan(df)
+
+
+def test_scd2_pointintime_no_interval_theta_join(spark, sf_dir):
+    """The point-in-time join must be the union-sort as-of shape: ≤3
+    exchanges (dedupe window, SCD2 window, as-of union-sort) plus a
+    broadcast fact join — never a nested-loop/cartesian interval
+    join (quadratic per key)."""
+    df = REGISTRY["join_scd2_pointintime"].fn(spark, sf_dir)
+    facts = plan_facts(df)
+    assert facts.n_exchanges <= 3, facts
+    bad = {"CartesianProduct", "BroadcastNestedLoopJoin"}
+    assert not bad & set(facts.join_strategies), facts.join_strategies
+
+
+def test_sequence_pattern_single_shuffle(spark, sf_dir):
+    """Encode-then-regex funnel matching: ONE shuffle (the per-user
+    string aggregation) — the whole point of replacing the k-way
+    self-join a pattern query would otherwise need."""
+    df = REGISTRY["events_sequence_pattern"].fn(spark, sf_dir)
+    assert_max_shuffles(df, 1)
+
+
+def test_events_mart_composition_no_cartesian(spark, sf_dir):
+    """The composed per-user mart joins only on user_id — every join
+    must be hash/merge (broadcast at test scale), never cartesian."""
+    df = REGISTRY["events_e2e_mart"].fn(spark, sf_dir)
+    facts = plan_facts(df)
+    assert all(j != "CartesianProduct" for j in facts.join_strategies)
