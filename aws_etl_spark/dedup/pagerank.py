@@ -30,6 +30,23 @@ from pyspark.sql import functions as F
 DAMPING = 0.85
 N_ITER = 10
 
+def _undirected_edges_degrees(pairs, src, dst):
+    """Symmetrized distinct edge list (materialized — iterations
+    re-read it) and per-node degrees: the scaffolding both PageRank
+    variants share, so plan shape and edge semantics cannot drift
+    between them."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    degrees = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    return edges, degrees
+
+
 
 def pagerank(
     pairs: DataFrame,
@@ -46,15 +63,7 @@ def pagerank(
     that is a small fraction of the corpus, so every iteration's join
     broadcasts the ranks against the (also small) edge list.
     """
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(
-            pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    degrees = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    edges, degrees = _undirected_edges_degrees(pairs, src, dst)
     n_nodes = degrees.count()
     if n_nodes == 0:
         return edges.select(
@@ -116,15 +125,7 @@ def pagerank_quantized(
     """(node, rank_q, degree): integer-unit PageRank, exactly
     reproducible across engines — the oracle-able formulation of the
     float :func:`pagerank` (same plan shape per iteration)."""
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(
-            pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    degrees = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    edges, degrees = _undirected_edges_degrees(pairs, src, dst)
     n_nodes = degrees.count()
     if n_nodes == 0:
         return degrees.select(

@@ -291,6 +291,7 @@ def extract_frames(
     meta_col: str,
     every_ms: int = 1000,
     decoder=default_frame_decoder,
+    max_frames: int = 10_000,
 ) -> DataFrame:
     """Frame sampling over binary media: plan frames from metadata
     (``frame_sample_plan`` grain), decode each planned frame with the
@@ -304,13 +305,18 @@ def extract_frames(
     to features immediately (frames are never retained whole)."""
     import zlib
 
+    # duration_ms is untrusted metadata: compute the plan in BIGINT
+    # (no silent int32 overflow) and cap frames per item so corrupt
+    # metadata cannot drive an unbounded Python loop in one task
     n_frames_col = (
-        (F.col(f"{meta_col}.duration_ms") / every_ms).cast("int").alias("__nf")
+        (F.col(f"{meta_col}.duration_ms") / every_ms).cast("bigint")
     )
     slim = df.select(
         F.col(id_col).alias("item_id"),
         F.col(payload_col).alias("__payload"),
-        F.greatest(n_frames_col, F.lit(1)).alias("__nf"),
+        F.least(
+            F.greatest(n_frames_col, F.lit(1)), F.lit(max_frames)
+        ).alias("__nf"),
     )
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -371,7 +377,7 @@ def _parse_wav_one(b: bytes | None):
             data_len = size
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     dur = None
-    if data_len and rate and n_ch and bits:
+    if data_len is not None and rate and n_ch and bits:
         dur = int(data_len * 8000 // (rate * n_ch * bits))
     return (True, n_ch, rate, bits, dur)
 

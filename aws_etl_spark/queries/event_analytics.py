@@ -46,6 +46,39 @@ FROM s3
 """
 
 
+
+def funnel_step_times(events, steps=("view", "click", "purchase")):
+    """Per-user first-occurrence timestamp of each ordered funnel step
+    (each step strictly after the previous step's first occurrence).
+    Returns one row per user with t_<step> columns — the shared core
+    of the funnel summary and the per-user mart."""
+    first, *rest = steps
+    out = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == first, F.col("ts"))
+        ).alias(f"t_{first}")
+    )
+    prev = f"t_{first}"
+    carried = ["user_id", prev]
+    for step in rest:
+        out = (
+            events.join(out, "user_id")
+            .groupBy(*carried)
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col("event_type") == step)
+                        & (F.col("ts") > F.col(prev)),
+                        F.col("ts"),
+                    )
+                ).alias(f"t_{step}")
+            )
+        )
+        prev = f"t_{step}"
+        carried.append(prev)
+    return out
+
+
 @register(
     "events_funnel",
     oracle=_FUNNEL_ORACLE,
@@ -56,35 +89,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase ordered funnel (each step strictly after
     the previous step's first occurrence)."""
     events = load_table(spark, sf_dir, "events")
-    per_user = events.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
-    )
-    s2 = (
-        events.join(per_user, "user_id")
-        .groupBy("user_id", "t_view")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
-                    F.col("ts"),
-                )
-            ).alias("t_click")
-        )
-    )
-    s3 = (
-        events.join(s2, "user_id")
-        .groupBy("user_id", "t_view", "t_click")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") > F.col("t_click")),
-                    F.col("ts"),
-                )
-            ).alias("t_purchase")
-        )
-    )
-    return s3.agg(
+    return funnel_step_times(events).agg(
         F.count("t_view").alias("n_view"),
         F.count("t_click").alias("n_click"),
         F.count("t_purchase").alias("n_purchase"),
@@ -141,9 +146,10 @@ def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PATTERN = "v[csv]*c[csv]*p"  # view ... click ... purchase, no error/
-# signup between (letters: v=view c=click p=purchase e=error s=signup
-# — s IS allowed in the gaps; e is the excluded breaker)
+_PATTERN = "v[csv]*c[csv]*p"  # view ... click ... purchase, with any
+# non-breaker events between (letters: v=view c=click p=purchase
+# e=error s=signup — s/extra v/c are allowed in the gaps; e is the
+# excluded breaker)
 
 _SEQ_ORACLE = f"""
 WITH strung AS (
@@ -308,32 +314,7 @@ def q_events_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_view"
         ),
     )
-    c = (
-        events.join(base.select("user_id", "t_view"), "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click")
-                    & (F.col("ts") > F.col("t_view")),
-                    F.col("ts"),
-                )
-            ).alias("t_click")
-        )
-    )
-    p = (
-        events.join(c, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") > F.col("t_click")),
-                    F.col("ts"),
-                )
-            ).alias("t_purchase")
-        )
-    )
+    p = funnel_step_times(events).select("user_id", "t_purchase")
     sess = (
         session_rollup(events, gap_minutes=30)
         .groupBy("user_id")

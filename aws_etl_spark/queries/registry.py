@@ -221,8 +221,8 @@ def sql_query(
 # queries() dict in insertion order and recorded rows for only the
 # first 50 — leaving 30 queries with no correctness evidence. Emit
 # oracle-checked queries cheapest-first (re-measured each round at
-# sf0.01, the driver's own gate scale — all 126 oracled queries
-# ranked) and rows-only checks last, so a count cap or time
+# sf0.01, the driver's own gate scale — every oracled query at
+# measurement time ranked) and rows-only checks last, so a count cap or time
 # box covers the maximum number of hash-verified queries. Names absent
 # from this list (new queries not yet ranked) sort after ranked
 # oracled queries, before rows-only ones.
