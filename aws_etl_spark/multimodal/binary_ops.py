@@ -57,13 +57,60 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """Decode an image payload to pixels. STUB: no codec libraries in
-    this environment — plug PIL/torchvision here on a real cluster."""
-    raise NotImplementedError(
-        "image decoding requires a codec library (e.g. PIL) not present "
-        "in this environment; byte-level featurization works without it"
-    )
+def _pillow():
+    """Runtime codec detection: return the PIL.Image module when Pillow
+    is installed, else None. Detected once per process; worker processes
+    each run their own detection, so a heterogenous cluster degrades
+    per-executor rather than failing the job."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is _PIL_UNSET:
+        try:
+            from PIL import Image as _img  # type: ignore
+
+            _PIL_IMAGE = _img
+        except Exception:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+_PIL_UNSET = object()
+_PIL_IMAGE: object = _PIL_UNSET
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode an image payload to a (H, W) uint8 grayscale array.
+
+    Uses Pillow when present (real decode); without any codec library
+    (this environment ships none) it raises ``NotImplementedError`` —
+    callers that need a guaranteed path use :func:`decode_image_fake`
+    or pass ``decoder=decode_image_auto``."""
+    img_mod = _pillow()
+    if img_mod is None:
+        raise NotImplementedError(
+            "image decoding requires a codec library (e.g. PIL) not "
+            "present in this environment; byte-level featurization "
+            "works without it"
+        )
+    import io
+
+    with img_mod.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("L"), dtype=np.uint8)
+
+
+def decode_image_auto(payload: bytes, width: int, height: int) -> "np.ndarray":
+    """Pluggable decoder for :func:`resize_images`: real Pillow decode
+    when the codec exists, deterministic fake otherwise — so the same
+    pipeline code runs in both codec-less CI and a real cluster."""
+    if _pillow() is not None:
+        try:
+            return decode_image(payload)
+        except NotImplementedError:  # pragma: no cover - race-safe
+            pass
+        except Exception:
+            # corrupt payload under a real codec: fall through to the
+            # deterministic fake rather than failing the task
+            pass
+    return decode_image_fake(payload, width, height)
 
 
 def byte_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -105,17 +152,29 @@ def repartition_by_size(
 
 
 def frame_sample_plan(
-    df: DataFrame, id_col: str, meta_col: str, every_ms: int = 1000
+    df: DataFrame,
+    id_col: str,
+    meta_col: str,
+    every_ms: int = 1000,
+    max_frames: int = 10_000,
 ) -> DataFrame:
     """Explode a per-item frame-sampling plan from metadata only (no
     decode): one row per planned frame timestamp. The decode of each
-    planned frame is the stubbed step."""
-    n_frames = (F.col(f"{meta_col}.duration_ms") / every_ms).cast("int")
+    planned frame is the stubbed step.
+
+    duration_ms is untrusted metadata: the count is computed in BIGINT
+    (no int32 saturation) and clamped to ``max_frames`` so a corrupt
+    duration cannot fan one row out into billions inside a single task
+    (same hardening as :func:`extract_frames`)."""
+    n_frames = (F.col(f"{meta_col}.duration_ms") / every_ms).cast("bigint")
+    capped_last = F.least(
+        F.greatest(n_frames - 1, F.lit(0)), F.lit(max_frames - 1)
+    )
     return df.select(
         F.col(id_col),
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+                F.sequence(F.lit(0).cast("bigint"), capped_last),
                 lambda i: (i * every_ms).cast("long"),
             )
         ).alias("frame_ts_ms"),
@@ -157,15 +216,33 @@ def _sniff_one(b: bytes | None) -> tuple[str | None, int | None, int | None]:
         return "image/bmp", w, abs(h)
     if b[:2] == b"\xff\xd8":  # JPEG SOI; walk segment markers
         i = 2
-        while i + 9 < len(b):
+        while i + 1 < len(b):
             if b[i] != 0xFF:
                 break
+            # 0xFF fill bytes may pad between segments; the marker code
+            # is the first non-0xFF byte after the run
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            if i + 1 >= len(b):
+                break
             marker = b[i + 1]
-            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                # standalone markers (TEM, RSTn, SOI, EOI): no length word
+                i += 2
+                continue
+            if i + 4 > len(b):
+                break
+            if (
+                0xC0 <= marker <= 0xCF
+                and marker not in (0xC4, 0xC8, 0xCC)
+                and i + 9 <= len(b)
+            ):
                 h = int.from_bytes(b[i + 5 : i + 7], "big")
                 w = int.from_bytes(b[i + 7 : i + 9], "big")
                 return "image/jpeg", w, h
             seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seg_len < 2:  # malformed length word
+                break
             i += 2 + seg_len
         return "image/jpeg", None, None
     return "application/octet-stream", None, None
@@ -221,14 +298,15 @@ def resize_images(
     payload_col: str,
     width: int = 32,
     height: int = 32,
-    decoder=decode_image_fake,
+    decoder=decode_image_auto,
 ) -> DataFrame:
     """Decode + nearest-neighbor resize via Arrow-batched mapInPandas:
     (item_id, width, height, pixels, mean_px) with pixels a
     width×height uint8 buffer.
 
-    The decoder is pluggable (default: the deterministic fake — see
-    :func:`decode_image_fake`); the Spark-side plumbing (schema,
+    The decoder is pluggable (default: :func:`decode_image_auto` —
+    real Pillow decode when the codec library exists on the worker,
+    the deterministic fake otherwise); the Spark-side plumbing (schema,
     size-aware partitioning upstream, batch iteration, binary output
     column) is the real production shape either way. Resize is
     index-sampling (nearest neighbor) in pure numpy, so it needs no

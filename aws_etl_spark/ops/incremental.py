@@ -133,13 +133,25 @@ def encode_dictionary(
     group-bys downstream are several times cheaper than string ones).
     """
     code_col = code_col or f"{col}_code"
+    # the window input is the K distinct values (bounded by contract:
+    # dictionary encoding is for low-cardinality columns); the single
+    # window partition is declared via ops.keys.declared_single_partition
+    # so WindowExec does not warn about an undefined partition
+    from aws_etl_spark.ops.keys import declared_single_partition
+
     dictionary = (
-        df.select(F.col(col).alias("value"))
-        .filter(F.col("value").isNotNull())
-        .distinct()
-        .withColumn(
-            "code", F.row_number().over(Window.orderBy("value")).cast("int")
+        declared_single_partition(
+            df.select(F.col(col).alias("value"))
+            .filter(F.col("value").isNotNull())
+            .distinct()
         )
+        .withColumn(
+            "code",
+            F.row_number()
+            .over(Window.partitionBy("__g").orderBy("value"))
+            .cast("int"),
+        )
+        .drop("__g")
     )
     encoded = df.join(
         F.broadcast(dictionary.withColumnRenamed("value", col)), col, "left"

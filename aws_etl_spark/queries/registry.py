@@ -217,151 +217,156 @@ def sql_query(
     )(fn)
 
 
-# Driver-facing iteration order. Round 1 showed the driver walks the
-# queries() dict in insertion order and recorded rows for only the
-# first 50 — leaving 30 queries with no correctness evidence. Emit
-# oracle-checked queries cheapest-first (re-measured each round at
-# sf0.01, the driver's own gate scale — every oracled query at
-# measurement time ranked) and rows-only checks last, so a count cap or time
-# box covers the maximum number of hash-verified queries. Names absent
-# from this list (new queries not yet ranked) sort after ranked
-# oracled queries, before rows-only ones.
+# Driver-facing iteration order. The driver walks the queries() dict
+# in insertion order and records CORRECTNESS rows for only the first
+# 50, so this order is rotated every round to maximize EVIDENCE:
+# round 3's window leads with the three round-1 hash-fails whose
+# fixes were never driver-resampled (curated_denormalization,
+# events_rollup_daily, func_math), then the new oracled streaming-
+# state query, then the cheapest never-driver-checked oracled queries
+# (times re-measured at sf0.01, the driver's gate scale). Names with
+# existing green r1/r2 rows sort after ALL never-checked oracled
+# names; rows-only checks come last. Names absent from this list
+# (new queries not yet ranked) sort after ranked oracled queries,
+# before rows-only ones.
 _DRIVER_ORDER = (
-    "func_regexp",
-    "surrogate_keys",
-    "sort_limit_topk",
-    "window_lag_lead",
-    "text_token_counts",
-    "stat_correlation",
-    "func_array",
-    "func_bitwise",
-    "func_conditional",
-    "window_running_sum",
-    "func_date_parse",
-    "text_sequence_packing",
-    "dictionary_encoding",
-    "join_cross",
-    "func_string",
-    "filter_predicates",
-    "text_lang_id",
-    "sample_weighted",
-    "corpus_shuffle_shards",
+    "curated_denormalization",
+    "events_rollup_daily",
     "func_math",
-    "func_collect_agg",
-    "text_normalize_unicode",
-    "text_pii_redaction",
+    "events_stream_heavy_hitters_exact",
+    "set_union_distinct",
+    "join_theta",
+    "subquery_correlated_exists",
+    "scalar_subquery",
+    "set_intersect",
+    "subquery_in_correlated_agg",
+    "join_full_outer",
+    "window_ranking",
+    "text_chunking",
+    "embeddings_quantize_int8",
+    "join_semi",
+    "tpch_q12_priority_shipping",
+    "tpch_q4_priority_returns",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "grouped_map_topk",
+    "text_repetition_ratio",
+    "set_except",
+    "stat_rfm_segmentation",
+    "tpch_q17_small_qty_revenue",
+    "corpus_mixture_sample",
+    "events_sessionization",
+    "text_top_ngrams",
+    "cte_subquery",
+    "events_transition_matrix",
+    "table_diff_reconcile",
+    "tpch_q13_order_distribution",
+    "text_c4_filter",
+    "events_anomaly_zscore",
+    "events_gapfill_locf",
+    "events_sequence_pattern",
+    "quality_expectations",
+    "tpch_q22_dormant_customers",
+    "text_inverted_index",
+    "embeddings_label_centroids",
+    "layout_zorder_stats",
+    "tpch_q21_sole_return_suppliers",
+    "stat_equidepth_histogram",
+    "sketch_count_min",
+    "tpch_q10_returned_items",
+    "tpch_q3_unshipped_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q18_volume_customers",
+    "ann_embedding_near_dup",
+    "tpch_q15_top_supplier",
+    "tpch_q11_important_parts",
+    "embeddings_dim_stats",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q8_market_share",
+    "udtf_word_ngrams",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q9_product_profit",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "join_scd2_pointintime",
+    "corpus_e2e_pipeline",
+    "events_e2e_mart",
+    "text_gopher_rules",
+    "bloom_filter_membership",
+    "text_word_entropy",
+    "sample_reservoir_deterministic",
+    "dedup_decontaminate",
+    "dedup_graph_degrees",
+    "ann_cosine_topk_exact",
+    "dedup_graph_pagerank_exact",
+    "dedup_survivors",
+    "pivot_revenue_by_year",
+    "unpivot_part_metrics",
+    "agg_percentiles",
+    "window_range_frame",
     "corpus_split_assign",
-    "set_union_all",
-    "events_sliding_window",
-    "join_composite_key",
-    "tpch_q6_forecast_revenue",
-    "agg_grouping_sets",
+    "text_normalize_unicode",
+    "corpus_shuffle_shards",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters_cc",
+    "events_funnel",
+    "events_cohort_retention",
+    "func_string",
+    "func_regexp",
     "func_date_extract",
-    "join_left",
-    "text_fingerprint",
-    "agg_cube",
+    "func_date_parse",
+    "func_conditional",
+    "func_json",
+    "func_array",
     "func_explode_wordcount",
-    "join_right",
+    "func_collect_agg",
+    "func_bitwise",
+    "func_histogram",
+    "merge_upsert",
+    "table_profile",
+    "surrogate_keys",
+    "scd2_dimension",
+    "join_range_overlap",
+    "dictionary_encoding",
+    "text_token_counts",
     "text_quality_score",
+    "text_lang_id",
+    "text_tf_idf",
+    "text_fingerprint",
+    "text_pii_redaction",
+    "text_sequence_packing",
+    "multimodal_byte_features",
+    "row_count_validation",
+    "tpch_q6_forecast_revenue",
+    "q1_pricing_summary",
+    "agg_distinct_counts",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_cube",
+    "agg_having",
+    "filter_predicates",
+    "filter_case_when",
+    "join_inner_multiway",
+    "join_left",
+    "join_right",
+    "join_anti",
+    "join_cross",
+    "join_composite_key",
+    "set_union_all",
+    "window_running_sum",
+    "window_lag_lead",
+    "sort_limit_topk",
     "events_tumbling_hourly",
+    "events_sliding_window",
     "events_asof_join",
     "join_fuzzy_blocked",
-    "func_histogram",
-    "join_anti",
-    "filter_case_when",
-    "func_json",
-    "udaf_grouped_agg",
+    "sample_weighted",
+    "stat_correlation",
     "events_gapfill_interpolate",
-    "agg_having",
-    "merge_upsert",
-    "events_time_weighted_avg",
-    "q1_pricing_summary",
     "events_ohlc_bars",
-    "subquery_correlated_exists",
-    "window_range_frame",
-    "join_theta",
-    "window_ranking",
-    "agg_distinct_counts",
-    "events_gapfill_locf",
-    "scalar_subquery",
-    "text_c4_filter",
-    "tpch_q14_promo_revenue",
-    "stat_rfm_segmentation",
-    "table_profile",
-    "agg_rollup",
-    "tpch_q19_disjunctive_revenue",
-    "set_union_distinct",
-    "text_word_entropy",
-    "join_full_outer",
-    "events_transition_matrix",
-    "join_semi",
-    "unpivot_part_metrics",
-    "corpus_mixture_sample",
-    "set_except",
-    "quality_expectations",
-    "text_chunking",
-    "tpch_q4_priority_returns",
-    "events_rollup_daily",
-    "embeddings_quantize_int8",
-    "dedup_exact",
-    "text_repetition_ratio",
-    "tpch_q13_order_distribution",
-    "events_sequence_pattern",
-    "events_sessionization",
-    "subquery_in_correlated_agg",
-    "set_intersect",
-    "cte_subquery",
-    "events_anomaly_zscore",
-    "tpch_q17_small_qty_revenue",
-    "events_funnel",
-    "scd2_dimension",
-    "tpch_q12_priority_shipping",
-    "embeddings_dim_stats",
-    "grouped_map_topk",
-    "events_cohort_retention",
-    "embeddings_label_centroids",
-    "tpch_q15_top_supplier",
-    "text_top_ngrams",
-    "tpch_q10_returned_items",
-    "table_diff_reconcile",
-    "layout_zorder_stats",
-    "tpch_q11_important_parts",
-    "text_inverted_index",
-    "join_scd2_pointintime",
-    "tpch_q22_dormant_customers",
-    "text_gopher_rules",
-    "agg_percentiles",
-    "sketch_count_min",
-    "tpch_q18_volume_customers",
-    "tpch_q9_product_profit",
-    "tpch_q3_unshipped_revenue",
-    "stat_equidepth_histogram",
-    "tpch_q21_sole_return_suppliers",
-    "tpch_q7_volume_shipping",
-    "join_inner_multiway",
-    "join_range_overlap",
-    "tpch_q5_local_supplier_volume",
-    "corpus_e2e_pipeline",
-    "tpch_q16_supplier_part_counts",
-    "udtf_word_ngrams",
-    "bloom_filter_membership",
-    "events_e2e_mart",
-    "tpch_q8_market_share",
-    "tpch_q2_min_cost_supplier",
-    "ann_embedding_near_dup",
-    "curated_denormalization",
-    "sample_reservoir_deterministic",
-    "tpch_q20_promotion_suppliers",
-    "dedup_decontaminate",
-    "ann_cosine_topk_exact",
-    "row_count_validation",
-    "dedup_graph_degrees",
-    "multimodal_byte_features",
-    "pivot_revenue_by_year",
-    "dedup_ngram_jaccard",
-    "text_tf_idf",
-    "dedup_survivors",
-    "dedup_clusters_cc",
+    "events_time_weighted_avg",
+    "udaf_grouped_agg",
 )
 
 

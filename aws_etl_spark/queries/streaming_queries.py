@@ -309,3 +309,64 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return merge_shard_summaries(spark.table(name))
+
+
+_HH_EXACT_ORACLE = """
+SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, est_count
+FROM (
+  SELECT event_type, user_id, COUNT(*) AS est_count,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY COUNT(*) DESC, user_id) AS rank
+  FROM events GROUP BY event_type, user_id
+) t
+WHERE rank <= 5
+"""
+
+
+@register(
+    "events_stream_heavy_hitters_exact",
+    oracle=_HH_EXACT_ORACLE,
+    category="streaming",
+    tables=("events",),
+    bench=False,  # stream spin-up timing is not comparable to a query
+)
+def q_stream_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through the SAME applyInPandasWithState machinery
+    as ``events_stream_heavy_hitters``, run in the exact regime: with
+    ``capacity`` ≥ distinct users per (event_type, shard) — ≤188 at
+    sf0.1 vs capacity 256 — Misra-Gries never decrements, so every
+    counter equals the true count and the merged top-k is plain SQL.
+
+    This is the pagerank_exact trick applied to streaming state: the
+    approximation's error dial is parked at zero so a DuckDB oracle can
+    hash-verify the full streaming path (readStream → sharded state fn
+    → snapshot dedup → associative merge → top-k). The error-bounded
+    regime of the very same code is pinned separately by the
+    tests/test_streaming.py error-contract test."""
+    import uuid
+
+    from aws_etl_spark.streaming.heavy_hitters import (
+        merge_shard_summaries,
+        streaming_heavy_hitters,
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_timestamps(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    summaries = streaming_heavy_hitters(
+        stream.select("event_type", "user_id"), n_shards=8, capacity=256
+    )
+    name = f"hhx_{uuid.uuid4().hex[:8]}"
+    q = (
+        summaries.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = merge_shard_summaries(spark.table(name))
+    return merged.withColumn("rank", F.col("rank").cast("bigint"))

@@ -82,11 +82,13 @@ def get_session(
     ``hive_metastore=True`` maps the reference's
     ``enableHiveSupport()`` + Glue catalog (transformation.py:59): a
     persistent Hive metastore so ``saveAsTable`` registrations outlive
-    the session. Off by default — the in-memory catalog has identical
-    query semantics, and this sandbox's Spark build ships without Hive
-    classes; on a cluster, the same flag plugs into the real metastore
-    (spark.sql.catalogImplementation=hive + hive.metastore.uris, or
-    the Glue catalog implementation on EMR).
+    the session (embedded Derby metastore locally — exercised for real
+    by tests/test_hive_catalog.py, which proves a table registered in
+    one process is readable from a second one; on a cluster the same
+    flag plugs into the real metastore via hive.metastore.uris, or the
+    Glue catalog implementation on EMR). Off by default — the
+    in-memory catalog has identical query semantics and no metastore
+    lock-file lifecycle.
     """
     cores = default_parallelism()
     builder = SparkSession.builder.appName(app_name)

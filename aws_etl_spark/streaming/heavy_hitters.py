@@ -43,16 +43,21 @@ HH_OUT_SCHEMA = StructType(
         StructField("mg_count", LongType()),
         StructField("shard_rows", LongType()),
         StructField("shard_decrements", LongType()),
+        StructField("snapshot_seq", LongType()),
     ]
 )
 
-# state: parallel arrays of counter keys/values + scalar totals
+# state: parallel arrays of counter keys/values + scalar totals;
+# snapshot_seq increments on every state-fn invocation, so the merge
+# can pick each shard's latest snapshot even if the fn ever runs on an
+# empty batch (e.g. under a state timeout), where shard_rows would tie
 _HH_STATE_SCHEMA = StructType(
     [
         StructField("keys", StringType()),  # comma-joined user ids
         StructField("vals", StringType()),  # comma-joined counts
         StructField("n_rows", LongType()),
         StructField("n_decrements", LongType()),
+        StructField("snapshot_seq", LongType()),
     ]
 )
 
@@ -102,7 +107,7 @@ def _make_hh_fn(capacity: int):
     ) -> Iterator[pd.DataFrame]:
         event_type, shard = key
         if state.exists:
-            keys_s, vals_s, n_rows, n_dec = state.get
+            keys_s, vals_s, n_rows, n_dec, seq = state.get
             counters = (
                 dict(
                     zip(
@@ -114,7 +119,7 @@ def _make_hh_fn(capacity: int):
                 else {}
             )
         else:
-            counters, n_rows, n_dec = {}, 0, 0
+            counters, n_rows, n_dec, seq = {}, 0, 0, 0
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
@@ -122,6 +127,7 @@ def _make_hh_fn(capacity: int):
             n_dec += _mg_update(
                 counters, pdf["user_id"].value_counts(), capacity
             )
+        seq += 1
         ordered = sorted(counters.items())
         state.update(
             (
@@ -129,6 +135,7 @@ def _make_hh_fn(capacity: int):
                 ",".join(str(v) for _, v in ordered),
                 n_rows,
                 n_dec,
+                seq,
             )
         )
         yield pd.DataFrame(
@@ -139,6 +146,7 @@ def _make_hh_fn(capacity: int):
                 "mg_count": [v for _, v in ordered],
                 "shard_rows": [n_rows] * len(ordered),
                 "shard_decrements": [n_dec] * len(ordered),
+                "snapshot_seq": [seq] * len(ordered),
             }
         )
 
@@ -171,14 +179,16 @@ def merge_shard_summaries(summaries: DataFrame, top_k: int = 5) -> DataFrame:
     recombination); rank per group with a deterministic tiebreak.
 
     An update-mode memory sink APPENDS each batch's snapshot, so the
-    merge first keeps only the latest snapshot per shard (the one
-    with that shard's max ``shard_rows`` — monotone per batch)."""
+    merge first keeps only the latest snapshot per shard — identified
+    by ``snapshot_seq``, which strictly increases on every state-fn
+    invocation (``shard_rows`` alone would tie across snapshots if the
+    fn ever ran on an empty batch, e.g. under a state timeout)."""
     from pyspark.sql import Window
 
     w_latest = Window.partitionBy("event_type", "shard")
     latest = summaries.withColumn(
-        "__max_rows", F.max("shard_rows").over(w_latest)
-    ).filter(F.col("shard_rows") == F.col("__max_rows"))
+        "__max_seq", F.max("snapshot_seq").over(w_latest)
+    ).filter(F.col("snapshot_seq") == F.col("__max_seq"))
     merged = latest.groupBy("event_type", "user_id").agg(
         F.sum("mg_count").alias("est_count")
     )

@@ -75,6 +75,32 @@ def main() -> None:
         lambda p: p, "k bigint"
     ).write.mode("overwrite").format("noop").save()
 
+    # Janino whole-stage-codegen compilation is cached per generated
+    # class: running each HEAVY query once at the smallest sf (same
+    # schemas → identical generated code) moves its compile cost out
+    # of the timed loop, collapsing the 5.8–17 s cold/warm spread the
+    # iterative dedup family showed across driver runs. ~1 s per query
+    # at sf0.001; skipped silently when the tiny sf is absent.
+    warm_dir = str(Path(sf_dir).parent / "sf0.001")
+    if Path(warm_dir).is_dir() and warm_dir != sf_dir:
+        for warm_name in (
+            "dedup_clusters_cc",
+            "dedup_graph_pagerank",
+            "dedup_graph_pagerank_exact",
+            "dedup_graph_degrees",
+            "dedup_minhash_lsh",
+            "ann_cosine_topk_ivf",
+            "corpus_e2e_pipeline",
+            "join_fuzzy_blocked",
+        ):
+            try:
+                REGISTRY[warm_name].fn(spark, warm_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+            except Exception:
+                pass  # warm-up must never fail the bench
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
         spec = REGISTRY[name]

@@ -1,0 +1,83 @@
+"""Persistent Hive-catalog parity (reference transformation.py:59
+``enableHiveSupport()``): a ``saveAsTable`` registration made through
+the session factory's ``hive_metastore=True`` flag must outlive the
+SparkSession — proven by writing the table in one subprocess and
+reading it back from a fresh second subprocess that shares only the
+metastore directory (embedded Derby) and warehouse path.
+
+Subprocesses are required because ``spark.sql.catalogImplementation``
+is fixed per JVM; an in-process session restart would silently reuse
+the first catalog and prove nothing.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_PHASE = """
+import sys
+sys.path.insert(0, {repo!r})
+from aws_etl_spark.session import get_session
+
+spark = get_session(
+    "hive-{phase}",
+    hive_metastore=True,
+    extra_conf={{
+        "spark.sql.warehouse.dir": {warehouse!r},
+        "spark.hadoop.javax.jdo.option.ConnectionURL":
+            "jdbc:derby:;databaseName=" + {metastore!r} + ";create=true",
+    }},
+)
+assert spark.conf.get("spark.sql.catalogImplementation") == "hive", (
+    spark.conf.get("spark.sql.catalogImplementation")
+)
+{body}
+spark.stop()
+"""
+
+_WRITE_BODY = """
+from pyspark.sql import functions as F
+
+df = spark.range(100).withColumn("bucket", F.pmod("id", F.lit(7)))
+df.write.mode("overwrite").format("parquet").saveAsTable("hive_roundtrip")
+"""
+
+_READ_BODY = """
+tables = [t.name for t in spark.catalog.listTables()]
+assert "hive_roundtrip" in tables, tables
+got = spark.table("hive_roundtrip")
+assert got.count() == 100, got.count()
+assert set(got.columns) == {"id", "bucket"}, got.columns
+print("HIVE_READBACK_OK")
+"""
+
+
+def _run_phase(phase: str, body: str, warehouse: str, metastore: str, cwd: str):
+    code = _PHASE.format(
+        repo=str(REPO),
+        phase=phase,
+        warehouse=warehouse,
+        metastore=metastore,
+        body=body,
+    )
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=cwd,  # derby.log lands here, not in the repo
+    )
+
+
+def test_hive_catalog_persists_across_processes(tmp_path):
+    warehouse = str(tmp_path / "warehouse")
+    metastore = str(tmp_path / "metastore_db")
+    wr = _run_phase("write", _WRITE_BODY, warehouse, metastore, str(tmp_path))
+    assert wr.returncode == 0, wr.stderr[-3000:]
+    rd = _run_phase("read", _READ_BODY, warehouse, metastore, str(tmp_path))
+    assert rd.returncode == 0, rd.stderr[-3000:]
+    assert "HIVE_READBACK_OK" in rd.stdout, rd.stdout

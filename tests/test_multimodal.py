@@ -191,3 +191,53 @@ def test_parse_wav_headers(spark):
     assert got[1].duration_ms == 1000  # 16000 samples at 16 kHz
     assert not got[2].is_wav and got[2].sample_rate_hz is None
     assert not got[3].is_wav
+
+
+def test_jpeg_walk_fill_bytes_and_standalone_markers():
+    """ADVICE r2: the marker walk must skip 0xFF fill padding and
+    advance standalone markers (TEM, RSTn) without reading a bogus
+    length word."""
+    import struct
+
+    from aws_etl_spark.multimodal.binary_ops import _sniff_one
+
+    sof = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+           + struct.pack(">HH", 600, 800) + b"\x01" + b"\x00" * 3)
+    # fill bytes between segments: ...FF FF FF C0 ...
+    padded = b"\xff\xd8" + b"\xff\xff" + sof
+    assert _sniff_one(padded) == ("image/jpeg", 800, 600)
+    # standalone TEM (0x01) and RST0 (0xD0) before the SOF: no length
+    # word — the old walk read garbage seg_len and jumped past SOF
+    standalone = b"\xff\xd8" + b"\xff\x01" + b"\xff\xd0" + sof
+    assert _sniff_one(standalone) == ("image/jpeg", 800, 600)
+    # malformed length word (< 2) must terminate, not loop/crash
+    malformed = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 1) + b"\x00" * 8
+    assert _sniff_one(malformed) == ("image/jpeg", None, None)
+
+
+def test_frame_sample_plan_corrupt_duration_capped(spark):
+    """ADVICE r2: a corrupt/huge duration_ms must not fan one item out
+    into ~2^31 rows — the plan is computed in BIGINT and clamped to
+    max_frames, same hardening as extract_frames."""
+    rows = [(1, None, (None, None, None, 2**62))]
+    df = spark.createDataFrame(rows, PAYLOAD_SCHEMA)
+    plan = frame_sample_plan(df, "item_id", "meta", every_ms=1000, max_frames=50)
+    assert plan.count() == 50
+
+
+def test_decode_image_auto_falls_back_without_codec(spark):
+    """decode_image_auto must produce the deterministic fake when no
+    codec library exists (this environment), keeping resize_images
+    runnable everywhere; with Pillow present it decodes for real."""
+    import numpy as np
+
+    from aws_etl_spark.multimodal.binary_ops import (
+        _pillow,
+        decode_image_auto,
+        decode_image_fake,
+    )
+
+    out = decode_image_auto(b"\x01\x02\x03", 8, 8)
+    if _pillow() is None:
+        assert np.array_equal(out, decode_image_fake(b"\x01\x02\x03", 8, 8))
+    assert out.shape[0] > 0

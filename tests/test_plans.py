@@ -16,6 +16,8 @@ from aws_etl_spark.plans import (
 )
 from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded, load_table
 
+_ensure_loaded()
+
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
@@ -231,13 +233,59 @@ def test_shuffle_shards_single_window_shuffle(spark, sf_dir):
 
 def test_fuzzy_blocked_join_is_sort_merge_on_block_key(spark, sf_dir):
     """The linkage self-join must be an equi-join on the blocking key
-    (shuffle/broadcast on c_nationkey) — never a CartesianProduct; the
-    levenshtein predicate rides as a post-join filter."""
+    — never a CartesianProduct; the levenshtein predicate rides as a
+    post-join filter."""
     df = REGISTRY["join_fuzzy_blocked"].fn(spark, sf_dir)
     facts = plan_facts(df)
     assert all(j != "CartesianProduct" for j in facts.join_strategies), (
         facts.join_strategies
     )
+
+
+def test_fuzzy_blocked_candidates_bounded(spark, sf_dir):
+    """Symmetric-delete blocking must keep candidate buckets bounded:
+    the r2 scale-killer was the 125-block nation x segment key whose
+    per-block candidate pairs grew quadratically. The deletion-variant
+    bucket key must (a) have cardinality >> 125 and (b) keep every
+    bucket tiny, so sum(bucket^2) — the candidate-pair cost — tracks
+    true-match density, not block^2."""
+    from aws_etl_spark.queries.registry import load_table
+    from aws_etl_spark.queries.stats_queries import _del_at
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    one_del = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.explode(F.expr("sequence(0, length(c_name))")).alias("j"),
+        F.expr(_del_at("c_name", "j")).alias("v1"),
+    )
+    buckets = (
+        one_del.select(
+            "c_custkey",
+            F.explode(
+                F.expr("sequence(0, CASE WHEN j = 0 THEN 0 ELSE j - 1 END)")
+            ).alias("i"),
+            F.xxhash64(
+                "c_nationkey", "c_mktsegment", F.expr(_del_at("v1", "i"))
+            ).alias("bucket"),
+        )
+        .select("c_custkey", "bucket")
+        .distinct()
+        .groupBy("bucket")
+        .count()
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("count").alias("max_bucket"),
+        )
+        .first()
+    )
+    n_cust = cust.count()
+    assert buckets["n_buckets"] > 125 * 10, buckets
+    # worst bucket stays a tiny fraction of the table (the raw-block
+    # scheme put n_cust/125 rows in EVERY bucket)
+    assert buckets["max_bucket"] < max(32, n_cust // 25), buckets
 
 
 def test_zorder_bounds_broadcast_not_windowed(spark, sf_dir):

@@ -370,3 +370,32 @@ def test_streaming_heavy_hitters_error_contract(spark, sf_dir):
         bound = shard_rows[(etype, user % 8)] // (DEFAULT_CAPACITY + 1)
         assert est <= true, (etype, user, est, true)
         assert true - est <= bound, (etype, user, est, true, bound)
+
+
+def test_heavy_hitters_merge_dedupes_by_snapshot_seq(spark):
+    """ADVICE r2: an update-mode memory sink appends EVERY batch's
+    snapshot; the merge must keep only the latest snapshot per shard
+    keyed by the strictly-increasing snapshot_seq — two snapshots with
+    EQUAL shard_rows (as an empty-batch state-fn invocation under a
+    timeout would produce) must not double est_count."""
+    from aws_etl_spark.streaming.heavy_hitters import merge_shard_summaries
+
+    rows = [
+        # (event_type, shard, user_id, mg_count, shard_rows, seq)
+        ("click", 0, 1, 10, 100, 1),   # older snapshot
+        ("click", 0, 1, 12, 120, 2),   # newer snapshot, more rows
+        ("click", 0, 1, 12, 120, 3),   # empty-batch re-emit: SAME rows
+        ("click", 1, 2, 7, 50, 1),
+    ]
+    summaries = spark.createDataFrame(
+        rows,
+        "event_type string, shard long, user_id long, mg_count long, "
+        "shard_rows long, snapshot_seq long",
+    )
+    got = {
+        (r.event_type, r.user_id): r.est_count
+        for r in merge_shard_summaries(summaries).collect()
+    }
+    # shard 0 must contribute 12 exactly once (not 24, not 10+12)
+    assert got[("click", 1)] == 12, got
+    assert got[("click", 2)] == 7, got
