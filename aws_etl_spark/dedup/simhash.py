@@ -117,26 +117,32 @@ def _hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
+def hamming_near_dup_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc",
+    sig_col: str = "simhash",
     max_distance: int = 3,
     chunks: int = 4,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """Pairs (id_a < id_b) with Hamming(simhash) ≤ max_distance.
+    """Pairs (id_a < id_b) of rows whose 64-bit ``sig_col`` values are
+    within Hamming distance ``max_distance`` — the banded candidate
+    join shared by SimHash text dedup and perceptual-hash image dedup
+    (any 64-bit fingerprint family).
 
-    Requires ``max_distance < chunks`` for the pigeonhole guarantee.
+    Pigeonhole: the signature splits into ``chunks`` equal chunks; a
+    pair within Hamming distance < chunks shares ≥1 exact chunk, so
+    candidates come from equi-joins on (chunk_idx, chunk_value) — a
+    hash-partitioned shuffle, linear in corpus size — never all-pairs.
+    ``max_bucket`` caps degenerate buckets (constant payloads at
+    corpus scale) exactly like the minhash band cap.
     """
     if max_distance >= chunks:
         raise ValueError("pigeonhole requires max_distance < chunks")
     width = BITS // chunks
-    # the signature scan (token explode + 64 bit-sums) feeds BOTH sides
-    # of the candidate self-join — cache it (one 16-byte row per doc)
-    # so the expensive pass runs once, not twice (engine caching policy:
-    # multi-consumer plans only, SURVEY.md §4)
-    sigs = simhash_signature(df, id_col, text_col).cache()
+    sigs = sigs.select(
+        F.col(id_col).alias("doc"), F.col(sig_col).alias("simhash")
+    )
 
     chunk_keys = F.array(
         *[
@@ -174,4 +180,31 @@ def simhash_near_dup_pairs(
         pairs.withColumn("hamming", _hamming(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    chunks: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with Hamming(simhash) ≤ max_distance.
+
+    Signature computation + the shared banded Hamming join
+    (:func:`hamming_near_dup_pairs`). The signature scan (token
+    explode + 64 bit-sums) feeds BOTH sides of the candidate
+    self-join — cached so the expensive pass runs once, not twice
+    (engine caching policy: multi-consumer plans only, SURVEY.md §4).
+    """
+    sigs = simhash_signature(df, id_col, text_col).cache()
+    return hamming_near_dup_pairs(
+        sigs,
+        id_col="doc",
+        sig_col="simhash",
+        max_distance=max_distance,
+        chunks=chunks,
+        max_bucket=max_bucket,
     )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_etl_spark.queries.registry import load_table, register
+from aws_etl_spark.queries.registry import load_table, register, sql_query
 
 _PIVOT_YEARS = [1992, 1993, 1994, 1995, 1996, 1997, 1998]
 
@@ -265,3 +265,38 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 20)
     )
+
+
+sql_query(
+    "window_distribution",
+    """
+    SELECT c_custkey, c_mktsegment,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume_d,
+           CAST(FIRST_VALUE(c_custkey) OVER w2 AS BIGINT) AS seg_poorest,
+           CAST(LAST_VALUE(c_custkey) OVER w2 AS BIGINT) AS seg_richest,
+           CAST(NTH_VALUE(c_custkey, 2) OVER w2 AS BIGINT) AS seg_second
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal, c_custkey),
+           w2 AS (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+    """,
+    category="window",
+    doc=(
+        "Distribution window functions (percent_rank/cume_dist) plus "
+        "frame-pinned first/last/nth_value — completes the ranking "
+        "family (window_ranking covers row_number/rank/dense_rank/"
+        "ntile). percent_rank and cume_dist are int/int double "
+        "divisions over (rank−1, n−1) — bit-deterministic; the value "
+        "windows pin an explicit full frame because the engines' "
+        "default ORDER BY frame (RANGE … CURRENT ROW) would make "
+        "last_value the current row. Unique (c_acctbal, c_custkey) "
+        "tiebreak keeps every column order-insensitive. One "
+        "hash-partitioned window per segment — parallelism grows "
+        "with segment count at scale."
+    ),
+    tables=("customer",),
+)

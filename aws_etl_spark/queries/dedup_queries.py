@@ -362,3 +362,82 @@ def q_dedup_graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_quantized(pairs).select(
         F.col("node").cast("bigint").alias("doc_id"), "rank_q", "degree"
     )
+
+
+_SPAN_EXPLODE = """
+  SELECT doc_id AS doc, UNNEST(
+    LIST_TRANSFORM(
+      RANGE(1, GREATEST(LEN(STRING_SPLIT(TRIM(text), ' ')) - 4, 0) + 1),
+      i -> ARRAY_TO_STRING(STRING_SPLIT(TRIM(text), ' ')[i:i+4], ' ')
+    )
+  ) AS span
+  FROM documents
+"""
+
+_SPAN_CENSUS_ORACLE = f"""
+WITH e AS ({_SPAN_EXPLODE})
+SELECT span,
+       CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(doc) AS BIGINT) AS first_doc
+FROM e
+GROUP BY span
+HAVING COUNT(DISTINCT doc) >= 2
+"""
+
+
+@register(
+    "dedup_span_census",
+    oracle=_SPAN_CENSUS_ORACLE,
+    category="dedup",
+    tables=("documents",),
+)
+def q_dedup_span_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-span census: every 5-word span occurring
+    in ≥2 distinct docs, with doc frequency, occurrence count, and a
+    deterministic exemplar — the substring-level dedup signal of Lee
+    et al. (ACL 2022), formulated as sharded span posting lists
+    instead of a global suffix array (any repeated ≥k-word substring
+    contains a repeated k-gram, so the k-gram table detects it). One
+    groupBy(span) with map-side combine; linear in corpus size."""
+    from aws_etl_spark.dedup.spans import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, "doc_id", "text", k=5, min_docs=2)
+
+
+_SPAN_PROFILE_ORACLE = f"""
+WITH e AS ({_SPAN_EXPLODE}),
+d AS (SELECT DISTINCT doc, span FROM e),
+sdf AS (SELECT span, COUNT(*) AS span_docs FROM d GROUP BY span),
+pd AS (
+  SELECT d.doc, COUNT(*) AS n_spans,
+         SUM(CASE WHEN sdf.span_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+  FROM d JOIN sdf USING (span) GROUP BY d.doc
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN COALESCE(pd.n_spans, 0) > 0
+            THEN pd.n_dup_spans * 1.0 / pd.n_spans
+            ELSE 0.0 END AS dup_fraction
+FROM documents LEFT JOIN pd ON pd.doc = documents.doc_id
+"""
+
+
+@register(
+    "dedup_span_doc_profile",
+    oracle=_SPAN_PROFILE_ORACLE,
+    category="dedup",
+    tables=("documents",),
+)
+def q_dedup_span_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document span-duplication profile: fraction of the doc's
+    distinct 5-word spans that also occur in another document — the
+    per-doc filter signal derived from the span census (span analogue
+    of a quality score). Span doc-frequency agg + hash join back on
+    span + per-doc agg; no self-join, linear at corpus scale."""
+    from aws_etl_spark.dedup.spans import doc_span_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_span_profile(docs, "doc_id", "text", k=5)

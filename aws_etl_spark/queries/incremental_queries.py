@@ -382,3 +382,63 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(
         orders, right.unionByName(added), ["o_orderkey"]
     )
+
+
+_IVM_ORACLE = """
+SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_rollup_incremental",
+    oracle=_IVM_ORACLE,
+    category="incremental",
+    tables=("events",),
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an aggregate: a materialized
+    daily rollup (built from 90% of events, localCheckpoint standing
+    in for the stored table) is brought up to date by MERGING a delta
+    batch's partial aggregate — full-outer join on the group key,
+    counts and exact-decimal sums coalesce-add, groups new in the
+    delta appear, groups untouched pass through. The oracle is the
+    full recompute over all events: the green hash row proves
+    maintain(state, delta) == recompute(base ∪ delta), the IVM
+    property that lets a 100 TB pipeline update a continuous
+    aggregate for the cost of the delta instead of the corpus.
+
+    The base/delta split (event_id mod 10) is deterministic so both
+    engines see the same partition of rows."""
+    events = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").alias("n"), F.sum("v").alias("tv")
+        )
+
+    state = daily(events.filter(F.pmod("event_id", F.lit(10)) != 0)).localCheckpoint()
+    delta = daily(events.filter(F.pmod("event_id", F.lit(10)) == 0))
+    s = state.select("day", "event_type", F.col("n").alias("n_s"), F.col("tv").alias("tv_s"))
+    d = delta.select("day", "event_type", F.col("n").alias("n_d"), F.col("tv").alias("tv_d"))
+    merged = s.join(d, ["day", "event_type"], "full_outer")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return merged.select(
+        "day",
+        "event_type",
+        (F.coalesce("n_s", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+        (F.coalesce(F.col("tv_s"), zero) + F.coalesce(F.col("tv_d"), zero))
+        .cast("double")
+        .alias("total_value"),
+    )

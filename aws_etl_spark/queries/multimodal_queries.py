@@ -63,3 +63,41 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return extract_frames(docs, "doc_id", "payload", "meta", every_ms=1000)
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=None,  # the perceptual hash is a Python decode kernel
+    # (pluggable codec seam) — not SQL-expressible; the banded join is
+    # pinned equal to brute-force Hamming pairing in
+    # tests/test_multimodal.py::test_phash_banded_equals_bruteforce
+    category="multimodal",
+    tables=("documents",),
+)
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by 64-bit dHash: decode (deterministic
+    fake in this codec-less env; decoder seam takes Pillow when
+    present) → area-mean 9×8 → gradient-sign fingerprint → banded
+    Hamming join (shared with SimHash: pigeonhole chunk equi-join,
+    linear scale, bucket caps). The image analogue of text near-dup —
+    one fingerprint row per image, candidates only within shared
+    16-bit chunks, never all-pairs. documents.text bytes stand in for
+    image payloads with metadata-derived dimensions."""
+    from aws_etl_spark.dedup.simhash import hamming_near_dup_pairs
+    from aws_etl_spark.multimodal.binary_ops import decode_render_fake, dhash64
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        # documents stand in for an image table; real tables carry
+        # meta.width/height
+        F.lit(18).alias("width"),
+        F.lit(16).alias("height"),
+    )
+    sigs = dhash64(
+        docs, "doc_id", "payload", "width", "height",
+        decoder=decode_render_fake,
+    )
+    return hamming_near_dup_pairs(
+        sigs, id_col="item_id", sig_col="phash", max_distance=3, chunks=4
+    )

@@ -409,12 +409,14 @@ def _ensure_loaded() -> None:
         dedup_queries,
         event_analytics,
         functions_corpus,
+        graph_queries,
         incremental_queries,
         llm_text,
         multimodal_queries,
         pipeline_e2e,
         reference_parity,
         relational,
+        scale_queries,
         similarity_queries,
         streaming_queries,
         stats_queries,

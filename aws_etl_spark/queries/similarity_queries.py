@@ -242,3 +242,82 @@ def q_label_centroid_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_cosine"
         ),
     )
+
+
+_HARD_NEG_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label, embedding
+  FROM embeddings WHERE vec_id < 30
+),
+s AS (
+  SELECT q.query_id, q.query_label,
+         c.vec_id AS neg_id, c.label AS neg_label,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+         (SQRT(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+          SQRT(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cosine
+  FROM q JOIN embeddings c ON c.label <> q.query_label
+),
+r AS (
+  SELECT query_id, query_label, neg_id, neg_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neg_id) AS rn
+  FROM s
+)
+SELECT query_id, query_label, neg_id, neg_label, cosine
+FROM r WHERE rn = 1
+"""
+
+
+@register(
+    "embeddings_hard_negatives",
+    oracle=_HARD_NEG_ORACLE,
+    category="similarity",
+    tables=("embeddings",),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    vector, the single most-similar corpus vector with a DIFFERENT
+    label (the example most likely to confuse a model — the standard
+    mining step for embedding/retrieval training data).
+
+    Plan: queries broadcast (Q ≪ N), corpus streams past in one
+    narrow crossJoin + label-inequality filter, cosine via the
+    Arrow-batched sequential-fold ``pair_dot`` (bit-identical to
+    DuckDB's list_dot_product), per-query top-1 window with id
+    tiebreak. At 100 TB the same shape shards the corpus; for large Q
+    route through the IVF path instead (probe clusters whose label
+    mix differs)."""
+    from pyspark.sql import Window
+
+    from aws_etl_spark.similarity.topk import norm, pair_dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 30").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_vec"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("c_vec"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("query_label"))
+        .withColumn(
+            "cosine",
+            pair_dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "query_label", "neg_id", "neg_label", "cosine")
+    )

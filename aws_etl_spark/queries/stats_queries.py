@@ -654,3 +654,36 @@ sql_query(
     ),
     tables=("orders",),
 )
+
+
+sql_query(
+    "basket_affinity_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_orders
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b, n_orders
+    FROM pairs WHERE n_orders >= 2
+    """,
+    category="stats",
+    doc=(
+        "Market-basket affinity: part pairs co-occurring in ≥2 orders "
+        "(the support-counting core of association-rule mining). The "
+        "self-join is keyed on l_orderkey, so candidate pairs are "
+        "bounded by per-order item count (≤7 in TPC-H-shaped data) — "
+        "per-key quadratic only in basket size, never corpus size; "
+        "one shuffle on orderkey + one count-agg on the pair. A "
+        "pathological mega-basket at 100 TB is the same hot-key "
+        "problem as dedup's stop-shingle buckets — cap basket size "
+        "upstream exactly like LSH's max_bucket."
+    ),
+    tables=("lineitem",),
+)

@@ -370,3 +370,155 @@ def q_stream_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     merged = merge_shard_summaries(spark.table(name))
     return merged.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_ATTRIBUTION_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+a AS (
+  SELECT p.purchase_id,
+         COUNT(*) AS n_clicks,
+         MIN(c.click_ts) AS first_click_ts,
+         MAX(c.click_ts) AS last_click_ts
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.click_ts <= p.ts
+   AND c.click_ts >= p.ts - INTERVAL 15 MINUTE
+  GROUP BY p.purchase_id
+)
+SELECT p.purchase_id, p.user_id, p.ts,
+       CAST(COALESCE(a.n_clicks, 0) AS BIGINT) AS n_clicks,
+       a.first_click_ts, a.last_click_ts
+FROM p LEFT JOIN a USING (purchase_id)
+"""
+
+
+@register(
+    "events_click_attribution",
+    oracle=_ATTRIBUTION_ORACLE,
+    category="streaming",
+    tables=("events",),
+)
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: for every purchase, all of the
+    user's clicks in the preceding 15 minutes (count + first/last) —
+    the batch twin of streaming/windows.py's
+    ``stream_stream_interval_join`` (click-joins-impression shape;
+    the streaming path is exercised in tests/test_streaming.py, this
+    entry hash-proves the interval semantics).
+
+    Unlike the as-of join (latest single match), attribution needs
+    EVERY click in the interval, so the plan is a (user, time-bin)
+    bucketed equi-join: each purchase interval lands in ≤2+1 900 s
+    bins (one extra low bin absorbs the unix_timestamp second
+    truncation), each click in exactly one, the exact timestamp
+    predicate prunes bin-superset matches, and no pair dedup is
+    needed because a click occupies a single bin. Cost is linear in
+    events per (user, bin) — never the quadratic per-user cross
+    product, and AQE skew-split covers hot users."""
+    _W = 900  # 15 min, in seconds
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.unix_timestamp("ts").alias("__pe"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.floor(F.unix_timestamp("ts") / _W).alias("bin"),
+    )
+    pb = p.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                (F.floor((F.col("__pe") - _W) / _W) - 1).cast("long"),
+                F.floor(F.col("__pe") / _W).cast("long"),
+            )
+        ),
+    )
+    matched = (
+        pb.join(c, (pb.user_id == c.c_user) & (pb.bin == c.bin))
+        .filter(
+            (F.col("click_ts") <= F.col("ts"))
+            & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 15 MINUTES"))
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.min("click_ts").alias("first_click_ts"),
+            F.max("click_ts").alias("last_click_ts"),
+        )
+    )
+    return p.join(matched, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("n_clicks"), F.lit(0)).cast("bigint").alias("n_clicks"),
+        "first_click_ts",
+        "last_click_ts",
+    )
+
+
+@register(
+    "events_stream_click_attribution_live",
+    oracle=None,  # executes a REAL watermarked stream-stream join —
+    # interval semantics are hash-proven by the batch twin
+    # events_click_attribution; stream/batch equivalence asserted in
+    # tests/test_streaming.py::test_stream_stream_interval_join
+    category="streaming",
+    tables=("events",),
+    bench=False,  # stream spin-up timing is not comparable to a query
+)
+def q_stream_click_attribution_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine stream-stream join execution: clicks and purchases as
+    two watermarked file-source readStreams, interval inner join
+    (click in [purchase.ts − 15 min, purchase.ts] per user) with
+    bounded state (both sides GC'd past the watermark+interval bound),
+    AvailableNow into a memory sink. The only join shape that is safe
+    on two unbounded streams — the 100 TB streaming path for the
+    batch attribution query."""
+    import uuid
+
+    from aws_etl_spark.streaming.windows import stream_stream_interval_join
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def tstream():
+        return normalize_timestamps(
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    clicks = tstream().filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = tstream().filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    joined = stream_stream_interval_join(
+        clicks,
+        purchases,
+        key="user_id",
+        ts_col="ts",
+        watermark="30 minutes",
+        max_lag="15 minutes",
+    )
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -92,6 +92,13 @@ def main() -> None:
             "ann_cosine_topk_ivf",
             "corpus_e2e_pipeline",
             "join_fuzzy_blocked",
+            # r3 graph/span/phash family (shingle-join or decode-kernel
+            # codegen shapes of their own)
+            "dedup_graph_triangles",
+            "dedup_graph_nbr_jaccard",
+            "dedup_graph_label_propagation",
+            "dedup_span_doc_profile",
+            "multimodal_phash_neardup",
         ):
             try:
                 REGISTRY[warm_name].fn(spark, warm_dir).write.mode(

@@ -241,3 +241,78 @@ def test_decode_image_auto_falls_back_without_codec(spark):
     if _pillow() is None:
         assert np.array_equal(out, decode_image_fake(b"\x01\x02\x03", 8, 8))
     assert out.shape[0] > 0
+
+
+def test_dhash_deterministic_and_perturbation_robust(spark):
+    """dHash over the render decode: identical payloads → identical
+    hash; a small text edit → small Hamming distance; unrelated
+    payloads → far apart."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_spark.multimodal.binary_ops import (
+        decode_render_fake,
+        dhash64,
+    )
+
+    base = " ".join(f"w{i}" for i in range(80))
+    near = base.replace("w40", "edited")
+    far = " ".join(f"z{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)],
+        "item_id long, text string",
+    ).select(
+        "item_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.lit(18).alias("width"),
+        F.lit(16).alias("height"),
+    )
+    sigs = {
+        r["item_id"]: r["phash"]
+        for r in dhash64(
+            df, "item_id", "payload", "width", "height",
+            decoder=decode_render_fake,
+        ).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert sigs[1] == sigs[2]
+    assert ham(sigs[1], sigs[3]) <= 3
+    assert ham(sigs[1], sigs[4]) > 6
+
+
+def test_phash_banded_equals_bruteforce(spark, sf_dir):
+    """The banded Hamming join (pigeonhole chunks) finds EXACTLY the
+    pairs a brute-force all-pairs Hamming scan finds — candidate
+    generation loses nothing at distance < chunks."""
+    from itertools import combinations
+
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded, load_table
+    from pyspark.sql import functions as F
+
+    from aws_etl_spark.dedup.simhash import hamming_near_dup_pairs
+    from aws_etl_spark.multimodal.binary_ops import decode_render_fake, dhash64
+
+    _ensure_loaded()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.lit(18).alias("width"),
+        F.lit(16).alias("height"),
+    )
+    sigs = dhash64(
+        docs, "doc_id", "payload", "width", "height",
+        decoder=decode_render_fake,
+    ).cache()
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_dup_pairs(
+            sigs, id_col="item_id", sig_col="phash", max_distance=3, chunks=4
+        ).collect()
+    }
+    local = {r["item_id"]: r["phash"] for r in sigs.collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    brute = {
+        (a, b): ham(local[a], local[b])
+        for a, b in combinations(sorted(local), 2)
+        if ham(local[a], local[b]) <= 3
+    }
+    assert banded == brute

@@ -383,3 +383,55 @@ def test_events_mart_composition_no_cartesian(spark, sf_dir):
     df = REGISTRY["events_e2e_mart"].fn(spark, sf_dir)
     facts = plan_facts(df)
     assert all(j != "CartesianProduct" for j in facts.join_strategies)
+
+
+def test_salted_query_no_single_hot_partition_agg(spark, sf_dir):
+    """join_skew_salted's plan: the pre-merge aggregation keys must
+    include the salt column (hot group keys spread over n_salts
+    partitions) and the join must carry the salt in its keys."""
+    plan = formatted_plan_of("join_skew_salted", spark, sf_dir)
+    assert "__salt" in plan, "salt column missing from physical plan"
+    # two-phase: a partial/final pair per salted phase ⇒ ≥2 distinct
+    # HashAggregate key sets mentioning the group key
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_click_attribution_is_binned_equi_join(spark, sf_dir):
+    """The interval join must run as an EQUI-join on (user, bin) —
+    never a broadcast-nested-loop over the raw time predicate."""
+    from aws_etl_spark.plans import formatted_plan
+
+    fn = REGISTRY["events_click_attribution"].fn
+    plan = formatted_plan(fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_wedge_join_is_equi(spark, sf_dir):
+    """Wedge + closing joins must be hash/sort-merge equi-joins; the
+    oriented edge list bounds wedge fanout, and nothing in the plan
+    may fall back to a nested-loop."""
+    from aws_etl_spark.plans import formatted_plan
+
+    fn = REGISTRY["dedup_graph_triangles"].fn
+    plan = formatted_plan(fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_census_single_shuffle_no_selfjoin(spark, sf_dir):
+    """Span census is one groupBy over the shingle rows — there must
+    be NO join in the plan (the scale contract: linear, not pairwise)
+    and map-side partial aggregation must be present."""
+    from aws_etl_spark.plans import formatted_plan
+
+    fn = REGISTRY["dedup_span_census"].fn
+    plan = formatted_plan(fn(spark, sf_dir))
+    assert "Join" not in plan, "span census must not self-join"
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def formatted_plan_of(name, spark, sf_dir):
+    from aws_etl_spark.plans import formatted_plan
+
+    return formatted_plan(REGISTRY[name].fn(spark, sf_dir))
