@@ -321,3 +321,78 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("query_id", "query_label", "neg_id", "neg_label", "cosine")
     )
+
+
+def _kmeans_oracle(k: int, n_iter: int) -> str:
+    """Unrolled Lloyd's rounds as CTE stages — identical integer
+    arithmetic to similarity/kmeans.py (assignment argmin via grouped
+    ROW_NUMBER, update via `//` integer division on the non-negative
+    shifted quantization)."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+{name} AS (
+  SELECT id, cluster, dist FROM (
+    SELECT e.id, c.cluster,
+           SUM((e.q - c.c) * (e.q - c.c)) AS dist,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.id
+             ORDER BY SUM((e.q - c.c) * (e.q - c.c)) ASC, c.cluster ASC
+           ) AS rn
+    FROM ex e JOIN {cents} c USING (dim)
+    GROUP BY e.id, c.cluster
+  ) WHERE rn = 1
+)"""
+
+    parts = []
+    for r in range(1, n_iter + 1):
+        parts.append(assign(f"a{r}", f"c{r - 1}"))
+        parts.append(f"""
+c{r} AS (
+  SELECT p.cluster, p.dim, COALESCE(u.c_new, p.c) AS c
+  FROM c{r - 1} p LEFT JOIN (
+    SELECT a.cluster, e.dim, SUM(e.q) // COUNT(*) AS c_new
+    FROM a{r} a JOIN ex e USING (id)
+    GROUP BY a.cluster, e.dim
+  ) u ON u.cluster = p.cluster AND u.dim = p.dim
+)""")
+    parts.append(assign("afinal", f"c{n_iter}"))
+    return f"""
+WITH ex AS (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+           + 2000000 AS q
+  FROM embeddings
+),
+seeds AS (SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT {k}),
+c0 AS (
+  SELECT e.id AS cluster, e.dim, e.q AS c FROM ex e JOIN seeds s USING (id)
+),{",".join(parts)}
+SELECT CAST(id AS BIGINT) AS vec_id,
+       CAST(cluster AS BIGINT) AS cluster,
+       CAST(dist AS BIGINT) AS dist_q
+FROM afinal
+"""
+
+
+@register(
+    "embeddings_kmeans_quantized",
+    oracle=_kmeans_oracle(8, 3),
+    category="similarity",
+    tables=("embeddings",),
+)
+def q_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantized-exact k-means (k=8, 3 Lloyd rounds) —
+    iterative ML with full cross-engine hash parity: components
+    quantize to shifted non-negative 1e-6 integers, assignment is an
+    integer-distance argmin (map-side-combinable max(struct), no
+    windows), updates are integer means, empty clusters persist. The
+    oracle unrolls the 3 rounds as CTE stages (pagerank_exact /
+    label-propagation trick applied to Lloyd's). Per round: one
+    broadcast join of the k·d centroid table against the exploded
+    components + one shuffle — the textbook Spark k-means shape;
+    production seeding (k-means||) changes only the seed table."""
+    from aws_etl_spark.similarity.kmeans import kmeans_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_quantized(emb, "vec_id", "embedding", k=8, n_iter=3)

@@ -522,3 +522,94 @@ def q_stream_click_attribution_live(spark: SparkSession, sf_dir: str) -> DataFra
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+_MULTITOUCH_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+         CAST(value AS DECIMAL(18,2)) AS value
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+m AS (
+  SELECT p.purchase_id, c.click_id, p.user_id, p.purchase_ts, c.click_ts,
+         p.value,
+         COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_clicks
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.click_ts <= p.purchase_ts
+   AND c.click_ts >= p.purchase_ts - INTERVAL 15 MINUTE
+)
+SELECT purchase_id, click_id, user_id, purchase_ts, click_ts,
+       CAST(n_clicks AS BIGINT) AS n_clicks,
+       CAST(value AS DOUBLE) / n_clicks AS credit
+FROM m
+"""
+
+
+@register(
+    "events_attribution_multitouch",
+    oracle=_MULTITOUCH_ORACLE,
+    category="streaming",
+    tables=("events",),
+)
+def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across its in-window clicks — one credited row per
+    (purchase, click). Determinism note: the credit is a PER-ROW
+    double division (decimal-exact value ÷ bigint count, IEEE-
+    identical across engines); the query deliberately does NOT sum
+    credits (summing doubles is partition-order-dependent — a
+    downstream consumer sums the decimal value and credit fractions
+    instead). Same (user, time-bin) bucketed equi-join as
+    events_click_attribution; the per-purchase click count is a
+    window over the matched pairs, partitioned by purchase —
+    parallelism grows with purchases."""
+    _W = 900
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+        F.unix_timestamp("ts").alias("__pe"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.floor(F.unix_timestamp("ts") / _W).alias("bin"),
+    )
+    pb = p.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                (F.floor((F.col("__pe") - _W) / _W) - 1).cast("long"),
+                F.floor(F.col("__pe") / _W).cast("long"),
+            )
+        ),
+    )
+    from pyspark.sql import Window
+
+    matched = pb.join(c, (pb.user_id == c.c_user) & (pb.bin == c.bin)).filter(
+        (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 15 MINUTES")
+        )
+    )
+    w = Window.partitionBy("purchase_id")
+    return matched.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "purchase_ts",
+        "click_ts",
+        F.count("*").over(w).cast("bigint").alias("n_clicks"),
+        (
+            F.col("value").cast("double") / F.count("*").over(w)
+        ).alias("credit"),
+    )

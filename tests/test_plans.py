@@ -435,3 +435,22 @@ def formatted_plan_of(name, spark, sf_dir):
     from aws_etl_spark.plans import formatted_plan
 
     return formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Partition-layout contract: a fact table written partitioned by
+    a key joined against a FILTERED dim must plan a dynamicpruning
+    subquery on the fact scan — at 100 TB this is the difference
+    between scanning one partition and scanning the table."""
+    ev = load_table(spark, sf_dir, "events")
+    fact_dir = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("purchase", "rev"), ("click", "traffic")], "event_type string, kind string"
+    ).filter(F.col("kind") == "rev")
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    from aws_etl_spark.plans import formatted_plan
+
+    plan = formatted_plan(joined).lower()
+    assert "dynamicpruning" in plan or "partitionfilters: [isnotnull(event_type" in plan, plan[:2000]

@@ -399,3 +399,45 @@ def test_heavy_hitters_merge_dedupes_by_snapshot_seq(spark):
     # shard 0 must contribute 12 exactly once (not 24, not 10+12)
     assert got[("click", 1)] == 12, got
     assert got[("click", 2)] == 7, got
+
+
+def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
+    """Exactly-once sink discipline: a foreachBatch writer keyed on
+    batchId (overwrite-by-batch-partition) must be IDEMPOTENT — Spark
+    re-runs a batch after failure, so applying the same (batchId,
+    data) twice must leave the same table state."""
+    import pyspark.sql.functions as F
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    out_dir = str(tmp_path / "sink")
+
+    def write_batch(df, batch_id):
+        # dynamic partition overwrite on the batch column: replaying a
+        # batch replaces its own partition, never duplicates rows
+        (df.withColumn("__batch", F.lit(batch_id))
+           .write.mode("overwrite")
+           .option("partitionOverwriteMode", "dynamic")
+           .partitionBy("__batch")
+           .parquet(out_dir))
+
+    from aws_etl_spark.queries.registry import normalize_timestamps
+
+    stream = normalize_timestamps(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    ).select("event_id", "event_type")
+
+    for _ in range(2):  # second run replays the same source batch
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", str(tmp_path / f"ck_{_}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n_src, "replay duplicated rows"
+    assert got.select("event_id").distinct().count() == n_src
