@@ -315,3 +315,43 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_dup",
         "max_cosine_prior",
     )
+
+
+_DOMAIN_CAP_ORACLE = """
+SELECT doc_id, source, lang, n_chars
+FROM (
+  SELECT doc_id, source, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 40
+"""
+
+
+@register(
+    "corpus_domain_cap",
+    oracle=_DOMAIN_CAP_ORACLE,
+    category="corpus",
+    tables=("documents",),
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (C4/RefinedWeb-style source budgeting):
+    keep the top 40 docs per source by a quality proxy (length, id
+    tiebreak) so no single domain dominates the training mixture.
+    One hash-partitioned window per source — parallelism grows with
+    domain count; at extreme per-domain skew switch to the two-phase
+    per-partition top-k + merge (grouped_map_topk's shape)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .drop("rn")
+    )

@@ -544,3 +544,75 @@ sql_query(
     ),
     tables=("documents",),
 )
+
+
+_SURPRISAL_ORACLE = """
+WITH tok AS (
+  SELECT doc_id AS doc, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS token
+  FROM documents
+),
+t AS (SELECT doc, token FROM tok WHERE token <> ''),
+cnt AS (SELECT token, COUNT(*) AS c FROM t GROUP BY token),
+n AS (SELECT COUNT(*) AS total FROM t),
+scored AS (
+  SELECT t.doc,
+         CAST(FLOOR(LN(CAST(n.total AS DOUBLE) / cnt.c) * 1000000)
+              AS BIGINT) AS s_q
+  FROM t JOIN cnt USING (token) CROSS JOIN n
+)
+SELECT doc AS doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(s_q) AS BIGINT) AS surprisal_q6_sum,
+       (CAST(SUM(s_q) AS DOUBLE) / COUNT(*)) / 1000000.0 AS avg_surprisal
+FROM scored
+GROUP BY doc
+"""
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle=_SURPRISAL_ORACLE,
+    category="text",
+    tables=("documents",),
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM surprisal (the perplexity-proxy quality
+    signal of CCNet-style filtering, with the LM trained on the corpus
+    itself): token surprisal −ln p(w) = ln(total/count_w), QUANTIZED
+    to 1e-6 integers per token BEFORE the per-doc sum (the word-entropy
+    idiom — Math.log and DuckDB ln can differ in the last ulp, so the
+    only portable aggregate is an integer one); the mean is two IEEE
+    divisions at the end. Plan: one token explode feeds both the
+    count table and the scoring join (hash join on token — Zipf head
+    is exactly the AQE skew-join case); the 1-row total rides a
+    broadcast crossJoin. Low avg_surprisal ⇒ repetitive/boilerplate
+    doc; high ⇒ rare-token soup — both filter tails."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(F.split(F.trim(F.lower("text")), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c"))
+    total = tok.select(F.count("*").alias("total"))
+    scored = (
+        tok.join(cnt, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc",
+            F.floor(
+                F.log(F.col("total").cast("double") / F.col("c")) * 1_000_000
+            )
+            .cast("long")
+            .alias("s_q"),
+        )
+    )
+    return scored.groupBy(F.col("doc").alias("doc_id")).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("s_q").alias("surprisal_q6_sum"),
+        (
+            (F.sum("s_q").cast("double") / F.count("*")) / F.lit(1_000_000.0)
+        ).alias("avg_surprisal"),
+    )
