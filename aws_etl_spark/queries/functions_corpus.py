@@ -347,3 +347,37 @@ sql_query(
     doc="Equi-width histogram via floor-division binning (WIDTH_BUCKET is not portable to DuckDB).",
     tables=("orders",),
 )
+
+
+sql_query(
+    "func_variant_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(variant_get(parse_json(props), '$.k', 'int')) AS min_k,
+           MAX(variant_get(parse_json(props), '$.k', 'int')) AS max_k,
+           COUNT(DISTINCT variant_get(parse_json(props), '$.k', 'int'))
+             AS distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(CAST(props->>'k' AS INTEGER)) AS min_k,
+           MAX(CAST(props->>'k' AS INTEGER)) AS max_k,
+           COUNT(DISTINCT CAST(props->>'k' AS INTEGER)) AS distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+    category="function",
+    doc=(
+        "Spark 4 VARIANT path for semi-structured columns: parse_json "
+        "into the binary VARIANT encoding once, typed variant_get "
+        "extraction (no per-access string re-parse — the engine-native "
+        "answer to schema-on-read JSON at scale, vs get_json_object's "
+        "repeated parsing). Oracle uses DuckDB's typed JSON operator; "
+        "integer extraction keeps the aggregate exact."
+    ),
+    tables=("events",),
+)

@@ -522,3 +522,42 @@ sql_query(
         "arithmetic so borderline rows cannot flip between engines.",
     tables=("orders",),
 )
+
+
+sql_query(
+    "graph_reachability_recursive",
+    """
+    WITH RECURSIVE
+    edges AS (
+      SELECT n_nationkey AS src,
+             CAST((n_nationkey * 2 + 7) % 25 AS INTEGER) AS dst
+      FROM nation
+    ),
+    reach(node, depth) AS (
+      SELECT CAST(0 AS INTEGER), 0
+      UNION ALL
+      SELECT e.dst, r.depth + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.depth < 30
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(MIN(depth) AS BIGINT) AS first_depth,
+           COUNT(*) AS n_visits
+    FROM reach
+    GROUP BY node
+    """,
+    category="relational",
+    doc=(
+        "Recursive CTE (Spark 4): breadth-first reachability with "
+        "depth accounting over a functional graph derived from the "
+        "nation table — the declarative form of the iterative "
+        "frontier-expansion join that components.py/pagerank.py hand "
+        "roll. Spark executes each recursion step as a joined union "
+        "of the previous frontier (same physical shape as the manual "
+        "loop, minus the localCheckpoint control — which is why the "
+        "hand-rolled operators remain the 100 TB path for deep "
+        "recursions); the depth guard bounds the plan. Identical text "
+        "runs on DuckDB."
+    ),
+    tables=("nation",),
+)
