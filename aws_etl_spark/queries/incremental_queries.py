@@ -438,7 +438,13 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("n_s", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
         .cast("bigint")
         .alias("n"),
-        (F.coalesce(F.col("tv_s"), zero) + F.coalesce(F.col("tv_d"), zero))
+        # NULL-aware add: SUM over an all-NULL group is NULL on both
+        # engines, and the merged state must preserve that (coalescing
+        # both-NULL to 0.00 would diverge from the full recompute)
+        F.when(
+            F.col("tv_s").isNull() & F.col("tv_d").isNull(), F.lit(None)
+        )
+        .otherwise(F.coalesce(F.col("tv_s"), zero) + F.coalesce(F.col("tv_d"), zero))
         .cast("double")
         .alias("total_value"),
     )

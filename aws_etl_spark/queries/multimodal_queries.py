@@ -94,10 +94,13 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(18).alias("width"),
         F.lit(16).alias("height"),
     )
+    # the banded join self-joins its input: cache the signatures so
+    # the Python decode kernel runs once, not once per side (the
+    # multi-consumer caching policy — same reason simhash caches)
     sigs = dhash64(
         docs, "doc_id", "payload", "width", "height",
         decoder=decode_render_fake,
-    )
+    ).cache()
     return hamming_near_dup_pairs(
         sigs, id_col="item_id", sig_col="phash", max_distance=3, chunks=4
     )

@@ -415,22 +415,48 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unlike the as-of join (latest single match), attribution needs
     EVERY click in the interval, so the plan is a (user, time-bin)
-    bucketed equi-join: each purchase interval lands in ≤2+1 900 s
-    bins (one extra low bin absorbs the unix_timestamp second
-    truncation), each click in exactly one, the exact timestamp
-    predicate prunes bin-superset matches, and no pair dedup is
-    needed because a click occupies a single bin. Cost is linear in
-    events per (user, bin) — never the quadratic per-user cross
-    product, and AQE skew-split covers hot users."""
+    bucketed equi-join (shared scaffolding:
+    :func:`_attributed_click_pairs`). Cost is linear in events per
+    (user, bin) — never the quadratic per-user cross product, and AQE
+    skew-split covers hot users."""
+    p, matched_pairs = _attributed_click_pairs(spark, sf_dir)
+    matched = matched_pairs.groupBy("purchase_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.min("click_ts").alias("first_click_ts"),
+        F.max("click_ts").alias("last_click_ts"),
+    )
+    return p.join(matched, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        F.col("purchase_ts").alias("ts"),
+        F.coalesce(F.col("n_clicks"), F.lit(0)).cast("bigint").alias("n_clicks"),
+        "first_click_ts",
+        "last_click_ts",
+    )
+
+
+def _attributed_click_pairs(spark: SparkSession, sf_dir: str):
+    """Shared scaffolding for the attribution family: (purchases,
+    matched (purchase, click) pairs within the 15-minute window).
+
+    (user, time-bin) bucketed equi-join: a purchase's interval
+    [ts − 900 s, ts] spans exactly 2 consecutive 900 s bins of the
+    TRUNCATED epochs (floor is monotone and the width integral:
+    ct ≥ pt − 900 ⇒ floor(ct) ≥ floor(pt) − 900 ⇒ the click's bin is
+    ≥ floor((⌊pt⌋ − 900)/900) — no extra margin bin needed); each
+    click lands in one bin, so no pair dedup. The exact timestamp
+    predicate prunes bin-superset matches."""
     _W = 900  # 15 min, in seconds
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
-        "ts",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
         F.unix_timestamp("ts").alias("__pe"),
     )
     c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("click_ts"),
         F.floor(F.unix_timestamp("ts") / _W).alias("bin"),
@@ -439,32 +465,19 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         F.explode(
             F.sequence(
-                (F.floor((F.col("__pe") - _W) / _W) - 1).cast("long"),
+                F.floor((F.col("__pe") - _W) / _W).cast("long"),
                 F.floor(F.col("__pe") / _W).cast("long"),
             )
         ),
     )
-    matched = (
-        pb.join(c, (pb.user_id == c.c_user) & (pb.bin == c.bin))
-        .filter(
-            (F.col("click_ts") <= F.col("ts"))
-            & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 15 MINUTES"))
-        )
-        .groupBy("purchase_id")
-        .agg(
-            F.count("*").alias("n_clicks"),
-            F.min("click_ts").alias("first_click_ts"),
-            F.max("click_ts").alias("last_click_ts"),
+    matched = pb.join(c, (pb.user_id == c.c_user) & (pb.bin == c.bin)).filter(
+        (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 15 MINUTES")
         )
     )
-    return p.join(matched, "purchase_id", "left").select(
-        "purchase_id",
-        "user_id",
-        "ts",
-        F.coalesce(F.col("n_clicks"), F.lit(0)).cast("bigint").alias("n_clicks"),
-        "first_click_ts",
-        "last_click_ts",
-    )
+    return p, matched
 
 
 @register(
@@ -564,43 +577,13 @@ def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical across engines); the query deliberately does NOT sum
     credits (summing doubles is partition-order-dependent — a
     downstream consumer sums the decimal value and credit fractions
-    instead). Same (user, time-bin) bucketed equi-join as
-    events_click_attribution; the per-purchase click count is a
-    window over the matched pairs, partitioned by purchase —
-    parallelism grows with purchases."""
-    _W = 900
-    ev = load_table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        F.col("ts").alias("purchase_ts"),
-        F.col("value").cast("decimal(18,2)").alias("value"),
-        F.unix_timestamp("ts").alias("__pe"),
-    )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("click_ts"),
-        F.floor(F.unix_timestamp("ts") / _W).alias("bin"),
-    )
-    pb = p.withColumn(
-        "bin",
-        F.explode(
-            F.sequence(
-                (F.floor((F.col("__pe") - _W) / _W) - 1).cast("long"),
-                F.floor(F.col("__pe") / _W).cast("long"),
-            )
-        ),
-    )
+    instead). Shares :func:`_attributed_click_pairs`'s (user,
+    time-bin) bucketed equi-join with events_click_attribution; the
+    per-purchase click count is a window over the matched pairs,
+    partitioned by purchase — parallelism grows with purchases."""
     from pyspark.sql import Window
 
-    matched = pb.join(c, (pb.user_id == c.c_user) & (pb.bin == c.bin)).filter(
-        (F.col("click_ts") <= F.col("purchase_ts"))
-        & (
-            F.col("click_ts")
-            >= F.col("purchase_ts") - F.expr("INTERVAL 15 MINUTES")
-        )
-    )
+    _, matched = _attributed_click_pairs(spark, sf_dir)
     w = Window.partitionBy("purchase_id")
     return matched.select(
         "purchase_id",

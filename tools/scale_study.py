@@ -70,7 +70,11 @@ def build_scratch() -> None:
         src = f"{SF_DIR}/{table}.parquet"
         cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
         selects = []
-        for c in range(COPIES):
+        # a table with no shift columns is a FIXED dimension: one copy
+        # (replicating it verbatim would duplicate every dim row
+        # COPIES× and quadratically corrupt any join measurement)
+        n_copies = COPIES if shift_cols or mutation else 1
+        for c in range(n_copies):
             exprs = []
             for col in cols:
                 if col in shift_cols and c > 0:
