@@ -146,3 +146,131 @@ def test_misra_gries_bounds(stream, capacity, n_batches):
     for v, n in exact.items():
         if n > decrements:
             assert v in counters, (v, n, decrements, counters)
+
+
+_edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=8),
+    ),
+    min_size=1,
+    max_size=20,
+).filter(lambda es: any(a != b for a, b in es))
+
+
+@_settings
+@given(edges=_edge_lists)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-ordered wedge enumeration == brute-force triangle scan
+    on random multigraph inputs (self-loops/dups/orientation noise)."""
+    from itertools import combinations
+
+    from aws_etl_spark.dedup.graph_metrics import triangle_counts
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: (r.degree, r.triangles)
+        for r in triangle_counts(df).collect()
+    }
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in es for n in e}
+    adj = {n: {m for e in es for m in e if n in e and m != n} for n in nodes}
+    tri = Counter()
+    for a, b, c in combinations(sorted(nodes), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    expected = {n: (len(adj[n]), tri.get(n, 0)) for n in nodes}
+    assert got == expected
+
+
+@_settings
+@given(edges=_edge_lists)
+def test_neighborhood_jaccard_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from aws_etl_spark.dedup.graph_metrics import neighborhood_jaccard
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.deg_a, r.deg_b)
+        for r in neighborhood_jaccard(df).collect()
+    }
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in es for n in e}
+    adj = {n: {m for e in es for m in e if n in e and m != n} for n in nodes}
+    expected = {}
+    for a, b in combinations(sorted(nodes), 2):
+        common = adj[a] & adj[b]
+        if common:
+            expected[(a, b)] = (len(common), len(adj[a]), len(adj[b]))
+    assert got == expected
+
+
+@_settings
+@given(edges=_edge_lists)
+def test_label_propagation_matches_python_model(spark, edges):
+    """4-round synchronous LPA == a straight-Python reimplementation
+    with the same vote/tiebreak — pins the round semantics the
+    unrolled-CTE oracle also encodes."""
+    from aws_etl_spark.dedup.graph_metrics import label_propagation
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.label
+        for r in label_propagation(df, n_rounds=4).collect()
+    }
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in es for n in e})
+    adj = {n: sorted({m for e in es for m in e if n in e and m != n}) for n in nodes}
+    labels = {n: n for n in nodes}
+    for _ in range(4):
+        nxt = {}
+        for n in nodes:
+            votes = Counter(labels[m] for m in adj[n])
+            best = min(votes, key=lambda l: (-votes[l], l))
+            nxt[n] = best
+        labels = nxt
+    assert got == labels
+
+
+_doc_lists = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]),
+        min_size=0,
+        max_size=9,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@_settings
+@given(docs=_doc_lists)
+def test_span_profile_matches_python_model(spark, docs):
+    """doc_span_profile == set-model: per-doc distinct k-grams and
+    how many occur in ≥1 other doc (short docs → zero spans)."""
+    from aws_etl_spark.dedup.spans import doc_span_profile
+
+    k = 3
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans)
+        for r in doc_span_profile(df, k=k).collect()
+    }
+    spans = {
+        i: {
+            " ".join(words[j : j + k])
+            for j in range(len(words) - k + 1)
+        }
+        for i, words in enumerate(docs)
+    }
+    expected = {}
+    for i, s in spans.items():
+        dup = {
+            sp for sp in s if any(sp in o for j, o in spans.items() if j != i)
+        }
+        expected[i] = (len(s), len(dup))
+    assert got == expected

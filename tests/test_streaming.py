@@ -441,3 +441,52 @@ def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == n_src, "replay duplicated rows"
     assert got.select("event_id").distinct().count() == n_src
+
+
+def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor): the
+    running-totals processor must fold state across micro-batches and
+    end at the same per-user totals as (a) the batch aggregate and
+    (b) its applyInPandasWithState twin's contract."""
+    from aws_etl_spark.streaming.tws import running_totals_tws, tws_available
+
+    if not tws_available():
+        import pytest
+
+        pytest.skip(
+            "transformWithState needs google.protobuf (absent in this "
+            "env; no installs) — operator gated behind tws_available()"
+        )
+    batch_events = _events_batch(spark, sf_dir).filter(F.col("user_id") < 50)
+    path = f"{tmp_path}/tws_src"
+    batch_events.repartition(4).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select("user_id", "value")
+    )
+    out = running_totals_tws(stream)
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    expected = {
+        r.user_id: (r.n, r.total)
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got.keys() == expected.keys()
+    for uid, (n, total) in expected.items():
+        assert got[uid][0] == n, uid
+        assert abs(got[uid][1] - total) < 1e-6 * max(1.0, abs(total)), uid
