@@ -561,3 +561,53 @@ sql_query(
     ),
     tables=("nation",),
 )
+
+
+sql_query(
+    "join_lateral_topn",
+    """
+    SELECT n.n_name, l.c_custkey, l.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 3
+    ) l
+    """,
+    category="relational",
+    doc=(
+        "LATERAL correlated subquery: top-3 customers per nation — "
+        "the SQL-standard form of grouped top-k. Catalyst decorrelates "
+        "the lateral into a ranked window join (same physical plan "
+        "family as window_ranking), so the correlated LIMIT never "
+        "executes per-row; unique (c_acctbal, c_custkey) ordering "
+        "keeps the result deterministic. Identical text runs on "
+        "DuckDB."
+    ),
+    tables=("nation", "customer"),
+)
+
+
+sql_query(
+    "sort_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    category="relational",
+    doc=(
+        "Keyset-free pagination: ORDER BY + LIMIT/OFFSET (page 3 of "
+        "20). Spark plans offset+limit as a single bounded "
+        "TakeOrdered-style collect of offset+limit rows — fine for "
+        "shallow pages; the doc-warning for 100 TB is that deep "
+        "OFFSET scans offset+limit rows per query, so deep pagination "
+        "belongs to keyset predicates (WHERE (price, key) < "
+        "last_seen) instead. Decimal sort key keeps cross-engine "
+        "order exact; unique tiebreak pins the page boundary."
+    ),
+    tables=("orders",),
+)

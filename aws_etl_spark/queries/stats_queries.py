@@ -687,3 +687,38 @@ sql_query(
     ),
     tables=("lineitem",),
 )
+
+
+@register(
+    "sketch_hll_mergeable",
+    oracle=None,  # Datasketches HLL binary sketches have no DuckDB
+    # twin; merge-invariance (sharded union == single pass, exactly)
+    # and the error bound vs exact COUNT(DISTINCT) are pinned in
+    # tests/test_advanced_rel.py::test_hll_mergeable_sketches
+    category="stats",
+    tables=("events",),
+)
+def q_sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Spark's Datasketches hll_sketch_agg):
+    per-(event_type, shard) partial sketches union-merged into the
+    per-type distinct-user estimate. approx_count_distinct answers
+    one query; MERGEABLE sketches are the warehouse primitive — build
+    per-partition/per-day sketches once, answer any rollup later by
+    union (the associative-partial-state pattern every 100 TB
+    distinct-count pipeline needs). Shard key = user hash, so the
+    shuffle is two map-side-combined aggs over 16-byte-ish sketch
+    state, never a distinct-shuffle of raw user ids."""
+    ev = load_table(spark, sf_dir, "events")
+    shards = ev.select(
+        "event_type",
+        F.pmod(F.xxhash64("user_id"), F.lit(16)).alias("shard"),
+        "user_id",
+    )
+    partials = shards.groupBy("event_type", "shard").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users"))
+        .select("event_type", F.col("est_users").cast("bigint").alias("est_users"))
+    )

@@ -52,3 +52,37 @@ def test_approx_percentiles_within_rank_error(spark, sf_dir):
             lo = vals[max(0, int((q - 0.01) * n) - 1)]
             hi = vals[min(n - 1, int((q + 0.01) * n))]
             assert lo <= est <= hi, (r.l_returnflag, q, est, lo, hi)
+
+
+def test_hll_mergeable_sketches(spark, sf_dir):
+    """The property that makes sketches the 100 TB distinct-count
+    path: per-shard partial sketches UNION-merged give EXACTLY the
+    same estimate as one single-pass sketch (merge invariance of the
+    Datasketches HLL), and the estimate sits within the HLL error
+    bound of the exact count."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded, load_table
+
+    _ensure_loaded()
+    merged = {
+        r.event_type: r.est_users
+        for r in REGISTRY["sketch_hll_mergeable"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    single = {
+        r.event_type: int(r.est)
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == single, "sharded union must equal single-pass sketch"
+    for et, n in exact.items():
+        # default lgK=12 → relative error ~1.6%; generous 5% gate
+        assert abs(merged[et] - n) <= max(2, 0.05 * n), (et, merged[et], n)
