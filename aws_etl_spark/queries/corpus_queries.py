@@ -355,3 +355,44 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 40)
         .drop("rn")
     )
+
+
+def _cluster_split_oracle() -> str:
+    from aws_etl_spark.queries.dedup_queries import _CLUSTER_ORACLE
+
+    return f"""
+WITH clusters AS ({_CLUSTER_ORACLE})
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster AS BIGINT) AS cluster,
+       {split_case_sql("CAST(cluster AS VARCHAR)", _SPLIT_FRACTIONS)} AS split
+FROM clusters
+"""
+
+
+@register(
+    "corpus_cluster_safe_split",
+    oracle=_cluster_split_oracle(),
+    category="corpus",
+    tables=("documents",),
+)
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE train/val/test split: near-duplicate clusters are
+    assigned to splits as a unit (bucket key = the cluster's canonical
+    id), so no near-dup of a test doc can leak into train — the
+    leakage mode a plain per-doc split cannot prevent and the reason
+    dedup must run BEFORE splitting in an LLM data pipeline.
+    Composition: LSH candidates → connected components → md5-bucket
+    split on the cluster id, each stage individually oracle-proven;
+    singleton docs are their own cluster, so coverage is total."""
+    from aws_etl_spark.dedup import dedup_clusters
+    from aws_etl_spark.dedup.minhash import minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
+    clustered = dedup_clusters(pairs, docs, "doc_id").select("doc_id", "cluster")
+    assigned = split_assign(clustered, "cluster", _SPLIT_FRACTIONS)
+    return assigned.select(
+        "doc_id", F.col("cluster").cast("bigint").alias("cluster"), "split"
+    )
