@@ -216,3 +216,59 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").cast("bigint").alias("label"))
+
+
+def k_core_membership(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    k: int = 2,
+    n_rounds: int = 5,
+) -> DataFrame:
+    """(node, degree, in_core) after ``n_rounds`` of k-core peeling:
+    each round drops every node whose CURRENT degree is < k (with its
+    edges), simultaneously. The k-core separates structurally-dense
+    dup families (every member ≥k links — true boilerplate) from
+    pendant/bridge nodes that near-dup chains attach spuriously.
+
+    Fixed-round contract (the LPA/pagerank_exact discipline): both
+    engines run exactly ``n_rounds`` synchronous peels, so the output
+    is hash-comparable whether or not peeling has converged; the dup
+    graph's cliquey structure peels to a fixed point in 1–2 rounds,
+    and deeper graphs just raise ``n_rounds`` (cost: one degree agg +
+    one semi-join per round, log-depth in practice — the same
+    iterative shape as star-contraction CC). ``degree`` is the
+    original degree; ``in_core`` marks round-``n_rounds`` survivors.
+    """
+    edges0 = _canonical(pairs, src, dst).localCheckpoint(eager=True)
+    sym0 = _symmetrized(edges0)
+    deg0 = sym0.groupBy("u").agg(F.count("*").alias("deg"))
+
+    edges = edges0
+    for _ in range(n_rounds):
+        sym = _symmetrized(edges)
+        deg = sym.groupBy("u").agg(F.count("*").alias("c"))
+        keep = deg.filter(F.col("c") >= k).select("u")
+        edges = (
+            edges.join(keep.withColumnRenamed("u", "__ka"), edges.u == F.col("__ka"))
+            .drop("__ka")
+            .join(keep.withColumnRenamed("u", "__kb"), edges.v == F.col("__kb"))
+            .drop("__kb")
+            .localCheckpoint(eager=True)
+        )
+    survivors = (
+        _symmetrized(edges)
+        .groupBy("u")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= k)
+        .select(F.col("u").alias("node"), F.lit(True).alias("in_core"))
+    )
+    return (
+        deg0.select(F.col("u").alias("node"), F.col("deg").cast("bigint").alias("degree"))
+        .join(survivors, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("in_core"), F.lit(False)).alias("in_core"),
+        )
+    )

@@ -150,3 +150,60 @@ def q_dedup_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled as 4 CTE stages with ROW_NUMBER argmax — identical
     integer semantics."""
     return label_propagation(_edge_pairs(spark, sf_dir), n_rounds=4)
+
+
+def _kcore_oracle(k: int, n_rounds: int) -> str:
+    parts = []
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+d{r} AS (
+  SELECT u, COUNT(*) AS c FROM (
+    SELECT u, v FROM e{r - 1} UNION SELECT v, u FROM e{r - 1}
+  ) GROUP BY u
+),
+k{r} AS (SELECT u FROM d{r} WHERE c >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN k{r} a ON e.u = a.u
+  JOIN k{r} b ON e.v = b.u
+)""")
+    # e{r} is referenced three times per round (two degree scans +
+    # the next filter); DuckDB inlines plain CTEs, which would
+    # re-evaluate the expensive shingle join 3^n_rounds times —
+    # MATERIALIZED pins each round's edge set (oracle-only keyword;
+    # Spark-side rounds are localCheckpoint'ed for the same reason)
+    return f"""
+WITH pairs AS MATERIALIZED ({_JACCARD_ORACLE}),
+e0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs),
+s0 AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+deg0 AS (SELECT u, COUNT(*) AS deg FROM s0 GROUP BY u),{",".join(parts)},
+fin AS (
+  SELECT u FROM (
+    SELECT u, COUNT(*) AS c FROM (
+      SELECT u, v FROM e{n_rounds} UNION SELECT v, u FROM e{n_rounds}
+    ) GROUP BY u
+  ) WHERE c >= {k}
+)
+SELECT CAST(d.u AS BIGINT) AS node,
+       CAST(d.deg AS BIGINT) AS degree,
+       (f.u IS NOT NULL) AS in_core
+FROM deg0 d LEFT JOIN fin f ON f.u = d.u
+"""
+
+
+@register(
+    "dedup_graph_kcore",
+    oracle=_kcore_oracle(2, 5),
+    category="graph",
+    tables=("documents",),
+)
+def q_dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core membership after 5 synchronous peel rounds — separates
+    structurally-dense dup families (every member ≥2 links) from
+    pendant/bridge nodes that near-dup chains attach spuriously.
+    Fixed-round contract makes the iterative peel hash-comparable
+    (oracle = 5 unrolled CTE rounds); per round one degree agg + two
+    semi-joins, lineage truncated per round."""
+    from aws_etl_spark.dedup.graph_metrics import k_core_membership
+
+    return k_core_membership(_edge_pairs(spark, sf_dir), k=2, n_rounds=5)

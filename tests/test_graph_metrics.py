@@ -109,3 +109,25 @@ def test_spans_census_and_profile(spark):
     assert prof[2] == (2, 1, pytest.approx(0.5))
     assert prof[3] == (2, 0, pytest.approx(0.0))
     assert prof[4] == (0, 0, pytest.approx(0.0))
+
+
+def test_k_core_peels_pendants_transitively(spark):
+    from aws_etl_spark.dedup.graph_metrics import k_core_membership
+
+    # triangle {1,2,3} + chain 3-4-5: 5 peels first, THEN 4 (its
+    # degree only drops below 2 after 5 leaves) — needs >1 round,
+    # which is exactly what the fixed-round synchronous peel covers
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    out = {
+        r["node"]: (r["degree"], r["in_core"])
+        for r in k_core_membership(
+            _pairs(spark, edges), k=2, n_rounds=5
+        ).collect()
+    }
+    assert out == {
+        1: (2, True),
+        2: (2, True),
+        3: (3, True),
+        4: (2, False),
+        5: (1, False),
+    }
