@@ -241,14 +241,27 @@ def k_core_membership(
     original degree; ``in_core`` marks round-``n_rounds`` survivors.
     """
     edges0 = _canonical(pairs, src, dst).localCheckpoint(eager=True)
-    sym0 = _symmetrized(edges0)
-    deg0 = sym0.groupBy("u").agg(F.count("*").alias("deg"))
+    # materialized once: round 1's peel filter AND the final output
+    # both read these original degrees (reuse-once hygiene)
+    deg0 = (
+        _symmetrized(edges0)
+        .groupBy("u")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
 
     edges = edges0
-    for _ in range(n_rounds):
-        sym = _symmetrized(edges)
-        deg = sym.groupBy("u").agg(F.count("*").alias("c"))
-        keep = deg.filter(F.col("c") >= k).select("u")
+    for i in range(n_rounds):
+        if i == 0:
+            deg = deg0.select("u", F.col("deg").alias("c"))
+        else:
+            deg = _symmetrized(edges).groupBy("u").agg(F.count("*").alias("c"))
+        # keep feeds TWO endpoint joins: materialize it (a tiny node
+        # list) so the degree-agg subtree runs once per round, not
+        # per join — same reason triangle_counts checkpoints directed
+        keep = (
+            deg.filter(F.col("c") >= k).select("u").localCheckpoint(eager=True)
+        )
         edges = (
             edges.join(keep.withColumnRenamed("u", "__ka"), edges.u == F.col("__ka"))
             .drop("__ka")

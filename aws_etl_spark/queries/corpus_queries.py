@@ -374,6 +374,9 @@ FROM clusters
     oracle=_cluster_split_oracle(),
     category="corpus",
     tables=("documents",),
+    bench=False,  # composition of dedup_minhash_lsh + dedup_clusters_cc
+    # (both timed standalone) + a narrow bucket map — same
+    # double-charging exclusion as dedup_survivors
 )
 def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-AWARE train/val/test split: near-duplicate clusters are
