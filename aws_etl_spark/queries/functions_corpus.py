@@ -381,3 +381,40 @@ sql_query(
     ),
     tables=("events",),
 )
+
+
+sql_query(
+    "func_calendar_spine",
+    """
+    SELECT DATE_FORMAT(d, 'yyyy-MM-dd') AS day,
+           CAST(EXTRACT(YEAR FROM d) AS BIGINT) AS year,
+           CAST(EXTRACT(QUARTER FROM d) AS BIGINT) AS quarter,
+           CAST(EXTRACT(MONTH FROM d) AS BIGINT) AS month,
+           DATEDIFF(d, DATE'2024-01-01') % 7 AS weekday,
+           DATEDIFF(d, DATE'2024-01-01') % 7 IN (5, 6) AS is_weekend
+    FROM (SELECT EXPLODE(SEQUENCE(DATE'2024-01-01', DATE'2024-06-30')) AS d)
+    """,
+    oracle="""
+    SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS day,
+           CAST(EXTRACT(YEAR FROM d) AS BIGINT) AS year,
+           CAST(EXTRACT(QUARTER FROM d) AS BIGINT) AS quarter,
+           CAST(EXTRACT(MONTH FROM d) AS BIGINT) AS month,
+           CAST(DATEDIFF('day', DATE '2024-01-01', CAST(d AS DATE)) % 7
+                AS INTEGER) AS weekday,
+           DATEDIFF('day', DATE '2024-01-01', CAST(d AS DATE)) % 7 IN (5, 6)
+             AS is_weekend
+    FROM generate_series(DATE '2024-01-01', DATE '2024-06-30',
+                         INTERVAL 1 DAY) AS t(d)
+    """,
+    category="function",
+    doc=(
+        "Calendar-spine generation: a date dimension materialized from "
+        "SEQUENCE + EXPLODE (the no-source-table generator every "
+        "gapfill/reporting join needs). Weekday is computed as "
+        "day-offset-from-a-known-Monday mod 7 (0=Mon) — engine-"
+        "portable integer arithmetic, sidestepping the engines' "
+        "conflicting DAYOFWEEK origins. At scale a spine is tiny and "
+        "broadcast; generate once, join everywhere."
+    ),
+    tables=(),
+)

@@ -611,3 +611,25 @@ sql_query(
     ),
     tables=("orders",),
 )
+
+
+sql_query(
+    "agg_grouping_flags",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    category="agg",
+    doc=(
+        "GROUPING() flags alongside grouping sets — the disambiguator "
+        "between 'NULL because aggregated away' and 'NULL in the "
+        "data', which every BI consumer of a rollup needs. Same "
+        "expand+aggregate plan as agg_grouping_sets; the flags are "
+        "computed from the grouping bit vector, no extra shuffle."
+    ),
+    tables=("orders",),
+)

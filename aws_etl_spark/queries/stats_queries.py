@@ -722,3 +722,75 @@ def q_sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users"))
         .select("event_type", F.col("est_users").cast("bigint").alias("est_users"))
     )
+
+
+_LINREG_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+           - CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) AS x,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS y_q
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS sx,
+         CAST(SUM(CAST(y_q AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(28,0)) * CAST(y_q AS DECIMAL(28,0)))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(28,0)) * CAST(x AS DECIMAL(28,0)))
+              AS DECIMAL(38,0)) AS sxx
+  FROM q GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_q6_per_sec,
+       (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         / n AS intercept_q6
+FROM m
+"""
+
+
+@register(
+    "stat_linear_regression",
+    oracle=_LINREG_ORACLE,
+    category="stats",
+    tables=("events",),
+)
+def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend line (value vs time) with EXACT integer
+    co-moments — the stat_correlation idiom applied to regression:
+    native regr_slope folds doubles in partition order and cannot
+    cross-engine hash, so x = integer epoch seconds from a fixed
+    origin, y = value quantized to 1e-6, all four moment sums exact
+    DECIMAL, and slope/intercept are IEEE double divisions at the
+    very end. One map-side-combined agg; the co-moment shuffle is one
+    row per group."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    origin = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    q = ev.select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.unix_timestamp(origin)).alias("x"),
+        F.floor(F.col("value").cast("double") * 1_000_000).cast("long").alias("y_q"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(28,0)")
+    m = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("x")).cast("decimal(28,0)").alias("sx"),
+        F.sum(dec("y_q")).cast("decimal(28,0)").alias("sy"),
+        F.sum(dec("x") * dec("y_q")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("x") * dec("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope_q6_per_sec"),
+        ((F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n")).alias(
+            "intercept_q6"
+        ),
+    )
