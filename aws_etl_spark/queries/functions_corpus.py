@@ -418,3 +418,46 @@ sql_query(
     ),
     tables=(),
 )
+
+
+sql_query(
+    "func_higher_order",
+    """
+    SELECT o_orderkey,
+           SIZE(arr) AS n,
+           EXISTS(arr, x -> x % 2 = 0) AS has_even,
+           FORALL(arr, x -> x > 0) AS all_positive,
+           SIZE(FILTER(arr, x -> x % 3 = 0)) AS n_div3,
+           AGGREGATE(arr, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS total
+    FROM (
+      SELECT o_orderkey,
+             SEQUENCE(1, 1 + CAST(o_orderkey % 7 AS INT)) AS arr
+      FROM orders WHERE o_orderkey < 2000
+    )
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(LEN(arr) AS INTEGER) AS n,
+           LEN(LIST_FILTER(arr, x -> x % 2 = 0)) > 0 AS has_even,
+           LEN(LIST_FILTER(arr, x -> x <= 0)) = 0 AS all_positive,
+           CAST(LEN(LIST_FILTER(arr, x -> x % 3 = 0)) AS INTEGER) AS n_div3,
+           CAST(LIST_SUM(arr) AS BIGINT) AS total
+    FROM (
+      SELECT o_orderkey,
+             RANGE(1, 2 + CAST(o_orderkey % 7 AS INT)) AS arr
+      FROM orders WHERE o_orderkey < 2000
+    )
+    """,
+    category="function",
+    doc=(
+        "Higher-order array lambdas: EXISTS / FORALL / FILTER / "
+        "AGGREGATE (left fold with typed init) over a per-row integer "
+        "array — completes the func_array family with the predicate/"
+        "fold forms. Integer-only outputs keep the fold exact. Note "
+        "from the shingle work: these lambdas are INTERPRETED "
+        "per-element, not codegen'd — fine for small per-row arrays, "
+        "but bulk text paths use the posexplode+window formulation "
+        "instead (jaccard.shingle_rows)."
+    ),
+    tables=("orders",),
+)
