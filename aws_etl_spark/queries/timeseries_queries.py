@@ -514,3 +514,66 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("held_seconds") > 0)
     )
+
+
+_SES_SPARK = """
+WITH h AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hr,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, DATE_TRUNC('hour', ts)
+),
+a AS (
+  SELECT event_type, COUNT(*) AS n_hours,
+         TRANSFORM(ARRAY_SORT(COLLECT_LIST(STRUCT(hr, total))),
+                   x -> x.total) AS vals
+  FROM h GROUP BY event_type
+)
+SELECT event_type, n_hours,
+       AGGREGATE(SLICE(vals, 2, CAST(SIZE(vals) - 1 AS INT)),
+                 ELEMENT_AT(vals, 1),
+                 (acc, x) -> 0.5D * x + 0.5D * acc) AS smoothed
+FROM a
+"""
+
+_SES_ORACLE = """
+WITH h AS (
+  SELECT event_type, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))
+)
+SELECT event_type, COUNT(*) AS n_hours,
+       LIST_REDUCE(LIST(total ORDER BY hr),
+                   (acc, x) -> 0.5 * x + 0.5 * acc) AS smoothed
+FROM h GROUP BY event_type
+"""
+
+
+def _register_ses() -> None:
+    from aws_etl_spark.queries.registry import sql_query
+
+    sql_query(
+        "events_exp_smoothing",
+        _SES_SPARK,
+        oracle=_SES_ORACLE,
+        category="timeseries",
+        doc=(
+            "Simple exponential smoothing (alpha=0.5) over each type's "
+            "hourly series — the inherently-SEQUENTIAL per-key "
+            "recursion s' = alpha*x + (1-alpha)*s expressed as a "
+            "left fold: hourly totals (exact decimal -> double) are "
+            "sorted into a per-key array and folded with AGGREGATE "
+            "(init = first element, matching DuckDB's LIST_REDUCE). "
+            "Both engines execute the identical IEEE op sequence -> "
+            "bit-equal. Scale: per-key state is the BOUNDED hourly "
+            "series (~10^4 doubles/year), keys fold in parallel; "
+            "unbounded-series smoothing belongs to the stateful "
+            "streaming path (applyInPandasWithState), not a batch "
+            "collect."
+        ),
+        tables=("events",),
+    )
+
+
+_register_ses()
