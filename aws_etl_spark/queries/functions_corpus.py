@@ -461,3 +461,45 @@ sql_query(
     ),
     tables=("orders",),
 )
+
+
+sql_query(
+    "func_map_type",
+    """
+    SELECT o_orderkey, k, v,
+           ELEMENT_AT(m, 'status') AS status_direct
+    FROM (
+      SELECT o_orderkey,
+             MAP_FROM_ARRAYS(
+               ARRAY('status', 'priority_len'),
+               ARRAY(o_orderstatus,
+                     CAST(LENGTH(o_orderpriority) AS STRING))) AS m
+      FROM orders WHERE o_orderkey < 1000
+    ) LATERAL VIEW EXPLODE(m) AS k, v
+    """,
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey,
+             MAP(['status', 'priority_len'],
+                 [o_orderstatus, CAST(LENGTH(o_orderpriority) AS VARCHAR)])
+               AS m
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT o_orderkey,
+           UNNEST(map_keys(m)) AS k,
+           UNNEST(map_values(m)) AS v,
+           (m['status'])[1] AS status_direct
+    FROM b
+    """,
+    category="function",
+    doc=(
+        "MapType surface: construct (MAP_FROM_ARRAYS), point access "
+        "(ELEMENT_AT), and EXPLODE to rows — rendered as exploded "
+        "(key, value) rows because map CELLS are not hashable by the "
+        "comparator (and at scale a map column consumed relationally "
+        "gets exploded anyway). DuckDB's bracket access returns a "
+        "LIST, hence the [1] in the oracle — a real dialect seam "
+        "worth pinning."
+    ),
+    tables=("orders",),
+)
