@@ -132,7 +132,10 @@ def triangle_counts(
 
 
 def neighborhood_jaccard(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_neighbors: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, n_common, deg_a, deg_b, nbr_jaccard) for every
     node pair sharing ≥1 neighbor (id_a < id_b).
@@ -140,15 +143,42 @@ def neighborhood_jaccard(
     ``nbr_jaccard`` = |N(a)∩N(b)| / |N(a)∪N(b)| — an int/int double
     division, bit-deterministic across engines. Candidate pairs come
     from a wedge join (pairs co-appearing in some neighbor list), so
-    cost tracks Σ deg² over the sparse dup graph, never all-pairs;
-    the hub-node defense at corpus scale is the same document-
-    frequency cap used by the LSH banding (cap neighbor lists before
-    the wedge join if a global-boilerplate hub appears).
+    cost tracks Σ deg² over the sparse dup graph, never all-pairs.
+
+    ``max_neighbors`` is the hub-node defense at corpus scale (the
+    same role the document-frequency cap plays in LSH banding):
+    mutual-top-k sparsification — an edge (u, v) survives only if v is
+    among u's ``max_neighbors`` LOWEST-id neighbors AND u is among
+    v's (deterministic, order-free). Capping only each node's own
+    out-list would NOT bound the wedge join (a star hub stays in every
+    leaf's list, so the hub's wedge group is still deg(hub) wide); the
+    mutual condition bounds BOTH sides, so every wedge-pivot group is
+    ≤ cap and total wedges ≤ N·cap², immune to a global-boilerplate
+    hub's deg² blowup. Degrees are computed from the same capped graph,
+    so the output is a well-defined approximation over it. With
+    ``cap ≥ max degree`` the mutual condition is vacuous and the
+    result is exactly the uncapped one (pinned in tests); ``None``
+    disables the cap.
     """
     # materialize once: the wedge self-join and two degree joins would
     # otherwise each re-derive the (expensive) pair source
     edges = _canonical(pairs, src, dst).localCheckpoint(eager=True)
     sym = _symmetrized(edges)
+    if max_neighbors is not None:
+        # per-node top-k by id: one hash-partitioned window (AQE
+        # skew-split handles a hub's sort partition), then a self
+        # semi-join keeps only mutually-kept edges — preserving the
+        # relation's symmetry, which the degree agg below relies on
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("u").orderBy("v")
+        kept = (
+            sym.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_neighbors)
+            .drop("__rk")
+        )
+        swapped = kept.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        sym = kept.join(swapped, ["u", "v"], "left_semi")
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
 
     l = sym.alias("l")

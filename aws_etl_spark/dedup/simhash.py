@@ -136,6 +136,17 @@ def hamming_near_dup_pairs(
     hash-partitioned shuffle, linear in corpus size — never all-pairs.
     ``max_bucket`` caps degenerate buckets (constant payloads at
     corpus scale) exactly like the minhash band cap.
+
+    RECALL CAVEAT: the pigeonhole guarantee ("every pair within
+    ``max_distance`` is found") holds only for pairs whose shared
+    chunk lands in a bucket UNDER ``max_bucket`` — a degenerate bucket
+    (e.g. many near-empty payloads hashing to the same chunk value) is
+    truncated to its ``max_bucket`` lowest ids, silently dropping
+    candidate pairs among the remainder, exactly as the minhash band
+    cap does. Exact-parity callers (the banded==brute pytest pins)
+    rely on test-scale buckets staying under the cap; at corpus scale
+    the truncation is the intended skew defense. Audit with
+    ``oversize_bucket_count`` before trusting an exactness claim.
     """
     if max_distance >= chunks:
         raise ValueError("pigeonhole requires max_distance < chunks")
@@ -180,6 +191,41 @@ def hamming_near_dup_pairs(
         pairs.withColumn("hamming", _hamming(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def oversize_bucket_count(
+    sigs: DataFrame,
+    id_col: str = "doc",
+    sig_col: str = "simhash",
+    chunks: int = 4,
+    max_bucket: int = 1000,
+) -> int:
+    """Number of (chunk, value) buckets whose membership exceeds
+    ``max_bucket`` — i.e. buckets :func:`hamming_near_dup_pairs` would
+    truncate. 0 ⇒ the banded join is EXACT (full pigeonhole recall);
+    >0 ⇒ candidates were dropped in that many degenerate buckets and
+    exactness claims must not be made. One scan + one agg; run it when
+    promoting a banded result to an exact-parity context."""
+    width = BITS // chunks
+    sigs = sigs.select(F.col(id_col).alias("doc"), F.col(sig_col).alias("simhash"))
+    chunk_keys = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    return (
+        sigs.withColumn("ck", F.explode(chunk_keys))
+        .groupBy("ck.chunk", "ck.val")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .count()
     )
 
 

@@ -100,12 +100,17 @@ def read_jdbc(
     num_partitions: int = 8,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
+    dialect=None,
     **options: str,
 ) -> DataFrame:
     """JDBC read (validation read-back in the reference,
     etl_aws_vini.py:364-377). Partitioned pull when bounds are given —
-    a single-connection JDBC read is a driver bottleneck at scale."""
+    a single-connection JDBC read is a driver bottleneck at scale.
+    ``dialect`` pins the driver class per warehouse (see
+    aws_etl_spark.io.dialects)."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if dialect is not None:
+        reader = reader.option("driver", dialect.driver)
     if partition_column is not None:
         reader = (
             reader.option("partitionColumn", partition_column)

@@ -86,13 +86,22 @@ def write_jdbc(
     table: str,
     mode: str = "overwrite",
     batch_size: int = 10_000,
+    dialect=None,
     **options: str,
 ) -> None:
     """Distributed JDBC load — replaces the reference's single-node
     pandas ``to_sql`` hop (etl_aws_vini.py:307-335), which also only
     loaded the *last* parquet part-file (`:328`, a silent
     correctness bug at >1 file). Every executor writes its partitions
-    over its own connection."""
+    over its own connection.
+
+    ``dialect`` (an :class:`aws_etl_spark.io.dialects.JdbcDialect`)
+    pins engine-specific behavior: overwrite becomes TRUNCATE-and-load
+    where supported (grants/sort keys survive; Postgres/Redshift) vs
+    drop-and-recreate (Derby), column DDL types come from the
+    dialect's mapping (``createTableColumnTypes``), and the JDBC
+    driver class is set explicitly. Explicit ``options`` win over
+    dialect-derived ones."""
     writer = (
         df.write.format("jdbc")
         .option("url", url)
@@ -100,6 +109,11 @@ def write_jdbc(
         .option("batchsize", batch_size)
         .mode(mode)
     )
+    if dialect is not None:
+        writer = writer.option("driver", dialect.driver)
+        if mode == "overwrite":
+            for k, v in dialect.overwrite_options(df.schema).items():
+                writer = writer.option(k, v)
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save()

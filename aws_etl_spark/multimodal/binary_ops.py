@@ -97,20 +97,35 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return np.asarray(im.convert("L"), dtype=np.uint8)
 
 
-def decode_image_auto(payload: bytes, width: int, height: int) -> "np.ndarray":
-    """Pluggable decoder for :func:`resize_images`: real Pillow decode
-    when the codec exists, deterministic fake otherwise — so the same
-    pipeline code runs in both codec-less CI and a real cluster."""
+def decode_image_status(
+    payload: bytes, width: int, height: int
+) -> tuple["np.ndarray", bool]:
+    """(pixels, decode_ok): real Pillow decode when the codec exists
+    (ok=True), deterministic fake otherwise (ok=False) — the fallback
+    is EXPLICIT so downstream dedup can tell real pixels from
+    synthesized ones instead of treating corrupt images as plausible
+    decodes."""
     if _pillow() is not None:
         try:
-            return decode_image(payload)
+            return decode_image(payload), True
         except NotImplementedError:  # pragma: no cover - race-safe
             pass
         except Exception:
             # corrupt payload under a real codec: fall through to the
-            # deterministic fake rather than failing the task
+            # deterministic fake rather than failing the task — but
+            # FLAGGED, never silently
             pass
-    return decode_image_fake(payload, width, height)
+    return decode_image_fake(payload, width, height), False
+
+
+def decode_image_auto(payload: bytes, width: int, height: int) -> "np.ndarray":
+    """Pluggable decoder for :func:`resize_images`: real Pillow decode
+    when the codec exists, deterministic fake otherwise — so the same
+    pipeline code runs in both codec-less CI and a real cluster.
+    Status-blind convenience wrapper; pipelines that must distinguish
+    real decodes from fallbacks read the ``decode_ok`` column
+    :func:`resize_images` emits (via :func:`decode_image_status`)."""
+    return decode_image_status(payload, width, height)[0]
 
 
 def byte_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -288,6 +303,10 @@ RESIZE_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), False),
         T.StructField("pixels", T.BinaryType(), True),
         T.StructField("mean_px", T.DoubleType(), True),
+        # True = the decoder produced real pixels; False = the
+        # deterministic fallback was substituted (corrupt payload or
+        # no codec library on the worker)
+        T.StructField("decode_ok", T.BooleanType(), True),
     ]
 )
 
@@ -310,13 +329,27 @@ def resize_images(
     size-aware partitioning upstream, batch iteration, binary output
     column) is the real production shape either way. Resize is
     index-sampling (nearest neighbor) in pure numpy, so it needs no
-    image library."""
+    image library.
+
+    ``decode_ok`` marks whether REAL pixels came back: with the
+    default auto decoder it is the :func:`decode_image_status` flag
+    (False ⇒ the deterministic fallback was substituted — corrupt
+    payload or codec-less worker); a custom decoder that returns is
+    trusted (True), and one that returns its own ``(array, ok)``
+    tuple passes its flag through."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
             for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                img = decoder(payload, 64, 64)  # decode at native-ish res
+                if decoder is decode_image_auto:
+                    img, ok = decode_image_status(payload, 64, 64)
+                else:
+                    img = decoder(payload, 64, 64)  # native-ish res
+                    if isinstance(img, tuple):
+                        img, ok = img
+                    else:
+                        ok = True
                 ys = (np.arange(height) * img.shape[0] // height)
                 xs = (np.arange(width) * img.shape[1] // width)
                 small = img[np.ix_(ys, xs)].astype(np.uint8)
@@ -327,11 +360,19 @@ def resize_images(
                         height,
                         small.tobytes(),
                         float(small.mean()),
+                        bool(ok),
                     )
                 )
             yield pd.DataFrame(
                 out_rows,
-                columns=["item_id", "width", "height", "pixels", "mean_px"],
+                columns=[
+                    "item_id",
+                    "width",
+                    "height",
+                    "pixels",
+                    "mean_px",
+                    "decode_ok",
+                ],
             )
 
     src = df.select(F.col(id_col), F.col(payload_col))

@@ -105,8 +105,14 @@ def q_dedup_graph_nbr_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-order (neighbor-set) Jaccard for co-neighbor pairs —
     the link-prediction signal that heals threshold-boundary splits
     in dup families. Wedge join over the symmetrized edge list +
-    degree join; int/int double division is bit-deterministic."""
-    return neighborhood_jaccard(_edge_pairs(spark, sf_dir))
+    degree join; int/int double division is bit-deterministic.
+
+    Runs THROUGH the mutual-top-k hub cap (the 100 TB skew defense)
+    with a cap far above any test-scale degree, so the capped code
+    path itself is what the oracle hash-verifies — the plain SQL is
+    the uncapped metric, and cap ≥ max degree makes them identical
+    (the cap-semantics unit tests pin the truncating case)."""
+    return neighborhood_jaccard(_edge_pairs(spark, sf_dir), max_neighbors=10_000)
 
 
 def _lpa_oracle(n_rounds: int) -> str:

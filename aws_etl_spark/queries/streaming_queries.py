@@ -332,10 +332,15 @@ WHERE rank <= 5
 )
 def q_stream_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters through the SAME applyInPandasWithState machinery
-    as ``events_stream_heavy_hitters``, run in the exact regime: with
-    ``capacity`` ≥ distinct users per (event_type, shard) — ≤188 at
-    sf0.1 vs capacity 256 — Misra-Gries never decrements, so every
-    counter equals the true count and the merged top-k is plain SQL.
+    as ``events_stream_heavy_hitters``, run in the exact regime:
+    ``capacity`` is DERIVED from the data — max distinct users over
+    any (event_type, shard) plus a margin, computed by a cheap batch
+    pre-pass using the same pmod shard key — so Misra-Gries never
+    decrements at ANY scale factor the sweep runs, every counter
+    equals the true count, and the merged top-k is plain SQL. (A fixed
+    capacity held only while per-shard distincts stayed under it —
+    188 < 256 at sf0.1 — and a bigger sweep scale would have broken
+    the gate even though the code was correct; advice item.)
 
     This is the pagerank_exact trick applied to streaming state: the
     approximation's error dial is parked at zero so a DuckDB oracle can
@@ -350,6 +355,19 @@ def q_stream_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_heavy_hitters,
     )
 
+    n_shards = 8
+    batch = load_table(spark, sf_dir, "events")
+    max_distinct = (
+        batch.groupBy(
+            "event_type", F.pmod(F.col("user_id"), F.lit(n_shards)).alias("shard")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+        or 0
+    )
+    capacity = int(max_distinct) + 32  # margin: exact regime guaranteed
+
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = normalize_timestamps(
         spark.readStream.schema(raw_schema)
@@ -357,7 +375,7 @@ def q_stream_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     summaries = streaming_heavy_hitters(
-        stream.select("event_type", "user_id"), n_shards=8, capacity=256
+        stream.select("event_type", "user_id"), n_shards=n_shards, capacity=capacity
     )
     name = f"hhx_{uuid.uuid4().hex[:8]}"
     q = (

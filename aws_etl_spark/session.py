@@ -66,11 +66,51 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+# Cloud object-store write path (SURVEY §1.2/§2.2): the reference
+# writes to S3 through EMRFS (variables.py:1-3 bucket URIs +
+# EMR-provided committer). Off-EMR, the public equivalent is the s3a
+# connector + the S3A "magic" committer — a task-commit protocol with
+# no rename (S3 has no atomic rename; the classic FileOutputCommitter
+# v1/v2 is both slow AND unsafe there). These keys are the complete,
+# documented conf surface; they are inert without a live object store
+# (hadoop-aws on the classpath + credentials), which this sandbox
+# doesn't have — tests assert the keys LAND in the session conf, the
+# rest is cluster-runtime behavior.
+OBJECT_STORE_CONF: dict[str, dict[str, str]] = {
+    "s3a": {
+        # committer: the magic committer writes task output to a
+        # __magic path and completes multipart uploads at job commit —
+        # no copy, no rename, safe under speculative execution
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+        "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a": (
+            "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory"
+        ),
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        # upload/IO tuning: multipart parallelism dominates large
+        # parquet write throughput; vectored/seekable read policy
+        # dominates scan throughput
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+        "spark.hadoop.fs.s3a.multipart.size": "128M",
+        "spark.hadoop.fs.s3a.connection.maximum": "96",
+        "spark.hadoop.fs.s3a.experimental.input.fadvise": "random",
+        # directory-marker retention avoids LIST-amplifying deletes
+        "spark.hadoop.fs.s3a.directory.marker.retention": "keep",
+    },
+}
+
+
 def get_session(
     app_name: str = "aws_etl_spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
     hive_metastore: bool = False,
+    object_store: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
@@ -89,6 +129,13 @@ def get_session(
     Glue catalog implementation on EMR). Off by default — the
     in-memory catalog has identical query semantics and no metastore
     lock-file lifecycle.
+
+    ``object_store="s3a"`` layers the cloud-committer conf
+    (OBJECT_STORE_CONF) under any ``extra_conf``: rename-free magic
+    committer + s3a upload/scan tuning. Pass ``fs.s3a.*`` credentials
+    or endpoint overrides through ``extra_conf`` (every
+    ``spark.hadoop.fs.s3a.*`` key passes straight through to the
+    Hadoop connector).
     """
     cores = default_parallelism()
     builder = SparkSession.builder.appName(app_name)
@@ -114,6 +161,14 @@ def get_session(
     conf.setdefault("spark.sql.shuffle.partitions", str(max(cores, 8)))
     if os.environ.get("SPARK_LOCAL_DIRS") is None:
         conf.setdefault("spark.local.dir", "/tmp/spark-local")
+    if object_store is not None:
+        try:
+            conf.update(OBJECT_STORE_CONF[object_store])
+        except KeyError:
+            raise ValueError(
+                f"unknown object_store {object_store!r}; "
+                f"known: {sorted(OBJECT_STORE_CONF)}"
+            ) from None
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -36,13 +36,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 Q_SCALE = 1_000_000
-OFFSET = 2_000_000  # assumes |component| < 1.9 (unit-ish embeddings)
+OFFSET = 2_000_000  # requires |component| < 2.0 (unit-ish embeddings)
 
 
 def _exploded(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    q = (
-        F.floor(F.col("val").cast("double") * F.lit(float(Q_SCALE))).cast("long")
-        + F.lit(OFFSET)
+    # CONTRACT (runtime-enforced): floor(v·1e6) + OFFSET must stay
+    # non-negative, i.e. every component > -2.0. The centroid update's
+    # integer mean only agrees across engines on non-negatives (Spark
+    # DIV truncates toward zero, DuckDB // floors); a component at or
+    # below -2.0 would silently break cross-engine hash parity, so it
+    # raises instead — ANSI-style guard via raise_error.
+    raw_q = F.floor(F.col("val").cast("double") * F.lit(float(Q_SCALE))).cast(
+        "long"
+    ) + F.lit(OFFSET)
+    q = F.when(raw_q >= 0, raw_q).otherwise(
+        F.raise_error(
+            F.format_string(
+                "kmeans_quantized: component %s out of quantization "
+                "range (must be > -2.0)",
+                F.col("val").cast("string"),
+            )
+        ).cast("long")
     )
     return emb.select(
         F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "val")

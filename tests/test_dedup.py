@@ -168,3 +168,31 @@ def test_quantized_pagerank_tracks_float(spark, sf_dir):
     assert set(fl) == set(qz)
     for n in fl:
         assert abs(fl[n] - qz[n]) < 1e-7, (n, fl[n], qz[n])
+
+
+def test_oversize_bucket_count_detects_truncation(spark):
+    """The banded Hamming join's max_bucket cap silently truncates
+    degenerate buckets; oversize_bucket_count is the audit that lets
+    exact-parity callers detect it (advice item). 0 oversize buckets
+    ⇒ banded result is exact; an oversize bucket ⇒ pairs were
+    dropped."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_spark.dedup.simhash import (
+        hamming_near_dup_pairs,
+        oversize_bucket_count,
+    )
+
+    # 12 identical signatures: every bucket holds 12 members
+    sigs = spark.range(12).select(
+        F.col("id").alias("doc"), F.lit(0).cast("long").alias("simhash")
+    )
+    assert oversize_bucket_count(sigs, max_bucket=1000) == 0
+    assert oversize_bucket_count(sigs, max_bucket=5) == 4  # all 4 chunks
+
+    # with the cap at 5, only the 5 lowest ids survive per bucket:
+    # C(5,2)=10 pairs instead of C(12,2)=66 — truncation is real, and
+    # the audit flagged it
+    n_capped = hamming_near_dup_pairs(sigs, max_bucket=5).count()
+    n_full = hamming_near_dup_pairs(sigs, max_bucket=1000).count()
+    assert (n_capped, n_full) == (10, 66)

@@ -66,6 +66,39 @@ def test_neighborhood_jaccard_counts_shared_only(spark):
     assert all(v == pytest.approx(1.0) for v in got.values())
 
 
+def test_neighborhood_jaccard_cap_at_max_degree_is_exact(spark):
+    # K4 + pendant (max degree 4): cap == max degree ⇒ identical output
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges.append((1, 5))
+    base = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["deg_a"], r["deg_b"])
+        for r in neighborhood_jaccard(_pairs(spark, edges)).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["deg_a"], r["deg_b"])
+        for r in neighborhood_jaccard(
+            _pairs(spark, edges), max_neighbors=4
+        ).collect()
+    }
+    assert base == capped and len(base) > 0
+
+
+def test_neighborhood_jaccard_hub_cap_bounds_wedges(spark):
+    # star: hub 0 — leaves 1..10. Uncapped, the hub's wedge group is
+    # all 10 leaves (C(10,2)=45 pairs). With mutual cap 3 the hub keeps
+    # leaves {1,2,3} and only they keep the hub back, so exactly
+    # C(3,2)=3 pairs survive — the cap provably bounds group width.
+    edges = [(0, i) for i in range(1, 11)]
+    uncapped = neighborhood_jaccard(_pairs(spark, edges)).collect()
+    assert len(uncapped) == 45
+    rows = neighborhood_jaccard(_pairs(spark, edges), max_neighbors=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    # degrees come from the capped graph: each surviving leaf has
+    # exactly one (mutual) neighbor, the hub
+    assert all(r["deg_a"] == 1 and r["deg_b"] == 1 and r["n_common"] == 1 for r in rows)
+
+
 def test_label_propagation_two_cliques(spark):
     # two triangles bridged by one edge: LPA keeps them as two
     # communities (CC would merge them) — labels = each clique's min id

@@ -121,6 +121,36 @@ def test_resize_images_decoder_pluggable(spark):
         df, "item_id", "content", width=4, height=4, decoder=all_sevens
     ).first()
     assert row.mean_px == 7.0 and set(row.pixels) == {7}
+    # a custom decoder that returns (without its own status tuple) is
+    # trusted as a real decode
+    assert row.decode_ok is True
+
+
+def test_resize_images_flags_fallback_decodes(spark):
+    """decode_ok surfaces the auto decoder's fake-substitution instead
+    of letting corrupt/undecodable payloads masquerade as real pixels
+    (advice item: silent fallback was invisible to downstream dedup)."""
+    from aws_etl_spark.multimodal.binary_ops import _pillow, resize_images
+
+    df = spark.createDataFrame(
+        [(1, b"definitely not an image")], ["item_id", "content"]
+    )
+    row = resize_images(df, "item_id", "content", width=4, height=4).first()
+    # this payload decodes under no codec: with or without Pillow the
+    # fallback fires and must be flagged
+    assert row.decode_ok is False
+    assert _pillow() is None or True  # env note: codec-less here
+
+    # a decoder returning its own (array, ok) tuple passes it through
+    import numpy as np
+
+    def flagged(payload, w, h):
+        return np.full((h, w), 3, dtype=np.uint8), False
+
+    row2 = resize_images(
+        df, "item_id", "content", width=4, height=4, decoder=flagged
+    ).first()
+    assert row2.decode_ok is False and set(row2.pixels) == {3}
 
 
 def test_extract_frames_plumbing(spark):

@@ -54,3 +54,25 @@ def test_exact_topk_deterministic(spark, sf_dir):
     a = sorted(map(tuple, cosine_topk(emb, q, k=3).collect()))
     b = sorted(map(tuple, cosine_topk(emb, q, k=3).collect()))
     assert a == b
+
+
+def test_kmeans_quantization_guard_raises_out_of_range(spark):
+    """The OFFSET shift only keeps cross-engine integer division exact
+    while floor(v*1e6)+OFFSET >= 0; components <= -2.0 must raise, not
+    silently diverge from the DuckDB oracle (advice item)."""
+    import pytest
+
+    from aws_etl_spark.similarity.kmeans import kmeans_quantized
+
+    ok = spark.createDataFrame(
+        [(1, [0.5, -1.9]), (2, [0.1, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    assert kmeans_quantized(ok, k=1, n_iter=1).count() == 2
+
+    bad = spark.createDataFrame(
+        [(1, [0.5, -2.5]), (2, [0.1, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="out of quantization range"):
+        kmeans_quantized(bad, k=1, n_iter=1).count()

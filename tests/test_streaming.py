@@ -476,9 +476,21 @@ def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
         .start()
     )
     q.awaitTermination()
+    # update-mode memory sinks append every micro-batch's snapshot and
+    # collect() order is NOT guaranteed — reduce to the final snapshot
+    # per key by max n_events (monotone per user across batches)
+    # instead of trusting the last-collected row
     got = {
         r.user_id: (r.n_events, r.total_value)
-        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "total_value"), F.col("n_events")
+            ).alias("final")
+        )
+        .select("user_id", "final.n_events", "final.total_value")
+        .collect()
     }
     expected = {
         r.user_id: (r.n, r.total)
