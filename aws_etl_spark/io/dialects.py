@@ -170,6 +170,15 @@ DERBY = JdbcDialect(
 )
 
 
+def quote_literal(val: str) -> str:
+    """SQL single-quoted string literal with embedded quotes doubled
+    (the standard escape) — the literal-side twin of
+    :meth:`JdbcDialect.quote_ident`. Every value interpolated into
+    generated COPY text goes through this so a path or role containing
+    ``'`` cannot produce a malformed (or injected) statement."""
+    return "'" + val.replace("'", "''") + "'"
+
+
 def redshift_copy_from_parquet(
     table: str,
     s3_path: str,
@@ -183,12 +192,12 @@ def redshift_copy_from_parquet(
     connection (`cursor.execute(copy_sql)` over the same JDBC url)."""
     stmt = (
         f"COPY {REDSHIFT.quote_table(table)}\n"
-        f"FROM '{s3_path}'\n"
-        f"IAM_ROLE '{iam_role}'\n"
+        f"FROM {quote_literal(s3_path)}\n"
+        f"IAM_ROLE {quote_literal(iam_role)}\n"
         f"FORMAT AS PARQUET"
     )
     if region:
-        stmt += f"\nREGION '{region}'"
+        stmt += f"\nREGION {quote_literal(region)}"
     return stmt
 
 

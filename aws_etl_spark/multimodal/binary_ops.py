@@ -119,12 +119,13 @@ def decode_image_status(
 
 
 def decode_image_auto(payload: bytes, width: int, height: int) -> "np.ndarray":
-    """Pluggable decoder for :func:`resize_images`: real Pillow decode
-    when the codec exists, deterministic fake otherwise — so the same
-    pipeline code runs in both codec-less CI and a real cluster.
-    Status-blind convenience wrapper; pipelines that must distinguish
-    real decodes from fallbacks read the ``decode_ok`` column
-    :func:`resize_images` emits (via :func:`decode_image_status`)."""
+    """Real Pillow decode when the codec exists, deterministic fake
+    otherwise — so the same pipeline code runs in both codec-less CI
+    and a real cluster. Status-BLIND convenience wrapper: the fallback
+    substitution is invisible to the caller, so :func:`resize_images`
+    defaults to :func:`decode_image_status` instead (whose ``(array,
+    ok)`` tuple survives any wrapping); use this one only where the
+    flag genuinely doesn't matter."""
     return decode_image_status(payload, width, height)[0]
 
 
@@ -317,39 +318,39 @@ def resize_images(
     payload_col: str,
     width: int = 32,
     height: int = 32,
-    decoder=decode_image_auto,
+    decoder=decode_image_status,
 ) -> DataFrame:
     """Decode + nearest-neighbor resize via Arrow-batched mapInPandas:
     (item_id, width, height, pixels, mean_px) with pixels a
     width×height uint8 buffer.
 
-    The decoder is pluggable (default: :func:`decode_image_auto` —
+    The decoder is pluggable (default: :func:`decode_image_status` —
     real Pillow decode when the codec library exists on the worker,
-    the deterministic fake otherwise); the Spark-side plumbing (schema,
-    size-aware partitioning upstream, batch iteration, binary output
-    column) is the real production shape either way. Resize is
-    index-sampling (nearest neighbor) in pure numpy, so it needs no
-    image library.
+    the deterministic fake otherwise, with the substitution FLAGGED);
+    the Spark-side plumbing (schema, size-aware partitioning upstream,
+    batch iteration, binary output column) is the real production
+    shape either way. Resize is index-sampling (nearest neighbor) in
+    pure numpy, so it needs no image library.
 
-    ``decode_ok`` marks whether REAL pixels came back: with the
-    default auto decoder it is the :func:`decode_image_status` flag
-    (False ⇒ the deterministic fallback was substituted — corrupt
-    payload or codec-less worker); a custom decoder that returns is
-    trusted (True), and one that returns its own ``(array, ok)``
-    tuple passes its flag through."""
+    ``decode_ok`` marks whether REAL pixels came back. The contract is
+    value-based, not identity-based (so it survives lambdas/partials
+    wrapping the decoder): a decoder that returns an ``(array, ok)``
+    tuple — as the default does — passes its own flag through; a
+    decoder that returns a bare array is trusted (True) by declaration.
+    :func:`decode_image_auto` is status-BLIND — wrapping or passing it
+    here reports decode_ok=True even on fallback; use
+    :func:`decode_image_status` (or any tuple-returning wrapper of it)
+    when the flag matters."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
             for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                if decoder is decode_image_auto:
-                    img, ok = decode_image_status(payload, 64, 64)
+                img = decoder(payload, 64, 64)  # native-ish res
+                if isinstance(img, tuple):
+                    img, ok = img
                 else:
-                    img = decoder(payload, 64, 64)  # native-ish res
-                    if isinstance(img, tuple):
-                        img, ok = img
-                    else:
-                        ok = True
+                    ok = True
                 ys = (np.arange(height) * img.shape[0] // height)
                 xs = (np.arange(width) * img.shape[1] // width)
                 small = img[np.ix_(ys, xs)].astype(np.uint8)

@@ -538,7 +538,7 @@ sql_query(
       UNION ALL
       SELECT e.dst, r.depth + 1
       FROM reach r JOIN edges e ON e.src = r.node
-      WHERE r.depth < 30
+      WHERE r.depth < 21
     )
     SELECT CAST(node AS BIGINT) AS node,
            CAST(MIN(depth) AS BIGINT) AS first_depth,
@@ -552,12 +552,18 @@ sql_query(
         "depth accounting over a functional graph derived from the "
         "nation table — the declarative form of the iterative "
         "frontier-expansion join that components.py/pagerank.py hand "
-        "roll. Spark executes each recursion step as a joined union "
-        "of the previous frontier (same physical shape as the manual "
-        "loop, minus the localCheckpoint control — which is why the "
-        "hand-rolled operators remain the 100 TB path for deep "
-        "recursions); the depth guard bounds the plan. Identical text "
-        "runs on DuckDB."
+        "roll. DECLARED-SURFACE DEMO, deliberately bounded: the walk "
+        "from node 0 closes its cycle at depth 20, so the guard stops "
+        "at 21 — the minimum that still proves revisit accounting "
+        "(n_visits=2 on the cycle entry nodes); every extra step is a "
+        "full sequential join stage bought for nothing. Spark "
+        "executes each recursion step as a joined union of the "
+        "previous frontier (same physical shape as the manual loop, "
+        "minus the localCheckpoint/frontier-cap control — which is "
+        "why the hand-rolled iterative operators in components.py/"
+        "pagerank.py remain the 100 TB path for deep or wide "
+        "recursions; see CAPABILITIES.md env/scale caveats). "
+        "Identical text runs on DuckDB."
     ),
     tables=("nation",),
 )

@@ -71,22 +71,19 @@ def default_parallelism() -> int:
 # EMR-provided committer). Off-EMR, the public equivalent is the s3a
 # connector + the S3A "magic" committer — a task-commit protocol with
 # no rename (S3 has no atomic rename; the classic FileOutputCommitter
-# v1/v2 is both slow AND unsafe there). These keys are the complete,
-# documented conf surface; they are inert without a live object store
-# (hadoop-aws on the classpath + credentials), which this sandbox
-# doesn't have — tests assert the keys LAND in the session conf, the
-# rest is cluster-runtime behavior.
+# v1/v2 is both slow AND unsafe there). The surface is split in two:
+# the spark.hadoop.* connector keys below (inert without hadoop-aws +
+# credentials, always safe to set) land at builder time; the two
+# spark.sql.* committer-protocol keys (CLOUD_COMMITTER_SQL_CONF) are
+# applied post-build ONLY when their classes resolve — see the
+# deadlock note there. tests/test_session_conf.py asserts the keys
+# LAND in a built session's conf (subprocess-isolated, since
+# spark.hadoop.* keys don't apply to an already-running session),
+# that the SQL keys are withheld on this cloud-module-less classpath,
+# and that unknown store names raise; the rest is cluster-runtime
+# behavior.
 OBJECT_STORE_CONF: dict[str, dict[str, str]] = {
     "s3a": {
-        # committer: the magic committer writes task output to a
-        # __magic path and completes multipart uploads at job commit —
-        # no copy, no rename, safe under speculative execution
-        "spark.sql.sources.commitProtocolClass": (
-            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
-        ),
-        "spark.sql.parquet.output.committer.class": (
-            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
-        ),
         "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a": (
             "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory"
         ),
@@ -103,6 +100,42 @@ OBJECT_STORE_CONF: dict[str, dict[str, str]] = {
         "spark.hadoop.fs.s3a.directory.marker.retention": "keep",
     },
 }
+
+# Spark-side half of the magic committer: route FileFormatWriter
+# through the cloud-safe PathOutputCommitProtocol (task output goes to
+# a __magic path; multipart uploads complete at job commit — no copy,
+# no rename, safe under speculative execution). These classes live in
+# the optional spark-hadoop-cloud module. CRITICAL: they must NOT be
+# set when that module is absent — on this stock PySpark build,
+# setting either key on a session whose classpath lacks the class
+# deadlocks the first SessionState/RuntimeConfig access (verified
+# empirically: spark.conf.get hangs forever; same family of set-time
+# hazard as the bloomFilter note in ENGINE_CONF). get_session therefore
+# applies them POST-build, gated on cloud_committer_available().
+CLOUD_COMMITTER_SQL_CONF: dict[str, str] = {
+    "spark.sql.sources.commitProtocolClass": (
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+    ),
+    "spark.sql.parquet.output.committer.class": (
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+    ),
+}
+
+
+def cloud_committer_available(spark: SparkSession) -> bool:
+    """True iff the spark-hadoop-cloud committer classes are loadable
+    in this session's JVM (they ship in the optional
+    ``spark-hadoop-cloud`` module, present on EMR/Dataproc images and
+    ``--packages org.apache.spark:spark-hadoop-cloud_2.13`` installs,
+    absent from stock pip PySpark). Same runtime-probe pattern as the
+    Pillow codec seam and ``tws_available()``."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            CLOUD_COMMITTER_SQL_CONF["spark.sql.sources.commitProtocolClass"]
+        )
+        return True
+    except Exception:
+        return False
 
 
 def get_session(
@@ -130,10 +163,14 @@ def get_session(
     in-memory catalog has identical query semantics and no metastore
     lock-file lifecycle.
 
-    ``object_store="s3a"`` layers the cloud-committer conf
-    (OBJECT_STORE_CONF) under any ``extra_conf``: rename-free magic
-    committer + s3a upload/scan tuning. Pass ``fs.s3a.*`` credentials
-    or endpoint overrides through ``extra_conf`` (every
+    ``object_store="s3a"`` layers the s3a connector conf
+    (OBJECT_STORE_CONF) under any ``extra_conf``: magic-committer
+    hadoop keys + upload/scan tuning at builder time, then the
+    rename-free Spark committer protocol (CLOUD_COMMITTER_SQL_CONF)
+    post-build IF the spark-hadoop-cloud classes are on the classpath
+    (``cloud_committer_available``; setting them without the module
+    hangs the session — see the note there). Pass ``fs.s3a.*``
+    credentials or endpoint overrides through ``extra_conf`` (every
     ``spark.hadoop.fs.s3a.*`` key passes straight through to the
     Hadoop connector).
     """
@@ -175,6 +212,12 @@ def get_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if object_store is not None and cloud_committer_available(spark):
+        # runtime SQL confs — safe to set post-build, and ONLY safe
+        # when the classes resolve (see CLOUD_COMMITTER_SQL_CONF note)
+        for k, v in CLOUD_COMMITTER_SQL_CONF.items():
+            if extra_conf is None or k not in extra_conf:
+                spark.conf.set(k, v)
     return spark
 
 

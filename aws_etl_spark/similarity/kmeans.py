@@ -36,12 +36,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 Q_SCALE = 1_000_000
-OFFSET = 2_000_000  # requires |component| < 2.0 (unit-ish embeddings)
+OFFSET = 2_000_000  # requires component >= -2.0 (unit-ish embeddings)
 
 
 def _exploded(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     # CONTRACT (runtime-enforced): floor(v·1e6) + OFFSET must stay
-    # non-negative, i.e. every component > -2.0. The centroid update's
+    # non-negative, i.e. every component >= -2.0 (exactly -2.0 yields
+    # raw_q = 0, which is in range). The centroid update's
     # integer mean only agrees across engines on non-negatives (Spark
     # DIV truncates toward zero, DuckDB // floors); a component at or
     # below -2.0 would silently break cross-engine hash parity, so it
@@ -53,7 +54,7 @@ def _exploded(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.raise_error(
             F.format_string(
                 "kmeans_quantized: component %s out of quantization "
-                "range (must be > -2.0)",
+                "range (must be >= -2.0)",
                 F.col("val").cast("string"),
             )
         ).cast("long")

@@ -196,3 +196,37 @@ def test_oversize_bucket_count_detects_truncation(spark):
     n_capped = hamming_near_dup_pairs(sigs, max_bucket=5).count()
     n_full = hamming_near_dup_pairs(sigs, max_bucket=1000).count()
     assert (n_capped, n_full) == (10, 66)
+
+
+def test_simhash_banded_equals_bruteforce(spark, sf_dir):
+    """SimHash text near-dup: the banded Hamming join over real
+    document signatures finds EXACTLY the pairs a brute-force
+    all-pairs scan finds — with the exactness precondition (zero
+    truncated buckets) ASSERTED via oversize_bucket_count rather than
+    assumed (advice item: the pin silently relied on test-scale
+    buckets staying under the cap)."""
+    from itertools import combinations
+
+    from aws_etl_spark.dedup.simhash import (
+        hamming_near_dup_pairs,
+        oversize_bucket_count,
+        simhash_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = simhash_signature(docs, "doc_id", "text").cache()
+    assert oversize_bucket_count(sigs) == 0, (
+        "banded==brute precondition violated: oversize bucket(s) truncated"
+    )
+    banded = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_near_dup_pairs(sigs, max_distance=3).collect()
+    }
+    local = {r.doc: r.simhash for r in sigs.collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    brute = {
+        (a, b): ham(local[a], local[b])
+        for a, b in combinations(sorted(local), 2)
+        if ham(local[a], local[b]) <= 3
+    }
+    assert banded == brute

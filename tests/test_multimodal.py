@@ -130,16 +130,16 @@ def test_resize_images_flags_fallback_decodes(spark):
     """decode_ok surfaces the auto decoder's fake-substitution instead
     of letting corrupt/undecodable payloads masquerade as real pixels
     (advice item: silent fallback was invisible to downstream dedup)."""
-    from aws_etl_spark.multimodal.binary_ops import _pillow, resize_images
+    from aws_etl_spark.multimodal.binary_ops import resize_images
 
     df = spark.createDataFrame(
         [(1, b"definitely not an image")], ["item_id", "content"]
     )
     row = resize_images(df, "item_id", "content", width=4, height=4).first()
     # this payload decodes under no codec: with or without Pillow the
-    # fallback fires and must be flagged
+    # fallback fires and must be flagged (environment here is
+    # codec-less, but the assertion holds either way)
     assert row.decode_ok is False
-    assert _pillow() is None or True  # env note: codec-less here
 
     # a decoder returning its own (array, ok) tuple passes it through
     import numpy as np
@@ -151,6 +151,32 @@ def test_resize_images_flags_fallback_decodes(spark):
         df, "item_id", "content", width=4, height=4, decoder=flagged
     ).first()
     assert row2.decode_ok is False and set(row2.pixels) == {3}
+
+
+def test_resize_images_status_survives_decoder_wrapping(spark):
+    """The decode_ok contract is value-based (tuple passthrough), not
+    object-identity-based: wrapping the status decoder in a partial or
+    lambda must still report the fallback (advice item: the identity
+    check `decoder is decode_image_auto` silently reported True for
+    any wrapper)."""
+    import functools
+
+    from aws_etl_spark.multimodal.binary_ops import (
+        decode_image_status,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"definitely not an image")], ["item_id", "content"]
+    )
+    for wrapped in (
+        functools.partial(decode_image_status),
+        lambda p, w, h: decode_image_status(p, w, h),
+    ):
+        row = resize_images(
+            df, "item_id", "content", width=4, height=4, decoder=wrapped
+        ).first()
+        assert row.decode_ok is False
 
 
 def test_extract_frames_plumbing(spark):
@@ -318,7 +344,10 @@ def test_phash_banded_equals_bruteforce(spark, sf_dir):
     from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded, load_table
     from pyspark.sql import functions as F
 
-    from aws_etl_spark.dedup.simhash import hamming_near_dup_pairs
+    from aws_etl_spark.dedup.simhash import (
+        hamming_near_dup_pairs,
+        oversize_bucket_count,
+    )
     from aws_etl_spark.multimodal.binary_ops import decode_render_fake, dhash64
 
     _ensure_loaded()
@@ -332,6 +361,14 @@ def test_phash_banded_equals_bruteforce(spark, sf_dir):
         docs, "doc_id", "payload", "width", "height",
         decoder=decode_render_fake,
     ).cache()
+    # exactness PRECONDITION, asserted not assumed: the pigeonhole
+    # guarantee only holds with zero truncated buckets — if this data
+    # ever grows a degenerate chunk bucket, fail here with the cause
+    # rather than in the set comparison below
+    assert (
+        oversize_bucket_count(sigs, id_col="item_id", sig_col="phash")
+        == 0
+    ), "banded==brute precondition violated: oversize bucket(s) truncated"
     banded = {
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in hamming_near_dup_pairs(

@@ -1,0 +1,96 @@
+"""Session-factory conf surface: the cloud object-store path
+(``get_session(object_store="s3a")``, SURVEY §2.2) must actually land
+its committer/tuning keys in a BUILT session's conf, and reject
+unknown stores.
+
+The landing test runs in a subprocess because the pytest suite shares
+one session-scoped SparkSession: ``getOrCreate`` against an existing
+session applies only runtime SQL confs (``spark.hadoop.*`` keys would
+be silently dropped), so an in-process assertion would prove nothing.
+The keys are inert without hadoop-aws on the classpath — landing in
+the conf is exactly the testable contract in this sandbox.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+_S3A_PROBE = """
+import sys
+sys.path.insert(0, {repo!r})
+from aws_etl_spark.session import (
+    CLOUD_COMMITTER_SQL_CONF,
+    OBJECT_STORE_CONF,
+    cloud_committer_available,
+    get_session,
+)
+
+spark = get_session(
+    "s3a-conf-probe",
+    master="local[2]",
+    object_store="s3a",
+    extra_conf={{
+        "spark.ui.enabled": "false",
+        # user-supplied extra_conf must layer OVER the object-store
+        # block (credentials/endpoint overrides ride this path)
+        "spark.hadoop.fs.s3a.connection.maximum": "7",
+    }},
+)
+try:
+    # every documented s3a key lands except the one extra_conf overrode
+    for key, want in OBJECT_STORE_CONF["s3a"].items():
+        if key == "spark.hadoop.fs.s3a.connection.maximum":
+            continue
+        got = spark.conf.get(key)
+        assert got == want, (key, got, want)
+    assert spark.conf.get("spark.hadoop.fs.s3a.committer.name") == "magic"
+    assert (
+        spark.conf.get("spark.hadoop.fs.s3a.connection.maximum") == "7"
+    ), "extra_conf must win over OBJECT_STORE_CONF"
+    # the SQL committer-protocol keys follow the classpath probe: set
+    # when spark-hadoop-cloud is present, WITHHELD when it isn't
+    # (setting them without the module deadlocks SessionState init —
+    # the bug this gate exists to prevent). Stock pip PySpark lacks
+    # the module, so this sandbox exercises the withheld branch.
+    avail = cloud_committer_available(spark)
+    for key, want in CLOUD_COMMITTER_SQL_CONF.items():
+        got = spark.conf.get(key, None)
+        if avail:
+            assert got == want, (key, got, want)
+        else:
+            assert got is None, (key, got, "must be withheld: class absent")
+    print("COMMITTER_AVAILABLE=%s" % avail)
+    print("S3A_CONF_OK")
+finally:
+    spark.stop()
+"""
+
+
+def test_object_store_s3a_conf_lands_in_built_session(tmp_path):
+    code = _S3A_PROBE.format(repo=str(REPO))
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "S3A_CONF_OK" in proc.stdout, proc.stdout
+
+
+def test_object_store_unknown_raises_before_session_build():
+    """An unknown store name fails fast with the known set in the
+    message — and raises BEFORE getOrCreate, so no session is built or
+    mutated (safe to assert in-process even with the shared fixture
+    session live)."""
+    from aws_etl_spark.session import get_session
+
+    with pytest.raises(ValueError, match="unknown object_store.*'s3a'"):
+        get_session("nope-probe", object_store="gcs-nope")

@@ -502,3 +502,42 @@ def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
     for uid, (n, total) in expected.items():
         assert got[uid][0] == n, uid
         assert abs(got[uid][1] - total) < 1e-6 * max(1.0, abs(total)), uid
+
+
+def test_tws_gate_probe_both_branches(monkeypatch):
+    """The transformWithState env-gate itself is tested, not just used
+    to skip: tws_available() must (a) report the real environment's
+    protobuf state, (b) return True when find_spec resolves the module,
+    and (c) return False both when find_spec returns None and when the
+    parent package is absent entirely (find_spec raising
+    ModuleNotFoundError — the actual behavior in a no-google env)."""
+    import importlib.util
+
+    from aws_etl_spark.streaming import tws
+
+    # (a) live probe agrees with an independent check of the env
+    try:
+        really_there = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        really_there = False
+    assert tws.tws_available() is really_there
+
+    # (b) present → True
+    class _Spec:
+        pass
+
+    monkeypatch.setattr(
+        importlib.util, "find_spec", lambda name: _Spec()
+    )
+    assert tws.tws_available() is True
+
+    # (c1) resolvable parent, missing module → False
+    monkeypatch.setattr(importlib.util, "find_spec", lambda name: None)
+    assert tws.tws_available() is False
+
+    # (c2) parent package absent → find_spec itself raises → False
+    def _boom(name):
+        raise ModuleNotFoundError("No module named 'google'")
+
+    monkeypatch.setattr(importlib.util, "find_spec", _boom)
+    assert tws.tws_available() is False
