@@ -74,16 +74,110 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_above(emb, threshold=0.3)
 
 
+# ann_cosine_topk_lsh is registered below, after _lsh_exact_oracle —
+# its production parameterization (32 bits × 8 bands) is oracled by
+# the same algorithm-mirroring construction as the 16-bit twin.
+
+
+def _lsh_exact_oracle(
+    bits: int = 16, bands: int = 8, dim: int = 64, seed: int = 42, k: int = 5
+) -> str:
+    """DuckDB oracle that mirrors the WHOLE sign-LSH pipeline, not a
+    brute-force stand-in: the seeded hyperplanes are inlined as double
+    literals (shortest-roundtrip repr — parses back to the identical
+    IEEE value), sign bits come from the same sequential-fold dot
+    product (list_dot_product ≡ pair_dot, the established bit-parity
+    seam), banding/candidate-join/re-rank replicate topk.py's shapes.
+    With both engines computing identical signatures, the approximate
+    algorithm itself becomes hash-provable — recall misses and all."""
+    from aws_etl_spark.similarity.topk import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+    r = bits // bands
+    bit_exprs = ",\n    ".join(
+        "CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(x) for x in p)
+        + "]::DOUBLE[]) >= 0 THEN 1 ELSE 0 END AS b" + str(i)
+        for i, p in enumerate(planes)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " || ',' || ".join(f"CAST(b{b * r + j} AS VARCHAR)" for j in range(r))
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id,
+    {bit_exprs}
+  FROM embeddings
+),
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+          SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= {k}
+"""
+
+
 @register(
     "ann_cosine_topk_lsh",
-    oracle=None,  # approximate; recall-gated in tests/test_similarity.py
+    oracle=_lsh_exact_oracle(bits=32, bands=8),
     category="similarity",
     tables=("embeddings",),
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH banded ANN top-5 (32 bits × 8 bands) + exact re-rank."""
+    """Sign-LSH banded ANN top-5 (32 bits × 8 bands, the production
+    parameterization) + exact re-rank. Upgraded from rows-only to
+    hash-oracled: the DuckDB oracle replicates the algorithm itself
+    (inlined seeded hyperplanes, identical sequential-fold dots,
+    same banding/candidate join/re-rank — see _lsh_exact_oracle), so
+    the approximate pipeline is provable bit-for-bit; the recall-vs-
+    exact gate stays in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(emb, emb.filter("vec_id < 20"), k=5)
+
+
+@register(
+    "ann_cosine_topk_lsh_exact",
+    oracle=_lsh_exact_oracle(),
+    category="similarity",
+    tables=("embeddings",),
+)
+def q_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN top-5, exact driver-provable twin of
+    ann_cosine_topk_lsh: same banded pipeline (16 bits × 8 bands —
+    bits ≥ log2(N) at every test scale — seed 42), but the DuckDB
+    oracle REPLICATES the algorithm (inlined hyperplane literals,
+    identical sequential-fold dots, same banding and re-rank) instead
+    of parking the result as rows-only. Hash parity holds whatever the
+    LSH recall is, because both engines make the same candidate
+    choices bit-for-bit; the rows-only ann_cosine_topk_lsh keeps the
+    production parameterization and its recall gate in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(
+        emb, emb.filter("vec_id < 20"), k=5, bits=16, bands=8, seed=42
+    )
 
 
 @register(

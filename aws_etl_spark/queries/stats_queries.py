@@ -285,6 +285,44 @@ sql_query(
 )
 
 
+def _stratified_exact_sql(bucket, vchar: str) -> str:
+    # per-stratum keep fractions as exact integer bucket thresholds
+    # over the 16-bit md5 bucket: 'O' → 10% (6553/65536), 'F' → 50%
+    # (32768/65536). The ':strat42' salt decorrelates this decision
+    # stream from sample_weighted's (same key, different coin).
+    key = f"CONCAT(CAST(o_orderkey AS {vchar}), ':strat42')"
+    return f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST({bucket(key)} AS BIGINT) AS bucket
+  FROM orders
+) t
+WHERE (o_orderstatus = 'O' AND bucket < 6553)
+   OR (o_orderstatus = 'F' AND bucket < 32768)
+"""
+
+
+sql_query(
+    "sample_stratified_exact",
+    _stratified_exact_sql(_spark_bucket, "STRING"),
+    oracle=_stratified_exact_sql(duckdb_bucket_sql, "VARCHAR"),
+    category="sampling",
+    doc=(
+        "Stratified sampling, exact driver-provable twin of the "
+        "RNG-based sample_stratified (sampleBy): per-stratum keep "
+        "fractions ('O' 10%, 'F' 50%) decided row-locally from the "
+        "salted md5 bucket of the key instead of an engine RNG — the "
+        "same hash-coin idiom as sample_weighted, so the identical "
+        "rows are kept on any engine, partitioning, or retry "
+        "(append-stable), and the whole query hash-matches the DuckDB "
+        "oracle. One scan, no shuffle; the thresholds are exact "
+        "integers over the 16-bit bucket (6553/65536, 32768/65536)."
+    ),
+    tables=("orders",),
+)
+
+
 # --------------------------------------------------------------------------
 # Pearson correlation from exact INTEGER co-moment sums over per-order
 # rollups (items per order vs total quantity vs distinct suppliers).
