@@ -616,3 +616,153 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("s_q").cast("double") / F.count("*")) / F.lit(1_000_000.0)
         ).alias("avg_surprisal"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer-vocabulary induction (text/bpe.py): fixed-round merge
+# training, hash-proven cross-engine via an unrolled-CTE oracle — the
+# kmeans/pagerank_exact idiom applied to tokenizer training. The
+# left-to-right greedy merge is pure windows (gaps-and-islands over
+# candidate positions, odd offsets are real merges), so both engines
+# make identical merge decisions including same-symbol runs.
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_ctes(r: int) -> str:
+    """One merge round as oracle CTEs: pair count → top-1 rule →
+    greedy merge (windows over the filtered sequence)."""
+    return f"""
+pairs{r} AS (
+  SELECT a.sym AS sym_a, b.sym AS sym_b,
+         CAST(SUM(a.freq) AS BIGINT) AS pair_count
+  FROM seq{r - 1} a JOIN seq{r - 1} b
+    ON b.word = a.word AND b.pos = a.pos + 1
+  GROUP BY a.sym, b.sym
+),
+best{r} AS (
+  SELECT sym_a, sym_b, pair_count FROM pairs{r}
+  ORDER BY pair_count DESC, sym_a, sym_b LIMIT 1
+),
+seq{r} AS (
+  SELECT word, freq,
+         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN mstart THEN sym || nxt ELSE sym END AS sym
+  FROM (
+    SELECT *,
+           COALESCE(LAG(mstart) OVER (PARTITION BY word ORDER BY pos),
+                    FALSE) AS consumed
+    FROM (
+      SELECT *,
+             mcand AND COALESCE(
+               (ROW_NUMBER() OVER (
+                  PARTITION BY word, mcand, blk ORDER BY pos)) % 2 = 1,
+               FALSE) AS mstart
+      FROM (
+        SELECT *,
+               CASE WHEN mcand THEN pos - ROW_NUMBER() OVER (
+                 PARTITION BY word, mcand ORDER BY pos) END AS blk
+        FROM (
+          SELECT s.word, s.freq, s.pos, s.sym,
+                 LEAD(s.sym) OVER (
+                   PARTITION BY s.word ORDER BY s.pos) AS nxt,
+                 COALESCE(
+                   s.sym = b.sym_a AND LEAD(s.sym) OVER (
+                     PARTITION BY s.word ORDER BY s.pos) = b.sym_b,
+                   FALSE) AS mcand
+          FROM seq{r - 1} s CROSS JOIN best{r} b
+        )
+      )
+    )
+  ) WHERE NOT consumed
+)"""
+
+
+def _bpe_base_ctes() -> str:
+    return """
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+    FROM documents
+  )
+  WHERE regexp_matches(word, '^[a-z]{1,20}$')
+  GROUP BY word
+),
+seq0 AS (
+  SELECT word, freq, generate_subscripts(syms, 1) AS pos, unnest(syms) AS sym
+  FROM (
+    SELECT word, freq,
+           list_append(
+             list_transform(generate_series(1, length(word)),
+                            i -> substring(word, i, 1)),
+             '</w>') AS syms
+    FROM words
+  )
+)"""
+
+
+def _bpe_merges_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
+    rounds = ",".join(_bpe_round_ctes(r) for r in range(1, n_rounds + 1))
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, sym_a, sym_b,"
+        f" sym_a || sym_b AS merged, pair_count FROM best{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return f"{_bpe_base_ctes()},{rounds}\n{selects}"
+
+
+def _bpe_vocab_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
+    rounds = ",".join(_bpe_round_ctes(r) for r in range(1, n_rounds + 1))
+    return (
+        f"{_bpe_base_ctes()},{rounds}\n"
+        f"SELECT sym, CAST(SUM(freq) AS BIGINT) AS n_occurrences\n"
+        f"FROM seq{n_rounds} GROUP BY sym"
+    )
+
+
+@register(
+    "text_bpe_merges",
+    oracle=_bpe_merges_oracle(),
+    category="text",
+    tables=("documents",),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the learned merge rules: 3 rounds of
+    (most-frequent adjacent symbol pair → corpus-wide left-to-right
+    greedy merge) over the frequency-weighted word inventory — how LLM
+    tokenizer vocabularies are induced (public BPE algorithm, Sennrich
+    et al. 2016). Hash-exact across engines: pair counts are integer,
+    the rule argmax has a total-order tiebreak, and the greedy merge
+    is the gaps-and-islands window formulation (odd offsets in each
+    candidate run are real merges — handles same-symbol runs
+    canonically). Scale: after the single corpus pass that builds the
+    word inventory, every round runs on the vocabulary-sized distinct
+    word table (pair count map-side combinable; rule = 1-row
+    TakeOrdered broadcast back; merge = per-word bounded windows) —
+    the reason BPE training is tractable at 100 TB."""
+    from aws_etl_spark.text.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, "text", n_rounds=_BPE_ROUNDS)
+    return merges
+
+
+@register(
+    "text_bpe_vocab",
+    oracle=_bpe_vocab_oracle(),
+    category="text",
+    tables=("documents",),
+)
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symbol inventory after 3 BPE merge rounds, weighted by word
+    frequency — the induced vocabulary seed (chars + earned merges).
+    Same unrolled-CTE oracle construction as text_bpe_merges; the
+    vocabulary hash proves every per-word merge decision, not just the
+    3 chosen rules."""
+    from aws_etl_spark.text.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = bpe_train(docs, "text", n_rounds=_BPE_ROUNDS)
+    return vocab

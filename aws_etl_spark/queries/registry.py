@@ -260,6 +260,8 @@ _DRIVER_ORDER = (
     # -- new / changed in round 5
     "sample_stratified_exact",
     "ann_cosine_topk_lsh_exact",
+    "text_bpe_merges",
+    "text_bpe_vocab",
     "graph_reachability_recursive",
     # -- re-confirmation: r1/r2-vintage hash evidence, oldest first
     "q1_pricing_summary",
@@ -293,9 +295,9 @@ _DRIVER_ORDER = (
     "dedup_ngram_jaccard",
     "dedup_clusters_cc",
     "text_tf_idf",
+    # ---- end of the 50-query round-5 window ----
     "text_lang_id",
     "text_quality_score",
-    # ---- end of the 50-query round-5 window ----
     "events_sessionization",
     "events_tumbling_hourly",
     "events_gapfill_locf",

@@ -1,0 +1,216 @@
+"""BPE tokenizer-vocabulary induction (byte-pair-encoding merge
+rounds) over a document corpus — the missing third leg of the text
+stack next to token counting (analysis.py) and packing: token COUNTS
+assume a vocabulary; this operator LEARNS one, the way LLM tokenizers
+(BPE, Sennrich et al. 2016 — public algorithm) are trained.
+
+Reference scope note: the reference pipeline has no text operators at
+all (its queries end at the curated SQL, k8s/codes/variables.py:18-89);
+this extends SURVEY.md §2.13's text-analysis north star.
+
+Canonical semantics, engine-exact:
+
+1. Word inventory: lowercase whitespace words restricted to
+   ``^[a-z]{1,20}$`` (clean symbol alphabet, bounded sequence length),
+   weighted by corpus frequency. THE KEY SCALE PROPERTY of BPE
+   training: every later stage runs on this distinct-word table
+   (vocabulary-sized, orders of magnitude smaller than the corpus),
+   never on the corpus again.
+2. Initial symbols: the word's characters plus a terminal ``</w>``
+   marker (so merges can't cross word boundaries and suffixes stay
+   distinguishable — the canonical construction).
+3. Per round: count adjacent symbol pairs weighted by word frequency
+   (every adjacent position counts, canonical), pick the single most
+   frequent pair (ties: smaller ``sym_a`` then ``sym_b`` — total
+   order, engine-portable on ASCII), and merge it LEFT-TO-RIGHT
+   GREEDILY in every word.
+
+The left-to-right greedy merge is the subtle part: for a chosen pair
+(A, B) with A ≠ B adjacent matches can never overlap, but A == B runs
+("aaaa") merge at odd offsets only. Both cases reduce to
+gaps-and-islands over match positions: within each maximal block of
+consecutive match starts, a match is REAL iff its offset in the block
+is odd (1-based). That formulation is pure windows/joins — identical
+in Spark and DuckDB — so fixed-round BPE training is hash-provable
+cross-engine (the unrolled-CTE oracle lives in queries/llm_text.py).
+
+Scale shape per round: one map-side-combinable pair count over the
+exploded word inventory, one global top-1 (TakeOrdered, 1 row,
+broadcast back), one per-word window pass (partitions bounded by the
+21-symbol max sequence). Rounds are Python-driven like every iterative
+operator here (kmeans/pagerank), with a localCheckpoint per round so
+the plan does not grow with the merge count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+WORD_RE = "^[a-z]{1,20}$"
+END_MARK = "</w>"
+
+
+def word_inventory(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq): lowercase whitespace words matching WORD_RE,
+    weighted by corpus occurrence count. The one corpus-sized pass."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .filter(F.col("word").rlike(WORD_RE))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def initial_symbols(words: DataFrame) -> DataFrame:
+    """(word, freq, pos, sym): characters + terminal END_MARK. The
+    char split is a SQL-text transform (substring(word, i, 1)) so the
+    oracle uses the identical expression shape."""
+    seq = words.select(
+        "word",
+        "freq",
+        F.concat(
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            ),
+            F.array(F.lit(END_MARK)),
+        ).alias("syms"),
+    )
+    return seq.select(
+        "word", "freq", F.posexplode("syms").alias("pos0", "sym")
+    ).select("word", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
+
+
+def pair_counts(seq: DataFrame) -> DataFrame:
+    """(sym_a, sym_b, pair_count): adjacent pairs weighted by word
+    freq — map-side combinable; every adjacent position counts."""
+    w = Window.partitionBy("word").orderBy("pos")
+    return (
+        seq.withColumn("nxt", F.lead("sym").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("sym_a"), F.col("nxt").alias("sym_b"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def best_pair(pairs: DataFrame) -> DataFrame:
+    """The round's merge rule: 1 row, (sym_a, sym_b, pair_count),
+    max count with (sym_a, sym_b) tiebreak — a TakeOrdered top-1."""
+    return pairs.orderBy(
+        F.col("pair_count").desc(), F.col("sym_a"), F.col("sym_b")
+    ).limit(1)
+
+
+def apply_merge(seq: DataFrame, best: DataFrame) -> DataFrame:
+    """Left-to-right greedy merge of the (broadcast, 1-row) best pair
+    in every word sequence; returns the renumbered (word, freq, pos,
+    sym) state for the next round.
+
+    Gaps-and-islands: ``mstart`` marks candidate match positions
+    (sym = A ∧ next = B); within each maximal run of consecutive
+    candidates, odd offsets are REAL merges (for A ≠ B runs have
+    length 1 and this is a no-op; for A == B it implements the
+    canonical odd-offset merge of "aaaa" → "aa","aa"); the position
+    after a real merge is consumed."""
+    w = Window.partitionBy("word").orderBy("pos")
+    b = F.broadcast(best.select("sym_a", "sym_b"))
+    marked = (
+        seq.crossJoin(b)
+        .withColumn("nxt", F.lead("sym").over(w))
+        .withColumn(
+            "mcand",
+            # coalesce: the last position's nxt is NULL → must be
+            # FALSE (not NULL) so the (word, mcand) window partitions
+            # agree across engines
+            F.coalesce(
+                (F.col("sym") == F.col("sym_a"))
+                & (F.col("nxt") == F.col("sym_b")),
+                F.lit(False),
+            ),
+        )
+        # islands of consecutive candidate positions: pos - rank among
+        # candidates is constant within a maximal run
+        .withColumn(
+            "blk",
+            F.when(
+                F.col("mcand"),
+                F.col("pos")
+                - F.row_number().over(
+                    Window.partitionBy("word", "mcand").orderBy("pos")
+                ),
+            ),
+        )
+        .withColumn(
+            "offset",
+            F.when(
+                F.col("mcand"),
+                F.row_number().over(
+                    Window.partitionBy("word", "mcand", "blk").orderBy("pos")
+                ),
+            ),
+        )
+        .withColumn(
+            "mstart",
+            F.col("mcand") & F.coalesce(F.col("offset") % 2 == 1, F.lit(False)),
+        )
+        .withColumn("consumed", F.coalesce(F.lag("mstart").over(w), F.lit(False)))
+    )
+    merged = (
+        marked.filter(~F.col("consumed"))
+        .select(
+            "word",
+            "freq",
+            "pos",
+            F.when(
+                F.col("mstart"), F.concat(F.col("sym"), F.col("nxt"))
+            )
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+    )
+    return merged
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_rounds: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``n_rounds`` of BPE training; returns (merges, vocab):
+
+    * merges — one row per round: (round, sym_a, sym_b, merged,
+      pair_count), the learned merge rules in order;
+    * vocab  — the final symbol inventory: (sym, n_occurrences)
+      weighted by word frequency — what the tokenizer's vocabulary
+      (beyond the byte alphabet) would be seeded with.
+    """
+    spark = docs.sparkSession
+    seq = initial_symbols(word_inventory(docs, text_col)).localCheckpoint(
+        eager=True
+    )
+    merge_rows = []
+    for r in range(1, n_rounds + 1):
+        best = best_pair(pair_counts(seq)).localCheckpoint(eager=True)
+        merge_rows.append(
+            best.select(
+                F.lit(r).cast("bigint").alias("round"),
+                "sym_a",
+                "sym_b",
+                F.concat("sym_a", "sym_b").alias("merged"),
+                F.col("pair_count").cast("bigint").alias("pair_count"),
+            )
+        )
+        seq = apply_merge(seq, best).localCheckpoint(eager=True)
+    merges = merge_rows[0]
+    for m in merge_rows[1:]:
+        merges = merges.unionByName(m)
+    vocab = seq.groupBy("sym").agg(
+        F.sum("freq").cast("bigint").alias("n_occurrences")
+    )
+    return merges, vocab
