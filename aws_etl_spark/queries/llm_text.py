@@ -766,3 +766,67 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     _, vocab = bpe_train(docs, "text", n_rounds=_BPE_ROUNDS)
     return vocab
+
+
+def _bpe_encode_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
+    rounds = ",".join(_bpe_round_ctes(r) for r in range(1, n_rounds + 1))
+    return f"""{_bpe_base_ctes()},{rounds},
+wordlen AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM seq{n_rounds} GROUP BY word
+),
+docwords AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z]{{1,20}}$')
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(w.n_toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(LENGTH(d.word) + 1) AS BIGINT) AS n_chars_marked
+FROM docwords d JOIN wordlen w USING (word)
+GROUP BY d.doc_id
+"""
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    category="text",
+    tables=("documents",),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the induced BPE vocabulary back to the corpus: per
+    document, words, BPE-token count under the 3-round merge table,
+    and the pre-merge symbol count (chars + end marker) — the
+    train→encode round trip every tokenizer pipeline runs, with the
+    compression the merges bought visible as n_chars_marked −
+    n_bpe_tokens. Scale shape: encoding is a JOIN of the corpus word
+    stream against the (vocabulary-sized) trained word→length table —
+    the corpus is never re-segmented per merge; a broadcast join when
+    the vocab fits, shuffle-hash otherwise."""
+    from aws_etl_spark.text.bpe import WORD_RE, bpe_final_state
+
+    docs = load_table(spark, sf_dir, "documents")
+    seq = bpe_final_state(docs, "text", n_rounds=_BPE_ROUNDS)
+    wordlen = seq.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("n_toks")
+    )
+    docwords = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word").rlike(WORD_RE))
+    )
+    return (
+        docwords.join(wordlen, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.length("word") + 1).cast("bigint").alias("n_chars_marked"),
+        )
+    )

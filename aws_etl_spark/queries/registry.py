@@ -262,6 +262,7 @@ _DRIVER_ORDER = (
     "ann_cosine_topk_lsh_exact",
     "text_bpe_merges",
     "text_bpe_vocab",
+    "text_bpe_encode",
     "graph_reachability_recursive",
     # -- re-confirmation: r1/r2-vintage hash evidence, oldest first
     "q1_pricing_summary",
@@ -294,8 +295,8 @@ _DRIVER_ORDER = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters_cc",
-    "text_tf_idf",
     # ---- end of the 50-query round-5 window ----
+    "text_tf_idf",
     "text_lang_id",
     "text_quality_score",
     "events_sessionization",

@@ -177,20 +177,10 @@ def apply_merge(seq: DataFrame, best: DataFrame) -> DataFrame:
     return merged
 
 
-def bpe_train(
-    docs: DataFrame,
-    text_col: str = "text",
-    n_rounds: int = 3,
-) -> tuple[DataFrame, DataFrame]:
-    """Run ``n_rounds`` of BPE training; returns (merges, vocab):
-
-    * merges — one row per round: (round, sym_a, sym_b, merged,
-      pair_count), the learned merge rules in order;
-    * vocab  — the final symbol inventory: (sym, n_occurrences)
-      weighted by word frequency — what the tokenizer's vocabulary
-      (beyond the byte alphabet) would be seeded with.
-    """
-    spark = docs.sparkSession
+def _train_rounds(
+    docs: DataFrame, text_col: str, n_rounds: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """(final seq state, per-round 1-row merge-rule DataFrames)."""
     seq = initial_symbols(word_inventory(docs, text_col)).localCheckpoint(
         eager=True
     )
@@ -207,6 +197,35 @@ def bpe_train(
             )
         )
         seq = apply_merge(seq, best).localCheckpoint(eager=True)
+    return seq, merge_rows
+
+
+def bpe_final_state(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """The trained (word, freq, pos, sym) segmentation after
+    ``n_rounds`` merges — what encoding joins against (the per-word
+    token table); the corpus itself is never re-segmented per merge."""
+    seq, _ = _train_rounds(docs, text_col, n_rounds)
+    return seq
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_rounds: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``n_rounds`` of BPE training; returns (merges, vocab):
+
+    * merges — one row per round: (round, sym_a, sym_b, merged,
+      pair_count), the learned merge rules in order;
+    * vocab  — the final symbol inventory: (sym, n_occurrences)
+      weighted by word frequency — what the tokenizer's vocabulary
+      (beyond the byte alphabet) would be seeded with.
+    """
+    seq, merge_rows = _train_rounds(docs, text_col, n_rounds)
     merges = merge_rows[0]
     for m in merge_rows[1:]:
         merges = merges.unionByName(m)
