@@ -830,3 +830,56 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("word") + 1).cast("bigint").alias("n_chars_marked"),
         )
     )
+
+
+_PHRASE_SPARK = r"""
+WITH toks AS (
+  SELECT doc_id, pos, word FROM (
+    SELECT doc_id, posexplode(split(lower(text), '\\s+')) AS (pos, word)
+    FROM documents
+  )
+),
+a AS (SELECT doc_id, pos FROM toks WHERE word = 'table'),
+b AS (SELECT doc_id, pos FROM toks WHERE word = 'scan')
+SELECT a.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(a.pos) AS BIGINT) AS first_pos
+FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+GROUP BY a.doc_id
+"""
+
+_PHRASE_DUCK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(ws, 1) - 1 AS pos,
+         unnest(ws) AS word
+  FROM (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+    FROM documents
+  )
+),
+a AS (SELECT doc_id, pos FROM toks WHERE word = 'table'),
+b AS (SELECT doc_id, pos FROM toks WHERE word = 'scan')
+SELECT a.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(a.pos) AS BIGINT) AS first_pos
+FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+GROUP BY a.doc_id
+"""
+
+sql_query(
+    "text_phrase_search",
+    _PHRASE_SPARK,
+    oracle=_PHRASE_DUCK,
+    category="text",
+    doc=(
+        "Positional phrase search ('table scan') over word-position "
+        "postings: both term posting lists are filtered BEFORE the "
+        "adjacency self-join (b.pos = a.pos + 1), so the join touches "
+        "only the two terms' postings — the inverted-index query "
+        "shape; per-doc match count + first hit position. Spark pos "
+        "is posexplode's 0-based index; the oracle subtracts 1 from "
+        "generate_subscripts to match."
+    ),
+    tables=("documents",),
+)

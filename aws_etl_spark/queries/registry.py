@@ -263,6 +263,8 @@ _DRIVER_ORDER = (
     "text_bpe_merges",
     "text_bpe_vocab",
     "text_bpe_encode",
+    "corpus_shuffle_deterministic",
+    "text_phrase_search",
     "graph_reachability_recursive",
     # -- re-confirmation: r1/r2-vintage hash evidence, oldest first
     "q1_pricing_summary",
@@ -293,9 +295,9 @@ _DRIVER_ORDER = (
     "sample_weighted",
     "sample_reservoir_deterministic",
     "dedup_exact",
+    # ---- end of the 50-query round-5 window ----
     "dedup_ngram_jaccard",
     "dedup_clusters_cc",
-    # ---- end of the 50-query round-5 window ----
     "text_tf_idf",
     "text_lang_id",
     "text_quality_score",

@@ -832,3 +832,41 @@ def q_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept_q6"
         ),
     )
+
+
+def _shuffle_sql(bucket, vchar: str) -> str:
+    # full md5 hex as the within-shard sort key (not just the 16-bit
+    # bucket): lowercase-hex string compare is codepoint-identical on
+    # both engines, and 128 bits leaves no practical tie mass (doc_id
+    # tiebreak makes it total regardless)
+    key = f"CONCAT(CAST(doc_id AS {vchar}), ':shuf42')"
+    return f"""
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos_in_shard
+FROM (
+  SELECT doc_id,
+         CAST({bucket(key)} % 8 AS BIGINT) AS shard,
+         MD5({key}) AS h
+  FROM documents
+) t
+"""
+
+
+sql_query(
+    "corpus_shuffle_deterministic",
+    _shuffle_sql(_spark_bucket, "STRING"),
+    oracle=_shuffle_sql(duckdb_bucket_sql, "VARCHAR"),
+    category="sampling",
+    doc=(
+        "Deterministic training-data shuffle: each document gets a "
+        "shard (salted md5 bucket % 8) and a position within its "
+        "shard (ordered by the full md5 hex + id tiebreak) — the "
+        "epoch-shuffle a training pipeline needs, reproducible on any "
+        "engine/partitioning/retry, unlike ORDER BY rand(). One scan "
+        "+ one hash-partitioned window per shard; at 100 TB the shard "
+        "count is the write-parallelism dial and each shard's window "
+        "is an independent partition (no global sort)."
+    ),
+    tables=("documents",),
+)
