@@ -454,3 +454,55 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
 
     plan = formatted_plan(joined).lower()
     assert "dynamicpruning" in plan or "partitionfilters: [isnotnull(event_type" in plan, plan[:2000]
+
+
+def test_bpe_training_stays_jvm_side(spark, sf_dir):
+    """BPE training must be pure builtins: no Python/Arrow UDF eval in
+    any stage plan (pair counting, rule top-1), and the pair count is
+    a partial+final hash aggregate (map-side combinable)."""
+    from aws_etl_spark.text.bpe import (
+        best_pair,
+        initial_symbols,
+        pair_counts,
+        word_inventory,
+    )
+    from aws_etl_spark.plans import formatted_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    seq = initial_symbols(word_inventory(docs, "text"))
+    pairs = pair_counts(seq)
+    plan = formatted_plan(pairs)
+    assert "EvalPython" not in plan, "Python UDF leaked into BPE pair count"
+    assert plan.count("HashAggregate") >= 2, "pair count lost partial agg"
+    best_plan = formatted_plan(best_pair(pairs))
+    assert "TakeOrderedAndProject" in best_plan, (
+        "merge-rule top-1 must plan as TakeOrdered, not global sort"
+    )
+    assert "EvalPython" not in best_plan
+
+
+def test_phrase_search_filters_before_join(spark, sf_dir):
+    """Positional phrase search: both posting sides are term-filtered
+    BEFORE the adjacency join (the inverted-index shape) and the join
+    is an equi-join, never cartesian."""
+    from aws_etl_spark.plans import formatted_plan
+
+    fn = REGISTRY["text_phrase_search"].fn
+    df = fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # an equi hash join over the two filtered posting pipelines
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    # term-equality filters on BOTH sides between scan and join: the
+    # plan shows >= 2 Filter operators (beyond scan-level pushdown)
+    assert plan.count("Filter") >= 2
+    # and the term literals survive into the plan as filter values
+    assert "table" in plan and "scan" in plan
+
+
+def test_shuffle_deterministic_single_window_shuffle(spark, sf_dir):
+    """corpus_shuffle_deterministic: one hash-partitioned shuffle for
+    the per-shard window — no global sort, no extra exchanges."""
+    fn = REGISTRY["corpus_shuffle_deterministic"].fn
+    df = fn(spark, sf_dir)
+    assert_max_shuffles(df, 1)
