@@ -883,3 +883,60 @@ sql_query(
     ),
     tables=("documents",),
 )
+
+
+_SKIPGRAM_SPARK = r"""
+WITH toks AS (
+  SELECT doc_id, pos, word FROM (
+    SELECT doc_id, posexplode(split(lower(text), '\\s+')) AS (pos, word)
+    FROM documents
+  ) WHERE word <> ''
+)
+SELECT a.word AS center, b.word AS context,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM toks a JOIN toks b
+  ON b.doc_id = a.doc_id
+ AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+ AND b.pos <> a.pos
+GROUP BY a.word, b.word
+HAVING COUNT(*) >= 5
+"""
+
+_SKIPGRAM_DUCK = r"""
+WITH toks AS (
+  SELECT doc_id, pos, word FROM (
+    SELECT doc_id,
+           generate_subscripts(ws, 1) - 1 AS pos,
+           unnest(ws) AS word
+    FROM (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+      FROM documents
+    )
+  ) WHERE word <> ''
+)
+SELECT a.word AS center, b.word AS context,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM toks a JOIN toks b
+  ON b.doc_id = a.doc_id
+ AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+ AND b.pos <> a.pos
+GROUP BY a.word, b.word
+HAVING COUNT(*) >= 5
+"""
+
+sql_query(
+    "text_skipgram_pairs",
+    _SKIPGRAM_SPARK,
+    oracle=_SKIPGRAM_DUCK,
+    category="text",
+    doc=(
+        "Skip-gram (center, context) pair counts, window ±2 — the "
+        "training-pair generator for word2vec-style embedding "
+        "pretraining. The self-join key is doc_id (ONE co-partitioned "
+        "shuffle) and the position band bounds fan-out to 4 contexts "
+        "per token, so cost is linear in corpus size × window; the "
+        "min-count HAVING (≥5) is the standard vocabulary floor and "
+        "bounds output to frequent-pair mass."
+    ),
+    tables=("documents",),
+)

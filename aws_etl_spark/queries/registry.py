@@ -265,6 +265,7 @@ _DRIVER_ORDER = (
     "text_bpe_encode",
     "corpus_shuffle_deterministic",
     "text_phrase_search",
+    "text_skipgram_pairs",
     "graph_reachability_recursive",
     # -- re-confirmation: r1/r2-vintage hash evidence, oldest first
     "q1_pricing_summary",
@@ -294,8 +295,8 @@ _DRIVER_ORDER = (
     "agg_percentiles",
     "sample_weighted",
     "sample_reservoir_deterministic",
-    "dedup_exact",
     # ---- end of the 50-query round-5 window ----
+    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters_cc",
     "text_tf_idf",
