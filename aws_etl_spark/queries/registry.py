@@ -266,6 +266,7 @@ _DRIVER_ORDER = (
     "corpus_shuffle_deterministic",
     "text_phrase_search",
     "text_skipgram_pairs",
+    "gdpr_delete_cascade",
     "graph_reachability_recursive",
     # -- re-confirmation: r1/r2-vintage hash evidence, oldest first
     "q1_pricing_summary",
@@ -294,8 +295,8 @@ _DRIVER_ORDER = (
     "unpivot_part_metrics",
     "agg_percentiles",
     "sample_weighted",
-    "sample_reservoir_deterministic",
     # ---- end of the 50-query round-5 window ----
+    "sample_reservoir_deterministic",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_clusters_cc",

@@ -870,3 +870,55 @@ sql_query(
     ),
     tables=("documents",),
 )
+
+
+def _gdpr_sql(bucket, vchar: str) -> str:
+    # the deletion request set is a salted md5 bucket (~5% of
+    # customers) standing in for an uploaded id list; the cascade is
+    # pure semi-join closure over the FK chain
+    key = f"CONCAT(CAST(c_custkey AS {vchar}), ':gdpr42')"
+    return f"""
+WITH del_cust AS (
+  SELECT c_custkey FROM customer WHERE {bucket(key)} < 3277
+),
+del_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+),
+del_items AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+)
+SELECT 'customer' AS table_name,
+       (SELECT COUNT(*) FROM del_cust) AS n_delete,
+       (SELECT COUNT(*) FROM customer)
+         - (SELECT COUNT(*) FROM del_cust) AS n_survive
+UNION ALL
+SELECT 'orders',
+       (SELECT COUNT(*) FROM del_orders),
+       (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM del_orders)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT COUNT(*) FROM del_items),
+       (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM del_items)
+"""
+
+
+sql_query(
+    "gdpr_delete_cascade",
+    _gdpr_sql(_spark_bucket, "STRING"),
+    oracle=_gdpr_sql(duckdb_bucket_sql, "VARCHAR"),
+    category="governance",
+    doc=(
+        "Right-to-be-forgotten impact analysis: a deletion request "
+        "set (salted md5 bucket ≈5% of customers, standing in for an "
+        "uploaded id list) cascaded through the FK chain "
+        "customer→orders→lineitem as semi-join closure; per-table "
+        "delete/survive counts — the dry-run every governed deletion "
+        "pipeline executes before the actual anti-join rewrite. Each "
+        "IN plans as a semi join (build side = the shrinking request "
+        "set, broadcast at real scale); counts are scalar aggregates, "
+        "no full-table windows."
+    ),
+    tables=("customer", "orders", "lineitem"),
+)

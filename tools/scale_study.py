@@ -61,6 +61,7 @@ def build_scratch() -> None:
             "ELSE text || ' copytag{c}' END AS text",
         ),
         "events": (["event_id", "user_id"], None),
+        "orders": (["o_orderkey", "o_custkey"], None),
         "lineitem": (["l_orderkey", "l_partkey"], None),
         "customer": (["c_custkey"], None),
         "supplier": ([], None),  # dim kept fixed: fact fan-in grows ×N
