@@ -503,3 +503,97 @@ sql_query(
     ),
     tables=("orders",),
 )
+
+
+sql_query(
+    "agg_filter_clause",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE CAST(l_quantity AS DECIMAL(18,2)) > 25)
+             AS n_bulk,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE CAST(l_discount AS DECIMAL(6,4)) > 0.05)
+                AS DOUBLE) AS disc_rev
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="agg",
+    doc=(
+        "SQL-standard FILTER clause on aggregates — per-group "
+        "conditional counting/summing without CASE scaffolding; plans "
+        "as the same partial+final hash aggregate (the filter folds "
+        "into the aggregate's update). Identical text runs on DuckDB; "
+        "decimal-exact sum, double cast at the output boundary only."
+    ),
+    tables=("lineitem",),
+)
+
+
+sql_query(
+    "func_try_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(ROUND(TRY_DIVIDE(CAST(o_totalprice AS DECIMAL(12,2)),
+                                 o_orderkey % 3), 3) AS DOUBLE) AS safe_ratio,
+           TRY_CAST(o_orderstatus AS INT) AS status_as_int
+    FROM orders
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(CASE WHEN (o_orderkey % 3) = 0 THEN NULL
+                           ELSE CAST(o_totalprice AS DECIMAL(12,2))
+                                / (o_orderkey % 3) END, 3)
+                AS DOUBLE) AS safe_ratio,
+           TRY_CAST(o_orderstatus AS INT) AS status_as_int
+    FROM orders
+    """,
+    category="function",
+    doc=(
+        "ANSI-off error-safe arithmetic (Spark's reference-parity "
+        "lenient mode made explicit): TRY_DIVIDE null-safes the "
+        "divide-by-zero rows, TRY_CAST yields NULL instead of raising "
+        "on a non-numeric status. Oracle mirrors TRY_DIVIDE with a "
+        "guarded CASE (DuckDB has TRY_CAST but no try_divide); the "
+        "quotient is ROUND(...,3)'d before the double cast so both "
+        "engines convert an identical small-scaled integer (the "
+        "decimal→double double-rounding guard from q1)."
+    ),
+    tables=("orders",),
+)
+
+
+sql_query(
+    "set_except_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 200000
+    """,
+    category="setop",
+    doc=(
+        "EXCEPT ALL (multiset difference): duplicates survive by "
+        "multiplicity arithmetic, unlike the distinct EXCEPT — the "
+        "semantics Spark plans as a left anti-ish aggregate on counts. "
+        "Identical text runs on DuckDB."
+    ),
+    tables=("orders",),
+)
+
+
+sql_query(
+    "set_intersect_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 100000
+    """,
+    category="setop",
+    doc=(
+        "INTERSECT ALL (multiset intersection, min-multiplicity "
+        "semantics). Identical text runs on DuckDB."
+    ),
+    tables=("orders",),
+)

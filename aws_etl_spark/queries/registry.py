@@ -267,6 +267,10 @@ _DRIVER_ORDER = (
     "text_phrase_search",
     "text_skipgram_pairs",
     "gdpr_delete_cascade",
+    "agg_filter_clause",
+    "func_try_arithmetic",
+    "set_except_all",
+    "set_intersect_all",
     "graph_reachability_recursive",
     # -- re-confirmation: r1/r2-vintage hash evidence, oldest first
     "q1_pricing_summary",
@@ -291,11 +295,11 @@ _DRIVER_ORDER = (
     "set_union_all",
     "set_intersect",
     "set_except",
+    # ---- end of the 50-query round-5 window ----
     "pivot_revenue_by_year",
     "unpivot_part_metrics",
     "agg_percentiles",
     "sample_weighted",
-    # ---- end of the 50-query round-5 window ----
     "sample_reservoir_deterministic",
     "dedup_exact",
     "dedup_ngram_jaccard",
