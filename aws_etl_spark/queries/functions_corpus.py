@@ -597,3 +597,51 @@ sql_query(
     ),
     tables=("orders",),
 )
+
+
+sql_query(
+    "agg_listagg_sorted",
+    """
+    SELECT r.r_name,
+           LISTAGG(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+             AS nations_csv
+    FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+    oracle="""
+    SELECT r.r_name,
+           STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+    FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+    category="agg",
+    doc=(
+        "Ordered string aggregation — Spark 4's SQL-standard "
+        "LISTAGG ... WITHIN GROUP; DuckDB's spelling is "
+        "STRING_AGG(x, sep ORDER BY x). The WITHIN GROUP ordering is "
+        "what makes concatenation deterministic under parallel "
+        "aggregation (an unordered collect would hash-differ per "
+        "partitioning)."
+    ),
+    tables=("nation", "region"),
+)
+
+
+sql_query(
+    "agg_group_by_all",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY ALL
+    """,
+    category="agg",
+    doc=(
+        "GROUP BY ALL (infer grouping keys from the non-aggregate "
+        "select list) — supported by both Spark 4 and DuckDB with "
+        "identical semantics; plans as the ordinary partial+final "
+        "hash aggregate."
+    ),
+    tables=("lineitem",),
+)

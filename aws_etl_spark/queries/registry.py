@@ -271,6 +271,8 @@ _DRIVER_ORDER = (
     "func_try_arithmetic",
     "set_except_all",
     "set_intersect_all",
+    "agg_listagg_sorted",
+    "agg_group_by_all",
     "graph_reachability_recursive",
     # -- re-confirmation: r1/r2-vintage hash evidence, oldest first
     "q1_pricing_summary",
@@ -293,9 +295,9 @@ _DRIVER_ORDER = (
     "window_running_sum",
     "window_range_frame",
     "set_union_all",
+    # ---- end of the 50-query round-5 window ----
     "set_intersect",
     "set_except",
-    # ---- end of the 50-query round-5 window ----
     "pivot_revenue_by_year",
     "unpivot_part_metrics",
     "agg_percentiles",
