@@ -187,6 +187,11 @@ def _train_rounds(
     merge_rows = []
     for r in range(1, n_rounds + 1):
         best = best_pair(pair_counts(seq)).localCheckpoint(eager=True)
+        if best.isEmpty():
+            # degenerate corpus: every word fully merged to a single
+            # symbol before n_rounds — stop (an empty rule would
+            # otherwise wipe seq through the crossJoin)
+            break
         merge_rows.append(
             best.select(
                 F.lit(r).cast("bigint").alias("round"),
@@ -226,9 +231,18 @@ def bpe_train(
       (beyond the byte alphabet) would be seeded with.
     """
     seq, merge_rows = _train_rounds(docs, text_col, n_rounds)
-    merges = merge_rows[0]
-    for m in merge_rows[1:]:
-        merges = merges.unionByName(m)
+    if not merge_rows:
+        # corpus with no eligible words at all: empty rule table with
+        # the declared schema
+        merges = docs.sparkSession.createDataFrame(
+            [],
+            "round bigint, sym_a string, sym_b string, "
+            "merged string, pair_count bigint",
+        )
+    else:
+        merges = merge_rows[0]
+        for m in merge_rows[1:]:
+            merges = merges.unionByName(m)
     vocab = seq.groupBy("sym").agg(
         F.sum("freq").cast("bigint").alias("n_occurrences")
     )

@@ -299,3 +299,19 @@ def test_bpe_merge_matches_python_reference(spark):
     assert got_merges == expected_merges
     got_vocab = {r.sym: r.n_occurrences for r in vocab.collect()}
     assert got_vocab == dict(expected_vocab)
+
+
+def test_bpe_stops_when_fully_merged(spark):
+    """A corpus whose every word collapses to one symbol before
+    n_rounds must stop early with the shorter rule list and keep the
+    merged vocabulary — not wipe the state through an empty-rule
+    crossJoin (regression: best_pair of a pairless sequence is
+    empty)."""
+    from aws_etl_spark.text.bpe import bpe_train
+
+    df = spark.createDataFrame([(0, "a a a")], ["doc_id", "text"])
+    merges, vocab = bpe_train(df, "text", n_rounds=5)
+    got = [(r.round, r.merged) for r in merges.orderBy("round").collect()]
+    # 'a</w>' after round 1; no pairs remain → exactly one rule
+    assert got == [(1, "a</w>")]
+    assert {r.sym: r.n_occurrences for r in vocab.collect()} == {"a</w>": 3}
