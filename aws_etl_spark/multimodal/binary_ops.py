@@ -83,7 +83,9 @@ def decode_image(payload: bytes) -> "np.ndarray":
     Uses Pillow when present (real decode); without any codec library
     (this environment ships none) it raises ``NotImplementedError`` —
     callers that need a guaranteed path use :func:`decode_image_fake`
-    or pass ``decoder=decode_image_auto``."""
+    or :func:`decode_image_status` (which also reports whether the
+    fallback fired — prefer it over the status-blind
+    :func:`decode_image_auto` anywhere the flag matters)."""
     img_mod = _pillow()
     if img_mod is None:
         raise NotImplementedError(
@@ -574,7 +576,7 @@ def dhash64(
     Arrow-batched mapInPandas (the sanctioned Python hot path — codec
     work is not SQL-expressible); the decoder seam takes
     (payload, width, height) like :func:`decode_image_fake`, or use
-    a partial over :func:`decode_image_auto` for real decode when a
+    a partial over :func:`decode_image_status` for real decode when a
     codec library is present. Pairing happens downstream via the
     shared banded Hamming join
     (aws_etl_spark.dedup.simhash.hamming_near_dup_pairs) — same

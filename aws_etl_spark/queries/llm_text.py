@@ -632,7 +632,15 @@ _BPE_ROUNDS = 3
 
 def _bpe_round_ctes(r: int) -> str:
     """One merge round as oracle CTEs: pair count → top-1 rule →
-    greedy merge (windows over the filtered sequence)."""
+    greedy merge (windows over the filtered sequence).
+
+    The rule joins in via LEFT JOIN ... ON TRUE, not CROSS JOIN: when
+    a round's best-pair CTE is EMPTY (corpus fully merged before
+    n_rounds), every mcand coalesces to FALSE and the sequence passes
+    through unchanged — exactly the Spark side's early-stop semantics
+    (bpe_train breaks; the merges output likewise has no row for the
+    round because it selects FROM best{r}). A CROSS JOIN would wipe
+    the sequence instead and diverge from the engine."""
     return f"""
 pairs{r} AS (
   SELECT a.sym AS sym_a, b.sym AS sym_b,
@@ -671,7 +679,7 @@ seq{r} AS (
                    s.sym = b.sym_a AND LEAD(s.sym) OVER (
                      PARTITION BY s.word ORDER BY s.pos) = b.sym_b,
                    FALSE) AS mcand
-          FROM seq{r - 1} s CROSS JOIN best{r} b
+          FROM seq{r - 1} s LEFT JOIN best{r} b ON TRUE
         )
       )
     )

@@ -2,9 +2,13 @@
 
 Exact variants carry full DuckDB oracles: the left-fold double dot
 product is bit-identical to ``list_dot_product`` on DOUBLE[] and the
-oracle mirrors the exact cosine expression shape. Approximate variants
-(LSH / IVF) are recall-checked against the exact path in
-tests/test_similarity.py and are rows-only for the driver.
+oracle mirrors the exact cosine expression shape. The sign-LSH family
+is ALSO fully hash-oracled since round 5 — its oracle replicates the
+algorithm itself (seeded hyperplanes inlined as literals, identical
+sequential-fold dots), so the approximate pipeline is provable
+bit-for-bit; only IVF (float k-means training state) remains
+rows-only, recall-checked against the exact path in
+tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -171,9 +175,9 @@ def q_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical sequential-fold dots, same banding and re-rank) instead
     of parking the result as rows-only. Hash parity holds whatever the
     LSH recall is, because both engines make the same candidate
-    choices bit-for-bit; the rows-only ann_cosine_topk_lsh keeps the
-    production parameterization and its recall gate in
-    tests/test_similarity.py."""
+    choices bit-for-bit; ann_cosine_topk_lsh (32-bit production
+    parameterization) is oracled by the same construction, and the
+    recall-vs-exact gate stays in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(
         emb, emb.filter("vec_id < 20"), k=5, bits=16, bands=8, seed=42

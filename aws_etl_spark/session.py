@@ -212,12 +212,37 @@ def get_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if object_store is not None and cloud_committer_available(spark):
-        # runtime SQL confs — safe to set post-build, and ONLY safe
-        # when the classes resolve (see CLOUD_COMMITTER_SQL_CONF note)
-        for k, v in CLOUD_COMMITTER_SQL_CONF.items():
-            if extra_conf is None or k not in extra_conf:
-                spark.conf.set(k, v)
+    if object_store is not None:
+        # getOrCreate may have RETURNED AN EXISTING session, in which
+        # case the spark.hadoop.* connector keys above were silently
+        # dropped (builder conf only applies at real build). Setting
+        # the SQL committer-protocol keys on such a session would
+        # half-configure it: PathOutputCommitProtocol without the s3a
+        # magic-committer factory routes writes through the default
+        # rename-based file committer — slow AND unsafe on S3. So the
+        # SQL keys are applied only when (a) the committer classes
+        # resolve and (b) the hadoop keys verifiably landed.
+        probe_key = "spark.hadoop.fs.s3a.committer.name"
+        hadoop_landed = (
+            spark.sparkContext.getConf().get(probe_key, None) is not None
+        )
+        if hadoop_landed and cloud_committer_available(spark):
+            for k, v in CLOUD_COMMITTER_SQL_CONF.items():
+                if extra_conf is None or k not in extra_conf:
+                    spark.conf.set(k, v)
+        elif not hadoop_landed:
+            import warnings
+
+            warnings.warn(
+                "get_session(object_store=...) reused an existing "
+                "SparkSession: the spark.hadoop.* object-store keys "
+                "cannot be applied post-build, so the committer "
+                "protocol was NOT switched. Stop the session first "
+                "(or configure the cluster submit conf) to get the "
+                "cloud committer.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return spark
 
 

@@ -94,3 +94,53 @@ def test_object_store_unknown_raises_before_session_build():
 
     with pytest.raises(ValueError, match="unknown object_store.*'s3a'"):
         get_session("nope-probe", object_store="gcs-nope")
+
+
+_S3A_REUSE_PROBE = """
+import sys, warnings
+sys.path.insert(0, {repo!r})
+from aws_etl_spark.session import CLOUD_COMMITTER_SQL_CONF, get_session
+
+# first build WITHOUT the object store — this is the live session
+spark = get_session(
+    "reuse-base", master="local[2]",
+    extra_conf={{"spark.ui.enabled": "false"}},
+)
+try:
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        again = get_session("reuse-s3a", master="local[2]",
+                            object_store="s3a")
+    assert again is spark or again.sparkContext is spark.sparkContext
+    # hadoop keys could NOT land on the reused session -> the SQL
+    # committer keys must be withheld (half-config guard) and the
+    # caller warned
+    for key in CLOUD_COMMITTER_SQL_CONF:
+        got = again.conf.get(key, None)
+        assert got is None, (key, got, "must be withheld on session reuse")
+    assert any(
+        "reused an existing SparkSession" in str(w.message) for w in caught
+    ), [str(w.message) for w in caught]
+    print("S3A_REUSE_GUARD_OK")
+finally:
+    spark.stop()
+"""
+
+
+def test_object_store_on_reused_session_withholds_and_warns(tmp_path):
+    """Review finding: getOrCreate can return a pre-existing session,
+    where the spark.hadoop.* connector keys are silently dropped —
+    setting the SQL committer-protocol keys there would route writes
+    through PathOutputCommitProtocol WITHOUT the magic committer
+    (rename-based, unsafe on S3). The guard must withhold them and
+    warn."""
+    code = _S3A_REUSE_PROBE.format(repo=str(REPO))
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "S3A_REUSE_GUARD_OK" in proc.stdout, proc.stdout

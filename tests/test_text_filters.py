@@ -315,3 +315,47 @@ def test_bpe_stops_when_fully_merged(spark):
     # 'a</w>' after round 1; no pairs remain → exactly one rule
     assert got == [(1, "a</w>")]
     assert {r.sym: r.n_occurrences for r in vocab.collect()} == {"a</w>": 3}
+
+
+def test_bpe_oracle_matches_engine_on_fully_merged_corpus(spark, tmp_path):
+    """The unrolled-CTE oracle must share the early-stop semantics:
+    on a corpus that fully merges before n_rounds, the empty best{r}
+    rule LEFT-JOINs through (sequence unchanged, no rule row) instead
+    of wiping the state (review finding: the Spark-side fix alone left
+    query and oracle divergent on exactly this input class)."""
+    import duckdb
+    import pandas as pd
+
+    from aws_etl_spark.queries.llm_text import (
+        _bpe_merges_oracle,
+        _bpe_vocab_oracle,
+    )
+    from aws_etl_spark.text.bpe import bpe_train
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": ["a a a"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [5],
+        }
+    )
+    pdf.to_parquet(f"{tmp_path}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    ora_merges = con.sql(_bpe_merges_oracle(3)).fetchall()
+    ora_vocab = dict(con.sql(_bpe_vocab_oracle(3)).fetchall())
+
+    df = spark.createDataFrame([(0, "a a a")], ["doc_id", "text"])
+    merges, vocab = bpe_train(df, "text", n_rounds=3)
+    got_merges = [
+        tuple(r) for r in merges.orderBy("round").collect()
+    ]
+    got_vocab = {r.sym: r.n_occurrences for r in vocab.collect()}
+
+    assert got_merges == sorted(ora_merges)
+    assert got_vocab == ora_vocab == {"a</w>": 3}
