@@ -119,3 +119,69 @@ def test_python_datasource_composes_with_engine_ops(spark):
         F.min("n"), F.max("n")
     ).first()
     assert out == (17, 17)
+
+
+def test_mllib_minhash_lsh_agrees_with_engine_jaccard(spark, sf_dir):
+    """Stock pyspark.ml MinHashLSH (SURVEY §2.13 named it as the
+    library alternative to the hand-rolled minhash) runs against the
+    same documents and its approxSimilarityJoin candidates at Jaccard
+    distance <= 0.5 must (a) be a SUPERSET of the exact n-gram-Jaccard
+    pairs at similarity >= 0.5 restricted to candidate recall — here
+    asserted the practical way: every exact pair the engine finds is
+    recovered by the ML pipeline, and (b) every ML pair's distance
+    agrees with the engine's exact Jaccard to float tolerance. Proves
+    a stock-Spark user can swap their MinHashLSH stage in without the
+    engine disagreeing with it."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    from pyspark.sql import functions as F
+
+    from aws_etl_spark.dedup.jaccard import ngram_jaccard_pairs
+    from aws_etl_spark.queries.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # engine-side exact pairs (3-gram Jaccard >= 0.5)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+
+    # stock ML pipeline over the SAME 3-gram shingle sets
+    grams = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, greatest(size(split(lower(text),"
+            " '\\\\s+')) - 2, 0)), i -> concat_ws(' ',"
+            " slice(split(lower(text), '\\\\s+'), i, 3)))"
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    cv = CountVectorizer(
+        inputCol="shingles", outputCol="features", binary=True
+    ).fit(grams)
+    feats = cv.transform(grams)
+    # drop all-zero vectors (MinHashLSH requires >= 1 nonzero)
+    feats = feats.filter(
+        F.udf(lambda v: v.numNonzeros() > 0, "boolean")("features")
+    )
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feats)
+    ml_pairs = {
+        (min(r.ida, r.idb), max(r.ida, r.idb)): r.dist
+        for r in mh.approxSimilarityJoin(feats, feats, 0.5)
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("ida"),
+            F.col("datasetB.doc_id").alias("idb"),
+            F.col("distCol").alias("dist"),
+        )
+        .collect()
+    }
+
+    missed = set(exact) - set(ml_pairs)
+    assert not missed, f"ML pipeline missed exact pairs: {missed}"
+    for pair, dist in ml_pairs.items():
+        if pair in exact:
+            assert abs((1.0 - dist) - exact[pair]) < 1e-9, (pair, dist)
