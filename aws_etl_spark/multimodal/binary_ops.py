@@ -575,9 +575,12 @@ def dhash64(
 
     Arrow-batched mapInPandas (the sanctioned Python hot path — codec
     work is not SQL-expressible); the decoder seam takes
-    (payload, width, height) like :func:`decode_image_fake`, or use
-    a partial over :func:`decode_image_status` for real decode when a
-    codec library is present. Pairing happens downstream via the
+    (payload, width, height) like :func:`decode_image_fake`, and — as
+    in :func:`resize_images` — a decoder returning an ``(array, ok)``
+    tuple (e.g. :func:`decode_image_status`, or any wrapper of it) has
+    its array unwrapped, so the same decoder object works in both
+    operators; dHash carries no decode_ok column, so the status half
+    is simply dropped here. Pairing happens downstream via the
     shared banded Hamming join
     (aws_etl_spark.dedup.simhash.hamming_near_dup_pairs) — same
     pigeonhole candidate generation as SimHash text dedup, so image
@@ -593,6 +596,8 @@ def dhash64(
                     hashes.append(None)
                     continue
                 img = decoder(bytes(b), int(w), int(h))
+                if isinstance(img, tuple):  # (array, decode_ok) seam
+                    img = img[0]
                 small = _area_mean_resize(img, 8, 9)
                 bits = (small[:, :-1] > small[:, 1:]).astype(np.uint64).ravel()
                 sig = 0

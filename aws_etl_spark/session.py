@@ -222,15 +222,14 @@ def get_session(
         # rename-based file committer — slow AND unsafe on S3. So the
         # SQL keys are applied only when (a) the committer classes
         # resolve and (b) the hadoop keys verifiably landed.
-        probe_key = "spark.hadoop.fs.s3a.committer.name"
+        # probe with one of the store's own keys (not an s3a-specific
+        # literal) so adding another store to OBJECT_STORE_CONF keeps
+        # this branch correct
+        probe_key = next(iter(OBJECT_STORE_CONF[object_store]))
         hadoop_landed = (
             spark.sparkContext.getConf().get(probe_key, None) is not None
         )
-        if hadoop_landed and cloud_committer_available(spark):
-            for k, v in CLOUD_COMMITTER_SQL_CONF.items():
-                if extra_conf is None or k not in extra_conf:
-                    spark.conf.set(k, v)
-        elif not hadoop_landed:
+        if not hadoop_landed:
             import warnings
 
             warnings.warn(
@@ -240,6 +239,26 @@ def get_session(
                 "protocol was NOT switched. Stop the session first "
                 "(or configure the cluster submit conf) to get the "
                 "cloud committer.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        elif cloud_committer_available(spark):
+            for k, v in CLOUD_COMMITTER_SQL_CONF.items():
+                if extra_conf is None or k not in extra_conf:
+                    spark.conf.set(k, v)
+        else:
+            import warnings
+
+            warnings.warn(
+                "object_store committer protocol NOT enabled: the "
+                "spark-hadoop-cloud classes are not on this "
+                "classpath (PathOutputCommitProtocol unresolvable), "
+                "so writes will use the default rename-based "
+                "committer — slow and unsafe on object stores. Add "
+                "the spark-hadoop-cloud module (bundled on "
+                "EMR/Dataproc; `--packages org.apache.spark:"
+                "spark-hadoop-cloud_2.13` elsewhere) to get the "
+                "rename-free magic committer.",
                 RuntimeWarning,
                 stacklevel=2,
             )

@@ -287,63 +287,27 @@ def test_span_profile_matches_python_model(spark, docs):
     )
 )
 def test_bpe_rounds_match_python_model(spark, texts):
-    """Fixed-round BPE training == the canonical Python model on
-    random 2-letter corpora — tiny alphabet maximizes same-symbol
-    runs, adjacent matches, and argmax ties (the gaps-and-islands and
-    tiebreak seams)."""
-    from collections import Counter
+    """Fixed-round BPE training == the shared canonical Python model
+    (tests/bpe_reference.py) on random 2-letter corpora — tiny
+    alphabet maximizes same-symbol runs, adjacent matches, and argmax
+    ties (the gaps-and-islands and tiebreak seams). Degenerate corpora
+    (every word fully merged before n_rounds) are kept: the operator
+    must stop early with the same rule list."""
+    from bpe_reference import canonical_bpe
 
-    from aws_etl_spark.text.bpe import END_MARK, bpe_train
+    from aws_etl_spark.text.bpe import bpe_train
 
     corpus = " ".join(texts)
     df = spark.createDataFrame([(0, corpus)], ["doc_id", "text"])
-
-    words = Counter(
-        w for w in corpus.lower().split()
-        if w.isalpha() and len(w) <= 20
-    )
-    seqs = {w: [*w, END_MARK] for w in words}
-
-    def pair_counts():
-        c = Counter()
-        for w, s in seqs.items():
-            for a, b in zip(s, s[1:]):
-                c[(a, b)] += words[w]
-        return c
-
-    def merge(s, a, b):
-        out, i = [], 0
-        while i < len(s):
-            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(s[i])
-                i += 1
-        return out
-
     n_rounds = 2
-    expected = []
-    for r in range(1, n_rounds + 1):
-        pc = pair_counts()
-        if not pc:
-            break
-        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        expected.append((r, a, b, a + b, n))
-        seqs = {w: merge(s, a, b) for w, s in seqs.items()}
-    # degenerate corpora (every word fully merged before n_rounds)
-    # are kept: the operator must stop early with the same rule list
-    expected_vocab = Counter()
-    for w, s in seqs.items():
-        for sym in s:
-            expected_vocab[sym] += words[w]
+    expected_merges, expected_vocab = canonical_bpe([corpus], n_rounds)
 
     merges, vocab = bpe_train(df, "text", n_rounds=n_rounds)
     got = [
         (r.round, r.sym_a, r.sym_b, r.merged, r.pair_count)
         for r in merges.orderBy("round").collect()
     ]
-    assert got == expected
+    assert got == expected_merges
     assert {
         r.sym: r.n_occurrences for r in vocab.collect()
-    } == dict(expected_vocab)
+    } == expected_vocab

@@ -22,7 +22,7 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 
 _S3A_PROBE = """
-import sys
+import sys, warnings
 sys.path.insert(0, {repo!r})
 from aws_etl_spark.session import (
     CLOUD_COMMITTER_SQL_CONF,
@@ -31,17 +31,19 @@ from aws_etl_spark.session import (
     get_session,
 )
 
-spark = get_session(
-    "s3a-conf-probe",
-    master="local[2]",
-    object_store="s3a",
-    extra_conf={{
-        "spark.ui.enabled": "false",
-        # user-supplied extra_conf must layer OVER the object-store
-        # block (credentials/endpoint overrides ride this path)
-        "spark.hadoop.fs.s3a.connection.maximum": "7",
-    }},
-)
+with warnings.catch_warnings(record=True) as caught:
+    warnings.simplefilter("always")
+    spark = get_session(
+        "s3a-conf-probe",
+        master="local[2]",
+        object_store="s3a",
+        extra_conf={{
+            "spark.ui.enabled": "false",
+            # user-supplied extra_conf must layer OVER the object-store
+            # block (credentials/endpoint overrides ride this path)
+            "spark.hadoop.fs.s3a.connection.maximum": "7",
+        }},
+    )
 try:
     # every documented s3a key lands except the one extra_conf overrode
     for key, want in OBJECT_STORE_CONF["s3a"].items():
@@ -65,6 +67,14 @@ try:
             assert got == want, (key, got, want)
         else:
             assert got is None, (key, got, "must be withheld: class absent")
+    if not avail:
+        # withholding must be LOUD (review finding: the silent
+        # degradation left users on the unsafe rename committer while
+        # believing the magic committer was active)
+        assert any(
+            "committer protocol NOT enabled" in str(w.message)
+            for w in caught
+        ), [str(w.message) for w in caught]
     print("COMMITTER_AVAILABLE=%s" % avail)
     print("S3A_CONF_OK")
 finally:

@@ -234,14 +234,14 @@ def test_decontaminate_is_idempotent(spark, sf_dir):
 
 
 def test_bpe_merge_matches_python_reference(spark):
-    """Fixed-round BPE training == a straight-Python canonical
-    implementation (Sennrich-style: count all adjacent pairs weighted
-    by word freq, argmax with (count desc, pair asc), LEFT-TO-RIGHT
-    greedy merge). The corpus is built to exercise the tricky cases:
-    same-symbol runs (odd/even lengths — greedy takes odd offsets
-    only), adjacent non-overlapping matches, and merged symbols
-    pairing in later rounds."""
-    from aws_etl_spark.text.bpe import END_MARK, bpe_train
+    """Fixed-round BPE training == the shared canonical Python
+    reference (tests/bpe_reference.py). The corpus is built to
+    exercise the tricky cases: same-symbol runs (odd/even lengths —
+    greedy takes odd offsets only), adjacent non-overlapping matches,
+    and merged symbols pairing in later rounds."""
+    from bpe_reference import canonical_bpe
+
+    from aws_etl_spark.text.bpe import bpe_train
 
     texts = [
         "aaa aaaa abab low lower lowest",
@@ -251,45 +251,7 @@ def test_bpe_merge_matches_python_reference(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
     )
-
-    # --- pure-Python canonical reference ---
-    from collections import Counter
-
-    words = Counter()
-    for t in texts:
-        for w in t.lower().split():
-            if w.isalpha() and len(w) <= 20:
-                words[w] += 1
-    seqs = {w: [*w, END_MARK] for w in words}
-
-    def pair_counts():
-        c = Counter()
-        for w, s in seqs.items():
-            for a, b in zip(s, s[1:]):
-                c[(a, b)] += words[w]
-        return c
-
-    def merge(s, a, b):
-        out, i = [], 0
-        while i < len(s):
-            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(s[i])
-                i += 1
-        return out
-
-    expected_merges = []
-    for r in range(1, 4):
-        pc = pair_counts()
-        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        expected_merges.append((r, a, b, a + b, n))
-        seqs = {w: merge(s, a, b) for w, s in seqs.items()}
-    expected_vocab = Counter()
-    for w, s in seqs.items():
-        for sym in s:
-            expected_vocab[sym] += words[w]
+    expected_merges, expected_vocab = canonical_bpe(texts, n_rounds=3)
 
     merges, vocab = bpe_train(df, "text", n_rounds=3)
     got_merges = [
@@ -298,7 +260,7 @@ def test_bpe_merge_matches_python_reference(spark):
     ]
     assert got_merges == expected_merges
     got_vocab = {r.sym: r.n_occurrences for r in vocab.collect()}
-    assert got_vocab == dict(expected_vocab)
+    assert got_vocab == expected_vocab
 
 
 def test_bpe_stops_when_fully_merged(spark):
