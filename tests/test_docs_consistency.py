@@ -24,3 +24,28 @@ def test_capabilities_doc_matches_registry():
     assert (int(m[1]), int(m[2]), int(m[3])) == (
         len(REGISTRY), n_oracled, len(REGISTRY) - n_oracled,
     ), f"doc says {m.groups()}, registry has {len(REGISTRY)}/{n_oracled}"
+
+
+def test_driver_window_marker_sits_at_position_50():
+    """The '---- end of the 50-query round-N window ----' comment in
+    registry.py must sit exactly after the 50th ranked name — the
+    driver records CORRECTNESS for the first 50 of queries(), and a
+    drifted marker misleads the next round's rotation (this drifted
+    three times during round 5 alone as queries were inserted)."""
+    import re
+    from pathlib import Path
+
+    from aws_etl_spark.queries.registry import _DRIVER_ORDER
+
+    src = Path("aws_etl_spark/queries/registry.py").read_text()
+    m = re.search(
+        r'"([a-z0-9_]+)",\s*\n\s*# ---- end of the 50-query', src
+    )
+    assert m, "window marker comment not found in registry.py"
+    name_before_marker = m.group(1)
+    assert name_before_marker == _DRIVER_ORDER[49], (
+        f"marker sits after {name_before_marker!r} but the 50th ranked "
+        f"name is {_DRIVER_ORDER[49]!r} — move the marker (or the "
+        "names) so the documented window matches the driver's actual "
+        "50-query record"
+    )
