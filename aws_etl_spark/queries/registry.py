@@ -279,6 +279,7 @@ _DRIVER_ORDER = (
     "set_intersect_all",
     "agg_listagg_sorted",
     "agg_group_by_all",
+    "stat_winsorized_robust",
     "graph_reachability_recursive",
     # -- re-confirmation: r1/r2-vintage hash evidence, oldest first
     "q1_pricing_summary",
@@ -300,8 +301,8 @@ _DRIVER_ORDER = (
     "window_lag_lead",
     "window_running_sum",
     "window_range_frame",
-    "set_union_all",
     # ---- end of the 50-query round-5 window ----
+    "set_union_all",
     "set_intersect",
     "set_except",
     "pivot_revenue_by_year",

@@ -922,3 +922,64 @@ sql_query(
     ),
     tables=("customer", "orders", "lineitem"),
 )
+
+
+_WINSOR_SPARK = """
+WITH b AS (
+  SELECT l_returnflag,
+         percentile(l_quantity, 0.05) AS lo,
+         percentile(l_quantity, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN CAST(l.l_quantity AS DOUBLE) < b.lo
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(SUM(CASE WHEN CAST(l.l_quantity AS DOUBLE) > b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       CAST(SUM(CAST(FLOOR(
+         LEAST(GREATEST(CAST(l.l_quantity AS DOUBLE), b.lo), b.hi) * 100
+       ) AS BIGINT)) AS BIGINT) AS winsorized_qty_c2
+FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+_WINSOR_DUCK = """
+WITH b AS (
+  SELECT l_returnflag,
+         PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY l_quantity) AS lo,
+         PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY l_quantity) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN CAST(l.l_quantity AS DOUBLE) < b.lo
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(SUM(CASE WHEN CAST(l.l_quantity AS DOUBLE) > b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       CAST(SUM(CAST(FLOOR(
+         LEAST(GREATEST(CAST(l.l_quantity AS DOUBLE), b.lo), b.hi) * 100
+       ) AS BIGINT)) AS BIGINT) AS winsorized_qty_c2
+FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+sql_query(
+    "stat_winsorized_robust",
+    _WINSOR_SPARK,
+    oracle=_WINSOR_DUCK,
+    category="agg",
+    doc=(
+        "Winsorized (outlier-clipped) robust statistics: per-group "
+        "exact p05/p95 bounds (Spark percentile ≡ DuckDB "
+        "PERCENTILE_CONT, IEEE-identical interpolation — the "
+        "agg_percentiles seam), values clipped into the band, clip "
+        "counts reported, and the clipped sum carried as a 1e-2 "
+        "quantized BIGINT (FLOOR of an identical double is "
+        "deterministic; a raw double sum would be partition-order-"
+        "dependent) — the standard feature-hygiene pass before "
+        "training-data statistics. Plan: tiny per-group bounds "
+        "aggregate broadcast back into one scan."
+    ),
+    tables=("lineitem",),
+)
