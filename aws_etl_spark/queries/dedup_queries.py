@@ -19,7 +19,7 @@ from aws_etl_spark.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
-from aws_etl_spark.queries.registry import load_table, register
+from aws_etl_spark.queries.registry import load_table, register, sql_query
 
 _JACCARD_ORACLE = """
 WITH sh AS (
@@ -441,3 +441,85 @@ def q_dedup_span_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return doc_span_profile(docs, "doc_id", "text", k=5)
+
+
+_PAIR_EXPLAIN_SPARK = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, explode(
+      transform(
+        sequence(1, greatest(size(split(lower(text), '\\s+')) - 2, 0)),
+        i -> concat_ws(' ', slice(split(lower(text), '\\s+'), i, 3))
+      )
+    ) AS word
+    FROM documents
+  ) WHERE word <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON b.word = a.word AND b.doc_id > a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(sa.n - i.n_common AS BIGINT) AS n_only_a,
+       CAST(sb.n - i.n_common AS BIGINT) AS n_only_b,
+       CAST(i.n_common AS DOUBLE)
+         / (sa.n + sb.n - i.n_common) AS word_jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.6
+"""
+
+_PAIR_EXPLAIN_DUCK = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(regexp_split_to_array(lower(text), '\s+')) - 2, 0) + 1),
+             i -> array_to_string(
+               regexp_split_to_array(lower(text), '\s+')[i:i+2], ' ')
+           )) AS word
+    FROM documents
+  ) WHERE word <> ''
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON b.word = a.word AND b.doc_id > a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(sa.n - i.n_common AS BIGINT) AS n_only_a,
+       CAST(sb.n - i.n_common AS BIGINT) AS n_only_b,
+       CAST(i.n_common AS DOUBLE)
+         / (sa.n + sb.n - i.n_common) AS word_jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.6
+"""
+
+sql_query(
+    "dedup_pair_explain",
+    _PAIR_EXPLAIN_SPARK,
+    oracle=_PAIR_EXPLAIN_DUCK,
+    category="dedup",
+    doc=(
+        "Near-dup pair EXPLANATION: for 3-gram-shingle-Jaccard >= 0.6 "
+        "pairs, the span-level diff a reviewer audits before a bulk "
+        "delete — shared-shingle count, shingles unique to each side, "
+        "and the exact Jaccard (int/int IEEE division, the rep_ratio "
+        "idiom). Pair generation is the shared-word equi-join "
+        "(Σ df² over words — the documented verify-stage shape; at "
+        "corpus scale the DISCOVERY path is LSH candidates, this "
+        "query is the audit that runs on the flagged pairs). Shingles, "
+        "not words: the synthetic corpus shares one small vocabulary, "
+        "so word sets barely discriminate (73k pairs at 0.6) while "
+        "3-gram spans separate true near-dups cleanly."
+    ),
+    tables=("documents",),
+)
