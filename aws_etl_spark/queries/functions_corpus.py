@@ -645,3 +645,41 @@ sql_query(
     ),
     tables=("lineitem",),
 )
+
+
+def _null_safe_join_sql(op_a: str) -> str:
+    # NULLIF plants real NULL keys (priority bucket 5 → NULL) so the
+    # null-safe operator has NULL=NULL work to do: null-bucket rows
+    # must MATCH each other, which a plain equi-join silently drops
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus,
+         NULLIF(SUBSTRING(o_orderpriority, 1, 1), '5') AS prio_bucket
+  FROM orders WHERE o_orderkey <= 300
+)
+SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+       a.prio_bucket
+FROM o a JOIN o b
+  ON (a.prio_bucket {op_a} b.prio_bucket)
+ AND a.o_orderkey < b.o_orderkey
+ AND a.o_orderstatus = b.o_orderstatus
+"""
+
+
+sql_query(
+    "join_null_safe",
+    _null_safe_join_sql("<=>"),
+    oracle=_null_safe_join_sql("IS NOT DISTINCT FROM"),
+    category="join",
+    doc=(
+        "Null-safe equi-join: Spark's `<=>` ≡ standard IS NOT "
+        "DISTINCT FROM (DuckDB spelling) — NULL keys match EACH OTHER "
+        "instead of being dropped, the semantics entity-resolution "
+        "joins on optional attributes need (a plain = join silently "
+        "loses every null-bucket pair). NULLIF plants real NULL keys "
+        "so both branches execute. Spark still plans this as a hash "
+        "join (null-safe equality is a valid equi-key), not a "
+        "nested-loop."
+    ),
+    tables=("orders",),
+)
