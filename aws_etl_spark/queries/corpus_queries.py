@@ -24,7 +24,7 @@ from aws_etl_spark.ops.corpus import (
     split_case_sql,
     duckdb_bucket_sql,
 )
-from aws_etl_spark.queries.registry import load_table, register
+from aws_etl_spark.queries.registry import load_table, register, sql_query
 from aws_etl_spark.text.normalize import chunk_starts, normalize_text
 
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -399,3 +399,41 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "doc_id", F.col("cluster").cast("bigint").alias("cluster"), "split"
     )
+
+
+def _health_sql(pctl_expr: str) -> str:
+    return f"""
+WITH fp AS (
+  SELECT doc_id, source, n_chars,
+         MD5(LOWER(TRIM(text))) AS fp
+  FROM documents
+),
+dup AS (SELECT fp, COUNT(*) AS c FROM fp GROUP BY fp)
+SELECT f.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN d.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup_docs,
+       CAST(SUM(f.n_chars) AS BIGINT) AS total_chars,
+       {pctl_expr} AS median_chars
+FROM fp f JOIN dup d ON d.fp = f.fp
+GROUP BY f.source
+"""
+
+
+sql_query(
+    "corpus_health_report",
+    _health_sql("percentile(f.n_chars, 0.5)"),
+    oracle=_health_sql(
+        "PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY f.n_chars)"
+    ),
+    category="corpus",
+    doc=(
+        "Per-source corpus health report — the dashboard query a data "
+        "team runs before/after a cleaning pass: document counts, how "
+        "many docs are exact duplicates of something (normalized-md5 "
+        "fingerprint membership in a >1 group), total and median "
+        "chars (the percentile ≡ PERCENTILE_CONT seam). Two map-side "
+        "aggregates + one fingerprint join; no quadratic anything."
+    ),
+    tables=("documents",),
+)

@@ -282,6 +282,7 @@ _DRIVER_ORDER = (
     "stat_winsorized_robust",
     "dedup_pair_explain",
     "join_null_safe",
+    "corpus_health_report",
     "graph_reachability_recursive",
     # -- re-confirmation: r1/r2-vintage hash evidence, oldest first
     "q1_pricing_summary",
@@ -300,8 +301,8 @@ _DRIVER_ORDER = (
     "agg_rollup",
     "agg_having",
     "window_ranking",
-    "window_lag_lead",
     # ---- end of the 50-query round-5 window ----
+    "window_lag_lead",
     "window_running_sum",
     "window_range_frame",
     "set_union_all",
