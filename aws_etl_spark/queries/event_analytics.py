@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_etl_spark.queries.registry import load_table, register
+from aws_etl_spark.queries.registry import load_table, register, sql_query
 
 _FUNNEL_ORACLE = """
 WITH per_user AS (
@@ -341,3 +341,56 @@ def q_events_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("converted"),
         )
     )
+
+
+def _gap_hist_sql(lag_expr: str, us_expr: str) -> str:
+    # us_expr: microseconds-since-epoch — Spark unix_micros() and
+    # DuckDB epoch_us() are exactly equal (the established seam);
+    # integer DIV gives identical whole-second gaps on both engines
+    return f"""
+WITH gaps AS (
+  SELECT user_id,
+         CAST(ts AS TIMESTAMP) AS t,
+         {lag_expr} AS prev_t
+  FROM events
+),
+d AS (
+  SELECT user_id,
+         CAST(({us_expr.format(col="t")} - {us_expr.format(col="prev_t")})
+              DIV 1000000 AS BIGINT) AS gap_s
+  FROM gaps WHERE prev_t IS NOT NULL
+)
+SELECT CASE WHEN gap_s < 60 THEN 'lt_1m'
+            WHEN gap_s < 600 THEN 'lt_10m'
+            WHEN gap_s < 3600 THEN 'lt_1h'
+            WHEN gap_s < 86400 THEN 'lt_1d'
+            ELSE 'ge_1d' END AS gap_bucket,
+       COUNT(*) AS n_gaps,
+       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM d
+GROUP BY 1
+"""
+
+
+_GAP_LAG = (
+    "LAG(CAST(ts AS TIMESTAMP)) OVER "
+    "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)"
+)
+
+sql_query(
+    "events_gap_histogram",
+    _gap_hist_sql(_GAP_LAG, "unix_micros({col})"),
+    oracle=_gap_hist_sql(_GAP_LAG, "epoch_us({col})").replace(" DIV ", " // "),
+    category="events",
+    doc=(
+        "Inter-event gap histogram per user stream (the sessionizer's "
+        "companion diagnostic: where should the session timeout sit?): "
+        "LAG over (user, time, id-tiebreak) → integer second gaps → "
+        "fixed buckets. Gap seconds come from unix_micros ≡ epoch_us "
+        "integer DIV (the portable epoch seam — gaps are positive, "
+        "so DIV and // agree). One "
+        "window shuffle + one map-side histogram aggregate."
+    ),
+    tables=("events",),
+)

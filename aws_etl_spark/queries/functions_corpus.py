@@ -683,3 +683,31 @@ sql_query(
     ),
     tables=("orders",),
 )
+
+
+sql_query(
+    "agg_mode_deterministic",
+    """
+    SELECT l_returnflag,
+           MAX_BY(qty, cnt * 1000 + qty) AS mode_qty,
+           MAX(cnt) AS mode_count
+    FROM (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    ) t
+    GROUP BY l_returnflag
+    """,
+    category="agg",
+    doc=(
+        "Deterministic MODE: native mode() breaks frequency ties "
+        "arbitrarily (engine- and partitioning-dependent), so the "
+        "portable form is argmax over the composite (count, value) "
+        "order, encoded as the single integer cnt*1000+qty "
+        "(order-isomorphic while qty < 1000 — l_quantity <= 50) so "
+        "MAX_BY takes one sortable argument on both engines and the "
+        "text is identical. Ties go to the LARGEST value; map-side "
+        "combinable two-level aggregate."
+    ),
+    tables=("lineitem",),
+)

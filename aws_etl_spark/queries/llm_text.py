@@ -948,3 +948,70 @@ sql_query(
     ),
     tables=("documents",),
 )
+
+
+_NOVELTY_SPARK = r"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, explode(
+      transform(
+        sequence(1, greatest(size(split(lower(text), '\\s+')) - 2, 0)),
+        i -> concat_ws(' ', slice(split(lower(text), '\\s+'), i, 3))
+      )
+    ) AS gram
+    FROM documents
+  ) WHERE gram <> ''
+),
+firsts AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS novelty_ratio
+FROM grams g JOIN firsts f ON f.gram = g.gram
+GROUP BY g.doc_id
+"""
+
+_NOVELTY_DUCK = r"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(regexp_split_to_array(lower(text), '\s+')) - 2, 0) + 1),
+             i -> array_to_string(
+               regexp_split_to_array(lower(text), '\s+')[i:i+2], ' ')
+           )) AS gram
+    FROM documents
+  ) WHERE gram <> ''
+),
+firsts AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS novelty_ratio
+FROM grams g JOIN firsts f ON f.gram = g.gram
+GROUP BY g.doc_id
+"""
+
+sql_query(
+    "text_ngram_novelty",
+    _NOVELTY_SPARK,
+    oracle=_NOVELTY_DUCK,
+    category="text",
+    doc=(
+        "Per-document 3-gram NOVELTY: the fraction of a doc's "
+        "distinct shingles whose corpus-wide first occurrence (by "
+        "doc_id order) is this doc — the curriculum/memorization "
+        "audit: late documents full of already-seen spans contribute "
+        "little new signal and are dedup/down-sample candidates. One "
+        "map-side MIN per gram + one join; int/int IEEE ratio."
+    ),
+    tables=("documents",),
+)

@@ -283,6 +283,9 @@ _DRIVER_ORDER = (
     "dedup_pair_explain",
     "join_null_safe",
     "corpus_health_report",
+    "text_ngram_novelty",
+    "agg_mode_deterministic",
+    "events_gap_histogram",
     "graph_reachability_recursive",
     # -- re-confirmation: r1/r2-vintage hash evidence, oldest first
     "q1_pricing_summary",
@@ -298,10 +301,10 @@ _DRIVER_ORDER = (
     "agg_distinct_counts",
     "agg_grouping_sets",
     "agg_cube",
+    # ---- end of the 50-query round-5 window ----
     "agg_rollup",
     "agg_having",
     "window_ranking",
-    # ---- end of the 50-query round-5 window ----
     "window_lag_lead",
     "window_running_sum",
     "window_range_frame",
