@@ -149,3 +149,29 @@ def test_dialect_parameterized_roundtrip_on_derby(spark, derby_url):
     # would reject (a TEXT/CLOB column would accept it)
     schema = {f.name.lower(): f.dataType for f in back.schema.fields}
     assert isinstance(schema["customer"], T.StringType)
+
+
+def test_quote_literal_escapes_embedded_quotes():
+    """Values interpolated into generated COPY text must survive
+    embedded single quotes (advice item: s3_path/iam_role were
+    injection surfaces)."""
+    from aws_etl_spark.io.dialects import (
+        quote_literal,
+        redshift_copy_from_parquet,
+    )
+
+    assert quote_literal("plain") == "'plain'"
+    assert quote_literal("o'brien") == "'o''brien'"
+    assert quote_literal("''") == "''''''"
+    assert quote_literal("") == "''"
+
+    stmt = redshift_copy_from_parquet(
+        "s.t",
+        "s3://bucket/path'; DROP TABLE x; --",
+        "arn:aws:iam::1:role/r'quote",
+        region="us-east-1",
+    )
+    # the quote is doubled inside the literal — the statement stays a
+    # single well-formed COPY, no terminator escapes the string
+    assert "FROM 's3://bucket/path''; DROP TABLE x; --'" in stmt
+    assert "IAM_ROLE 'arn:aws:iam::1:role/r''quote'" in stmt

@@ -99,3 +99,24 @@ def test_table_diff_statuses_by_construction(spark):
     )
     got = {r.k: r.status for r in table_diff(left, right, ["k"]).collect()}
     assert got == {1: "same", 2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_shuffle_deterministic_invariant_to_partitioning(spark, sf_dir):
+    """corpus_shuffle_deterministic must emit the identical
+    (doc_id, shard, pos_in_shard) assignment whatever the physical
+    partitioning — the whole point of the hash coin over ORDER BY
+    rand(). Run the registry query under two different
+    spark.sql.shuffle.partitions settings and compare exactly."""
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    fn = REGISTRY["corpus_shuffle_deterministic"].fn
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = {tuple(r) for r in fn(spark, sf_dir).collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b and len(a) > 0
