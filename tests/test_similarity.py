@@ -76,3 +76,35 @@ def test_kmeans_quantization_guard_raises_out_of_range(spark):
     )
     with pytest.raises(Exception, match="out of quantization range"):
         kmeans_quantized(bad, k=1, n_iter=1).count()
+
+
+def test_lsh_oracle_builder_generalizes(spark, sf_dir):
+    """_lsh_exact_oracle must mirror cosine_topk_lsh for ANY
+    parameterization, not just the two registered ones — pin a third
+    (8 bits × 4 bands, different seed) end-to-end through DuckDB so a
+    future edit to either side can't silently specialize them."""
+    import duckdb
+
+    from aws_etl_spark.queries.similarity_queries import _lsh_exact_oracle
+    from aws_etl_spark.similarity.topk import cosine_topk_lsh
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{emb_path}'")
+    ora = {
+        (r[0], r[1], r[2]): r[3]
+        for r in con.sql(
+            _lsh_exact_oracle(bits=8, bands=4, seed=7, k=3)
+        ).fetchall()
+    }
+
+    emb = spark.read.parquet(emb_path)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank): r.cosine
+        for r in cosine_topk_lsh(
+            emb, emb.filter("vec_id < 20"), k=3, bits=8, bands=4, seed=7
+        ).collect()
+    }
+    assert got.keys() == ora.keys()
+    for k_, v in got.items():
+        assert v == ora[k_], (k_, v, ora[k_])  # bit-identical doubles
