@@ -109,3 +109,51 @@ def jaccard_of_shingle_arrays(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All document pairs (id_a < id_b) where the SMALLER shingle set
+    is contained in the larger at >= threshold: asymmetric containment
+    C = |A ∩ B| / min(|A|, |B|), the sub-document/quote-inclusion
+    detector (Broder's containment, the measure Jaccard under-scores
+    when |A| << |B|).
+
+    Returns ``(id_a, id_b, n_common, containment)``; containment is an
+    int/int division — bit-deterministic across engines. Same bucketed
+    shingle self-join plan as :func:`ngram_jaccard_pairs` (shingles
+    cached once, pairs grouped map-side); the containment filter is
+    applied post-aggregation so candidate generation is shared work at
+    scale.
+    """
+    exploded = shingle_rows(df, id_col, text_col, k).withColumn(
+        "n_shingles", F.count("*").over(Window.partitionBy("doc"))
+    ).cache()
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count("*").alias("n_common"))
+        .withColumn(
+            "containment",
+            F.col("n_common") / F.least(F.col("na"), F.col("nb")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "containment")
+    )

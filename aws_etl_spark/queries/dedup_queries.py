@@ -523,3 +523,42 @@ sql_query(
     ),
     tables=("documents",),
 )
+
+
+_CONTAINMENT_ORACLE = """
+WITH sh AS (
+  SELECT doc_id AS doc,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(string_split(trim(text), ' ')) - 2, 0) + 1),
+             i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' ')
+           )
+         ) AS shingles
+  FROM documents
+),
+e AS (SELECT doc, len(shingles) AS n, unnest(shingles) AS s FROM sh)
+SELECT a.doc AS id_a, b.doc AS id_b,
+       COUNT(*) AS n_common,
+       COUNT(*) * 1.0 / LEAST(ANY_VALUE(a.n), ANY_VALUE(b.n)) AS containment
+FROM e a JOIN e b ON a.s = b.s AND a.doc < b.doc
+GROUP BY a.doc, b.doc
+HAVING COUNT(*) * 1.0 / LEAST(ANY_VALUE(a.n), ANY_VALUE(b.n)) >= 0.8
+"""
+
+
+@register(
+    "dedup_containment",
+    oracle=_CONTAINMENT_ORACLE,
+    category="dedup",
+    tables=("documents",),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment pairs >= 0.8: catches sub-document
+    duplication (one doc quoted/embedded inside another) that Jaccard
+    under-scores when set sizes differ — the asymmetric companion to
+    dedup_ngram_jaccard, over the same exact bucketed shingle
+    self-join."""
+    from aws_etl_spark.dedup.jaccard import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", k=3, threshold=0.8)

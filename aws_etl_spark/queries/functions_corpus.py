@@ -711,3 +711,47 @@ sql_query(
     ),
     tables=("lineitem",),
 )
+
+
+# --------------------------------------------------------------------------
+# URL parsing. Spark's parse_url() has no DuckDB twin, so both sides
+# run the SAME regexp decomposition (RE2-safe: no backslashes, no
+# lookaround — character classes only, e.g. [.] for a literal dot),
+# which also keeps the text identical. The URLs are synthesized from
+# document attributes — the crawl-pipeline shape where a landing URL
+# is split into host / path / query parameters for per-domain caps
+# and source attribution.
+# --------------------------------------------------------------------------
+
+_URL_PARSE_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/'
+           || CAST(doc_id AS STRING) || '?lang=' || lang
+           || '&v=' || CAST(doc_id % 7 AS STRING) AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^([a-z0-9+]+)://', 1) AS scheme,
+       regexp_extract(url, '^[a-z0-9+]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z0-9+]+://[^/?#]+([/][^?#]*)', 1)
+         AS url_path,
+       regexp_extract(url, '^[a-z0-9+]+://([^/?#.]+)[.]', 1)
+         AS subdomain,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+       regexp_extract(url, '[?&]v=([^&]*)', 1) AS v_param
+FROM u
+"""
+
+sql_query(
+    "func_url_parse",
+    _URL_PARSE_SQL,
+    category="function",
+    doc=(
+        "URL decomposition (scheme/host/path/subdomain/query params) "
+        "via a shared RE2-safe regexp set — Spark parse_url() "
+        "semantics without the dialect divergence. Pure projection: "
+        "narrow scan, zero shuffles, whole-stage codegen."
+    ),
+    tables=("documents",),
+)

@@ -494,3 +494,216 @@ def q_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_quantized(emb, "vec_id", "embedding", k=8, n_iter=3)
+
+
+# --------------------------------------------------------------------------
+# MMR (maximal marginal relevance) diverse re-ranking. The greedy
+# selection is inherently sequential in k, so both engines run the
+# SAME k-step unrolled plan: relevance = cosine to the query vector,
+# redundancy = max cosine to the already-selected set, score =
+# lambda*rel - (1-lambda)*red, argmax per step with a vec_id
+# tiebreak. Every cosine is the sequential-fold dot product
+# (Spark AGGREGATE fold == DuckDB list_dot_product, the established
+# bit-parity seam), MAX over doubles is order-independent, and the
+# lambda arithmetic is identical IEEE — so the whole greedy algorithm
+# is hash-provable, not just its inputs.
+#
+# Scale: the candidate pool is a top-P relevance cut (P=20 here; the
+# 100 TB path computes it with ann_cosine_topk's blocked kernels),
+# after which each greedy step touches only P rows x <=k selected —
+# driver-free, collect-free, O(k * P * d) total.
+# --------------------------------------------------------------------------
+
+
+def _mmr_sql(dot, k: int = 5, pool: int = 20, query_id: int = 0) -> str:
+    """Unrolled k-step MMR plan; ``dot(a, b)`` emits the dialect's
+    sequential-fold dot-product fragment."""
+    lam, one_minus = "0.7", "0.3"
+
+    def cos(a_emb, a_nrm, b_emb, b_nrm):
+        return f"{dot(a_emb, b_emb)} / ({a_nrm} * {b_nrm})"
+
+    parts = [f"""
+WITH qv AS (
+  SELECT embedding AS qemb, SQRT({dot('embedding', 'embedding')}) AS qnrm
+  FROM embeddings WHERE vec_id = {query_id}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding,
+         SQRT({dot('e.embedding', 'e.embedding')}) AS nrm,
+         {cos('e.embedding', f"SQRT({dot('e.embedding', 'e.embedding')})",
+              'qv.qemb', 'qv.qnrm')} AS rel
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> {query_id}
+),
+pool AS (
+  SELECT vec_id, embedding, nrm, rel FROM scored
+  ORDER BY rel DESC, vec_id LIMIT {pool}
+),
+sel1 AS (
+  SELECT vec_id, embedding, nrm, rel, CAST(NULL AS DOUBLE) AS red,
+         {lam} * rel AS score
+  FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+),
+acc1 AS (SELECT vec_id, embedding, nrm FROM sel1)"""]
+
+    for i in range(2, k + 1):
+        p = i - 1
+        parts.append(f""",
+red{i} AS (
+  SELECT p.vec_id,
+         MAX({cos('p.embedding', 'p.nrm', 's.embedding', 's.nrm')}) AS red
+  FROM pool p CROSS JOIN acc{p} s
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM acc{p})
+  GROUP BY p.vec_id
+),
+sel{i} AS (
+  SELECT p.vec_id, p.embedding, p.nrm, p.rel, r.red,
+         {lam} * p.rel - {one_minus} * r.red AS score
+  FROM pool p JOIN red{i} r ON r.vec_id = p.vec_id
+  ORDER BY score DESC, p.vec_id LIMIT 1
+),
+acc{i} AS (
+  SELECT vec_id, embedding, nrm FROM acc{p}
+  UNION ALL SELECT vec_id, embedding, nrm FROM sel{i}
+)""")
+
+    finals = "\nUNION ALL ".join(
+        f"SELECT {i} AS step, vec_id, rel AS relevance, red AS redundancy, "
+        f"score AS mmr_score FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append("\n" + finals)
+    return "".join(parts)
+
+
+def _spark_fold_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _duck_fold_dot(a: str, b: str) -> str:
+    return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    k: int = 5,
+    pool_n: int = 20,
+    query_id: int = 0,
+) -> DataFrame:
+    """DataFrame-side MMR: same algorithm as :func:`_mmr_sql`, but the
+    top-``pool_n`` relevance pool is CACHED (20 rows) so the interpreted
+    fold over the full embedding table runs once — the pure-SQL form
+    re-derives the pool at every one of its ~2k CTE references (Spark
+    CTEs are not materialized), measured 9 s vs <1 s at sf0.1. Cosines
+    go through :func:`pair_dot` (Arrow-batched, bit-identical to the
+    SQL fold), so the DuckDB oracle built from ``_mmr_sql`` still
+    hash-matches. Lambda constants are written literally (0.7 / 0.3):
+    computing ``1 - lam`` in Python would yield 0.30000000000000004 and
+    break IEEE parity with the oracle's literal."""
+    from aws_etl_spark.similarity.topk import pair_dot
+
+    e = F.col("embedding")
+    qv = emb.filter(F.col("vec_id") == query_id).select(
+        e.alias("qemb"),
+        F.sqrt(pair_dot(e, e)).alias("qnrm"),
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(pair_dot(e, e)).alias("nrm"),
+            (
+                pair_dot(e, F.col("qemb"))
+                / (F.sqrt(pair_dot(e, e)) * F.col("qnrm"))
+            ).alias("rel"),
+        )
+    )
+    # localCheckpoint (not cache): each greedy step's plan otherwise
+    # embeds every prior step's plan — lineage grows geometrically in k
+    # and each 1-row stage replays the whole chain (measured 5-6 s for
+    # k=5 at sf0.1; checkpointed: sub-second). Same pattern as
+    # dedup/pagerank.py's iteration truncation.
+    pool = scored.orderBy(F.desc("rel"), "vec_id").limit(pool_n).localCheckpoint()
+
+    sel = pool.orderBy(F.desc("rel"), "vec_id").limit(1).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "rel",
+        F.lit(None).cast("double").alias("red"),
+        (F.lit(0.7) * F.col("rel")).alias("score"),
+    )
+    sels = [sel]
+    acc = sel.select("vec_id", "embedding", "nrm")
+    for _ in range(2, k + 1):
+        s = acc.select(
+            F.col("vec_id").alias("s_id"),
+            F.col("embedding").alias("s_emb"),
+            F.col("nrm").alias("s_nrm"),
+        )
+        cand = pool.join(acc.select("vec_id"), "vec_id", "left_anti")
+        paircos = cand.crossJoin(F.broadcast(s)).select(
+            "vec_id",
+            (
+                pair_dot(F.col("embedding"), F.col("s_emb"))
+                / (F.col("nrm") * F.col("s_nrm"))
+            ).alias("c"),
+        )
+        red = paircos.groupBy("vec_id").agg(F.max("c").alias("red"))
+        sel = (
+            pool.join(red, "vec_id")
+            .select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                "rel",
+                "red",
+                (
+                    F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("red")
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(1)
+            .localCheckpoint()
+        )
+        sels.append(sel)
+        acc = acc.unionAll(sel.select("vec_id", "embedding", "nrm"))
+
+    out = None
+    for i, s in enumerate(sels, 1):
+        step = s.select(
+            F.lit(i).alias("step"),
+            "vec_id",
+            F.col("rel").alias("relevance"),
+            F.col("red").alias("redundancy"),
+            F.col("score").alias("mmr_score"),
+        )
+        out = step if out is None else out.unionAll(step)
+    return out
+
+
+@register(
+    "similarity_mmr_rerank",
+    oracle=_mmr_sql(_duck_fold_dot),
+    category="similarity",
+    tables=("embeddings",),
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-5 over a top-20
+    relevance pool (lambda=0.7): the RAG/retrieval re-ranking step
+    that trades relevance against redundancy. The greedy k-step
+    selection is unrolled into one declarative plan; identical
+    sequential-fold cosines end-to-end (pair_dot == list_dot_product)
+    make the greedy algorithm itself hash-provable against the
+    unrolled-CTE DuckDB oracle. Scale: after the top-P relevance cut
+    (the ann_cosine_topk path at 100 TB), every greedy step touches
+    only P cached rows x <=k selected — collect-free, O(k*P*d)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, k=5, pool_n=20, query_id=0)

@@ -983,3 +983,126 @@ sql_query(
     ),
     tables=("lineitem",),
 )
+
+
+# --------------------------------------------------------------------------
+# Median-absolute-deviation robust statistics. The percentile seam
+# (Spark exact `percentile` == DuckDB PERCENTILE_CONT, IEEE-identical
+# type-7 interpolation on integer inputs — established by
+# stat_winsorized_robust / agg_percentiles) applies twice: once for
+# the per-group median, once for the median of the absolute
+# deviations, which are exact 0.5-multiples in double so the second
+# interpolation is also exact. Plan: two map-side-combined aggs over
+# one scan each, tiny per-group bounds broadcast back.
+# --------------------------------------------------------------------------
+
+
+def _mad_sql(pct) -> str:
+    """pct(expr, p) -> dialect percentile fragment."""
+    return f"""
+WITH m AS (
+  SELECT source,
+         {pct('n_chars', '0.5')} AS med,
+         {pct('n_chars', '0.25')} AS p25,
+         {pct('n_chars', '0.75')} AS p75
+  FROM documents GROUP BY source
+),
+d AS (
+  SELECT doc.source, CAST(doc.n_chars AS DOUBLE) AS x, m.med
+  FROM documents doc JOIN m ON m.source = doc.source
+),
+a AS (
+  SELECT source, {pct('ABS(x - med)', '0.5')} AS mad
+  FROM d GROUP BY source
+),
+o AS (
+  SELECT d.source, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN ABS(d.x - d.med) > 3.0 * 1.4826 * a.mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_robust_outliers
+  FROM d JOIN a ON a.source = d.source
+  GROUP BY d.source
+)
+SELECT m.source, o.n_docs, m.med AS median_chars,
+       a.mad AS mad_chars, m.p75 - m.p25 AS iqr_chars,
+       o.n_robust_outliers
+FROM m JOIN a ON a.source = m.source JOIN o ON o.source = m.source
+"""
+
+
+sql_query(
+    "stat_mad_robust",
+    _mad_sql(lambda e, p: f"percentile({e}, {p})"),
+    oracle=_mad_sql(
+        lambda e, p: f"PERCENTILE_CONT({p}) WITHIN GROUP (ORDER BY {e})"
+    ),
+    category="stats",
+    doc=(
+        "Per-source robust dispersion: median, MAD, IQR and the "
+        "3-sigma-equivalent robust-z outlier count (1.4826 * MAD "
+        "consistency constant). Both percentile passes interpolate "
+        "exactly on integer / half-integer inputs, so every double "
+        "output is IEEE-identical cross-engine; the outlier predicate "
+        "compares identically-computed doubles. Plan: two grouped "
+        "percentile aggs + a tiny bounds join — no window over the "
+        "full table."
+    ),
+    tables=("documents",),
+)
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence scan (lang x source contingency). All counts
+# are exact BIGINTs; expected counts and per-cell contributions are
+# single-expression IEEE doubles over those exact integers (identical
+# cross-engine), quantized to micros with FLOOR — never summed as raw
+# doubles (partition-order trap). The full grid (including
+# zero-observed cells, which still contribute e to the statistic) is
+# materialized via a distinct-keys cross join.
+# --------------------------------------------------------------------------
+
+_CHI2_SQL = """
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS o
+  FROM documents GROUP BY lang, source
+),
+langs AS (SELECT DISTINCT lang FROM documents),
+sources AS (SELECT DISTINCT source FROM documents),
+grid AS (
+  SELECT l.lang, s.source, CAST(COALESCE(c.o, 0) AS BIGINT) AS o
+  FROM langs l CROSS JOIN sources s
+  LEFT JOIN cells c ON c.lang = l.lang AND c.source = s.source
+),
+rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM grid GROUP BY lang),
+ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM grid GROUP BY source),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM grid),
+ex AS (
+  SELECT g.lang, g.source, g.o,
+         CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(tot.n AS DOUBLE) AS e
+  FROM grid g
+  JOIN rt ON rt.lang = g.lang
+  JOIN ct ON ct.source = g.source
+  CROSS JOIN tot
+)
+SELECT lang, source, o AS observed,
+       CAST(FLOOR(e * 1000000) AS BIGINT) AS expected_micros,
+       CAST(FLOOR((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                  * 1000000) AS BIGINT) AS contrib_micros
+FROM ex
+"""
+
+sql_query(
+    "stat_chi_square",
+    _CHI2_SQL,
+    category="stats",
+    doc=(
+        "Chi-square independence contributions for the lang x source "
+        "contingency table: observed counts, expected counts under "
+        "independence (row_total * col_total / N) and per-cell "
+        "(o-e)^2/e, both floor-quantized to micros so no raw double "
+        "ever aggregates. The statistic is the exact integer sum of "
+        "contrib_micros / 1e6 with dof (R-1)(C-1). Plan: one grouped "
+        "count + two tiny marginal aggs broadcast back onto the "
+        "R*C-row grid — the scan never shuffles twice."
+    ),
+    tables=("documents",),
+)

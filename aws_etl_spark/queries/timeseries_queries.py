@@ -577,3 +577,58 @@ def _register_ses() -> None:
 
 
 _register_ses()
+
+
+# --------------------------------------------------------------------------
+# DAU / MAU stickiness: the engagement-ratio KPI. Distinct (day, user)
+# pairs reduce the raw event stream once; DAU is a count over that
+# reduced set, MAU a COUNT(DISTINCT) at month grain — three map-side-
+# combinable aggregations over one scan, shuffled on the day/user key
+# only. The ratio is a single IEEE division of exact integers,
+# floor-quantized to micros (raw double ratios would still be exact
+# here, but the quantized-BIGINT convention keeps the output schema
+# hash-stable).
+# --------------------------------------------------------------------------
+
+_DAU_MAU_SQL = """
+WITH d AS (
+  SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS activity_day, user_id
+  FROM events
+  GROUP BY DATE_TRUNC('day', CAST(ts AS TIMESTAMP)), user_id
+),
+dau AS (
+  SELECT activity_day, CAST(COUNT(*) AS BIGINT) AS dau
+  FROM d GROUP BY activity_day
+),
+mau AS (
+  SELECT DATE_TRUNC('month', activity_day) AS activity_month,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM d GROUP BY DATE_TRUNC('month', activity_day)
+)
+SELECT dau.activity_day, dau.dau, mau.mau,
+       CAST(FLOOR(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE)
+                  * 1000000) AS BIGINT) AS stickiness_micros
+FROM dau JOIN mau
+  ON DATE_TRUNC('month', dau.activity_day) = mau.activity_month
+"""
+
+
+def _register_dau_mau() -> None:
+    from aws_etl_spark.queries.registry import sql_query
+
+    sql_query(
+        "events_dau_mau",
+        _DAU_MAU_SQL,
+        category="timeseries",
+        doc=(
+            "Daily-active / monthly-active stickiness ratio per day "
+            "(the DAU/MAU engagement KPI). One distinct-reduce of "
+            "(day, user), then two grain aggregations and a "
+            "broadcast-size month join; the ratio is one exact-int "
+            "IEEE division quantized to micros."
+        ),
+        tables=("events",),
+    )
+
+
+_register_dau_mau()
