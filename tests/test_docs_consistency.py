@@ -35,9 +35,10 @@ def test_driver_window_marker_sits_at_position_50():
     import re
     from pathlib import Path
 
+    import aws_etl_spark.queries.registry as registry_mod
     from aws_etl_spark.queries.registry import _DRIVER_ORDER
 
-    src = Path("aws_etl_spark/queries/registry.py").read_text()
+    src = Path(registry_mod.__file__).read_text()
     m = re.search(
         r'"([a-z0-9_]+)",\s*\n\s*# ---- end of the 50-query', src
     )
