@@ -6,16 +6,47 @@ on shingle, count per-pair intersections, derive Jaccard from
 
 Scale notes: the self-join shuffles on the shingle value, so cost is
 Σ per-shingle df² — fine when shingles are discriminative (long-tail
-distribution), quadratic on stop-shingles. For 100 TB corpora use
+distribution), quadratic on stop-shingles. Both pair generators
+therefore take a ``max_df`` document-frequency cap: shingles shared by
+more than ``max_df`` documents are dropped BEFORE the self-join
+(set-size denominators are computed before the cap, so capped
+similarity scores are lower bounds and the capped pair set is a strict
+subset of the exact one). :func:`dropped_shingle_count` is the audit
+that says whether the cap fired — 0 ⇒ capped output IS the exact
+output (the ``oversize_bucket_count`` pattern from
+:mod:`aws_etl_spark.dedup.simhash`). For 100 TB corpora use
 :mod:`aws_etl_spark.dedup.minhash` for candidate generation and this
-module only to verify candidate pairs; or pre-filter hot shingles
-(document-frequency cap) the way MinHashLSH implicitly does.
+module to verify candidate pairs, or run the capped discovery join and
+audit the drop count.
+
+Cache lifecycle: the exploded shingle table feeds both sides of the
+self-join, so it is persisted — but repeated invocations (driver
+sweeps, bench loops) must not pin one copy per call. A module-level
+registry keeps at most ONE cached shingle table per consumer function
+and unpersists the previous one on re-entry.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# one cached shingle DataFrame per consumer key; previous entry is
+# unpersisted when the same consumer runs again (bounds executor
+# storage to one copy per consumer regardless of invocation count)
+_ACTIVE_SHINGLE_CACHE: dict[str, DataFrame] = {}
+
+
+def _cache_swap(key: str, df: DataFrame) -> DataFrame:
+    prev = _ACTIVE_SHINGLE_CACHE.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session may be stopped; nothing to release
+    cached = df.cache()
+    _ACTIVE_SHINGLE_CACHE[key] = cached
+    return cached
 
 
 def shingle_words(text: Column, k: int = 3) -> Column:
@@ -25,11 +56,23 @@ def shingle_words(text: Column, k: int = 3) -> Column:
     Reference semantics for small projections; the hot paths use
     :func:`shingle_rows` — higher-order lambdas are interpreted
     per-element and cost ~7 ms/doc on long documents.
+
+    The index stream is guarded for short documents: ``sequence(1,
+    greatest(n-k+1, 0))`` would yield the DESCENDING ``[1, 0]`` when a
+    doc has fewer than k-1 tokens (Spark's sequence steps -1 when
+    start > stop) and ``slice(words, 0, k)`` then raises
+    INVALID_PARAMETER_VALUE.START — so the sequence is floored at 1
+    and filtered back to the valid range, giving ``[]`` for short docs
+    (matching DuckDB's ``range(1, n+1)`` empty-range semantics).
     """
     words = F.split(F.trim(text), r"\s+")
     n = F.size(words)
+    idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: i <= n - (k - 1),
+    )
     shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        idx,
         lambda i: F.concat_ws(" ", F.slice(words, i, k)),
     )
     return F.array_distinct(shingles)
@@ -64,23 +107,75 @@ def shingle_rows(
     return rows.dropDuplicates(["doc", "shingle"]) if distinct else rows
 
 
+def _capped_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_df: int | None,
+    cache_key: str,
+) -> DataFrame:
+    """Shared pair-generator input: distinct (doc, shingle, n_shingles)
+    with the per-doc set size computed BEFORE the hot-shingle cap, then
+    shingles with document frequency > max_df dropped. The df window
+    partitions on the shingle value — the same key the downstream
+    self-join shuffles on, so the exchange is reused, not doubled."""
+    exploded = shingle_rows(df, id_col, text_col, k).withColumn(
+        "n_shingles", F.count("*").over(Window.partitionBy("doc"))
+    )
+    if max_df is not None:
+        exploded = (
+            exploded.withColumn(
+                "df_s", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("df_s") <= max_df)
+            .drop("df_s")
+        )
+    return _cache_swap(cache_key, exploded)
+
+
+def dropped_shingle_count(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_df: int = 1000,
+) -> int:
+    """Number of distinct shingles whose document frequency exceeds
+    ``max_df`` — i.e. shingles the capped pair generators would drop.
+    0 ⇒ the capped join is EXACT (identical to the uncapped pair set);
+    >0 ⇒ similarity scores are lower bounds and exactness claims must
+    not be made. One scan + one agg; run it when promoting a capped
+    result to an exact-parity context (the ``oversize_bucket_count``
+    audit pattern)."""
+    return (
+        shingle_rows(df, id_col, text_col, k)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df_s"))
+        .filter(F.col("df_s") > max_df)
+        .count()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """All document pairs (id_a < id_b) with shingle-Jaccard ≥ threshold.
 
     Returns ``(id_a, id_b, n_common, jaccard)``; jaccard is an
-    int/int division — bit-deterministic across engines.
+    int/int division — bit-deterministic across engines. Shingles with
+    document frequency > ``max_df`` are dropped before the self-join
+    (see module docstring; audit with :func:`dropped_shingle_count`,
+    pass ``max_df=None`` for the uncapped exact join).
     """
-    # both sides of the shingle self-join read this — cache it so
-    # shingling runs once (multi-consumer caching policy, SURVEY.md §4)
-    exploded = shingle_rows(df, id_col, text_col, k).withColumn(
-        "n_shingles", F.count("*").over(Window.partitionBy("doc"))
-    ).cache()
+    exploded = _capped_shingles(
+        df, id_col, text_col, k, max_df, "ngram_jaccard_pairs"
+    )
 
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -117,6 +212,7 @@ def containment_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """All document pairs (id_a < id_b) where the SMALLER shingle set
     is contained in the larger at >= threshold: asymmetric containment
@@ -129,11 +225,13 @@ def containment_pairs(
     shingle self-join plan as :func:`ngram_jaccard_pairs` (shingles
     cached once, pairs grouped map-side); the containment filter is
     applied post-aggregation so candidate generation is shared work at
-    scale.
+    scale. Shingles with document frequency > ``max_df`` are dropped
+    before the self-join — this is the discovery-shaped consumer the
+    cap exists for (audit with :func:`dropped_shingle_count`).
     """
-    exploded = shingle_rows(df, id_col, text_col, k).withColumn(
-        "n_shingles", F.count("*").over(Window.partitionBy("doc"))
-    ).cache()
+    exploded = _capped_shingles(
+        df, id_col, text_col, k, max_df, "containment_pairs"
+    )
 
     a = exploded.alias("a")
     b = exploded.alias("b")

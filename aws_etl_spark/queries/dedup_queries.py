@@ -448,7 +448,14 @@ WITH tok AS (
   SELECT DISTINCT doc_id, word FROM (
     SELECT doc_id, explode(
       transform(
-        sequence(1, greatest(size(split(lower(text), '\\s+')) - 2, 0)),
+        -- short-doc guard: sequence(1, greatest(n-2, 0)) steps DOWN to
+        -- [1, 0] when n <= 2 and slice(, 0, 3) then raises; floor the
+        -- stop at 1 and filter back to the valid range (empty for
+        -- short docs, matching the oracle's range(1, n+1) semantics)
+        filter(
+          sequence(1, greatest(size(split(lower(text), '\\s+')) - 2, 1)),
+          i -> i <= size(split(lower(text), '\\s+')) - 2
+        ),
         i -> concat_ws(' ', slice(split(lower(text), '\\s+'), i, 3))
       )
     ) AS word

@@ -230,3 +230,131 @@ def test_simhash_banded_equals_bruteforce(spark, sf_dir):
         if ham(local[a], local[b]) <= 3
     }
     assert banded == brute
+
+
+def test_shingle_words_short_docs(spark):
+    """The shingle index stream must be EMPTY for docs shorter than k
+    tokens — sequence(1, greatest(n-k+1, 0)) steps DOWN to [1, 0] on
+    short docs and slice(words, 0, k) raises
+    INVALID_PARAMETER_VALUE.START (advice item, verified live before
+    the guard)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_spark.dedup.jaccard import shingle_words
+
+    rows = [("", ), ("one",), ("one two",), ("one two three",),
+            ("a b c d",)]
+    df = spark.createDataFrame(rows, ["text"])
+    out = [r.sh for r in df.select(shingle_words(F.col("text")).alias("sh")).collect()]
+    assert out == [[], [], [], ["one two three"], ["a b c", "b c d"]]
+
+
+def test_pair_explain_and_novelty_sql_survive_short_docs(spark):
+    """The registry SQL for dedup_pair_explain / text_ngram_novelty
+    shares the guarded shingle idiom: short/empty documents must yield
+    zero shingles, not an INVALID_PARAMETER_VALUE.START abort, and the
+    guarded Spark side must still match the DuckDB oracle on a corpus
+    that CONTAINS short docs (the synthetic tables never do — this is
+    the latent-hazard pin)."""
+    import duckdb
+    import pandas as pd
+
+    from aws_etl_spark.oracle import canonical_rows
+    from aws_etl_spark.queries.dedup_queries import (
+        _PAIR_EXPLAIN_DUCK,
+        _PAIR_EXPLAIN_SPARK,
+    )
+    from aws_etl_spark.queries.llm_text import _NOVELTY_DUCK, _NOVELTY_SPARK
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "",                       # 0 tokens
+                "lone",                   # 1 token
+                "two words",              # 2 tokens — the [1, 0] hazard
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon zeta eta",
+                "totally different content here now",
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    try:
+        for sp_sql, du_sql in (
+            (_PAIR_EXPLAIN_SPARK, _PAIR_EXPLAIN_DUCK),
+            (_NOVELTY_SPARK, _NOVELTY_DUCK),
+        ):
+            got = spark.sql(sp_sql).toPandas()
+            want = con.execute(du_sql).df()
+            assert canonical_rows(got) == canonical_rows(want)
+    finally:
+        con.close()
+        spark.catalog.dropTempView("documents")
+
+
+def test_shingle_cap_exact_when_not_fired(spark, sf_dir):
+    """Capped == uncapped on the test corpus, with the precondition
+    ASSERTED: dropped_shingle_count must be 0 at the default cap (500
+    docs ⇒ df <= 500 < 1000), so the df-capped discovery join is
+    provably identical to the exact one the oracles hash (verdict
+    item: assert the cap does not fire, don't assume it)."""
+    from aws_etl_spark.dedup.jaccard import (
+        containment_pairs,
+        dropped_shingle_count,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert dropped_shingle_count(docs, "doc_id", "text", k=3, max_df=1000) == 0
+
+    jac_cap = {
+        (r.id_a, r.id_b): r.n_common
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    }
+    jac_exact = {
+        (r.id_a, r.id_b): r.n_common
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", max_df=None).collect()
+    }
+    assert jac_cap == jac_exact and jac_cap
+
+    con_cap = {
+        (r.id_a, r.id_b): r.n_common
+        for r in containment_pairs(docs, "doc_id", "text").collect()
+    }
+    con_exact = {
+        (r.id_a, r.id_b): r.n_common
+        for r in containment_pairs(docs, "doc_id", "text", max_df=None).collect()
+    }
+    assert con_cap == con_exact and con_cap
+
+
+def test_shingle_cap_truncates_hot_shingles(spark):
+    """When a stop-shingle's document frequency exceeds max_df the cap
+    must actually fire: the audit reports the hot shingles, the capped
+    pair set is a strict subset, and per-doc set sizes (similarity
+    denominators) stay UNCAPPED so capped scores are lower bounds."""
+    from aws_etl_spark.dedup.jaccard import (
+        dropped_shingle_count,
+        ngram_jaccard_pairs,
+    )
+
+    # every doc shares the hot 3-gram "of the and"; only docs 0/1
+    # share discriminative content beyond it
+    rows = [(i, f"of the and unique{i} token{i} filler{i}") for i in range(8)]
+    rows[1] = (1, "of the and unique0 token0 filler1")
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    assert dropped_shingle_count(df, "doc_id", "text", k=3, max_df=4) >= 1
+    capped = {
+        (r.id_a, r.id_b) for r in
+        ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1, max_df=4).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b) for r in
+        ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1, max_df=None).collect()
+    }
+    assert capped < uncapped  # strict subset: hot-shingle pairs dropped
+    assert (0, 1) in capped   # discriminative overlap survives the cap
