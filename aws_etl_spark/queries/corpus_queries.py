@@ -317,6 +317,92 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_exact_oracle(
+    n_centroids: int = 16, threshold: float = 0.4, dim: int = 64, seed: int = 7
+) -> str:
+    """DuckDB oracle mirroring the WHOLE SemDeDup pipeline with a
+    pinned quantizer: seeded unit centroids inlined as double
+    literals, argmax-dot cell assignment with (dot DESC, cid) ties —
+    exactly nearest_centroids_udf — then the within-cluster keep-min
+    prune with the exact cosine expression shape. The same
+    centroid-literal construction as _ivf_exact_oracle: float k-means
+    training state is the ONLY non-portable part of SemDeDup, so
+    pinning it makes every drop decision hash-provable."""
+    from aws_etl_spark.similarity.topk import fixed_unit_centroids
+
+    cents = fixed_unit_centroids(dim, n_centroids, seed)
+    dot_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {cid} AS cid, "
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(x) for x in cv)
+        + "]::DOUBLE[]) AS dot FROM embeddings"
+        for cid, cv in cents
+    )
+    return f"""
+WITH dots AS (
+  {dot_selects}
+),
+assign AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM dots) WHERE rn = 1
+),
+prior AS (
+  SELECT hi.vec_id,
+         MAX(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+             (SQRT(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+              SQRT(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))
+         ) AS max_cosine_prior
+  FROM assign lo
+  JOIN assign hi ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
+  JOIN embeddings ea ON ea.vec_id = lo.vec_id
+  JOIN embeddings eb ON eb.vec_id = hi.vec_id
+  GROUP BY hi.vec_id
+)
+SELECT a.vec_id,
+       CAST(a.cluster AS BIGINT) AS cluster,
+       COALESCE(p.max_cosine_prior >= {threshold!r}, FALSE) AS is_dup,
+       p.max_cosine_prior
+FROM assign a LEFT JOIN prior p ON p.vec_id = a.vec_id
+"""
+
+
+@register(
+    "dedup_semantic_exact",
+    oracle=_semantic_exact_oracle(),
+    category="dedup",
+    tables=("embeddings",),
+)
+def q_dedup_semantic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, exact driver-provable twin of dedup_semantic: same
+    shard-by-cell → within-cluster keep-min prune (threshold 0.4),
+    but the quantizer is pinned to seeded unit-centroid literals
+    (fixed_unit_centroids) and assignment uses the sequential-fold
+    kernel, so the DuckDB oracle replicates every cell assignment and
+    drop decision bit-for-bit (see _semantic_exact_oracle) — the
+    centroid-literal analogue of ann_cosine_topk_lsh_exact. The
+    trained production variant stays rows-only, cross-validated in
+    tests/test_corpus.py."""
+    from aws_etl_spark.similarity.semantic import semantic_dedup
+    from aws_etl_spark.similarity.topk import fixed_unit_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        centroids=fixed_unit_centroids(dim=64, n_centroids=16, seed=7),
+    )
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        "is_dup",
+        "max_cosine_prior",
+    )
+
+
 _DOMAIN_CAP_ORACLE = """
 SELECT doc_id, source, lang, n_chars
 FROM (

@@ -252,6 +252,8 @@ _DRIVER_ORDER = (
     #    inserted here as they land
     "dedup_pair_explain",
     "text_ngram_novelty",
+    "ann_cosine_topk_ivf_exact",
+    "dedup_semantic_exact",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r2/r3-vintage names that sat just past the r5 marker)
     "agg_rollup",
@@ -295,11 +297,11 @@ _DRIVER_ORDER = (
     "dedup_decontaminate",
     "corpus_e2e_pipeline",
     "corpus_cluster_safe_split",
-    "corpus_domain_cap",
-    "embeddings_kmeans_quantized",
     # ---- end of the 50-query round-6 window ----
     # remainder: r4-vintage continued, then the round-5 window names
     # (freshest driver evidence, re-confirmed most recently in r5)
+    "corpus_domain_cap",
+    "embeddings_kmeans_quantized",
     "embeddings_hard_negatives",
     "embeddings_dim_stats",
     "ann_cosine_topk_exact",

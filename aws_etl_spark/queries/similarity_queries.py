@@ -6,9 +6,11 @@ oracle mirrors the exact cosine expression shape. The sign-LSH family
 is ALSO fully hash-oracled since round 5 — its oracle replicates the
 algorithm itself (seeded hyperplanes inlined as literals, identical
 sequential-fold dots), so the approximate pipeline is provable
-bit-for-bit; only IVF (float k-means training state) remains
-rows-only, recall-checked against the exact path in
-tests/test_similarity.py.
+bit-for-bit. Round 6 extended the same construction to IVF with a
+pinned coarse quantizer (ann_cosine_topk_ivf_exact — seeded unit
+CENTROIDS inlined as literals); only the trained production IVF
+(float k-means state) remains rows-only, recall-checked against the
+exact path in tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -194,6 +196,98 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 (16 lists, probe 4)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter("vec_id < 20"), k=5)
+
+
+def _ivf_exact_oracle(
+    n_centroids: int = 16, n_probe: int = 4, k: int = 5, dim: int = 64, seed: int = 7
+) -> str:
+    """DuckDB oracle that mirrors the WHOLE IVF pipeline with a pinned
+    coarse quantizer: the seeded unit centroids are inlined as double
+    literals, corpus assignment is argmax-dot with (dot DESC, cid)
+    tie order — exactly nearest_centroids_udf's stable argsort — the
+    query side probes its n_probe nearest lists, and candidates get
+    the exact cosine re-rank. Same construction as _lsh_exact_oracle:
+    with both engines computing identical dots over identical centroid
+    literals, every cell-assignment and probe decision matches
+    bit-for-bit, so the APPROXIMATE pipeline is hash-provable (recall
+    misses and all). The float k-means training state — the only part
+    of IVF that is not portable — stays in ann_cosine_topk_ivf."""
+    from aws_etl_spark.similarity.topk import fixed_unit_centroids
+
+    cents = fixed_unit_centroids(dim, n_centroids, seed)
+    dot_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {cid} AS cid, "
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(x) for x in cv)
+        + "]::DOUBLE[]) AS dot FROM embeddings"
+        for cid, cv in cents
+    )
+    return f"""
+WITH dots AS (
+  {dot_selects}
+),
+corpus_assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM dots) WHERE rn = 1
+),
+query_probe AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+    FROM dots WHERE vec_id < 20) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM query_probe q JOIN corpus_assign c ON q.cid = c.cid
+  WHERE q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         (SQRT(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+          SQRT(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM r WHERE rank <= {k}
+"""
+
+
+@register(
+    "ann_cosine_topk_ivf_exact",
+    oracle=_ivf_exact_oracle(),
+    category="similarity",
+    tables=("embeddings",),
+)
+def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5, exact driver-provable twin of
+    ann_cosine_topk_ivf: same assignment → probe → exact-re-rank
+    pipeline (16 lists, probe 4), but the coarse quantizer is pinned
+    to seeded unit-centroid literals (fixed_unit_centroids) instead of
+    float k-means state, and the DuckDB oracle REPLICATES the
+    algorithm with the same centroid literals (see _ivf_exact_oracle)
+    — the centroid-literal analogue of ann_cosine_topk_lsh_exact.
+    Recall-vs-exact for the trained production variant stays gated in
+    tests/test_similarity.py."""
+    from aws_etl_spark.similarity.topk import fixed_unit_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter("vec_id < 20"),
+        k=5,
+        n_probe=4,
+        centroids=fixed_unit_centroids(dim=64, n_centroids=16, seed=7),
+    )
 
 
 _QUANTIZE_ORACLE = """

@@ -21,11 +21,14 @@ sizes are capped (``max_cluster``) the same way LSH bucket sizes are
 capped in minhash — boilerplate-heavy corpora otherwise concentrate
 mass in one cluster and re-introduce the quadratic blowup.
 
-Not SQL-oracle-expressible (k-means state) → registry entry is
-rows-only; tests cross-validate against the exact cosine-pairs
-operator: every dropped doc has a true near-dup partner at the same
-threshold, and recall vs. the exact pair set is gated
-(tests/test_corpus.py).
+The trained (k-means-state) variant is not SQL-oracle-expressible →
+its registry entry is rows-only; tests cross-validate against the
+exact cosine-pairs operator: every dropped doc has a true near-dup
+partner at the same threshold, and recall vs. the exact pair set is
+gated (tests/test_corpus.py). The PINNED-quantizer variant
+(``centroids=fixed_unit_centroids(...)``) is fully hash-oracled —
+``dedup_semantic_exact`` mirrors every cell assignment and drop
+decision in DuckDB via centroid literals.
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ from pyspark.sql import functions as F
 from aws_etl_spark.similarity.topk import (
     _train_spherical_centroids,
     _with_norm,
+    nearest_centroids_udf,
     pair_dot,
 )
 
@@ -64,6 +68,7 @@ def semantic_dedup(
     kmeans_iters: int = 2,
     seed: int = 42,
     max_cluster: int = 10_000,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """(id, cluster, is_dup, max_cosine_prior) per corpus row.
 
@@ -72,12 +77,24 @@ def semantic_dedup(
     same deterministic convention as the minhash/CC dedup family).
     ``max_cosine_prior`` is the evidence column: the best cosine to
     any lower-id clustermate (NULL for cluster minima).
+
+    Pass ``centroids`` (e.g. ``fixed_unit_centroids``) to pin the
+    quantizer instead of training it; the pinned path assigns with the
+    sequential-fold kernel (``nearest_centroids_udf``) so every dot is
+    bit-identical to DuckDB's ``list_dot_product`` and the whole
+    pipeline becomes hash-oracle-provable — the k-means training state
+    is the only non-portable part of SemDeDup.
     """
-    cents = _train_spherical_centroids(
-        corpus, id_col, vec_col, n_centroids, kmeans_iters, seed
-    )
     unit = _with_norm(corpus, id_col, vec_col, "c")
-    assigned = unit.withColumn("cluster", _assign_udf(cents)(F.col("c_vec")))
+    if centroids is not None:
+        assigned = unit.withColumn(
+            "cluster", nearest_centroids_udf(centroids, 1)(F.col("c_vec"))[0]
+        )
+    else:
+        cents = _train_spherical_centroids(
+            corpus, id_col, vec_col, n_centroids, kmeans_iters, seed
+        )
+        assigned = unit.withColumn("cluster", _assign_udf(cents)(F.col("c_vec")))
 
     # cap pathological clusters before the pair join (document-
     # frequency-cap analogue; keeps within-cluster work bounded)

@@ -406,6 +406,51 @@ def cosine_topk_lsh(
     )
 
 
+def fixed_unit_centroids(
+    dim: int = 64, n_centroids: int = 16, seed: int = 7
+) -> list[tuple[int, list[float]]]:
+    """Seeded random unit centroids — a data-independent coarse
+    quantizer (random Voronoi cells on the sphere, the same family of
+    space partition as sign-LSH but with C cells instead of 2^bits).
+    Used by the hash-oracled IVF/SemDeDup twins: the centroid doubles
+    are inlined as literals in the DuckDB oracle (repr roundtrips to
+    the identical IEEE value), so both engines assign every vector to
+    the same cell bit-for-bit."""
+    rng = random.Random(seed)
+    cents: list[tuple[int, list[float]]] = []
+    for cid in range(n_centroids):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        nrm = sum(x * x for x in v) ** 0.5
+        cents.append((cid, [x / nrm for x in v]))
+    return cents
+
+
+def nearest_centroids_udf(cents: list[tuple[int, list[float]]], n: int):
+    """Batched nearest-centroid kernel: dots folded sequentially per
+    centroid (bit-identical to the scalar left fold and DuckDB's
+    ``list_dot_product``), ranked by (-dot, centroid id) — the tie
+    order an oracle's ``ROW_NUMBER() OVER (ORDER BY dot DESC, cid)``
+    reproduces exactly."""
+    C_mat = [(cid, np.asarray(cvec, dtype=np.float64)) for cid, cvec in cents]
+
+    @F.pandas_udf("array<int>")
+    def nearest(xs: pd.Series) -> pd.Series:
+        A = np.stack(xs.to_numpy()).astype(np.float64)
+        dots = []
+        for _cid, cvec in C_mat:
+            prod = A * cvec
+            acc = np.zeros(prod.shape[0], dtype=np.float64)
+            for j in range(prod.shape[1]):
+                acc = acc + prod[:, j]
+            dots.append(acc)
+        D = np.stack(dots, axis=1)  # rows × centroids
+        cids = np.asarray([cid for cid, _ in C_mat])
+        order = np.argsort(-D, axis=1, kind="stable")  # ties → cid order
+        return pd.Series(list(cids[order[:, :n]].astype(np.int32)))
+
+    return nearest
+
+
 def _train_spherical_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -482,6 +527,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     kmeans_iters: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: train a spherical-k-means coarse
     quantizer on a sample, assign corpus vectors to their nearest
@@ -490,33 +536,24 @@ def ivf_topk(
     The centroid table is tiny and driver-collected once (like an IVF
     coarse quantizer); at 100 TB the corpus assignment is a single
     map + shuffle-on-centroid-id, and queries touch n_probe/C of data.
+
+    Pass ``centroids`` to pin the coarse quantizer instead of training
+    it (e.g. :func:`fixed_unit_centroids`): with literal centroids the
+    whole assignment+probe+re-rank pipeline is deterministic and
+    hash-oracle-provable (the algorithm-mirroring oracle trick the LSH
+    family uses — the float k-means training state is the ONLY
+    non-portable part of IVF).
     """
-    cents = _train_spherical_centroids(
-        corpus, id_col, vec_col, n_centroids, kmeans_iters, seed
+    cents = (
+        centroids
+        if centroids is not None
+        else _train_spherical_centroids(
+            corpus, id_col, vec_col, n_centroids, kmeans_iters, seed
+        )
     )
 
-    C_mat = [(cid, np.asarray(cvec, dtype=np.float64)) for cid, cvec in cents]
-
     def _nearest_udf(n: int):
-        """Batched nearest-centroid kernel: dots folded sequentially
-        per centroid (deterministic), ranked by (-dot, centroid id)."""
-
-        @F.pandas_udf("array<int>")
-        def nearest(xs: pd.Series) -> pd.Series:
-            A = np.stack(xs.to_numpy()).astype(np.float64)
-            dots = []
-            for _cid, cvec in C_mat:
-                prod = A * cvec
-                acc = np.zeros(prod.shape[0], dtype=np.float64)
-                for j in range(prod.shape[1]):
-                    acc = acc + prod[:, j]
-                dots.append(acc)
-            D = np.stack(dots, axis=1)  # rows × centroids
-            cids = np.asarray([cid for cid, _ in C_mat])
-            order = np.argsort(-D, axis=1, kind="stable")  # ties → cid order
-            return pd.Series(list(cids[order[:, :n]].astype(np.int32)))
-
-        return nearest
+        return nearest_centroids_udf(cents, n)
 
     c = _with_norm(corpus, id_col, vec_col, "c").withColumn(
         "centroid", _nearest_udf(1)(F.col("c_vec"))[0]

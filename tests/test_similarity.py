@@ -108,3 +108,84 @@ def test_lsh_oracle_builder_generalizes(spark, sf_dir):
     assert got.keys() == ora.keys()
     for k_, v in got.items():
         assert v == ora[k_], (k_, v, ora[k_])  # bit-identical doubles
+
+
+def test_ivf_exact_oracle_builder_alternate_parameterization(spark, sf_dir):
+    """_ivf_exact_oracle must mirror the pinned-centroid ivf_topk for
+    ANY parameterization, not just the registered one — pin a second
+    (8 lists, probe 2, different seed, k=3) end-to-end through DuckDB
+    so a future edit to either side can't silently specialize them."""
+    import duckdb
+
+    from aws_etl_spark.queries.similarity_queries import _ivf_exact_oracle
+    from aws_etl_spark.similarity.topk import fixed_unit_centroids, ivf_topk
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{emb_path}'")
+    ora = {
+        (r[0], r[1], r[2]): r[3]
+        for r in con.sql(
+            _ivf_exact_oracle(n_centroids=8, n_probe=2, k=3, seed=11)
+        ).fetchall()
+    }
+
+    emb = spark.read.parquet(emb_path)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank): r.cosine
+        for r in ivf_topk(
+            emb,
+            emb.filter("vec_id < 20"),
+            k=3,
+            n_probe=2,
+            centroids=fixed_unit_centroids(dim=64, n_centroids=8, seed=11),
+        ).collect()
+    }
+    assert got.keys() == ora.keys()
+    for k_, v in got.items():
+        assert v == ora[k_], (k_, v, ora[k_])  # bit-identical doubles
+
+
+def test_semantic_exact_oracle_builder_alternate_parameterization(spark, sf_dir):
+    """_semantic_exact_oracle must mirror the pinned-centroid
+    semantic_dedup for ANY parameterization — pin a second (8 cells,
+    threshold 0.35, different seed) end-to-end through DuckDB."""
+    import duckdb
+    import math
+
+    from aws_etl_spark.queries.corpus_queries import _semantic_exact_oracle
+    from aws_etl_spark.similarity.semantic import semantic_dedup
+    from aws_etl_spark.similarity.topk import fixed_unit_centroids
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{emb_path}'")
+    ora = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(
+            _semantic_exact_oracle(n_centroids=8, threshold=0.35, seed=11)
+        ).fetchall()
+    }
+
+    emb = spark.read.parquet(emb_path)
+    got = {
+        r.vec_id: (r.cluster, r.is_dup, r.max_cosine_prior)
+        for r in semantic_dedup(
+            emb,
+            "vec_id",
+            "embedding",
+            threshold=0.35,
+            centroids=fixed_unit_centroids(dim=64, n_centroids=8, seed=11),
+        ).collect()
+    }
+    assert got.keys() == ora.keys()
+    n_dup = 0
+    for k_, (cl, dup, mx) in got.items():
+        ocl, odup, omx = ora[k_]
+        assert (cl, dup) == (ocl, odup), (k_, (cl, dup), (ocl, odup))
+        if mx is None:
+            assert omx is None, k_
+        else:
+            assert mx == omx, (k_, mx, omx)  # bit-identical doubles
+        n_dup += bool(dup)
+    assert n_dup > 0  # threshold 0.35 must exercise real drop decisions
