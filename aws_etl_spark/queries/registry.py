@@ -254,6 +254,8 @@ _DRIVER_ORDER = (
     "text_ngram_novelty",
     "ann_cosine_topk_ivf_exact",
     "dedup_semantic_exact",
+    "serve_reconcile",
+    "plan_broadcast_audit",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r2/r3-vintage names that sat just past the r5 marker)
     "agg_rollup",
@@ -295,11 +297,11 @@ _DRIVER_ORDER = (
     "dedup_span_doc_profile",
     "dedup_survivors",
     "dedup_decontaminate",
-    "corpus_e2e_pipeline",
-    "corpus_cluster_safe_split",
     # ---- end of the 50-query round-6 window ----
     # remainder: r4-vintage continued, then the round-5 window names
     # (freshest driver evidence, re-confirmed most recently in r5)
+    "corpus_e2e_pipeline",
+    "corpus_cluster_safe_split",
     "corpus_domain_cap",
     "embeddings_kmeans_quantized",
     "embeddings_hard_negatives",
@@ -432,6 +434,7 @@ def _ensure_loaded() -> None:
         reference_parity,
         relational,
         scale_queries,
+        serving,
         similarity_queries,
         streaming_queries,
         stats_queries,
