@@ -256,6 +256,11 @@ _DRIVER_ORDER = (
     "dedup_semantic_exact",
     "serve_reconcile",
     "plan_broadcast_audit",
+    "embeddings_gram_matrix",
+    "stat_ks_drift",
+    "stat_psi_drift",
+    "embeddings_pca_power",
+    "embeddings_random_projection",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r2/r3-vintage names that sat just past the r5 marker)
     "agg_rollup",
@@ -292,12 +297,12 @@ _DRIVER_ORDER = (
     "dedup_graph_label_propagation",
     "dedup_graph_kcore",
     "dedup_graph_pagerank_exact",
+    # ---- end of the 50-query round-6 window ----
     "dedup_graph_degrees",
     "dedup_span_census",
     "dedup_span_doc_profile",
     "dedup_survivors",
     "dedup_decontaminate",
-    # ---- end of the 50-query round-6 window ----
     # remainder: r4-vintage continued, then the round-5 window names
     # (freshest driver evidence, re-confirmed most recently in r5)
     "corpus_e2e_pipeline",

@@ -801,3 +801,174 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     only P cached rows x <=k selected — collect-free, O(k*P*d)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return mmr_rerank(emb, k=5, pool_n=20, query_id=0)
+
+
+# --------------------------------------------------------------------------
+# Distributed quantized-exact Gram matrix — the covariance/PCA/whitening
+# primitive. The Spark side folds each partition into ONE d x d int64
+# accumulator (numpy matmul per Arrow batch) and shuffles only
+# partitions x d(d+1)/2 triangle rows; the oracle is the same
+# quantization over an exploded self-join — algebraically identical
+# integers, so the full matrix hash-matches bit for bit.
+# --------------------------------------------------------------------------
+
+_GRAM_ORACLE = """
+WITH e AS (
+  SELECT vec_id, r.i AS i,
+         CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(1, 1025) r(i)
+  WHERE r.i <= LEN(embedding)
+)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+       CAST(SUM(a.q * b.q) AS BIGINT) AS gram_q
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
+@register(
+    "embeddings_gram_matrix",
+    oracle=_GRAM_ORACLE,
+    category="similarity",
+    tables=("embeddings",),
+)
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-exact Gram matrix Xt X over the embedding corpus
+    (upper triangle, 1-based (i, j, gram_q)) — the one-pass
+    linear-algebra reduction behind covariance, PCA and whitening of
+    a training-embedding table. Components quantize once
+    (floor(x*1000): float->double widening exact, one IEEE multiply +
+    floor per cell), then everything is integer multiply/add —
+    bit-exact under any partitioning, any engine. Scale: each
+    partition emits d(d+1)/2 partial rows no matter how many vectors
+    it holds, so the only shuffle is a few MB of triangle partials
+    even at 10^10 rows; the naive explode-join the oracle uses would
+    shuffle N*d^2 rows. Overflow contract (|q| < 2^20, ~2^23 rows per
+    accumulator, 10^10 unit-norm rows at the final sum) is
+    runtime-enforced in the kernel."""
+    from aws_etl_spark.similarity.gram import gram_matrix_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_matrix_quantized(emb).select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "gram_q",
+    )
+
+
+@register(
+    "embeddings_pca_power",
+    oracle=__import__(
+        "aws_etl_spark.similarity.pca", fromlist=["pca_power_oracle_sql"]
+    ).pca_power_oracle_sql(),
+    category="similarity",
+    tables=("embeddings",),
+)
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus by
+    quantized-exact REPEATED SQUARING of the distributed Gram matrix
+    (10 squarings ~ 1024 power steps; near-isotropic embedding
+    spectra defeat plain power iteration). The corpus is touched
+    exactly ONCE (the localCheckpoint-ed Gram reduction: one d x d
+    int64 accumulator per partition, a few-MB triangle shuffle);
+    every squaring then runs on the d^2 = 4096 Gram rows —
+    data-size-independent, so 100 TB and 60 k rows pay identical
+    per-step cost. Cosine vs numpy eigh >= 0.9999 at every sf
+    (pinned in tests). Hash-provable: every float is a single IEEE
+    op over exactly-equal int64s (casts round identically, max-norm
+    needs no sqrt and no double summation), so the unrolled-CTE
+    DuckDB oracle replays all squarings bit for bit. Past the first
+    normalization |M| <= 1e6, so products are bounded by d*1e12 —
+    no data-dependent overflow exists."""
+    from aws_etl_spark.similarity.pca import pca_power_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_power_component(emb)
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: d=64 -> k=16 with a seeded
+# +-1 matrix derived from the shared md5 16-bit bucket (engine-portable,
+# no RNG state). Components quantize once, so every projected cell is
+# an exact integer sum — order-independent, hash-provable.
+# --------------------------------------------------------------------------
+
+def _rp_oracle() -> str:
+    from aws_etl_spark.ops.corpus import duckdb_bucket_sql
+
+    coin = duckdb_bucket_sql(
+        "CONCAT(CAST(t.t AS VARCHAR), '_', CAST(d.i AS VARCHAR))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, r.i AS i,
+         CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(1, 1025) r(i)
+  WHERE r.i <= LEN(embedding)
+),
+d AS (SELECT DISTINCT i FROM e),
+s AS (
+  SELECT d.i, t.t,
+         CASE WHEN ({coin} % 2) = 0 THEN 1 ELSE -1 END AS sgn
+  FROM d CROSS JOIN range(0, 16) t(t)
+)
+SELECT e.vec_id, CAST(s.t AS BIGINT) AS t,
+       CAST(SUM(e.q * s.sgn) AS BIGINT) AS y_q
+FROM e JOIN s ON s.i = e.i
+GROUP BY e.vec_id, s.t
+"""
+
+
+@register(
+    "embeddings_random_projection",
+    oracle=_rp_oracle(),
+    category="similarity",
+    tables=("embeddings",),
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss +-1 random projection d->16 — the
+    dimensionality-reduction pass ANN/dedup pipelines run before
+    index build (distance-preserving within (1 +- eps), 4x fewer
+    dims). The sign matrix comes from the shared salted-md5 bucket
+    (engine-portable, no RNG state to ship), built once from the
+    distinct-dims spine and broadcast; components quantize once at
+    1000 so each projected cell is an exact +-q_i integer sum —
+    order-independent under any partitioning. Plan: posexplode ->
+    broadcast sign join -> one map-side-combinable groupBy; shuffle
+    is N*k rows (the OUTPUT size), never N*d*k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p", "v")
+    ).select(
+        "vec_id",
+        (F.col("p") + 1).cast("long").alias("i"),
+        F.floor(F.col("v").cast("double") * 1000).cast("long").alias("q"),
+    )
+    sgn = (
+        e.select("i")
+        .distinct()
+        .select(
+            "i",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("t"),
+        )
+        .select(
+            "i",
+            F.col("t").cast("long").alias("t"),
+            F.when(
+                F.expr(
+                    "CAST(CONV(SUBSTRING(MD5(CONCAT(CAST(t AS STRING), '_', "
+                    "CAST(i AS STRING))), 1, 4), 16, 10) AS INT) % 2"
+                )
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("sgn"),
+        )
+    )
+    return (
+        e.join(F.broadcast(sgn), "i")
+        .groupBy("vec_id", "t")
+        .agg(F.sum(F.col("q") * F.col("sgn")).alias("y_q"))
+    )

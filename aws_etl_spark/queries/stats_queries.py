@@ -1106,3 +1106,175 @@ sql_query(
     ),
     tables=("documents",),
 )
+
+
+# --------------------------------------------------------------------------
+# Distribution-drift monitors: two-sample KS and PSI between the first
+# and second half of the event month. Both reduce to exact-integer
+# arithmetic over grouped counts so every output hash-matches; the
+# cross-multiplied ECDF comparison (c1*n2 vs c2*n1) avoids any double
+# division until the single final convenience column.
+# --------------------------------------------------------------------------
+
+def _ks_sql(intdiv) -> str:
+    """Two-sample KS via a TWO-STAGE distributed prefix sum.
+
+    The ECDF running sums never run a whole-table single-partition
+    window: stage 1 buckets values into fixed-width ranges and takes
+    per-bucket totals (map-side combined; the bucket-offset window
+    scans only value_range/width rows), stage 2 accumulates WITHIN
+    each bucket (PARTITION BY bucket). D = max |F1 - F2| compares
+    exact integers c1*n2 vs c2*n1 — exact while n1*n2 < 2^63 (~3e9
+    rows/side); past that flip the comparison to doubles (drift
+    stats tolerate 1 ulp, hash oracles do not). ``intdiv`` is the
+    floor-division spelling (Spark DIV, DuckDB //) — operands are
+    non-negative so truncation == floor on both engines.
+    """
+    return f"""
+WITH v AS (
+  SELECT value AS v,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS in1
+  FROM events WHERE value IS NOT NULL
+),
+n AS (
+  SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+         CAST(SUM(1 - in1) AS BIGINT) AS n2
+  FROM v
+),
+g AS (
+  SELECT v, CAST(FLOOR(v / 50.0) AS BIGINT) AS bucket,
+         CAST(SUM(in1) AS BIGINT) AS c1,
+         CAST(SUM(1 - in1) AS BIGINT) AS c2
+  FROM v GROUP BY v
+),
+bt AS (
+  SELECT bucket, CAST(SUM(c1) AS BIGINT) AS bc1,
+         CAST(SUM(c2) AS BIGINT) AS bc2
+  FROM g GROUP BY bucket
+),
+off AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(bc1) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o1,
+         CAST(COALESCE(SUM(bc2) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o2
+  FROM bt
+),
+c AS (
+  SELECT o.o1 + SUM(g.c1) OVER (PARTITION BY g.bucket ORDER BY g.v
+              ROWS UNBOUNDED PRECEDING) AS f1,
+         o.o2 + SUM(g.c2) OVER (PARTITION BY g.bucket ORDER BY g.v
+              ROWS UNBOUNDED PRECEDING) AS f2
+  FROM g JOIN off o ON o.bucket = g.bucket
+),
+d AS (
+  SELECT CAST(MAX(ABS(c.f1 * n.n2 - c.f2 * n.n1)) AS BIGINT) AS ks_num
+  FROM c CROSS JOIN n
+)
+SELECT n.n1, n.n2, d.ks_num,
+       {intdiv("d.ks_num * 1000000", "n.n1 * n.n2")} AS ks_x1e6
+FROM d CROSS JOIN n
+"""
+
+
+sql_query(
+    "stat_ks_drift",
+    _ks_sql(lambda a, b: f"({a}) DIV ({b})"),
+    oracle=_ks_sql(lambda a, b: f"({a}) // ({b})"),
+    category="stats",
+    doc=(
+        "Two-sample Kolmogorov-Smirnov drift statistic between the "
+        "first and second half of the event month: D = max over "
+        "distinct values of |F1(v) - F2(v)|, computed as exact "
+        "integer cross-products c1*n2 vs c2*n1 (no double division "
+        "until the final quantized convenience column). The ECDF is "
+        "a two-stage prefix sum — per-bucket totals plus "
+        "within-bucket windows — so no whole-table single-partition "
+        "window exists in the plan."
+    ),
+    tables=("events",),
+)
+
+
+def _psi_sql(bins_clause: str) -> str:
+    """PSI over 10 fixed-width value bins with Laplace smoothing.
+
+    Fixed [0, 600) bin edges (not data-dependent quantiles) are the
+    production drift-monitor shape: edges stay stable across
+    snapshots so PSIs are comparable over time. Smoothing keeps
+    empty bins finite: p = (c1+1)/(n1+10), q = (c2+1)/(n2+10); the
+    log-ratio argument ((c1+1)(n2+10)) / ((c2+1)(n1+10)) is a
+    division of exact integers — identical doubles cross-engine —
+    and LN is quantized to micros with FLOOR at the output boundary
+    (the established surprisal/entropy idiom). dnum carries the
+    p - q numerator exactly; contrib_q6 = dnum * lnratio_q6 is the
+    per-bin PSI contribution in (micro-nats x denominator) units,
+    exact while counts stay below ~3e9 per side. ``bins_clause``
+    generates the 0..9 bin spine (explode(sequence()) on Spark,
+    unnest(generate_series()) on DuckDB) so empty bins still
+    contribute their smoothed mass.
+    """
+    return f"""
+WITH v AS (
+  SELECT LEAST(CAST(FLOOR(value / 60.0) AS BIGINT), 9) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS in1
+  FROM events WHERE value IS NOT NULL
+),
+n AS (
+  SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+         CAST(SUM(1 - in1) AS BIGINT) AS n2
+  FROM v
+),
+bins AS ({bins_clause}),
+c AS (
+  SELECT bin, CAST(SUM(in1) AS BIGINT) AS c1,
+         CAST(SUM(1 - in1) AS BIGINT) AS c2
+  FROM v GROUP BY bin
+),
+grid AS (
+  SELECT b.bin, COALESCE(c.c1, 0) AS c1, COALESCE(c.c2, 0) AS c2
+  FROM bins b LEFT JOIN c ON c.bin = b.bin
+),
+t AS (
+  SELECT g.bin, g.c1, g.c2,
+         (g.c1 + 1) * (n.n2 + 10) - (g.c2 + 1) * (n.n1 + 10) AS dnum,
+         CAST(FLOOR(LN(CAST((g.c1 + 1) * (n.n2 + 10) AS DOUBLE) /
+                       CAST((g.c2 + 1) * (n.n1 + 10) AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lnratio_q6,
+         n.n1, n.n2
+  FROM grid g CROSS JOIN n
+),
+s AS (SELECT CAST(SUM(dnum * lnratio_q6) AS BIGINT) AS tot FROM t)
+SELECT t.bin, t.c1, t.c2, t.dnum, t.lnratio_q6,
+       CAST(t.dnum * t.lnratio_q6 AS BIGINT) AS contrib_q6,
+       CAST(s.tot AS DOUBLE) /
+       (CAST(t.n1 + 10 AS DOUBLE) * CAST(t.n2 + 10 AS DOUBLE)) /
+       1000000.0 AS psi
+FROM t CROSS JOIN s
+ORDER BY t.bin
+"""
+
+
+sql_query(
+    "stat_psi_drift",
+    _psi_sql(
+        "SELECT CAST(b AS BIGINT) AS bin "
+        "FROM (SELECT explode(sequence(0, 9)) AS b)"
+    ),
+    oracle=_psi_sql(
+        "SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin"
+    ),
+    category="stats",
+    doc=(
+        "Population Stability Index between the first and second "
+        "half of the event month over 10 fixed [0,600) value bins "
+        "with Laplace smoothing: per-bin exact counts, the exact "
+        "integer p-q numerator, the micro-quantized log-ratio, the "
+        "exact per-bin contribution, and the final PSI double "
+        "(single division of exact integers). One grouped count + a "
+        "10-row bin spine join — one shuffle total."
+    ),
+    tables=("events",),
+)

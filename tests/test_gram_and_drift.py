@@ -1,0 +1,227 @@
+"""Semantics tests for the round-6 linear-algebra and drift queries:
+the quantized Gram matrix (partitioning invariance, numpy brute-force
+equality, overflow contract) and the KS / PSI drift monitors (pure
+Python references computed independently of either engine's SQL)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded, load_table
+from aws_etl_spark.similarity.gram import gram_matrix_quantized
+
+_ensure_loaded()
+
+
+def _gram_rows(df):
+    return {(r["i"], r["j"]): r["gram_q"] for r in df.collect()}
+
+
+def test_gram_matches_numpy_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = _gram_rows(gram_matrix_quantized(emb))
+    X = np.stack(
+        [r["embedding"] for r in emb.select("embedding").collect()]
+    ).astype(np.float64)
+    Q = np.floor(X * 1000.0).astype(np.int64)
+    G = Q.T @ Q
+    d = G.shape[0]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), v in got.items():
+        assert v == G[i - 1, j - 1]
+
+
+def test_gram_partitioning_invariant(spark, sf_dir):
+    """Integer partials make the reduction bit-exact under any
+    partitioning — the property float Gram matrices lack."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = _gram_rows(gram_matrix_quantized(emb.repartition(1)))
+    b = _gram_rows(gram_matrix_quantized(emb.repartition(13, "vec_id")))
+    assert a == b
+
+
+def test_gram_overflow_guard_raises(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(Exception, match="overflow contract"):
+        gram_matrix_quantized(emb, scale=1 << 24).count()
+
+
+def _event_halves(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select("ts", "value").where("value is not null").collect()
+    cut = "2024-01-16 00:00:00"
+    s1 = [r["value"] for r in rows if str(r["ts"]) < cut]
+    s2 = [r["value"] for r in rows if str(r["ts"]) >= cut]
+    return s1, s2
+
+
+def test_ks_drift_matches_pure_python(spark, sf_dir):
+    s1, s2 = _event_halves(spark, sf_dir)
+    n1, n2 = len(s1), len(s2)
+    # reference: evaluate |F1 - F2| at every distinct pooled value,
+    # in cross-multiplied integer form (c1*n2 vs c2*n1)
+    ks_num = 0
+    for v in sorted(set(s1) | set(s2)):
+        c1 = sum(1 for x in s1 if x <= v)
+        c2 = sum(1 for x in s2 if x <= v)
+        ks_num = max(ks_num, abs(c1 * n2 - c2 * n1))
+    row = REGISTRY["stat_ks_drift"].fn(spark, sf_dir).collect()[0]
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["ks_num"] == ks_num
+    assert row["ks_x1e6"] == (ks_num * 1000000) // (n1 * n2)
+
+
+def test_psi_drift_matches_pure_python(spark, sf_dir):
+    s1, s2 = _event_halves(spark, sf_dir)
+    n1, n2 = len(s1), len(s2)
+
+    def bin_of(v):
+        return min(int(math.floor(v / 60.0)), 9)
+
+    c1 = {b: 0 for b in range(10)}
+    c2 = {b: 0 for b in range(10)}
+    for v in s1:
+        c1[bin_of(v)] += 1
+    for v in s2:
+        c2[bin_of(v)] += 1
+
+    rows = {r["bin"]: r for r in REGISTRY["stat_psi_drift"].fn(spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(10))
+    tot = 0
+    for b in range(10):
+        num = (c1[b] + 1) * (n2 + 10)
+        den = (c2[b] + 1) * (n1 + 10)
+        dnum = num - den
+        ln_q6 = math.floor(math.log(num / den) * 1000000)
+        r = rows[b]
+        assert (r["c1"], r["c2"]) == (c1[b], c2[b])
+        assert r["dnum"] == dnum
+        assert r["lnratio_q6"] == ln_q6
+        assert r["contrib_q6"] == dnum * ln_q6
+        tot += dnum * ln_q6
+    psi = float(tot) / ((n1 + 10) * (n2 + 10)) / 1e6
+    assert rows[0]["psi"] == pytest.approx(psi, rel=0, abs=0)
+    assert not math.isnan(rows[0]["psi"])
+
+
+def test_psi_empty_bins_present_and_smoothed(spark, sf_dir):
+    """sf0.001 events top out at ~327, so bins 6..9 are empty — the
+    spine join must still emit them with the smoothed contribution."""
+    rows = {r["bin"]: r for r in REGISTRY["stat_psi_drift"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(range(10))
+    empty = [b for b in range(10) if rows[b]["c1"] == 0 and rows[b]["c2"] == 0]
+    for b in empty:
+        # (0+1)(n2+10) vs (0+1)(n1+10): pure smoothing mass
+        assert rows[b]["contrib_q6"] == rows[b]["dnum"] * rows[b]["lnratio_q6"]
+
+
+def _collect_X(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    return rows, np.stack([r["embedding"] for r in rows]).astype(np.float64)
+
+
+def _numpy_pca_replay(X, squarings=10):
+    from aws_etl_spark.similarity.pca import V_SCALE
+
+    Q = np.floor(X * 1000.0).astype(np.int64)
+    G = Q.T @ Q
+
+    def norm_q(M):
+        m = np.abs(M).max()
+        if m == 0:
+            return np.zeros_like(M)
+        return np.floor(M.astype(np.float64) / float(m) * V_SCALE).astype(
+            np.int64
+        )
+
+    M = norm_q(G)
+    for _ in range(squarings):
+        M = norm_q(M @ M)
+    return norm_q(M @ np.full(G.shape[0], V_SCALE, dtype=np.int64))
+
+
+def test_pca_power_matches_pure_python(spark, sf_dir):
+    """The quantized squaring chain is a pure function of the integer
+    Gram matrix — replay it in numpy and demand exact equality."""
+    from aws_etl_spark.similarity.pca import pca_power_component
+
+    _, X = _collect_X(spark, sf_dir)
+    v = _numpy_pca_replay(X)
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r["dim"]: r["component_q6"] for r in pca_power_component(emb).collect()}
+    assert got == {i + 1: int(v[i]) for i in range(len(v))}
+
+
+def test_pca_direction_matches_numpy_eig(spark, sf_dir):
+    """10 squarings ~ 1024 power steps: enough to converge even on
+    the near-isotropic test spectra (gap ratio as low as 1.017)."""
+    from aws_etl_spark.similarity.pca import pca_power_component
+
+    _, X = _collect_X(spark, sf_dir)
+    G = X.T @ X
+    evals, evecs = np.linalg.eigh(G)
+    top = evecs[:, -1]
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r["dim"]: r["component_q6"] for r in pca_power_component(emb).collect()}
+    v = np.array([got[i + 1] for i in range(len(top))], dtype=np.float64)
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999
+
+
+def _md5_sign(t: int, i: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{t}_{i}".encode()).hexdigest()
+    return 1 if int(h[:4], 16) % 2 == 0 else -1
+
+
+def test_random_projection_matches_pure_python(spark, sf_dir):
+    from aws_etl_spark.queries.registry import REGISTRY
+
+    rows, X = _collect_X(spark, sf_dir)
+    Q = np.floor(X * 1000.0).astype(np.int64)
+    d = Q.shape[1]
+    S = np.array(
+        [[_md5_sign(t, i + 1) for t in range(16)] for i in range(d)],
+        dtype=np.int64,
+    )
+    Y = Q @ S
+    got = {
+        (r["vec_id"], r["t"]): r["y_q"]
+        for r in REGISTRY["embeddings_random_projection"].fn(spark, sf_dir).collect()
+    }
+    for ridx, r in enumerate(rows):
+        for t in range(16):
+            assert got[(r["vec_id"], t)] == Y[ridx, t]
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL contract: squared distances in the k=16 +-1 projection
+    concentrate around k * the original squared distance. Data and
+    signs are fixed, so the bound is deterministic, not flaky."""
+    from aws_etl_spark.queries.registry import REGISTRY
+
+    rows, X = _collect_X(spark, sf_dir)
+    Q = np.floor(X * 1000.0).astype(np.float64)
+    proj = REGISTRY["embeddings_random_projection"].fn(spark, sf_dir).collect()
+    by_vec: dict = {}
+    for r in proj:
+        by_vec.setdefault(r["vec_id"], {})[r["t"]] = r["y_q"]
+    ids = [r["vec_id"] for r in rows[:20]]
+    Y = np.array(
+        [[by_vec[v][t] for t in range(16)] for v in ids], dtype=np.float64
+    )
+    ratios = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            orig = float(((Q[a] - Q[b]) ** 2).sum())
+            prj = float(((Y[a] - Y[b]) ** 2).sum()) / 16.0
+            if orig > 0:
+                ratios.append(prj / orig)
+    med = float(np.median(np.array(ratios)))
+    assert 0.5 < med < 2.0
