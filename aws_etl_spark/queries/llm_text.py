@@ -1022,3 +1022,101 @@ sql_query(
     ),
     tables=("documents",),
 )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth fit: V(n) ~ K * n^beta. The growth curve
+# is sampled at 20 doc-prefix checkpoints; the exponent is an OLS fit
+# over micro-quantized ln points — all integers until two final IEEE
+# divisions. Corpus-linguistics health check: natural text sits at
+# beta ~ 0.4-0.6; synthetic/templated corpora drift far outside.
+# --------------------------------------------------------------------------
+
+def _heaps_sql(tok_clause: str) -> str:
+    """``tok_clause`` is the dialect word-splitter (explode(split())
+    on Spark, unnest(string_split()) on DuckDB). The prefix curve
+    needs NO prefix scan: per-doc token counts and per-word
+    first-occurrence docs (both one map-side-combinable agg) join a
+    broadcast 20-row checkpoint spine — 20 partial sums per doc/word,
+    never a running window. ln() quantizes to micros with FLOOR at
+    the output boundary (the surprisal idiom); the OLS sums are exact
+    BIGINTs (|x| ~ 1e7, K*x^2 ~ 2.4e15 << 2^63), so beta and alpha
+    are single divisions of identical integers."""
+    return f"""
+WITH tok AS ({tok_clause}),
+t AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+dt AS (SELECT doc_id, COUNT(*) AS nt FROM t GROUP BY doc_id),
+wf AS (SELECT word, MIN(doc_id) AS first_doc FROM t GROUP BY word),
+mx AS (SELECT MAX(doc_id) + 1 AS n_docs FROM dt),
+cp AS (
+  SELECT g.k,
+         CAST(FLOOR(CAST(mx.n_docs AS DOUBLE) * g.k / 20.0) AS BIGINT) AS cut
+  FROM (SELECT bin + 1 AS k FROM bins) g CROSS JOIN mx
+),
+curve AS (
+  SELECT cp.k, cp.cut,
+         (SELECT CAST(SUM(nt) AS BIGINT) FROM dt WHERE dt.doc_id < cp.cut)
+           AS n_tokens,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM wf WHERE wf.first_doc < cp.cut)
+           AS vocab
+  FROM cp
+),
+q AS (
+  SELECT k, cut, n_tokens, vocab,
+         CAST(FLOOR(LN(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+           AS ln_n_q6,
+         CAST(FLOOR(LN(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT)
+           AS ln_v_q6
+  FROM curve
+),
+ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+         CAST(SUM(ln_n_q6) AS BIGINT) AS sx,
+         CAST(SUM(ln_v_q6) AS BIGINT) AS sy,
+         CAST(SUM(ln_n_q6 * ln_v_q6) AS BIGINT) AS sxy,
+         CAST(SUM(ln_n_q6 * ln_n_q6) AS BIGINT) AS sxx
+  FROM q
+)
+SELECT q.k, q.cut, q.n_tokens, q.vocab, q.ln_n_q6, q.ln_v_q6,
+       CAST(ols.kk * ols.sxy - ols.sx * ols.sy AS DOUBLE) /
+       CAST(ols.kk * ols.sxx - ols.sx * ols.sx AS DOUBLE) AS beta,
+       (CAST(ols.sy AS DOUBLE) -
+        CAST(ols.kk * ols.sxy - ols.sx * ols.sy AS DOUBLE) /
+        CAST(ols.kk * ols.sxx - ols.sx * ols.sx AS DOUBLE) *
+        CAST(ols.sx AS DOUBLE)) / CAST(ols.kk AS DOUBLE) / 1000000.0
+         AS alpha_lnk
+FROM q CROSS JOIN ols
+ORDER BY q.k
+"""
+
+
+_HEAPS_SPARK_TOK = (
+    "SELECT doc_id, explode(split(trim(lower(text)), ' ')) AS word "
+    "FROM documents"
+)
+_HEAPS_DUCK_TOK = (
+    "SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS word "
+    "FROM documents"
+)
+_HEAPS_SPARK_BINS = "(SELECT explode(sequence(0, 19)) AS bin) bins"
+_HEAPS_DUCK_BINS = "(SELECT unnest(generate_series(0, 19)) AS bin) bins"
+
+sql_query(
+    "text_heaps_law",
+    _heaps_sql(_HEAPS_SPARK_TOK).replace("bins)", _HEAPS_SPARK_BINS + ")"),
+    oracle=_heaps_sql(_HEAPS_DUCK_TOK).replace(
+        "bins)", _HEAPS_DUCK_BINS + ")"
+    ),
+    category="text",
+    doc=(
+        "Heaps'-law vocabulary-growth fit V(n) ~ K*n^beta over 20 "
+        "doc-prefix checkpoints: cumulative token counts and "
+        "first-occurrence vocabulary per checkpoint (two "
+        "map-side-combinable aggs joined to a broadcast spine — no "
+        "running window over the corpus), micro-quantized ln points "
+        "and an exact-integer OLS for the exponent. The templated "
+        "synthetic corpus fits with beta far below natural-text "
+        "0.4-0.6 — exactly what the health check is for."
+    ),
+    tables=("documents",),
+)

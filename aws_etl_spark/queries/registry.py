@@ -261,6 +261,8 @@ _DRIVER_ORDER = (
     "stat_psi_drift",
     "embeddings_pca_power",
     "embeddings_random_projection",
+    "text_heaps_law",
+    "events_cusum_changepoint",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r2/r3-vintage names that sat just past the r5 marker)
     "agg_rollup",
@@ -295,9 +297,9 @@ _DRIVER_ORDER = (
     "dedup_graph_triangles",
     "dedup_graph_nbr_jaccard",
     "dedup_graph_label_propagation",
+    # ---- end of the 50-query round-6 window ----
     "dedup_graph_kcore",
     "dedup_graph_pagerank_exact",
-    # ---- end of the 50-query round-6 window ----
     "dedup_graph_degrees",
     "dedup_span_census",
     "dedup_span_doc_profile",

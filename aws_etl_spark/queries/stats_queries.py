@@ -1278,3 +1278,74 @@ sql_query(
     ),
     tables=("events",),
 )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection on the daily event-volume series. The
+# recursive definition S_k = max(0, S_{k-1} + e_k) is NOT a window
+# function, but the classic identity S_k = P_k - min_{0<=j<=k} P_j
+# (P = prefix sum) turns it into two associative windows — running sum
+# and running min/max — so the monitor stays declarative. Everything
+# is exact-integer: deviations are multiplied through by the day count
+# (e_k = x_k*days - total) instead of subtracting a fractional mean.
+# --------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events
+  GROUP BY DATE_TRUNC('day', CAST(ts AS TIMESTAMP))
+),
+tot AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS days
+  FROM daily
+),
+e AS (
+  SELECT d.day, d.x, d.x * t.days - t.total AS e_q, t.total
+  FROM daily d CROSS JOIN tot t
+),
+p AS (
+  SELECT day, x, e_q, total,
+         CAST(SUM(e_q) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS p_q
+  FROM e
+),
+c AS (
+  SELECT day, x, e_q, p_q, total,
+         p_q - LEAST(CAST(0 AS BIGINT),
+                     CAST(MIN(p_q) OVER (ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT))
+           AS cusum_pos_q,
+         GREATEST(CAST(0 AS BIGINT),
+                  CAST(MAX(p_q) OVER (ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)) - p_q
+           AS cusum_neg_q
+  FROM p
+)
+SELECT day, x, e_q, p_q, cusum_pos_q, cusum_neg_q,
+       CASE WHEN cusum_pos_q > 2 * total OR cusum_neg_q > 2 * total
+            THEN 1 ELSE 0 END AS alarm
+FROM c
+ORDER BY day
+"""
+
+sql_query(
+    "events_cusum_changepoint",
+    _CUSUM_SQL,
+    category="stats",
+    doc=(
+        "CUSUM level-shift monitor over daily event volume: the "
+        "recursive S_k = max(0, S_{k-1} + e_k) rewritten as prefix "
+        "sum minus running min (and the mirrored negative-side "
+        "statistic), with deviations multiplied through by the day "
+        "count so every value is an exact BIGINT — no fractional "
+        "mean ever subtracted. Alarm fires when either side exceeds "
+        "two mean-days of cumulative drift. The windows order a "
+        "CALENDAR-bounded series (days), not the event stream — one "
+        "grouped count reduces the corpus first, the established "
+        "ks-bucket-offset shape."
+    ),
+    tables=("events",),
+)

@@ -225,3 +225,82 @@ def test_random_projection_preserves_distances(spark, sf_dir):
                 ratios.append(prj / orig)
     med = float(np.median(np.array(ratios)))
     assert 0.5 < med < 2.0
+
+
+def test_pca_oracle_builder_alternate_parameterization(spark, sf_dir):
+    """pca_power_oracle_sql must mirror pca_power_component for ANY
+    (scale, squarings), not just the registered (1000, 10) — pin a
+    second parameterization end-to-end through DuckDB so a future
+    edit to either side can't silently specialize them."""
+    import duckdb
+
+    from aws_etl_spark.similarity.pca import (
+        pca_power_component,
+        pca_power_oracle_sql,
+    )
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{emb_path}'")
+    ora = {
+        r[0]: r[1]
+        for r in con.sql(pca_power_oracle_sql(scale=500, squarings=3)).fetchall()
+    }
+    emb = spark.read.parquet(emb_path)
+    got = {
+        r["dim"]: r["component_q6"]
+        for r in pca_power_component(emb, scale=500, squarings=3).collect()
+    }
+    assert got == ora
+
+
+def test_cusum_matches_direct_recurrence(spark, sf_dir):
+    """The windowed identity (prefix sum minus running extremum) must
+    equal the textbook recurrence S_k = max(0, S_{k-1} + e_k) computed
+    directly — pin the identity, not just the SQL."""
+    ev = load_table(spark, sf_dir, "events").select("ts").collect()
+    from collections import Counter
+
+    days = Counter(str(r["ts"])[:10] for r in ev)
+    series = sorted(days.items())
+    total = sum(x for _, x in series)
+    nd = len(series)
+    s_pos = s_neg = 0
+    expect = []
+    for day, x in series:
+        e = x * nd - total
+        s_pos = max(0, s_pos + e)
+        s_neg = max(0, s_neg - e)
+        expect.append((day, x, e, s_pos, s_neg))
+    rows = sorted(
+        REGISTRY["events_cusum_changepoint"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(rows) == nd
+    for row, (day, x, e, sp, sn) in zip(rows, expect):
+        assert str(row["day"])[:10] == day
+        assert (row["x"], row["e_q"]) == (x, e)
+        assert row["cusum_pos_q"] == sp
+        assert row["cusum_neg_q"] == sn
+        assert row["alarm"] == (1 if sp > 2 * total or sn > 2 * total else 0)
+
+
+def test_new_op_plan_discipline(spark, sf_dir):
+    """Plan shapes that make the r6 ops scale: the Gram reduction is
+    ONE exchange with zero joins (the kernel folds before shuffling);
+    the JL projection broadcasts its sign table; the Heaps spine
+    decorrelates to broadcast joins — no SortMergeJoin anywhere."""
+    from aws_etl_spark.plans import formatted_plan
+
+    gram = formatted_plan(REGISTRY["embeddings_gram_matrix"].fn(spark, sf_dir))
+    assert gram.count("+- Exchange") == 1, gram
+    assert "Join" not in gram, gram
+
+    rp = formatted_plan(
+        REGISTRY["embeddings_random_projection"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in rp, rp
+    assert "SortMergeJoin" not in rp, rp
+
+    heaps = formatted_plan(REGISTRY["text_heaps_law"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in heaps, heaps

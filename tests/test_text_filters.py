@@ -321,3 +321,101 @@ def test_bpe_oracle_matches_engine_on_fully_merged_corpus(spark, tmp_path):
 
     assert got_merges == sorted(ora_merges)
     assert got_vocab == ora_vocab == {"a</w>": 3}
+
+
+def test_heaps_law_matches_python_reference(spark, sf_dir):
+    """Replay the 20-checkpoint vocabulary-growth curve and the
+    integer OLS in pure Python; demand exact equality."""
+    import math
+
+    from aws_etl_spark.queries.registry import (
+        REGISTRY,
+        _ensure_loaded,
+        load_table,
+    )
+
+    _ensure_loaded()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    per_doc = {}
+    first = {}
+    for r in docs:
+        words = [w for w in r["text"].strip().lower().split(" ") if w != ""]
+        per_doc[r["doc_id"]] = len(words)
+        for w in words:
+            if w not in first or r["doc_id"] < first[w]:
+                first[w] = r["doc_id"]
+    n_docs = max(per_doc) + 1
+    pts = []
+    for k in range(1, 21):
+        cut = math.floor(n_docs * k / 20.0)
+        nt = sum(c for d, c in per_doc.items() if d < cut)
+        vb = sum(1 for d in first.values() if d < cut)
+        pts.append((k, cut, nt, vb,
+                    math.floor(math.log(nt) * 1e6),
+                    math.floor(math.log(vb) * 1e6)))
+    kk = len(pts)
+    sx = sum(p[4] for p in pts)
+    sy = sum(p[5] for p in pts)
+    sxy = sum(p[4] * p[5] for p in pts)
+    sxx = sum(p[4] * p[4] for p in pts)
+    beta = float(kk * sxy - sx * sy) / float(kk * sxx - sx * sx)
+    rows = REGISTRY["text_heaps_law"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for row, p in zip(sorted(rows, key=lambda r: r["k"]), pts):
+        assert (row["k"], row["cut"], row["n_tokens"], row["vocab"],
+                row["ln_n_q6"], row["ln_v_q6"]) == p
+        assert row["beta"] == beta
+    # the synthetic corpus is templated: its 31-word vocabulary
+    # saturates within the first checkpoint, so the fitted exponent
+    # is exactly 0 — far outside natural text's 0.4-0.6 band, which
+    # is precisely the signal the health check exists to raise
+    assert beta == 0.0
+    assert len({p[3] for p in pts}) == 1
+
+
+def test_heaps_law_nonzero_slope_on_growing_vocab(spark):
+    """Hand-built corpus whose vocabulary actually grows pins the
+    non-degenerate OLS path (the parquet corpus saturates at beta=0)."""
+    import math
+
+    from aws_etl_spark.queries.llm_text import (
+        _HEAPS_SPARK_BINS,
+        _HEAPS_SPARK_TOK,
+        _heaps_sql,
+    )
+
+    rows = []
+    for d in range(40):
+        words = [f"w{j}" for j in range(2 * d + 1)] + ["the", "and"]
+        rows.append((d, " ".join(words)))
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "documents"
+    )
+    sql = _heaps_sql(_HEAPS_SPARK_TOK).replace(
+        "bins)", _HEAPS_SPARK_BINS + ")"
+    )
+    try:
+        got = sorted(spark.sql(sql).collect(), key=lambda r: r["k"])
+    finally:
+        spark.catalog.dropTempView("documents")
+
+    per_doc = {d: 2 * d + 3 for d in range(40)}
+    first = {"the": 0, "and": 0}
+    for d in range(40):
+        for j in range(2 * d + 1):
+            first.setdefault(f"w{j}", d)
+    pts = []
+    for k in range(1, 21):
+        cut = math.floor(40 * k / 20.0)
+        nt = sum(c for d, c in per_doc.items() if d < cut)
+        vb = sum(1 for d in first.values() if d < cut)
+        pts.append((math.floor(math.log(nt) * 1e6), math.floor(math.log(vb) * 1e6)))
+    kk = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    beta = float(kk * sxy - sx * sy) / float(kk * sxx - sx * sx)
+    assert got[0]["beta"] == beta
+    assert 0.5 < beta < 1.5  # near-linear vocab growth by construction
+    assert [r["ln_v_q6"] for r in got] == [y for _, y in pts]
