@@ -66,8 +66,18 @@ def build_scratch() -> None:
         "customer": (["c_custkey"], None),
         "supplier": ([], None),  # dim kept fixed: fact fan-in grows ×N
         "embeddings": (["vec_id"], None),
+        # r6: the curated 6-table chain (serve_reconcile /
+        # plan_broadcast_audit) also reads these. part shifts with
+        # lineitem.l_partkey so the join keys keep resolving; region
+        # and nation are fixed dims like supplier.
+        "part": (["p_partkey"], None),
+        "region": ([], None),
+        "nation": ([], None),
     }
     for table, (shift_cols, mutation) in specs.items():
+        out_file = Path(OUT_DIR) / f"{table}.parquet"
+        if out_file.exists():  # incremental: fill in newly-specced tables
+            continue
         src = f"{SF_DIR}/{table}.parquet"
         cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
         selects = []
@@ -97,8 +107,7 @@ def build_scratch() -> None:
 
 def main() -> None:
     names = sys.argv[1:] or DEFAULT_QUERIES
-    if not Path(f"{OUT_DIR}/documents.parquet").exists():
-        build_scratch()
+    build_scratch()  # incremental: builds only missing tables
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     from aws_etl_spark.session import get_session
