@@ -263,6 +263,8 @@ _DRIVER_ORDER = (
     "embeddings_random_projection",
     "text_heaps_law",
     "events_cusum_changepoint",
+    "stat_ab_experiment",
+    "events_seasonal_decompose",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r2/r3-vintage names that sat just past the r5 marker)
     "agg_rollup",
@@ -295,9 +297,9 @@ _DRIVER_ORDER = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_graph_triangles",
+    # ---- end of the 50-query round-6 window ----
     "dedup_graph_nbr_jaccard",
     "dedup_graph_label_propagation",
-    # ---- end of the 50-query round-6 window ----
     "dedup_graph_kcore",
     "dedup_graph_pagerank_exact",
     "dedup_graph_degrees",

@@ -1349,3 +1349,83 @@ sql_query(
     ),
     tables=("events",),
 )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment read-out with deterministic hash assignment. Variant
+# comes from the shared salted-md5 bucket of user_id (the production
+# assignment mechanism: sticky, engine-portable, no assignment table
+# to join); conversion = any purchase event. The 2x2 chi-square is one
+# fixed-shape IEEE expression over exact BIGINT counts — counts are
+# exact in double below 2^53, and the single expression evaluates
+# identically on both engines, quantized to micros at the boundary.
+# --------------------------------------------------------------------------
+
+def _ab_sql(bucket) -> str:
+    vchar = "STRING" if bucket is _spark_bucket else "VARCHAR"
+    return f"""
+WITH u AS (
+  -- "conversion" = power purchaser (>= 14 purchase events, the
+  -- corpus median): every user purchases at least once in this
+  -- synthetic month, so presence-based conversion would be a
+  -- degenerate 100% on both arms
+  SELECT user_id,
+         ({bucket(f"CONCAT('exp1:', CAST(user_id AS {vchar}))")} % 2) AS variant,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS converted
+  FROM events
+  GROUP BY user_id
+),
+v AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS users,
+         CAST(SUM(converted) AS BIGINT) AS converters
+  FROM u GROUP BY variant
+),
+w AS (
+  SELECT
+    CAST(SUM(CASE WHEN variant = 0 THEN converters ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN variant = 0 THEN users - converters ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN variant = 1 THEN converters ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN variant = 1 THEN users - converters ELSE 0 END) AS BIGINT) AS d
+  FROM v
+),
+chi AS (
+  SELECT CAST(FLOOR(
+           CAST(a + b + c + d AS DOUBLE) *
+           (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) -
+            CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) *
+           (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) -
+            CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) /
+           (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) *
+            CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) * 1000000)
+         AS BIGINT) AS chi2_micros
+  FROM w
+)
+SELECT v.variant, v.users, v.converters,
+       CAST(FLOOR(CAST(v.converters AS DOUBLE) / CAST(v.users AS DOUBLE)
+                  * 1000000) AS BIGINT) AS conversion_micros,
+       chi.chi2_micros,
+       CASE WHEN chi.chi2_micros > 3841459 THEN 1 ELSE 0 END AS significant_95
+FROM v CROSS JOIN chi
+ORDER BY v.variant
+"""
+
+
+sql_query(
+    "stat_ab_experiment",
+    _ab_sql(_spark_bucket),
+    oracle=_ab_sql(duckdb_bucket_sql),
+    category="stats",
+    doc=(
+        "A/B experiment read-out: variants assigned by the salted-md5 "
+        "hash of user_id (sticky, deterministic, no assignment table), "
+        "conversion = any purchase event, per-variant conversion rates "
+        "plus the 2x2 chi-square statistic (one fixed-shape IEEE "
+        "expression over exact counts, micro-quantized) with the 95% "
+        "significance flag (3.841 critical value, 1 dof). Plan: one "
+        "per-user reduce (map-side combined), then constant-size "
+        "2-row/1-row aggregates."
+    ),
+    tables=("events",),
+)

@@ -632,3 +632,70 @@ def _register_dau_mau() -> None:
 
 
 _register_dau_mau()
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonal-mean decomposition of daily event volume:
+# x_day = grand_mean + seasonal(dow) + residual. All components carry
+# exact integer numerator/denominator pairs (multiplied through by the
+# day counts) next to the convenience doubles, so the decomposition is
+# hash-exact; the doubles are single divisions of those same integers.
+# --------------------------------------------------------------------------
+
+def _seasonal_sql(dow_expr: str) -> str:
+    return f"""
+WITH daily AS (
+  SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events
+  GROUP BY DATE_TRUNC('day', CAST(ts AS TIMESTAMP))
+),
+d2 AS (
+  SELECT day, x, CAST({dow_expr} AS BIGINT) AS dow FROM daily
+),
+tot AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS days
+  FROM d2
+),
+s AS (
+  SELECT dow, CAST(SUM(x) AS BIGINT) AS sum_dow,
+         CAST(COUNT(*) AS BIGINT) AS cnt_dow
+  FROM d2 GROUP BY dow
+)
+SELECT d2.day, d2.x, d2.dow, s.sum_dow, s.cnt_dow, t.total, t.days,
+       s.sum_dow * t.days - t.total * s.cnt_dow AS seasonal_num,
+       s.cnt_dow * t.days AS seasonal_den,
+       d2.x * s.cnt_dow - s.sum_dow AS resid_num,
+       CAST(s.sum_dow AS DOUBLE) / CAST(s.cnt_dow AS DOUBLE) AS dow_mean,
+       CAST(d2.x * s.cnt_dow - s.sum_dow AS DOUBLE) /
+       CAST(s.cnt_dow AS DOUBLE) AS residual
+FROM d2 JOIN s ON s.dow = d2.dow CROSS JOIN tot t
+ORDER BY d2.day
+"""
+
+
+def _register_seasonal() -> None:
+    from aws_etl_spark.queries.registry import sql_query
+
+    sql_query(
+        "events_seasonal_decompose",
+        _seasonal_sql("weekday(CAST(day AS DATE)) + 1"),
+        oracle=_seasonal_sql("isodow(CAST(day AS DATE))"),
+        category="timeseries",
+        doc=(
+            "Day-of-week seasonal-mean decomposition of daily event "
+            "volume: x = grand_mean + seasonal(dow) + residual, with "
+            "every component as an exact integer numerator/denominator "
+            "pair (multiplied through by day counts — no fractional "
+            "mean ever subtracted) beside the convenience doubles. "
+            "ISO dow comes from weekday()+1 on Spark / isodow() on "
+            "DuckDB (dayofweek() disagrees between engines). Plan: one "
+            "grouped count reduces the corpus, then 30-row/7-row/1-row "
+            "joins — the calendar-bounded monitor shape."
+        ),
+        tables=("events",),
+    )
+
+
+_register_seasonal()

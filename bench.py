@@ -55,6 +55,9 @@ HEADLINE = (
     "corpus_e2e_pipeline",
     "join_scd2_pointintime",
     "events_gapfill_locf",
+    # r6 additions: the linear-algebra flagship and the serving sink
+    "embeddings_pca_power",
+    "serve_reconcile",
 )
 
 

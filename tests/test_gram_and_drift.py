@@ -304,3 +304,69 @@ def test_new_op_plan_discipline(spark, sf_dir):
 
     heaps = formatted_plan(REGISTRY["text_heaps_law"].fn(spark, sf_dir))
     assert "SortMergeJoin" not in heaps, heaps
+
+
+def test_ab_experiment_matches_pure_python(spark, sf_dir):
+    """Replay hash assignment, conversion, and the 2x2 chi-square in
+    pure Python (identical IEEE expression order) — exact equality."""
+    import hashlib
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    purchases: dict = {}
+    for r in ev:
+        u = r["user_id"]
+        purchases[u] = purchases.get(u, 0) + (
+            1 if r["event_type"] == "purchase" else 0
+        )
+    stats = {0: [0, 0], 1: [0, 0]}  # variant -> [users, converters]
+    for u, np_ in purchases.items():
+        v = int(hashlib.md5(f"exp1:{u}".encode()).hexdigest()[:4], 16) % 2
+        stats[v][0] += 1
+        stats[v][1] += 1 if np_ >= 14 else 0
+    a, b = stats[0][1], stats[0][0] - stats[0][1]
+    c, d = stats[1][1], stats[1][0] - stats[1][1]
+    chi2_micros = math.floor(
+        float(a + b + c + d)
+        * (float(a) * float(d) - float(b) * float(c))
+        * (float(a) * float(d) - float(b) * float(c))
+        / (float(a + b) * float(c + d) * float(a + c) * float(b + d))
+        * 1000000
+    )
+    rows = sorted(
+        REGISTRY["stat_ab_experiment"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["variant"],
+    )
+    assert len(rows) == 2
+    for row in rows:
+        v = row["variant"]
+        assert (row["users"], row["converters"]) == tuple(stats[v])
+        assert row["conversion_micros"] == math.floor(
+            float(stats[v][1]) / float(stats[v][0]) * 1000000
+        )
+        assert row["chi2_micros"] == chi2_micros
+        assert row["significant_95"] == (1 if chi2_micros > 3841459 else 0)
+
+
+def test_seasonal_decompose_identity_holds_exactly(spark, sf_dir):
+    """The decomposition must reassemble the observation exactly in
+    integer arithmetic: x*days*cnt_dow == total*cnt_dow + seasonal_num
+    + resid_num*days for every day."""
+    rows = REGISTRY["events_seasonal_decompose"].fn(spark, sf_dir).collect()
+    assert len(rows) == 30
+    for r in rows:
+        lhs = r["x"] * r["days"] * r["cnt_dow"]
+        rhs = (
+            r["total"] * r["cnt_dow"]
+            + r["seasonal_num"]
+            + r["resid_num"] * r["days"]
+        )
+        assert lhs == rhs, r
+        # convenience doubles are the same integers divided once
+        assert r["dow_mean"] == r["sum_dow"] / r["cnt_dow"]
+        assert r["residual"] == r["resid_num"] / r["cnt_dow"]
+    # every ISO dow 1..7 appears, and cnt_dow-weighted seasonal
+    # components sum to exactly zero (one seasonal_num per dow; the
+    # common denominator days*cnt_dow cancels in the weighted sum)
+    per_dow = {r["dow"]: r["seasonal_num"] for r in rows}
+    assert set(per_dow) == set(range(1, 8))
+    assert sum(per_dow.values()) == 0
