@@ -569,3 +569,106 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# Distance-to-canonical: simultaneous (canonical label, hop count)
+# min-propagation over the exact near-dup graph. State is ONE integer
+# enc = label*64 + dist, so "neighbor's label at one more hop" is
+# literally enc+1 and the lexicographic (label, dist) minimum is the
+# plain integer MIN — each iteration is a join + min-agg of BIGINTs,
+# exactly unrollable in the oracle. After k iterations every node
+# holds the smallest doc_id reachable within k hops and its hop
+# distance; on the bounded-diameter dup clusters k=8 is convergence.
+# --------------------------------------------------------------------------
+
+_CANON_ITERS = 8
+
+
+def _canonical_distance_oracle(n_iter: int = _CANON_ITERS) -> str:
+    its = []
+    for k in range(n_iter):
+        its.append(f""",
+s{k + 1} AS MATERIALIZED (
+  SELECT n.u,
+         LEAST(s.enc,
+               COALESCE((SELECT MIN(sv.enc + 1)
+                         FROM edges e JOIN s{k} sv ON sv.u = e.u
+                         WHERE e.v = n.u), s.enc)) AS enc
+  FROM nodes n JOIN s{k} s ON s.u = n.u
+)""")
+    return f"""
+WITH pairs AS MATERIALIZED ({_JACCARD_ORACLE}),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+nodes AS MATERIALIZED (SELECT DISTINCT u FROM edges),
+s0 AS MATERIALIZED (SELECT u, CAST(u * 64 AS BIGINT) AS enc FROM nodes){"".join(its)}
+SELECT CAST(u AS BIGINT) AS doc_id,
+       CAST(enc // 64 AS BIGINT) AS canonical_id,
+       CAST(enc % 64 AS BIGINT) AS hops
+FROM s{n_iter}
+"""
+
+
+@register(
+    "dedup_canonical_distance",
+    oracle=_canonical_distance_oracle(),
+    category="dedup",
+    tables=("documents",),
+)
+def q_dedup_canonical_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, canonical_id, hops) over the exact near-dup graph:
+    which cluster representative (smallest doc_id reachable within 8
+    hops) each duplicate belongs to, and HOW FAR it sits from it —
+    the transitive-dup audit trail CC alone does not give (a doc 3
+    hops from its canonical is a chain of borderline matches, not a
+    direct dup). State is one integer enc = label*64 + dist, so the
+    lexicographic (label, dist) min is a plain MIN(BIGINT) and each
+    of the 8 unrolled iterations is a join + min-agg (localCheckpoint
+    per step, the iterative-hygiene rule). dist bits never overflow:
+    8 iterations <= dist 8 < 64. Exact-Jaccard candidates (the
+    pagerank_exact rationale: per-node state is edge-sensitive, so
+    LSH's probabilistic misses would break oracle parity)."""
+    from aws_etl_spark.dedup.jaccard import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    ).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    state = edges.select("u").distinct().select(
+        "u", (F.col("u") * 64).cast("long").alias("enc")
+    )
+    for _ in range(_CANON_ITERS):
+        neigh = (
+            edges.join(state.select(F.col("u").alias("src"), "enc"),
+                       F.col("u") == F.col("src"))
+            .groupBy(F.col("v").alias("nu"))
+            .agg(F.min(F.col("enc") + 1).alias("nenc"))
+        )
+        state = (
+            state.join(neigh, state["u"] == neigh["nu"], "left")
+            .select(
+                state["u"],
+                F.least(
+                    state["enc"],
+                    F.coalesce(F.col("nenc"), state["enc"]),
+                ).alias("enc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        F.col("u").cast("long").alias("doc_id"),
+        F.expr("enc DIV 64").cast("long").alias("canonical_id"),
+        (F.col("enc") % 64).cast("long").alias("hops"),
+    )

@@ -1120,3 +1120,127 @@ sql_query(
     ),
     tables=("documents",),
 )
+
+
+# --------------------------------------------------------------------------
+# TextRank keyword extraction: quantized PageRank over the word
+# co-occurrence graph (window +-2 within each doc). Pure composition
+# of two proven kernels — the skip-gram co-occurrence join and the
+# integer PageRank from dedup/pagerank.py — so the whole pipeline
+# inherits their oracle-exactness.
+# --------------------------------------------------------------------------
+
+def _textrank_oracle(n_iter: int = 10, damping_pct: int = 85) -> str:
+    q = 10**12
+    its = []
+    for k in range(n_iter):
+        its.append(f""",
+it{k + 1} AS MATERIALIZED (
+  SELECT d.u,
+         CAST(tq.teleport_q
+              + ({damping_pct} * COALESCE(c.contrib, 0)) // 100
+           AS BIGINT) AS rank_q,
+         d.deg
+  FROM deg d CROSS JOIN tq
+  LEFT JOIN (
+    SELECT e.v AS u, SUM(r.rank_q // r.deg) AS contrib
+    FROM edges e JOIN it{k} r ON e.u = r.u
+    GROUP BY e.v
+  ) c ON c.u = d.u
+)""")
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, pos, word FROM (
+    SELECT doc_id,
+           generate_subscripts(ws, 1) - 1 AS pos,
+           unnest(ws) AS word
+    FROM (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws
+      FROM documents
+    )
+  ) WHERE word <> ''
+),
+cooc AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a.word, b.word) AS id_a,
+                  GREATEST(a.word, b.word) AS id_b
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id
+   AND b.pos BETWEEN a.pos + 1 AND a.pos + 2
+  WHERE a.word <> b.word
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM cooc
+  UNION
+  SELECT id_b AS u, id_a AS v FROM cooc
+),
+deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+tq AS (
+  SELECT ((100 - {damping_pct}) * {q}) // (100 * n) AS teleport_q,
+         {q} // n AS init_q
+  FROM nn
+),
+it0 AS (
+  SELECT d.u, CAST(tq.init_q AS BIGINT) AS rank_q, d.deg
+  FROM deg d CROSS JOIN tq
+){"".join(its)}
+SELECT u AS word, rank_q, CAST(deg AS BIGINT) AS degree
+FROM it{n_iter}
+ORDER BY rank_q DESC, u
+LIMIT 20
+"""
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=_textrank_oracle(),
+    category="text",
+    tables=("documents",),
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: top-20 words by quantized
+    PageRank over the corpus co-occurrence graph (undirected edges
+    between words within +-2 positions in a doc). Pure composition
+    of proven kernels — the skip-gram windowed self-join builds the
+    edge list, dedup/pagerank.py's integer PageRank ranks it — so
+    every arithmetic step is the exact oracle-able formulation.
+    Scale: the edge list is bounded by distinct co-occurring word
+    PAIRS (vocabulary-sized, not corpus-sized) after the one
+    token-stream join; iterations then run on the vocabulary graph
+    only, the BPE/Gram 'reduce once, iterate small' shape."""
+    from aws_etl_spark.dedup.pagerank import pagerank_quantized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias(
+                "pos", "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & F.col("b.pos").between(F.col("a.pos") + 1, F.col("a.pos") + 2)
+            & (F.col("a.word") != F.col("b.word")),
+        )
+        .select(
+            F.least(F.col("a.word"), F.col("b.word")).alias("id_a"),
+            F.greatest(F.col("a.word"), F.col("b.word")).alias("id_b"),
+        )
+        .distinct()
+    )
+    ranks = pagerank_quantized(pairs, n_iter=10, damping_pct=85)
+    return (
+        ranks.select(
+            F.col("node").alias("word"),
+            "rank_q",
+            F.col("degree").cast("long").alias("degree"),
+        )
+        .orderBy(F.desc("rank_q"), "word")
+        .limit(20)
+    )

@@ -265,6 +265,9 @@ _DRIVER_ORDER = (
     "events_cusum_changepoint",
     "stat_ab_experiment",
     "events_seasonal_decompose",
+    "text_textrank_keywords",
+    "stat_psi_equidepth",
+    "dedup_canonical_distance",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r2/r3-vintage names that sat just past the r5 marker)
     "agg_rollup",
@@ -294,10 +297,10 @@ _DRIVER_ORDER = (
     # -- block 4: r4-vintage re-confirmation, filling the window
     "agg_approx_distinct",
     "sample_stratified",
+    # ---- end of the 50-query round-6 window ----
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_graph_triangles",
-    # ---- end of the 50-query round-6 window ----
     "dedup_graph_nbr_jaccard",
     "dedup_graph_label_propagation",
     "dedup_graph_kcore",

@@ -1429,3 +1429,117 @@ sql_query(
     ),
     tables=("events",),
 )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth PSI: the production drift monitor most platforms actually
+# run — bin edges are the BASELINE's deciles, so every baseline bin
+# holds ~10% and the comparison window's displacement is what shows.
+# Edges are exact ORDER STATISTICS (the ceil(k*n1/10)-th smallest
+# baseline value), decided entirely by integer cumulative counts over
+# the same two-stage prefix sum KS uses — no percentile interpolation,
+# whose engine-specific FMA ordering could flip a boundary value's bin.
+# Values equal to an edge sort below it (bin = #edges strictly < v).
+# --------------------------------------------------------------------------
+
+def _psi_eq_sql(intdiv, bins_clause: str) -> str:
+    return f"""
+WITH v AS (
+  SELECT value AS v,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS in1
+  FROM events WHERE value IS NOT NULL
+),
+n AS (
+  SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+         CAST(SUM(1 - in1) AS BIGINT) AS n2
+  FROM v
+),
+g AS (
+  SELECT v, CAST(FLOOR(v / 50.0) AS BIGINT) AS bucket,
+         CAST(SUM(in1) AS BIGINT) AS c1,
+         CAST(SUM(1 - in1) AS BIGINT) AS c2
+  FROM v GROUP BY v
+),
+bt AS (
+  SELECT bucket, CAST(SUM(c1) AS BIGINT) AS bc1 FROM g GROUP BY bucket
+),
+off AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(bc1) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o1
+  FROM bt
+),
+cum AS (
+  SELECT g.v, g.c1, g.c2,
+         o.o1 + SUM(g.c1) OVER (PARTITION BY g.bucket ORDER BY g.v
+                ROWS UNBOUNDED PRECEDING) AS f1
+  FROM g JOIN off o ON o.bucket = g.bucket
+),
+ks AS (SELECT CAST(kk.k AS BIGINT) AS k FROM ({bins_clause}) kk),
+edges AS (
+  SELECT ks.k, MIN(cum.v) AS edge_v
+  FROM ks CROSS JOIN n
+  JOIN cum ON cum.f1 >= {intdiv("ks.k * n.n1 + 9", "10")}
+  GROUP BY ks.k
+),
+binned AS (
+  SELECT cum.v, cum.c1, cum.c2,
+         CAST(COALESCE(SUM(CASE WHEN e.edge_v < cum.v THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS bin
+  FROM cum LEFT JOIN edges e ON e.edge_v < cum.v
+  GROUP BY cum.v, cum.c1, cum.c2
+),
+bc AS (
+  SELECT bin, CAST(SUM(c1) AS BIGINT) AS c1, CAST(SUM(c2) AS BIGINT) AS c2
+  FROM binned GROUP BY bin
+),
+spine AS (SELECT CAST(kk.k AS BIGINT) - 1 AS bin FROM ({bins_clause}) kk
+          UNION ALL SELECT CAST(9 AS BIGINT)),
+grid AS (
+  SELECT s.bin, COALESCE(bc.c1, 0) AS c1, COALESCE(bc.c2, 0) AS c2
+  FROM spine s LEFT JOIN bc ON bc.bin = s.bin
+),
+t AS (
+  SELECT g2.bin, g2.c1, g2.c2,
+         (g2.c1 + 1) * (n.n2 + 10) - (g2.c2 + 1) * (n.n1 + 10) AS dnum,
+         CAST(FLOOR(LN(CAST((g2.c1 + 1) * (n.n2 + 10) AS DOUBLE) /
+                       CAST((g2.c2 + 1) * (n.n1 + 10) AS DOUBLE)) * 1000000)
+              AS BIGINT) AS lnratio_q6,
+         n.n1, n.n2
+  FROM grid g2 CROSS JOIN n
+),
+s AS (SELECT CAST(SUM(dnum * lnratio_q6) AS BIGINT) AS tot FROM t)
+SELECT t.bin, t.c1, t.c2, t.dnum, t.lnratio_q6,
+       CAST(t.dnum * t.lnratio_q6 AS BIGINT) AS contrib_q6,
+       CAST(s.tot AS DOUBLE) /
+       (CAST(t.n1 + 10 AS DOUBLE) * CAST(t.n2 + 10 AS DOUBLE)) /
+       1000000.0 AS psi
+FROM t CROSS JOIN s
+ORDER BY t.bin
+"""
+
+
+sql_query(
+    "stat_psi_equidepth",
+    _psi_eq_sql(
+        lambda a, b: f"({a}) DIV ({b})",
+        "SELECT explode(sequence(1, 9)) AS k",
+    ),
+    oracle=_psi_eq_sql(
+        lambda a, b: f"({a}) // ({b})",
+        "SELECT unnest(generate_series(1, 9)) AS k",
+    ),
+    category="stats",
+    doc=(
+        "Equi-depth PSI: bin edges are the baseline half-month's "
+        "deciles as exact order statistics (the ceil(k*n1/10)-th "
+        "smallest value, located by integer cumulative counts over "
+        "the KS two-stage prefix sum — no percentile interpolation, "
+        "so no engine-specific FMA ordering can flip a boundary "
+        "value's bin), then the Laplace-smoothed PSI over those 10 "
+        "bins. Baseline bins hold ~10% each by construction; the "
+        "comparison window's displacement is the signal."
+    ),
+    tables=("events",),
+)

@@ -370,3 +370,135 @@ def test_seasonal_decompose_identity_holds_exactly(spark, sf_dir):
     per_dow = {r["dow"]: r["seasonal_num"] for r in rows}
     assert set(per_dow) == set(range(1, 8))
     assert sum(per_dow.values()) == 0
+
+
+def test_psi_equidepth_matches_pure_python(spark, sf_dir):
+    """Replay the order-statistic edges and binning in pure Python;
+    baseline bins must each hold ~10% of the baseline by construction."""
+    s1, s2 = _event_halves(spark, sf_dir)
+    n1, n2 = len(s1), len(s2)
+    s1_sorted = sorted(s1)
+    # edge_k = ceil(k*n1/10)-th smallest baseline value (1-indexed)
+    edges = [s1_sorted[(k * n1 + 9) // 10 - 1] for k in range(1, 10)]
+
+    def bin_of(v):
+        return sum(1 for e in edges if e < v)
+
+    c1 = {b: 0 for b in range(10)}
+    c2 = {b: 0 for b in range(10)}
+    for v in s1:
+        c1[bin_of(v)] += 1
+    for v in s2:
+        c2[bin_of(v)] += 1
+    rows = {
+        r["bin"]: r
+        for r in REGISTRY["stat_psi_equidepth"].fn(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == list(range(10))
+    tot = 0
+    for b in range(10):
+        num = (c1[b] + 1) * (n2 + 10)
+        den = (c2[b] + 1) * (n1 + 10)
+        dnum = num - den
+        ln_q6 = math.floor(math.log(num / den) * 1000000)
+        r = rows[b]
+        assert (r["c1"], r["c2"]) == (c1[b], c2[b]), (b, r)
+        assert r["dnum"] == dnum
+        assert r["lnratio_q6"] == ln_q6
+        assert r["contrib_q6"] == dnum * ln_q6
+        tot += dnum * ln_q6
+    psi = float(tot) / ((n1 + 10) * (n2 + 10)) / 1e6
+    assert rows[0]["psi"] == pytest.approx(psi, rel=0, abs=0)
+    # equi-depth contract: every baseline bin holds n1/10 +- the
+    # tie-mass at its edges (values equal to an edge sort below it)
+    for b in range(10):
+        assert c1[b] >= 1  # never empty on the baseline side
+    assert max(c1.values()) - min(c1.values()) <= max(3, n1 // 20)
+
+
+def test_textrank_matches_quantized_pagerank_replay(spark, sf_dir):
+    """TextRank = skip-gram edges + integer PageRank: replay both in
+    pure Python from the collected docs and demand exact equality."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    edges = set()
+    for r in docs:
+        words = [w for w in r["text"].lower().split() if w != ""]
+        for i, wa in enumerate(words):
+            for j in (i + 1, i + 2):
+                if j < len(words) and words[j] != wa:
+                    edges.add((min(wa, words[j]), max(wa, words[j])))
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b))
+        sym.add((b, a))
+    deg = {}
+    for u, _ in sym:
+        deg[u] = deg.get(u, 0) + 1
+    n = len(deg)
+    q = 10**12
+    teleport = ((100 - 85) * q) // (100 * n)
+    rank = {u: q // n for u in deg}
+    for _ in range(10):
+        contrib = {u: 0 for u in deg}
+        for u, v in sym:
+            contrib[v] += rank[u] // deg[u]
+        rank = {u: teleport + (85 * contrib[u]) // 100 for u in deg}
+    expect = sorted(rank.items(), key=lambda t: (-t[1], t[0]))[:20]
+    got = [
+        (r["word"], r["rank_q"], r["degree"])
+        for r in REGISTRY["text_textrank_keywords"].fn(spark, sf_dir).collect()
+    ]
+    assert [(w, rq) for w, rq, _ in got] == expect
+    for w, _, d in got:
+        assert d == deg[w]
+
+
+def test_canonical_distance_matches_bfs_replay(spark, sf_dir):
+    """8 min-propagation iterations must converge on the test graph:
+    canonical_id == the component's min doc_id, hops == the true BFS
+    distance from that canonical node (independent Python BFS)."""
+    from collections import deque
+
+    from aws_etl_spark.dedup.jaccard import ngram_jaccard_pairs
+    from aws_etl_spark.queries.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .collect()
+    ]
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # components + BFS from each component's min node
+    seen, expect = set(), {}
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, q = {start}, deque([start])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in comp:
+                    comp.add(v)
+                    q.append(v)
+        seen |= comp
+        root = min(comp)
+        dist = {root: 0}
+        q = deque([root])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for u in comp:
+            expect[u] = (root, dist[u])
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["hops"])
+        for r in REGISTRY["dedup_canonical_distance"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect

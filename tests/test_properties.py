@@ -311,3 +311,122 @@ def test_bpe_rounds_match_python_model(spark, texts):
     assert {
         r.sym: r.n_occurrences for r in vocab.collect()
     } == expected_vocab
+
+
+@_settings
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_canonical_distance_propagation_matches_bfs(spark, edges):
+    """The enc = label*64 + dist min-propagation equals per-component
+    BFS from the min node on arbitrary small graphs (8 iterations
+    cover any diameter reachable on <=13 nodes)."""
+    from collections import deque
+
+    pairs = [(a, b) for a, b in edges if a != b]
+    if not pairs:
+        return
+    pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    # inline the query's propagation on an arbitrary edge list
+    e = (
+        pdf.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pdf.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+    )
+    state = e.select("u").distinct().select(
+        "u", (F.col("u") * 64).cast("long").alias("enc")
+    )
+    for _ in range(8):
+        neigh = (
+            e.join(state.select(F.col("u").alias("src"), "enc"),
+                   F.col("u") == F.col("src"))
+            .groupBy(F.col("v").alias("nu"))
+            .agg(F.min(F.col("enc") + 1).alias("nenc"))
+        )
+        state = state.join(neigh, state["u"] == neigh["nu"], "left").select(
+            state["u"],
+            F.least(state["enc"], F.coalesce(F.col("nenc"), state["enc"])).alias("enc"),
+        )
+    got = {
+        r["u"]: (r["enc"] // 64, r["enc"] % 64) for r in state.collect()
+    }
+
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect, seen = {}, set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, q = {start}, deque([start])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in comp:
+                    comp.add(v)
+                    q.append(v)
+        seen |= comp
+        root = min(comp)
+        dist = {root: 0}
+        q = deque([root])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for u in comp:
+            expect[u] = (root, dist[u])
+    assert got == expect
+
+
+@_settings
+@given(
+    xs=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=2, max_size=20
+    )
+)
+def test_cusum_window_identity_matches_recurrence(spark, xs):
+    """prefix-sum-minus-running-extremum == max(0, S+e) recurrence on
+    arbitrary integer series (the identity events_cusum_changepoint
+    relies on), exercised through Spark windows."""
+    n = len(xs)
+    total = sum(xs)
+    rows = [(i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["i", "x"])
+    out = spark.sql(
+        """
+        WITH e AS (
+          SELECT i, x, x * {n} - {total} AS e_q FROM {df}
+        ),
+        p AS (
+          SELECT i, e_q,
+                 SUM(e_q) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS p_q
+          FROM e
+        )
+        SELECT i,
+               p_q - LEAST(CAST(0 AS BIGINT),
+                           MIN(p_q) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING))
+                 AS pos,
+               GREATEST(CAST(0 AS BIGINT),
+                        MAX(p_q) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING))
+                 - p_q AS neg
+        FROM p ORDER BY i
+        """.replace("{n}", str(n)).replace("{total}", str(total)),
+        df=df,
+    ).collect()
+    s_pos = s_neg = 0
+    for row, x in zip(out, xs):
+        e = x * n - total
+        s_pos = max(0, s_pos + e)
+        s_neg = max(0, s_neg - e)
+        assert row["pos"] == s_pos
+        assert row["neg"] == s_neg
