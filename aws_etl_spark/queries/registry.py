@@ -221,179 +221,112 @@ def sql_query(
 # in insertion order and records CORRECTNESS rows for only the first
 # 50, so this order is rotated every round to maximize EVIDENCE.
 #
-# Round 6's window = the first 50 names, four blocks in order (the
+# Round 7's window = the first 50 names, three blocks in order (the
 # blocks are marked by the inline comments below — trust those, not
-# hand-counted positions). Cumulative driver evidence at round-6
-# start: 203/209 queries checked (187 hash-green, 16 rows-only, 0
-# failures); the 6 uncovered names are the post-certification round-5
-# additions and they lead this window, restoring N/N coverage:
-#   * block 1 — the 6 never-driver-checked names (all SQL-oracled,
-#     judge-verified green at sf0.01 in the r5 verdict).
-#   * block 2 — queries NEW or CHANGED during round 6; changed
-#     queries must be re-sampled even when their old hash was green.
-#   * block 3 — re-confirmation, oldest hash evidence first (r2/r3
-#     vintage).
-#   * block 4 — r4-vintage re-confirmation up to the window marker.
+# hand-counted positions). Cumulative driver evidence at round-7
+# start: all 225 queries have driver rows (209 hash-green, 16
+# rows-only by contract, 0 failures ever); this round refreshes the
+# oldest third of that evidence base:
+#   * block 1 — the 16 rows-only names: their "ran" rows are r5/r6
+#     vintage and the r6 verdict asked them to lead.
+#   * block 2 — queries NEW or CHANGED during round 7; changed
+#     queries must be re-sampled even when their old hash was green
+#     (the novelty/pair-explain SQL changes with the lambda-guard
+#     hoist). New r7 queries are inserted here as they land, pushing
+#     block-3 tail names past the marker.
+#   * block 3 — re-confirmation, oldest hash evidence first: the six
+#     r1-vintage names, then r2-vintage names in evidence order.
 # Ranked names sort strictly by their position here — INCLUDING
 # rows-only names. Unranked names sort after all ranked ones, oracled
 # before rows-only, in registration order.
 _DRIVER_ORDER = (
-    # -- block 1: the 6 names that landed AFTER the round-5
-    #    certification pass (judge-verified green at sf0.01 but never
-    #    driver-checked) — they lead the round-6 window
-    "dedup_containment",
-    "func_url_parse",
-    "similarity_mmr_rerank",
-    "stat_mad_robust",
-    "stat_chi_square",
-    "events_dau_mau",
-    # -- block 2: queries changed during round 6 (shingle-guard fix
-    #    touches the pair-explain / novelty SQL) + new r6 queries are
-    #    inserted here as they land
-    "dedup_pair_explain",
-    "text_ngram_novelty",
-    "ann_cosine_topk_ivf_exact",
-    "dedup_semantic_exact",
-    "serve_reconcile",
-    "plan_broadcast_audit",
-    "embeddings_gram_matrix",
-    "stat_ks_drift",
-    "stat_psi_drift",
-    "embeddings_pca_power",
-    "embeddings_random_projection",
-    "text_heaps_law",
-    "events_cusum_changepoint",
-    "stat_ab_experiment",
-    "events_seasonal_decompose",
-    "text_textrank_keywords",
-    "stat_psi_equidepth",
-    "dedup_canonical_distance",
-    # -- block 3: re-confirmation — oldest hash evidence first
-    #    (r2/r3-vintage names that sat just past the r5 marker)
-    "agg_rollup",
-    "agg_having",
-    "window_ranking",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_range_frame",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "pivot_revenue_by_year",
-    "unpivot_part_metrics",
-    "agg_percentiles",
-    "sample_weighted",
-    "sample_reservoir_deterministic",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_clusters_cc",
-    "text_tf_idf",
-    "text_lang_id",
-    "text_quality_score",
-    "events_sessionization",
-    "events_tumbling_hourly",
-    "events_gapfill_locf",
-    "func_string",
-    # -- block 4: r4-vintage re-confirmation, filling the window
+    # -- block 1: the 16 rows-only names (refresh their "ran" rows)
     "agg_approx_distinct",
+    "agg_approx_percentiles",
     "sample_stratified",
-    # ---- end of the 50-query round-6 window ----
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_graph_triangles",
-    "dedup_graph_nbr_jaccard",
-    "dedup_graph_label_propagation",
-    "dedup_graph_kcore",
-    "dedup_graph_pagerank_exact",
-    "dedup_graph_degrees",
-    "dedup_span_census",
-    "dedup_span_doc_profile",
-    "dedup_survivors",
-    "dedup_decontaminate",
-    # remainder: r4-vintage continued, then the round-5 window names
-    # (freshest driver evidence, re-confirmed most recently in r5)
-    "corpus_e2e_pipeline",
-    "corpus_cluster_safe_split",
-    "corpus_domain_cap",
-    "embeddings_kmeans_quantized",
-    "embeddings_hard_negatives",
-    "embeddings_dim_stats",
-    "ann_cosine_topk_exact",
-    "events_click_attribution",
-    "events_attribution_multitouch",
-    "events_rollup_incremental",
-    "events_exp_smoothing",
-    "join_skew_salted",
-    "join_scd2_pointintime",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_promotion_suppliers",
-    "func_variant_json",
-    "join_lateral_topn",
-    "sort_limit_offset",
-    "func_higher_order",
-    "func_map_type",
-    "func_calendar_spine",
-    "agg_grouping_flags",
-    "window_distribution",
-    "udtf_word_ngrams",
-    "stat_linear_regression",
-    "basket_affinity_pairs",
-    "bloom_filter_membership",
-    "text_gopher_rules",
-    "text_word_entropy",
-    "text_unigram_surprisal",
-    "events_e2e_mart",
-    "agg_approx_percentiles",
-    "ann_cosine_topk_ivf",
-    "ann_cosine_topk_lsh",
     "dedup_graph_pagerank",
     "dedup_semantic",
-    "docs_stream_neardup_filter",
-    "events_stream_click_attribution_live",
-    "events_stream_closed_sessions",
-    "events_stream_heavy_hitters",
-    "events_stream_live_tumbling",
     "multimodal_frame_sample",
     "multimodal_phash_neardup",
+    "ann_cosine_topk_ivf",
+    "events_stream_live_tumbling",
+    "events_stream_closed_sessions",
+    "docs_stream_neardup_filter",
+    "events_stream_heavy_hitters",
+    "events_stream_click_attribution_live",
     "sketch_hll_mergeable",
-    "sample_stratified_exact",
-    "ann_cosine_topk_lsh_exact",
-    "text_bpe_merges",
-    "text_bpe_vocab",
-    "text_bpe_encode",
-    "corpus_shuffle_deterministic",
-    "text_phrase_search",
-    "text_skipgram_pairs",
-    "gdpr_delete_cascade",
-    "agg_filter_clause",
-    "func_try_arithmetic",
-    "set_except_all",
-    "set_intersect_all",
-    "agg_listagg_sorted",
-    "agg_group_by_all",
-    "stat_winsorized_robust",
-    "join_null_safe",
-    "corpus_health_report",
-    "agg_mode_deterministic",
-    "events_gap_histogram",
-    "graph_reachability_recursive",
-    "q1_pricing_summary",
-    "curated_denormalization",
-    "join_inner_multiway",
-    "join_composite_key",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_range_overlap",
-    "events_asof_join",
-    "join_fuzzy_blocked",
-    "agg_distinct_counts",
-    "agg_grouping_sets",
-    "agg_cube",
+    # -- block 2: queries changed during round 7 (lambda-guard hoist
+    #    rewrites the novelty / pair-explain SQL) + new r7 queries
+    #    inserted here as they land
+    "text_ngram_novelty",
+    "dedup_pair_explain",
+    # -- block 3: re-confirmation — oldest hash evidence first
+    #    (r1-vintage, then r2-vintage in evidence order)
+    "events_cohort_retention",
+    "events_funnel",
+    "multimodal_byte_features",
+    "row_count_validation",
+    "scd2_dimension",
+    "table_profile",
+    "corpus_shuffle_shards",
+    "corpus_split_assign",
+    "dictionary_encoding",
+    "events_gapfill_interpolate",
+    "events_ohlc_bars",
+    "events_sliding_window",
+    "events_time_weighted_avg",
+    "filter_case_when",
+    "filter_predicates",
+    "func_array",
+    "func_bitwise",
+    "func_collect_agg",
+    "func_conditional",
+    "func_date_extract",
+    "func_date_parse",
+    "func_explode_wordcount",
+    "func_histogram",
+    "func_json",
+    "func_regexp",
+    "join_cross",
+    "join_left",
+    "join_right",
+    "merge_upsert",
+    "sort_limit_topk",
+    "stat_correlation",
+    "surrogate_keys",
+    # ---- end of the 50-query round-7 window ----
+    # r2-vintage names that no longer fit the window (queue first for
+    # round 8), then r3-vintage evidence in order
+    "text_fingerprint",
+    "text_normalize_unicode",
+    "text_pii_redaction",
+    "text_sequence_packing",
+    "text_token_counts",
+    "tpch_q6_forecast_revenue",
+    "udaf_grouped_agg",
+    "ann_embedding_near_dup",
+    "corpus_mixture_sample",
+    "cte_subquery",
+    "embeddings_label_centroids",
+    "embeddings_quantize_int8",
+    "events_anomaly_zscore",
+    "events_rollup_daily",
+    "events_sequence_pattern",
+    "events_stream_heavy_hitters_exact",
+    "events_transition_matrix",
+    "func_math",
+    "grouped_map_topk",
+    "join_theta",
+    "layout_zorder_stats",
+    "quality_expectations",
+    "scalar_subquery",
+    "set_union_distinct",
+    "sketch_count_min",
+    "stat_equidepth_histogram",
+    "stat_rfm_segmentation",
+    "subquery_correlated_exists",
 )
 
 
