@@ -951,22 +951,23 @@ sql_query(
 
 
 _NOVELTY_SPARK = r"""
-WITH grams AS (
+WITH t AS (
+  SELECT doc_id, split(lower(text), '\\s+') AS ws FROM documents
+),
+grams AS (
   SELECT DISTINCT doc_id, gram FROM (
     SELECT doc_id, explode(
-      transform(
-        -- short-doc guard: sequence(1, greatest(n-2, 0)) steps DOWN to
-        -- [1, 0] when n <= 2 and slice(, 0, 3) then raises; floor the
-        -- stop at 1 and filter back to the valid range (empty for
-        -- short docs, matching the oracle's range(1, n+1) semantics)
-        filter(
-          sequence(1, greatest(size(split(lower(text), '\\s+')) - 2, 1)),
-          i -> i <= size(split(lower(text), '\\s+')) - 2
-        ),
-        i -> concat_ws(' ', slice(split(lower(text), '\\s+'), i, 3))
-      )
+      -- short-doc guard: docs with < 3 tokens yield no 3-grams
+      -- (matching the oracle's range(1, n-2+1) semantics). The token
+      -- array is hoisted to `ws` so split() runs once per row — the
+      -- r6 filter-lambda guard re-evaluated split() per element
+      -- (higher-order lambdas are interpreted, O(tokens × split)).
+      CASE WHEN size(ws) >= 3
+           THEN transform(sequence(1, size(ws) - 2),
+                          i -> concat_ws(' ', slice(ws, i, 3)))
+           ELSE CAST(array() AS ARRAY<STRING>) END
     ) AS gram
-    FROM documents
+    FROM t
   ) WHERE gram <> ''
 ),
 firsts AS (
