@@ -258,10 +258,15 @@ _DRIVER_ORDER = (
     "events_stream_click_attribution_live",
     "sketch_hll_mergeable",
     # -- block 2: queries changed during round 7 (lambda-guard hoist
-    #    rewrites the novelty / pair-explain SQL) + new r7 queries
+    #    rewrites the novelty / pair-explain SQL; the monitor trio
+    #    gained the declared-partition seam) + new r7 queries
     #    inserted here as they land
     "text_ngram_novelty",
     "dedup_pair_explain",
+    "stat_ks_drift",
+    "stat_psi_equidepth",
+    "events_cusum_changepoint",
+    "evolve_schema_read",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r1-vintage, then r2-vintage in evidence order)
     "events_cohort_retention",
@@ -292,13 +297,13 @@ _DRIVER_ORDER = (
     "join_cross",
     "join_left",
     "join_right",
+    # ---- end of the 50-query round-7 window ----
+    # r2-vintage names that no longer fit the window (queue first for
+    # round 8), then r3-vintage evidence in order
     "merge_upsert",
     "sort_limit_topk",
     "stat_correlation",
     "surrogate_keys",
-    # ---- end of the 50-query round-7 window ----
-    # r2-vintage names that no longer fit the window (queue first for
-    # round 8), then r3-vintage evidence in order
     "text_fingerprint",
     "text_normalize_unicode",
     "text_pii_redaction",
@@ -379,6 +384,7 @@ def _ensure_loaded() -> None:
         reference_parity,
         relational,
         scale_queries,
+        schema_evolution,
         serving,
         similarity_queries,
         streaming_queries,

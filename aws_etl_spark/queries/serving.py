@@ -30,6 +30,7 @@ never executes its plans at all — it is pure planning + text mining.
 from __future__ import annotations
 
 import hashlib
+import os
 import tempfile
 from pathlib import Path
 
@@ -51,10 +52,18 @@ _ACTIVE_CURATED: list[DataFrame] = []
 
 
 def _serving_base(sf_dir: str) -> Path:
-    """Stable per-sf scratch root: repeated invocations (driver sweep,
-    bench loops) overwrite in place instead of accreting tempdirs."""
+    """Stable per-(sf, process) scratch root: repeated invocations in
+    one process (driver sweep, bench loops) overwrite in place instead
+    of accreting tempdirs, while the PID suffix isolates CONCURRENT
+    processes — two overlapping runs on the same sf would otherwise
+    race the parquet overwrite, and the second would fail embedded
+    Derby's single-JVM boot lock."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = Path(tempfile.gettempdir()) / "aws_etl_spark_serving" / tag
+    base = (
+        Path(tempfile.gettempdir())
+        / "aws_etl_spark_serving"
+        / f"{tag}-{os.getpid()}"
+    )
     base.mkdir(parents=True, exist_ok=True)
     return base
 

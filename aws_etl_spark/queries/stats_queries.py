@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from aws_etl_spark.ops.corpus import duckdb_bucket_sql
 from aws_etl_spark.queries.registry import load_table, register, sql_query
+from aws_etl_spark.queries.sql_seams import duck_declared, spark_declared
 
 
 def _spark_bucket(key_expr: str) -> str:
@@ -1116,7 +1117,7 @@ sql_query(
 # division until the single final convenience column.
 # --------------------------------------------------------------------------
 
-def _ks_sql(intdiv) -> str:
+def _ks_sql(intdiv, declared) -> str:
     """Two-sample KS via a TWO-STAGE distributed prefix sum.
 
     The ECDF running sums never run a whole-table single-partition
@@ -1128,7 +1129,10 @@ def _ks_sql(intdiv) -> str:
     rows/side); past that flip the comparison to doubles (drift
     stats tolerate 1 ulp, hash oracles do not). ``intdiv`` is the
     floor-division spelling (Spark DIV, DuckDB //) — operands are
-    non-negative so truncation == floor on both engines.
+    non-negative so truncation == floor on both engines. ``declared``
+    wraps the bounded bucket spine in the declared-single-partition
+    seam (sql_seams.py) so the bounded offset window carries an
+    explicit partition key instead of warning.
     """
     return f"""
 WITH v AS (
@@ -1154,13 +1158,13 @@ bt AS (
 ),
 off AS (
   SELECT bucket,
-         CAST(COALESCE(SUM(bc1) OVER (ORDER BY bucket
+         CAST(COALESCE(SUM(bc1) OVER (PARTITION BY __g ORDER BY bucket
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
               AS BIGINT) AS o1,
-         CAST(COALESCE(SUM(bc2) OVER (ORDER BY bucket
+         CAST(COALESCE(SUM(bc2) OVER (PARTITION BY __g ORDER BY bucket
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
               AS BIGINT) AS o2
-  FROM bt
+  FROM {declared("bt")}
 ),
 c AS (
   SELECT o.o1 + SUM(g.c1) OVER (PARTITION BY g.bucket ORDER BY g.v
@@ -1181,8 +1185,8 @@ FROM d CROSS JOIN n
 
 sql_query(
     "stat_ks_drift",
-    _ks_sql(lambda a, b: f"({a}) DIV ({b})"),
-    oracle=_ks_sql(lambda a, b: f"({a}) // ({b})"),
+    _ks_sql(lambda a, b: f"({a}) DIV ({b})", spark_declared),
+    oracle=_ks_sql(lambda a, b: f"({a}) // ({b})", duck_declared),
     category="stats",
     doc=(
         "Two-sample Kolmogorov-Smirnov drift statistic between the "
@@ -1290,7 +1294,12 @@ sql_query(
 # (e_k = x_k*days - total) instead of subtracting a fractional mean.
 # --------------------------------------------------------------------------
 
-_CUSUM_SQL = """
+def _cusum_sql(declared) -> str:
+    """``declared`` wraps the bounded calendar-day spine (≤ 31 rows)
+    in the declared-single-partition seam (sql_seams.py) so the
+    prefix-sum and running-extremum windows carry an explicit
+    partition key instead of warning per executed plan."""
+    return f"""
 WITH daily AS (
   SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
          CAST(COUNT(*) AS BIGINT) AS x
@@ -1308,21 +1317,22 @@ e AS (
 ),
 p AS (
   SELECT day, x, e_q, total,
-         CAST(SUM(e_q) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         CAST(SUM(e_q) OVER (PARTITION BY __g ORDER BY day
+              ROWS UNBOUNDED PRECEDING)
               AS BIGINT) AS p_q
-  FROM e
+  FROM {declared("e")}
 ),
 c AS (
   SELECT day, x, e_q, p_q, total,
          p_q - LEAST(CAST(0 AS BIGINT),
-                     CAST(MIN(p_q) OVER (ORDER BY day
+                     CAST(MIN(p_q) OVER (PARTITION BY __g ORDER BY day
                           ROWS UNBOUNDED PRECEDING) AS BIGINT))
            AS cusum_pos_q,
          GREATEST(CAST(0 AS BIGINT),
-                  CAST(MAX(p_q) OVER (ORDER BY day
+                  CAST(MAX(p_q) OVER (PARTITION BY __g ORDER BY day
                        ROWS UNBOUNDED PRECEDING) AS BIGINT)) - p_q
            AS cusum_neg_q
-  FROM p
+  FROM {declared("p")}
 )
 SELECT day, x, e_q, p_q, cusum_pos_q, cusum_neg_q,
        CASE WHEN cusum_pos_q > 2 * total OR cusum_neg_q > 2 * total
@@ -1333,7 +1343,8 @@ ORDER BY day
 
 sql_query(
     "events_cusum_changepoint",
-    _CUSUM_SQL,
+    _cusum_sql(spark_declared),
+    oracle=_cusum_sql(duck_declared),
     category="stats",
     doc=(
         "CUSUM level-shift monitor over daily event volume: the "
@@ -1355,7 +1366,9 @@ sql_query(
 # A/B experiment read-out with deterministic hash assignment. Variant
 # comes from the shared salted-md5 bucket of user_id (the production
 # assignment mechanism: sticky, engine-portable, no assignment table
-# to join); conversion = any purchase event. The 2x2 chi-square is one
+# to join); conversion = power purchaser (>= 14 purchase events, the
+# corpus median — presence-based conversion is a degenerate 100% on
+# this synthetic month). The 2x2 chi-square is one
 # fixed-shape IEEE expression over exact BIGINT counts — counts are
 # exact in double below 2^53, and the single expression evaluates
 # identically on both engines, quantized to micros at the boundary.
@@ -1420,7 +1433,9 @@ sql_query(
     doc=(
         "A/B experiment read-out: variants assigned by the salted-md5 "
         "hash of user_id (sticky, deterministic, no assignment table), "
-        "conversion = any purchase event, per-variant conversion rates "
+        "conversion = power purchaser (>= 14 purchase events, the "
+        "corpus median; presence-based conversion is a degenerate "
+        "100% here), per-variant conversion rates "
         "plus the 2x2 chi-square statistic (one fixed-shape IEEE "
         "expression over exact counts, micro-quantized) with the 95% "
         "significance flag (3.841 critical value, 1 dof). Plan: one "
@@ -1442,7 +1457,7 @@ sql_query(
 # Values equal to an edge sort below it (bin = #edges strictly < v).
 # --------------------------------------------------------------------------
 
-def _psi_eq_sql(intdiv, bins_clause: str) -> str:
+def _psi_eq_sql(intdiv, bins_clause: str, declared) -> str:
     return f"""
 WITH v AS (
   SELECT value AS v,
@@ -1465,10 +1480,10 @@ bt AS (
 ),
 off AS (
   SELECT bucket,
-         CAST(COALESCE(SUM(bc1) OVER (ORDER BY bucket
+         CAST(COALESCE(SUM(bc1) OVER (PARTITION BY __g ORDER BY bucket
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
               AS BIGINT) AS o1
-  FROM bt
+  FROM {declared("bt")}
 ),
 cum AS (
   SELECT g.v, g.c1, g.c2,
@@ -1525,10 +1540,12 @@ sql_query(
     _psi_eq_sql(
         lambda a, b: f"({a}) DIV ({b})",
         "SELECT explode(sequence(1, 9)) AS k",
+        spark_declared,
     ),
     oracle=_psi_eq_sql(
         lambda a, b: f"({a}) // ({b})",
         "SELECT unnest(generate_series(1, 9)) AS k",
+        duck_declared,
     ),
     category="stats",
     doc=(

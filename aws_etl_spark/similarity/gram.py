@@ -21,9 +21,12 @@ bit-exact under any partitioning, any engine. The DuckDB oracle is
 the same quantization over an exploded self-join — algebraically the
 same integers, so the driver hash-compares the full matrix.
 
-Overflow contract (runtime-enforced): |q| must stay below 2²⁰, so a
-single product is < 2⁴⁰ and 2²³ rows per accumulator are safe; the
-final cross-partition sum holds ~10¹⁰ unit-norm rows at scale=1000
+Overflow contract (runtime-enforced, BOTH halves): |q| must stay
+below 2²⁰ (checked per batch), and the per-accumulator sum bound
+Σ_batches rows·max|q|² — an exact Python-int computation, so it can
+never itself wrap — must stay below 2⁶³ (checked per batch; numpy
+int64 addition would otherwise wrap silently). The final
+cross-partition sum holds ~10¹⁰ unit-norm rows at scale=1000
 (q ≤ scale ⇒ products ≤ 10⁶ ⇒ sums ≤ 10¹⁶ ≪ 2⁶³).
 """
 
@@ -53,15 +56,27 @@ def gram_matrix_quantized(
         import pandas as pd
 
         acc = None
+        sum_bound = 0  # exact Python int: Σ_batches rows·max|q|²
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Q = np.floor(X * float(scale)).astype(np.int64)
-            if np.abs(Q).max() >= _Q_BOUND:
+            max_q = int(np.abs(Q).max())
+            if max_q >= _Q_BOUND:
                 raise ValueError(
                     "gram_matrix_quantized: |component·scale| >= 2^20 "
                     "breaks the int64 overflow contract; lower scale"
+                )
+            # second half of the contract: an accumulator entry is
+            # bounded by Σ rows·max|q|² — enforce it before numpy's
+            # int64 addition can wrap silently
+            sum_bound += len(Q) * max_q * max_q
+            if sum_bound >= 1 << 63:
+                raise ValueError(
+                    "gram_matrix_quantized: accumulated rows x max|q|^2 "
+                    "could exceed int64; lower scale or repartition "
+                    "into smaller partitions"
                 )
             G = Q.T @ Q
             acc = G if acc is None else acc + G

@@ -28,6 +28,18 @@ def test_bench_emits_contract_json():
         cwd=str(REPO),
     )
     assert out.returncode == 0, out.stderr[-2000:]
+    # Bounded-by-construction global windows must run through the
+    # declared-single-partition seam (ops/keys.py for DataFrame code,
+    # queries/sql_seams.py for SQL strings). A "No Partition Defined"
+    # flood nearly drowned the 2 KB output capture in r1 and came back
+    # in the r6 bench tail; zero tolerance keeps a REAL accidental
+    # single-partition window visible.
+    n_warn = out.stderr.count("No Partition Defined")
+    assert n_warn == 0, (
+        f"{n_warn} WindowExec 'No Partition Defined' warnings in the "
+        "bench subprocess — route the bounded window through the "
+        "declared seam"
+    )
     last = out.stdout.strip().splitlines()[-1]
     # Round 1 lost its BENCH record because the line outgrew the
     # driver's output capture (~2 KB tail). Keep hard headroom.

@@ -358,3 +358,28 @@ def test_shingle_cap_truncates_hot_shingles(spark):
     }
     assert capped < uncapped  # strict subset: hot-shingle pairs dropped
     assert (0, 1) in capped   # discriminative overlap survives the cap
+
+
+def test_shingle_cap_precondition_no_drops_at_graded_sfs(spark):
+    """The oracled shingle-pair queries run with the max_df=1000 cap
+    ON while their DuckDB oracles are uncapped — hash parity therefore
+    REQUIRES that no 3-gram shingle exceeds df=1000 in any corpus the
+    oracle is graded or benched on. Assert the precondition at every
+    shipped sf (driver grades at sf0.01, vanilla sweep at sf0.001,
+    bench at sf0.1) so a hot shingle in a future corpus fails HERE
+    with a named cause instead of as an opaque driver hash mismatch."""
+    import glob
+
+    from aws_etl_spark.dedup.jaccard import dropped_shingle_count
+    from aws_etl_spark.queries.registry import load_table
+
+    sf_dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert sf_dirs, "no test corpora found"
+    for sf in sf_dirs:
+        docs = load_table(spark, sf, "documents")
+        dropped = dropped_shingle_count(docs, "doc_id", "text", k=3, max_df=1000)
+        assert dropped == 0, (
+            f"{sf}: {dropped} shingles exceed df=1000 — the capped "
+            "Spark pair set diverges from the uncapped oracle; raise "
+            "max_df in the oracled queries or re-examine the corpus"
+        )

@@ -506,3 +506,36 @@ def test_shuffle_deterministic_single_window_shuffle(spark, sf_dir):
     fn = REGISTRY["corpus_shuffle_deterministic"].fn
     df = fn(spark, sf_dir)
     assert_max_shuffles(df, 1)
+
+
+def test_evolved_dataset_partition_pruning_and_null_fill(spark, sf_dir):
+    """The schema-evolution surface keeps its two contracts at once:
+    (a) a filter on the hive-style partition key reaches the scan as a
+    PartitionFilter, so only that batch's file group is read — evolved
+    reads do not pay for history; (b) the merged schema unions the
+    file footers, surfacing the added column as NULL on legacy rows."""
+    from aws_etl_spark.plans.inspect import plan_facts
+    from aws_etl_spark.queries.schema_evolution import (
+        read_parquet_merged,
+        write_evolved_dataset,
+    )
+
+    root = write_evolved_dataset(spark, sf_dir)
+    merged = read_parquet_merged(spark, root)
+    assert {"o_orderkey", "o_totalprice", "o_orderpriority", "batch"} <= set(
+        merged.columns
+    )
+
+    pruned = merged.filter("batch = 2")
+    facts = plan_facts(pruned)
+    assert any("batch" in pf for pf in facts.partition_filters), (
+        "batch filter must reach the scan as a PartitionFilter; got "
+        f"{facts.partition_filters}"
+    )
+    # legacy file group: added column is NULL for every batch-1 row
+    legacy = merged.filter("batch = 1")
+    assert legacy.filter("o_orderpriority IS NOT NULL").count() == 0
+    assert legacy.count() > 0
+    assert merged.filter("batch = 2").filter(
+        "o_orderpriority IS NOT NULL"
+    ).count() > 0

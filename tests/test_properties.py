@@ -326,8 +326,12 @@ def test_bpe_rounds_match_python_model(spark, texts):
 )
 def test_canonical_distance_propagation_matches_bfs(spark, edges):
     """The enc = label*64 + dist min-propagation equals per-component
-    BFS from the min node on arbitrary small graphs (8 iterations
-    cover any diameter reachable on <=13 nodes)."""
+    BFS from the min node on arbitrary small graphs. The replay runs
+    n_nodes - 1 iterations — diameter is at most n_nodes - 1 (a
+    13-node path graph has diameter 12, which the old fixed 8 rounds
+    could NOT cover), so convergence is guaranteed for every
+    generable graph (the production query's k=8 is justified
+    separately by corpus cluster diameter)."""
     from collections import deque
 
     pairs = [(a, b) for a, b in edges if a != b]
@@ -343,7 +347,8 @@ def test_canonical_distance_propagation_matches_bfs(spark, edges):
     state = e.select("u").distinct().select(
         "u", (F.col("u") * 64).cast("long").alias("enc")
     )
-    for _ in range(8):
+    n_nodes = len({n for p in pairs for n in p})
+    for _ in range(max(1, n_nodes - 1)):
         neigh = (
             e.join(state.select(F.col("u").alias("src"), "enc"),
                    F.col("u") == F.col("src"))
