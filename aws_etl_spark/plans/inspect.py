@@ -132,6 +132,30 @@ def assert_max_shuffles(df: DataFrame, n: int) -> None:
     )
 
 
+def executed_plan_text(df: DataFrame) -> str:
+    """RUN the plan (collect) and return the FINAL adaptive plan text.
+
+    Static ``formatted_plan`` shows the initial plan; AQE re-plans at
+    runtime, so runtime facts — skew-join splits (``skew=true`` /
+    ``AQEShuffleRead ... skewed``), coalesced partition counts, the
+    ``isFinalPlan=true`` marker — only exist in the executed plan.
+    Test-scale helper: do not point it at an unbounded result.
+    """
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def aqe_skew_join_applied(df: DataFrame) -> bool:
+    """True when AQE actually split a skewed partition in this plan's
+    execution: the final plan marks the join ``skew=true`` (and the
+    shuffle read ``skewed``). This is the MEASURED form of every
+    "AQE handles the skew here" claim — a conf that never fires is
+    indistinguishable from skew protection that works, until this
+    returns True on a deliberately skewed fixture."""
+    text = executed_plan_text(df)
+    return "skew=true" in text
+
+
 def executed_shuffle_bytes(df: DataFrame) -> int:
     """RUN the plan (a count action) and sum ``shuffleBytesWritten``
     over every exchange of the executed adaptive plan.

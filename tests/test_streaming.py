@@ -541,3 +541,96 @@ def test_tws_gate_probe_both_branches(monkeypatch):
 
     monkeypatch.setattr(importlib.util, "find_spec", _boom)
     assert tws.tws_available() is False
+
+
+def test_closed_sessions_restart_mid_batch_equals_uninterrupted(
+    spark, sf_dir, tmp_path
+):
+    """Restart EXACTNESS for the stateful sessionizer: a run killed
+    mid-batch (injected sink failure after the batch is computed but
+    before it commits) and resumed from its checkpoint must produce
+    output identical to an uninterrupted run over the same file
+    sequence. This is the property checkpointing claims: state-store
+    versions commit atomically with the batch, so the failed batch
+    replays against restored pre-batch state — no session lost, none
+    emitted twice, none split differently."""
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from aws_etl_spark.streaming.stateful import closed_sessions
+
+    base = (
+        _events_batch(spark, sf_dir)
+        .filter(F.col("user_id") < 40)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    first = base.filter(F.dayofmonth("ts") <= 15)
+    second = base.filter(F.dayofmonth("ts") > 15)
+    sentinel = base.limit(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+
+    def make_src(tag):
+        # identical 3-file arrival order for both runs (file source
+        # batches by modification time; maxFilesPerTrigger=1 makes the
+        # batch boundaries deterministic)
+        src = f"{tmp_path}/restart_src_{tag}"
+        for part in (first, second, sentinel):
+            part.coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.1)
+        return src
+
+    def run(tag, fail_batch=None):
+        src = make_src(tag)
+        out = f"{tmp_path}/restart_out_{tag}"
+        ckpt = f"{tmp_path}/restart_ckpt_{tag}"
+        flag = tmp_path / f"fail_once_{tag}"
+        if fail_batch is not None:
+            flag.touch()
+
+        def sink(df, batch_id):
+            if batch_id == fail_batch and flag.exists():
+                flag.unlink()
+                raise RuntimeError("injected mid-batch failure")
+            df.write.mode("append").parquet(out)
+
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            closed_sessions(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except StreamingQueryException:
+            assert fail_batch is not None, "unexpected stream failure"
+            # resume from the same checkpoint: the failed batch replays
+            q2 = (
+                closed_sessions(stream)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q2.awaitTermination()
+        return {
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"])
+            for r in spark.read.parquet(out).collect()
+            if r["user_id"] >= 0
+        }
+
+    uninterrupted = run("plain")
+    resumed = run("killed", fail_batch=1)
+    assert len(uninterrupted) > 0
+    assert resumed == uninterrupted
