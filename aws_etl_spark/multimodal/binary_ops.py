@@ -643,3 +643,28 @@ def decode_render_fake(payload: bytes, width: int, height: int) -> "np.ndarray":
         img[h % n] += 1
     m = img.max() or 1
     return (img * 255 // m).astype(np.uint8).reshape(height, width)
+
+
+def decode_render_md5(payload: bytes, width: int, height: int) -> "np.ndarray":
+    """:func:`decode_render_fake` with the cell hash switched from
+    crc32 to the first 8 hex digits of md5 — the one change that makes
+    the whole render SQL-expressible on BOTH engines (DuckDB has no
+    crc32 spelling; md5-hex decoding is the repo's established
+    portable coin, ops/corpus.py:43). Exists so the perceptual-hash
+    pipeline (render → area-mean 9×8 → gradient sign → banded Hamming
+    join) gets a driver-hash-provable exact twin
+    (``multimodal_phash_neardup_exact``); same shift-invariant
+    shingle-set geometry as the crc32 renderer."""
+    import hashlib
+
+    words = bytes(payload or b"").decode("utf-8", "ignore").split()
+    n = width * height
+    img = np.zeros(n, dtype=np.int64)
+    for i in range(len(words) - 2):
+        h = int(
+            hashlib.md5(" ".join(words[i : i + 3]).encode()).hexdigest()[:8],
+            16,
+        )
+        img[h % n] += 1
+    m = img.max() or 1
+    return (img * 255 // m).astype(np.uint8).reshape(height, width)

@@ -267,6 +267,8 @@ _DRIVER_ORDER = (
     "stat_psi_equidepth",
     "events_cusum_changepoint",
     "evolve_schema_read",
+    "multimodal_phash_neardup_exact",
+    "multimodal_frame_sample_exact",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r1-vintage, then r2-vintage in evidence order)
     "events_cohort_retention",
@@ -295,11 +297,11 @@ _DRIVER_ORDER = (
     "func_json",
     "func_regexp",
     "join_cross",
-    "join_left",
-    "join_right",
     # ---- end of the 50-query round-7 window ----
     # r2-vintage names that no longer fit the window (queue first for
     # round 8), then r3-vintage evidence in order
+    "join_left",
+    "join_right",
     "merge_upsert",
     "sort_limit_topk",
     "stat_correlation",

@@ -383,3 +383,40 @@ def test_phash_banded_equals_bruteforce(spark, sf_dir):
         if ham(local[a], local[b]) <= 3
     }
     assert banded == brute
+
+
+def test_phash_exact_twin_preconditions(spark):
+    """multimodal_phash_neardup_exact's brute-force oracle equals the
+    banded Spark join only while no (chunk, value) bucket overflows
+    the cap — assert that precondition on every graded corpus, and pin
+    the md5 renderer against a hand-computed reference cell so a
+    hashlib/slicing drift fails with a named cause."""
+    import glob
+    import hashlib
+
+    import numpy as np
+
+    from aws_etl_spark.dedup.simhash import oversize_bucket_count
+    from aws_etl_spark.multimodal.binary_ops import decode_render_md5, dhash64
+    from aws_etl_spark.queries.registry import load_table
+
+    # hand reference: one gram "a b c" lands in exactly one cell
+    img = decode_render_md5(b"a b c", 18, 16)
+    cell = int(hashlib.md5(b"a b c").hexdigest()[:8], 16) % 288
+    expect = np.zeros(288, dtype=np.uint8)
+    expect[cell] = 255
+    assert (img.ravel() == expect).all()
+
+    for sf in sorted(glob.glob("/root/testdata/sf*")):
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("payload"),
+            F.lit(18).alias("width"), F.lit(16).alias("height"),
+        )
+        sigs = dhash64(
+            docs, "doc_id", "payload", "width", "height",
+            decoder=decode_render_md5,
+        )
+        n = oversize_bucket_count(
+            sigs, "item_id", "phash", chunks=4, max_bucket=1000
+        )
+        assert n == 0, f"{sf}: {n} oversize phash buckets break exactness"
