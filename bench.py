@@ -58,6 +58,11 @@ HEADLINE = (
     # r6 additions: the linear-algebra flagship and the serving sink
     "embeddings_pca_power",
     "serve_reconcile",
+    # r7 bench-watch: the two queries the r6 lambda-guard regression
+    # slipped through on (non-headliners regressed 7x unseen); keep
+    # them driver-visible. ALL-query comparison: tools/bench_compare.py
+    "text_ngram_novelty",
+    "dedup_pair_explain",
 )
 
 
