@@ -394,3 +394,57 @@ sql_query(
     ),
     tables=("events",),
 )
+
+
+# --------------------------------------------------------------------------
+# Exact rolling 7-day distinct actives (the WAU curve). Sliding
+# distinct counts do NOT decompose into partial sums, so the naive
+# shapes are a whole-stream window (single partition — unusable) or a
+# per-day re-scan (7x the I/O). The scale shape used here: reduce the
+# stream to DISTINCT (user, day) pairs first (THE big map-side-
+# combined shuffle — everything after is bounded by users x days),
+# then explode each pair onto the <= 7 calendar days it covers (an
+# equi-shape, no theta/range join) and count distinct users per day,
+# keeping only days that actually occur. At 100 TB the pair reduce is
+# the only data-sized stage; the x7 fan-out multiplies a far smaller
+# relation.
+# --------------------------------------------------------------------------
+
+def _rolling_active_sql(seven: str, dateadd: str) -> str:
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+cover AS (
+  SELECT {dateadd} AS day, ud.user_id
+  FROM ud CROSS JOIN ({seven}) o
+)
+SELECT d.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_7d
+FROM days d JOIN cover c ON c.day = d.day
+GROUP BY d.day
+"""
+
+
+sql_query(
+    "events_rolling_distinct_users",
+    _rolling_active_sql(
+        "SELECT explode(sequence(0, 6)) AS i",
+        "CAST(DATE_ADD(CAST(ud.day AS DATE), o.i) AS TIMESTAMP)",
+    ),
+    oracle=_rolling_active_sql(
+        "SELECT unnest(range(0, 7)) AS i",
+        "CAST(CAST(ud.day AS DATE) + CAST(o.i AS INTEGER) AS TIMESTAMP)",
+    ),
+    category="events",
+    doc=(
+        "Exact 7-day rolling distinct active users per day (the WAU "
+        "curve): distinct (user, day) pairs first, each pair exploded "
+        "onto the 7 days it covers (equi-join, never a range join), "
+        "distinct-count per day over days that occur. The pair reduce "
+        "is the only data-sized stage; exact counting replaces the "
+        "usual sliding-HLL approximation."
+    ),
+    tables=("events",),
+)

@@ -1245,3 +1245,155 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_q"), "word")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM cross-entropy: the conditional upgrade of unigram
+# surprisal. An add-1-smoothed bigram model is fit on the corpus
+# itself and each document scored by its average negative
+# log-likelihood under it — the standard cheap LM-quality signal
+# (high xent = unusual word order = noise/garble candidates; very low
+# xent = templated/boilerplate candidates). Plan: one posexplode, a
+# doc-partitioned LEAD for adjacency, two grouped counts (map-side
+# combined), joins back on the bigram/unigram keys. Per-bigram NLL is
+# FLOOR-quantized to micro-nats (the surprisal idiom) so the per-doc
+# SUM is an exact integer — order-independent under any partitioning.
+# --------------------------------------------------------------------------
+
+def _bigram_xent_sql(tok0: str) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, pos, token FROM ({tok0}) WHERE token <> ''
+),
+bg0 AS (
+  SELECT doc_id, token AS w1,
+         LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+),
+bg AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vsz FROM tok),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(FLOOR(LN(CAST(c1.c1 + v.vsz AS DOUBLE) / (c12.c12 + 1))
+              * 1000000) AS BIGINT) AS nll_q
+  FROM bg
+  JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+  JOIN c1 ON c1.w1 = bg.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(nll_q) AS BIGINT) AS xent_q6_sum,
+       (CAST(SUM(nll_q) AS DOUBLE) / COUNT(*)) / 1000000.0 AS avg_cross_entropy
+FROM scored GROUP BY doc_id
+"""
+
+
+_XENT_TOK_SPARK = (
+    "SELECT doc_id, posexplode(split(trim(lower(text)), ' ')) AS (pos, token) "
+    "FROM documents"
+)
+_XENT_TOK_DUCK = (
+    "SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS token "
+    "FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS arr "
+    "FROM documents)"
+)
+
+sql_query(
+    "text_bigram_crossentropy",
+    _bigram_xent_sql(_XENT_TOK_SPARK),
+    oracle=_bigram_xent_sql(_XENT_TOK_DUCK),
+    category="text",
+    doc=(
+        "Per-document cross-entropy under an add-1-smoothed corpus "
+        "bigram LM — the conditional word-order upgrade of "
+        "text_unigram_surprisal and the classic cheap LM-quality "
+        "filter (CCNet-style perplexity gating). NLL per bigram is "
+        "ln((c1+V)/(c12+1)) micro-quantized, so per-doc sums are "
+        "exact integers; one posexplode + doc-partitioned LEAD + two "
+        "map-side-combined count aggregations."
+    ),
+    tables=("documents",),
+)
+
+
+# --------------------------------------------------------------------------
+# BM25 top-k retrieval — the full-text search scorer over the corpus
+# (Robertson/Sparck-Jones idf, Lucene's +1 idf shift so scores stay
+# positive; k1=1.2, b=0.75). Fixed query terms make the scorer a
+# driver-checkable plan; the shape is the inverted-index one: the
+# token stream is filtered to query terms BEFORE any join (posting
+# lists), per-doc lengths reduce map-side, and the score is assembled
+# from exact integers — idf and the tf/length weight are each
+# FLOOR-quantized to micros and multiplied as BIGINTs, so the per-doc
+# sum is exact and the top-20 cut (score, doc_id tiebreak) is total.
+# Every double literal is CAST explicitly: bare 0.9 parses as
+# DECIMAL on DuckDB and the decimal division rounds differently.
+# --------------------------------------------------------------------------
+
+def _bm25_sql(tok: str) -> str:
+    return f"""
+WITH tok AS ({tok}),
+t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl
+  FROM dl
+),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM t WHERE token IN ('join', 'vector', 'dup')
+       GROUP BY doc_id, token),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(LN(CAST(1.0 AS DOUBLE)
+             + (CAST(s.n AS DOUBLE) - df.df + CAST(0.5 AS DOUBLE))
+               / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * 1000000) AS BIGINT)
+         *
+         CAST(FLOOR(
+           ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+              / (CAST(tf.tf AS DOUBLE) + CAST(0.3 AS DOUBLE)
+                 + ((CAST(0.9 AS DOUBLE) * dl.dl) * s.n) / s.sumdl))
+           * 1000000) AS BIGINT) AS s_q
+  FROM tf
+  JOIN df ON df.token = tf.token
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       CAST(SUM(s_q) AS BIGINT) AS score_q12,
+       CAST(SUM(s_q) AS DOUBLE) / 1000000000000.0 AS bm25_score
+FROM contrib GROUP BY doc_id
+ORDER BY score_q12 DESC, doc_id
+LIMIT 20
+"""
+
+
+_BM25_TOK_SPARK = (
+    "SELECT doc_id, explode(split(trim(lower(text)), ' ')) AS token "
+    "FROM documents"
+)
+_BM25_TOK_DUCK = (
+    "SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS token "
+    "FROM documents"
+)
+
+sql_query(
+    "text_bm25_search",
+    _bm25_sql(_BM25_TOK_SPARK),
+    oracle=_bm25_sql(_BM25_TOK_DUCK),
+    category="text",
+    doc=(
+        "BM25 top-20 retrieval for the query {join, vector, dup}: "
+        "Lucene-shifted idf ln(1+(N-df+0.5)/(df+0.5)), k1=1.2 b=0.75 "
+        "length normalization, idf and weight each micro-quantized "
+        "and multiplied as exact BIGINTs; deterministic (score, "
+        "doc_id) top-k. Posting-list shape: term filter before any "
+        "join, map-side length reduce, broadcast-size stats."
+    ),
+    tables=("documents",),
+)

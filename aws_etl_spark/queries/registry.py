@@ -269,6 +269,10 @@ _DRIVER_ORDER = (
     "evolve_schema_read",
     "multimodal_phash_neardup_exact",
     "multimodal_frame_sample_exact",
+    "text_bigram_crossentropy",
+    "text_bm25_search",
+    "events_rolling_distinct_users",
+    "embeddings_isotropy_audit",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r1-vintage, then r2-vintage in evidence order)
     "events_cohort_retention",
@@ -293,13 +297,13 @@ _DRIVER_ORDER = (
     "func_date_extract",
     "func_date_parse",
     "func_explode_wordcount",
+    # ---- end of the 50-query round-7 window ----
+    # r2-vintage names that no longer fit the window (queue first for
+    # round 8), then r3-vintage evidence in order
     "func_histogram",
     "func_json",
     "func_regexp",
     "join_cross",
-    # ---- end of the 50-query round-7 window ----
-    # r2-vintage names that no longer fit the window (queue first for
-    # round 8), then r3-vintage evidence in order
     "join_left",
     "join_right",
     "merge_upsert",

@@ -972,3 +972,64 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "t")
         .agg(F.sum(F.col("q") * F.col("sgn")).alias("y_q"))
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding isotropy audit — the corpus-level embedding-health check
+# (Ethayarajh-style anisotropy: if all vectors share a dominant
+# direction, mean pairwise cosine >> 0 and contrastive training /
+# cosine ANN degrade). Identity: sum over ALL ordered pairs of
+# dot(x_i, x_j) equals ||sum_i x_i||^2 - sum_i ||x_i||^2, so the mean
+# pairwise dot needs only the per-dimension component sums and the
+# total squared norm — two map-side-combined aggregations over one
+# explode, no pair enumeration ever. On quantized components every
+# input to the final IEEE chain is an exact BIGINT. Overflow bound:
+# |q| <= scale=1000, so per-dim sums need n*scale < 2^31.5 per unit
+# component — fine to ~10^15 rows for unit-norm embeddings; the
+# squared dim-sum is the binding term, exact while n*scale < ~3e9
+# (document: scale down for corpora beyond ~3e6 rows at scale 1000).
+# --------------------------------------------------------------------------
+
+def _isotropy_sql(comp: str) -> str:
+    return f"""
+WITH comp AS ({comp}),
+dims AS (SELECT d, CAST(SUM(q) AS BIGINT) AS s FROM comp GROUP BY d),
+tot AS (SELECT CAST(SUM(q * q) AS BIGINT) AS t FROM comp),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+ns AS (SELECT CAST(SUM(s * s) AS BIGINT) AS ss FROM dims)
+SELECT nn.n AS n_vectors,
+       tot.t AS sum_sq_norm_q,
+       ns.ss AS norm_of_sum_sq,
+       CAST(ns.ss - tot.t AS BIGINT) AS pair_dot_num_q,
+       (CAST(ns.ss - tot.t AS DOUBLE) / (nn.n * (nn.n - 1)))
+         / (CAST(tot.t AS DOUBLE) / nn.n) AS isotropy_ratio
+FROM nn CROSS JOIN tot CROSS JOIN ns
+"""
+
+
+from aws_etl_spark.queries.registry import sql_query  # noqa: E402
+
+sql_query(
+    "embeddings_isotropy_audit",
+    _isotropy_sql(
+        "SELECT vec_id, pos AS d, "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q "
+        "FROM (SELECT vec_id, posexplode(embedding) AS (pos, x) "
+        "FROM embeddings)"
+    ),
+    oracle=_isotropy_sql(
+        "SELECT vec_id, generate_subscripts(embedding, 1) AS d, "
+        "CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q "
+        "FROM embeddings"
+    ),
+    category="similarity",
+    doc=(
+        "Corpus anisotropy audit: mean pairwise dot over ALL ordered "
+        "vector pairs via the ||sum x||^2 - sum ||x||^2 identity — "
+        "two grouped integer aggregations over one component explode, "
+        "never a pair join; isotropy_ratio = mean pair dot / mean "
+        "squared norm as a single IEEE chain over exact BIGINTs. "
+        "The 1-row cross joins are broadcast-scalar normalizers."
+    ),
+    tables=("embeddings",),
+)
