@@ -1,0 +1,258 @@
+"""Data-governance operators: referential-integrity auditing,
+k-anonymity risk profiling, and entity-resolution golden records.
+
+The reference pipeline loads curated tables into Redshift/Postgres
+with DDL-declared keys but never verifies them (k8s/dags/
+etl_aws_vini.py:205-242 creates the tables; no FK checks run) — at
+warehouse scale, integrity is a QUERY, not a constraint. These
+operators are that query surface, plus the governance checks a
+customer-data platform runs before serving: quasi-identifier risk
+(k-anonymity) and duplicate-entity consolidation (golden record).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_spark.queries.registry import load_table, register, sql_query
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit: orphan counts for every declared
+# parent-child relationship in the schema. Each check is one anti-join
+# count (broadcast for small parents, shuffle otherwise — Catalyst
+# picks); the UNION ALL of five 1-row aggregates is driver-trivial.
+# Identical text runs on both engines.
+# --------------------------------------------------------------------------
+
+_RI_CHECKS = (
+    ("lineitem.l_orderkey -> orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey -> customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey -> nation.n_nationkey",
+     "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey -> nation.n_nationkey",
+     "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey -> region.r_regionkey",
+     "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _ri_branch(rel, child, ck, parent, pk) -> str:
+    return f"""
+  SELECT '{rel}' AS relationship,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child_rows,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM {child} c LEFT JOIN {parent} p ON p.{pk} = c.{ck}
+          WHERE p.{pk} IS NULL) AS n_orphans
+"""
+
+
+_RI_SQL = (
+    "SELECT relationship, n_child_rows, n_orphans,\n"
+    "       CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS ref_ok\n"
+    "FROM (\n"
+    + "  UNION ALL".join(_ri_branch(*c) for c in _RI_CHECKS)
+    + ")"
+)
+
+sql_query(
+    "quality_referential_integrity",
+    _RI_SQL,
+    category="governance",
+    doc=(
+        "Referential-integrity audit over every declared FK "
+        "relationship (lineitem->orders, orders->customer, "
+        "customer->nation, supplier->nation, nation->region): child "
+        "row count, orphan count via anti-join, and the pass flag. "
+        "The warehouse-side verification the reference's DDL implies "
+        "but never executes."
+    ),
+    tables=("lineitem", "orders", "customer", "supplier", "nation",
+            "region"),
+)
+
+
+# --------------------------------------------------------------------------
+# k-anonymity risk profile over the quasi-identifier tuple
+# (nation, market segment, account-balance band). Group sizes k from
+# one grouped count (map-side combined); the k-distribution and the
+# share of re-identifiable rows are constant-size follow-ups. The
+# balance band shifts cents non-negative BEFORE integer division so
+# Spark's truncating DIV and DuckDB's flooring // agree.
+# --------------------------------------------------------------------------
+
+def _kanon_sql(intdiv) -> str:
+    bal = intdiv(
+        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000",
+        "100000",
+    )
+    return f"""
+WITH q AS (
+  SELECT c_nationkey, c_mktsegment, {bal} AS bal_band
+  FROM customer
+),
+g AS (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM q GROUP BY c_nationkey, c_mktsegment, bal_band
+),
+b AS (
+  SELECT CASE WHEN k = 1 THEN '1'
+              WHEN k < 5 THEN '2-4'
+              WHEN k < 10 THEN '5-9'
+              ELSE '10+' END AS k_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(k) AS BIGINT) AS n_rows
+  FROM g GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM b)
+SELECT b.k_bucket, b.n_groups, b.n_rows,
+       CAST(b.n_rows AS DOUBLE) / t.total AS row_share
+FROM b CROSS JOIN t
+"""
+
+
+sql_query(
+    "privacy_k_anonymity",
+    _kanon_sql(lambda a, b: f"({a}) DIV ({b})"),
+    oracle=_kanon_sql(lambda a, b: f"({a}) // ({b})"),
+    category="governance",
+    doc=(
+        "k-anonymity risk profile for the quasi-identifier tuple "
+        "(nation, segment, $1000 balance band): distribution of "
+        "group sizes into k buckets (1 / 2-4 / 5-9 / 10+) with group "
+        "counts, row counts and row share — rows in k=1 groups are "
+        "re-identifiable by the tuple alone. One grouped count plus "
+        "constant-size rollups; the 1-row total is a broadcast-scalar "
+        "normalizer."
+    ),
+    tables=("customer",),
+)
+
+
+# --------------------------------------------------------------------------
+# Entity-resolution golden record: fuzzy-matched duplicate customers
+# consolidated into one surviving record per entity cluster.
+# Pipeline = the SymSpell blocked fuzzy join (exact under its
+# deletion-variant blocking, stats_queries.py) -> connected
+# components (dedup/components.py; min-id canonical label) ->
+# survivorship (highest account balance wins, custkey tiebreak). The
+# survivor choice is an integer argmax: enc = (cents + 100000)*1e10
+# + (9999999999 - custkey), so MAX(enc) is deterministic and
+# engine-portable with no struct/arg_max dialect divergence; the
+# oracle replays the definitional quadratic pair join plus a
+# recursive-CTE transitive closure.
+# --------------------------------------------------------------------------
+
+_GOLDEN_ENC = (
+    "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000)"
+    " * 10000000000 + (9999999999 - c_custkey)"
+)
+
+_GOLDEN_ORACLE = f"""
+WITH RECURSIVE fpairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a
+  JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 2
+),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM fpairs
+  UNION
+  SELECT id_b, id_a FROM fpairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u WHERE e2.v <> r.u
+),
+comp AS (SELECT u AS ck, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u),
+lab AS (
+  SELECT c.c_custkey, c.c_acctbal,
+         COALESCE(comp.cluster, c.c_custkey) AS cluster,
+         {_GOLDEN_ENC} AS enc
+  FROM customer c LEFT JOIN comp ON comp.ck = c.c_custkey
+),
+agg AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+         MAX(enc) AS me
+  FROM lab GROUP BY cluster
+  HAVING COUNT(*) >= 2
+)
+SELECT agg.cluster AS cluster_key,
+       agg.n_members,
+       cc.c_name AS canonical_name,
+       CAST(9999999999 - (agg.me % 10000000000) AS BIGINT)
+         AS survivor_custkey,
+       CAST(CAST(sc.c_acctbal AS DECIMAL(12,2)) AS DOUBLE)
+         AS survivor_acctbal
+FROM agg
+JOIN customer cc ON cc.c_custkey = agg.cluster
+JOIN customer sc
+  ON sc.c_custkey = 9999999999 - (agg.me % 10000000000)
+"""
+
+
+@register(
+    "customers_golden_record",
+    oracle=_GOLDEN_ORACLE,
+    category="governance",
+    tables=("customer",),
+)
+def q_customers_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record consolidation (see module section): SymSpell
+    fuzzy pairs -> connected components -> per-cluster survivorship.
+    Every stage is the engine's proven kernel (the fuzzy join is
+    exact under deletion-variant blocking; CC labels are min-id
+    deterministic); the integer-encoded argmax makes the survivor
+    pick hash-provable. Output: one row per multi-member entity
+    cluster with the canonical record's name and the surviving
+    (balance-richest) record."""
+    from aws_etl_spark.dedup.components import dedup_clusters
+    from aws_etl_spark.queries.stats_queries import q_join_fuzzy_blocked
+
+    pairs = q_join_fuzzy_blocked(spark, sf_dir).select(
+        F.col("a_custkey").alias("id_a"), F.col("b_custkey").alias("id_b")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    clusters = dedup_clusters(
+        pairs, cust.select("c_custkey"), "c_custkey"
+    ).select("c_custkey", "cluster")
+    lab = cust.join(clusters, "c_custkey").withColumn(
+        "enc", F.expr(_GOLDEN_ENC)
+    )
+    agg = (
+        lab.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max("enc").alias("me"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    survivor_key = F.expr("9999999999 - (me % 10000000000)")
+    canonical = cust.select(
+        F.col("c_custkey").alias("cluster"),
+        F.col("c_name").alias("canonical_name"),
+    )
+    survivor = cust.select(
+        F.col("c_custkey").alias("survivor_custkey"),
+        F.col("c_acctbal").cast("decimal(12,2)").cast("double")
+        .alias("survivor_acctbal"),
+    )
+    return (
+        agg.withColumn("survivor_custkey", survivor_key.cast("bigint"))
+        .join(F.broadcast(canonical), "cluster")
+        .join(survivor, "survivor_custkey")
+        .select(
+            F.col("cluster").alias("cluster_key"),
+            "n_members",
+            "canonical_name",
+            "survivor_custkey",
+            "survivor_acctbal",
+        )
+    )

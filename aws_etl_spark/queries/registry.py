@@ -273,6 +273,9 @@ _DRIVER_ORDER = (
     "text_bm25_search",
     "events_rolling_distinct_users",
     "embeddings_isotropy_audit",
+    "quality_referential_integrity",
+    "privacy_k_anonymity",
+    "customers_golden_record",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r1-vintage, then r2-vintage in evidence order)
     "events_cohort_retention",
@@ -294,12 +297,12 @@ _DRIVER_ORDER = (
     "func_bitwise",
     "func_collect_agg",
     "func_conditional",
-    "func_date_extract",
-    "func_date_parse",
-    "func_explode_wordcount",
     # ---- end of the 50-query round-7 window ----
     # r2-vintage names that no longer fit the window (queue first for
     # round 8), then r3-vintage evidence in order
+    "func_date_extract",
+    "func_date_parse",
+    "func_explode_wordcount",
     "func_histogram",
     "func_json",
     "func_regexp",
@@ -382,6 +385,7 @@ def _ensure_loaded() -> None:
         dedup_queries,
         event_analytics,
         functions_corpus,
+        governance_queries,
         graph_queries,
         incremental_queries,
         llm_text,
