@@ -1,0 +1,182 @@
+"""Lakehouse snapshot queries: time travel and vacuum planning over
+the manifest layer (io/manifest.py — atomic-pointer snapshots +
+copy-on-write data files on plain parquet).
+
+Both queries BUILD the versioned table inside the query (the
+serve_reconcile precedent: real sink I/O in-query), then read it back
+through manifests, so the driver hash proves the whole mechanism:
+commit 1 writes the non-urgent half of the 1995 priority rollup,
+commit 2 adds the urgent row (snapshot v2 = the complete initial
+table), commit 3 REPLACES commit 2's file with the corrected urgent
+rollup recomputed over 1995-96 (copy-on-write). Time travel then
+reads v2 (initial) and v3 (corrected) side by side; the vacuum
+planner retains v3 and identifies commit 2's superseded file as the
+only orphan. A broken pointer swap, a replace that mutates history,
+or an over-eager vacuum all flip the hashes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_spark.io.manifest import (
+    commit_snapshot,
+    read_snapshot,
+    snapshot_files,
+    vacuum_plan,
+)
+from aws_etl_spark.queries.registry import load_table, register
+
+_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+
+def _lake_root(sf_dir: str) -> Path:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return (
+        Path(tempfile.gettempdir())
+        / "aws_etl_spark_lake"
+        / f"{tag}-{os.getpid()}"
+    )
+
+
+def _rollup(orders: DataFrame, years, urgent: bool) -> DataFrame:
+    side = orders.filter(F.year("o_orderdate").isin(*years))
+    side = side.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        if urgent
+        else (F.col("o_orderpriority") != "1-URGENT")
+    )
+    return (
+        side.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.expr(_CENTS)).cast("bigint").alias("total_cents"),
+        )
+        .repartition(1)  # one immutable data file per commit (tiny
+        # rollups; real tables commit many distributed files)
+    )
+
+
+def build_versioned_table(spark: SparkSession, sf_dir: str) -> Path:
+    """(Re)build the 3-commit scratch table; returns its root."""
+    root = _lake_root(sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = commit_snapshot(_rollup(orders, [1995], urgent=False), root)
+    v2 = commit_snapshot(_rollup(orders, [1995], urgent=True), root)
+    urgent_file_set = set(snapshot_files(root, v2)) - set(
+        snapshot_files(root, v1)
+    )
+    commit_snapshot(
+        _rollup(orders, [1995, 1996], urgent=True),
+        root,
+        replace=sorted(urgent_file_set),
+    )
+    return root
+
+
+_TT_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority, EXTRACT(year FROM o_orderdate) AS y,
+         {_CENTS} AS cents
+  FROM orders
+),
+initial AS (
+  SELECT 'initial' AS snapshot, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM base WHERE y = 1995 GROUP BY o_orderpriority
+),
+corrected AS (
+  SELECT 'corrected' AS snapshot, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM base
+  WHERE (o_orderpriority <> '1-URGENT' AND y = 1995)
+     OR (o_orderpriority = '1-URGENT' AND y IN (1995, 1996))
+  GROUP BY o_orderpriority
+)
+SELECT * FROM initial UNION ALL SELECT * FROM corrected
+"""
+
+
+@register(
+    "lake_time_travel_read",
+    oracle=_TT_ORACLE,
+    category="lakehouse",
+    tables=("orders",),
+)
+def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation time travel (module docstring): build the
+    3-commit table, read v2 (the complete initial rollup) and v3 (the
+    copy-on-write correction) through their manifests, return both
+    tagged. The oracle recomputes each snapshot's contracted content
+    from the source table — so v2's rows must be byte-identical to
+    the pre-correction state even though v3 exists on disk."""
+    root = build_versioned_table(spark, sf_dir)
+    initial = read_snapshot(spark, root, 2).select(
+        F.lit("initial").alias("snapshot"), "*"
+    )
+    corrected = read_snapshot(spark, root, 3).select(
+        F.lit("corrected").alias("snapshot"), "*"
+    )
+    return initial.unionByName(corrected)
+
+
+_VACUUM_ORACLE = f"""
+WITH urgent95 AS (
+  SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS orphan_rows,
+         CAST(SUM({_CENTS}) AS BIGINT) AS orphan_total_cents
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND EXTRACT(year FROM o_orderdate) = 1995
+)
+SELECT CAST(3 AS BIGINT) AS n_versions,
+       CAST(3 AS BIGINT) AS retain_from,
+       CAST(2 AS BIGINT) AS n_live_files,
+       CAST(1 AS BIGINT) AS n_orphan_files,
+       orphan_rows,
+       orphan_total_cents
+FROM urgent95
+"""
+
+
+@register(
+    "lake_vacuum_plan",
+    oracle=_VACUUM_ORACLE,
+    category="lakehouse",
+    tables=("orders",),
+)
+def q_lake_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum planning: retain only snapshot v3 and identify data
+    files referenced solely by expired snapshots. The plan is pure
+    metadata set-difference; this query then READS the orphan files
+    to prove the planner found exactly the superseded commit — the
+    orphans' content must equal the pre-correction urgent rollup
+    (recomputed by the oracle), and the structural file counts are
+    fixed by the one-file-per-commit construction (the literal oracle
+    columns, licensed by tests/test_lakehouse.py invariance)."""
+    root = build_versioned_table(spark, sf_dir)
+    plan = vacuum_plan(root, retain_from=3)
+    orphan_stats = (
+        spark.read.parquet(*plan["orphans"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("orphan_rows"),
+            F.sum("total_cents").cast("bigint").alias("orphan_total_cents"),
+        )
+    )
+    return orphan_stats.select(
+        F.lit(3).cast("bigint").alias("n_versions"),
+        F.lit(3).cast("bigint").alias("retain_from"),
+        F.lit(len(plan["live"])).cast("bigint").alias("n_live_files"),
+        F.lit(len(plan["orphans"])).cast("bigint").alias("n_orphan_files"),
+        "orphan_rows",
+        "orphan_total_cents",
+    )

@@ -276,6 +276,8 @@ _DRIVER_ORDER = (
     "quality_referential_integrity",
     "privacy_k_anonymity",
     "customers_golden_record",
+    "lake_time_travel_read",
+    "lake_vacuum_plan",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r1-vintage, then r2-vintage in evidence order)
     "events_cohort_retention",
@@ -295,11 +297,11 @@ _DRIVER_ORDER = (
     "filter_predicates",
     "func_array",
     "func_bitwise",
-    "func_collect_agg",
-    "func_conditional",
     # ---- end of the 50-query round-7 window ----
     # r2-vintage names that no longer fit the window (queue first for
     # round 8), then r3-vintage evidence in order
+    "func_collect_agg",
+    "func_conditional",
     "func_date_extract",
     "func_date_parse",
     "func_explode_wordcount",
@@ -388,6 +390,7 @@ def _ensure_loaded() -> None:
         governance_queries,
         graph_queries,
         incremental_queries,
+        lakehouse_queries,
         llm_text,
         multimodal_queries,
         pipeline_e2e,
