@@ -278,6 +278,8 @@ _DRIVER_ORDER = (
     "customers_golden_record",
     "lake_time_travel_read",
     "lake_vacuum_plan",
+    "ml_pointintime_features",
+    "ml_negative_sampling",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r1-vintage, then r2-vintage in evidence order)
     "events_cohort_retention",
@@ -295,11 +297,11 @@ _DRIVER_ORDER = (
     "events_time_weighted_avg",
     "filter_case_when",
     "filter_predicates",
-    "func_array",
-    "func_bitwise",
     # ---- end of the 50-query round-7 window ----
     # r2-vintage names that no longer fit the window (queue first for
     # round 8), then r3-vintage evidence in order
+    "func_array",
+    "func_bitwise",
     "func_collect_agg",
     "func_conditional",
     "func_date_extract",
@@ -392,6 +394,7 @@ def _ensure_loaded() -> None:
         incremental_queries,
         lakehouse_queries,
         llm_text,
+        ml_queries,
         multimodal_queries,
         pipeline_e2e,
         reference_parity,
