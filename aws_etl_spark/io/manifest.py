@@ -54,18 +54,27 @@ def commit_snapshot(
     df: DataFrame,
     root: str | Path,
     replace: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as new immutable data files and commit the next
     snapshot: previous snapshot's files, minus ``replace`` (paths
     being superseded — copy-on-write), plus the new files. Returns
-    the committed version number."""
+    the committed version number.
+
+    ``stats_cols``: record per-file min/max zone maps for these
+    columns in the manifest (one distributed pass over the new files,
+    grouped by ``input_file_name``) — the Iceberg/Delta file-stats
+    mechanism that lets a reader prune whole files from a predicate
+    before any data I/O. Stats inherit from the previous snapshot for
+    carried-over files."""
     root = Path(root)
     versions = list_versions(root)
     prev_files: list[str] = []
+    prev_stats: dict = {}
     if versions:
-        prev_files = json.loads(
-            _manifest_path(root, versions[-1]).read_text()
-        )["files"]
+        prev = json.loads(_manifest_path(root, versions[-1]).read_text())
+        prev_files = prev["files"]
+        prev_stats = prev.get("stats", {})
     version = (versions[-1] + 1) if versions else 1
 
     write_dir = root / "data" / f"w{version:06d}"
@@ -80,12 +89,56 @@ def commit_snapshot(
         )
     files = [f for f in prev_files if f not in dropped] + new_files
 
+    stats = {f: prev_stats[f] for f in files if f in prev_stats}
+    if stats_cols:
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        back = spark.read.parquet(str(write_dir)).withColumn(
+            "__f", F.input_file_name()
+        )
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+        for row in back.groupBy("__f").agg(*aggs).collect():
+            path = row["__f"]
+            if path.startswith("file:"):
+                path = path[len("file:"):]
+                while path.startswith("//"):
+                    path = path[1:]
+            stats[path] = {
+                c: [row[f"min__{c}"], row[f"max__{c}"]] for c in stats_cols
+            }
+
     mpath = _manifest_path(root, version)
     mpath.parent.mkdir(parents=True, exist_ok=True)
     tmp = mpath.with_suffix(".tmp")
-    tmp.write_text(json.dumps({"version": version, "files": files}))
+    tmp.write_text(
+        json.dumps({"version": version, "files": files, "stats": stats})
+    )
     tmp.rename(mpath)  # atomic pointer publish
     return version
+
+
+def zone_map_prune(
+    root: str | Path, version: int, col: str, lo, hi
+) -> dict[str, list[str]]:
+    """Metadata-only file pruning: split snapshot ``version``'s files
+    into those whose recorded [min, max] for ``col`` overlaps
+    [lo, hi] (``read``) and those provably predicate-free
+    (``pruned``). Files with no recorded stats are conservatively
+    read — zone maps may only ever SKIP provably-empty files."""
+    m = json.loads(_manifest_path(Path(root), version).read_text())
+    read, pruned = [], []
+    for f in m["files"]:
+        st = m.get("stats", {}).get(f, {}).get(col)
+        if st is None or st[0] is None:
+            read.append(f)
+        elif st[0] <= hi and st[1] >= lo:
+            read.append(f)
+        else:
+            pruned.append(f)
+    return {"read": sorted(read), "pruned": sorted(pruned)}
 
 
 def snapshot_files(root: str | Path, version: int) -> list[str]:

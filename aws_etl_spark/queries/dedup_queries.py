@@ -673,3 +673,25 @@ def q_dedup_canonical_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("enc DIV 64").cast("long").alias("canonical_id"),
         (F.col("enc") % 64).cast("long").alias("hops"),
     )
+
+
+@register(
+    "dedup_prefix_filter",
+    oracle=_JACCARD_ORACLE,
+    category="dedup",
+    tables=("documents",),
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.5 pairs via PREFIX FILTERING (AllPairs,
+    dedup/prefix_filter.py): candidates share a token from the
+    rarest-df prefix slice — the third exact route to the same
+    contract (full posting join / LSH+verify / prefix filter), which
+    is why this query reuses dedup_ngram_jaccard's oracle verbatim.
+    Exact recall with candidate cost concentrated on rare shingles;
+    equality with the uncapped full join pinned in tests/test_dedup.py."""
+    from aws_etl_spark.dedup.prefix_filter import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", k=3, t_num=1, t_den=2
+    )

@@ -180,3 +180,121 @@ def q_lake_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orphan_rows",
         "orphan_total_cents",
     )
+
+
+# --------------------------------------------------------------------------
+# Zone-map pruning. The builder commits four files covering the four
+# o_orderkey quartiles (bounds = pure integer arithmetic over
+# M = MAX(o_orderkey), so the oracle re-derives them), each with
+# per-file min/max stats recorded in the manifest. The query then
+# plans a range predicate covering quartile 3 plus the first key of
+# quartile 4: the planner must read exactly the two overlapping
+# files and prune the other two — proven by comparing rows SCANNED
+# (everything in the surviving files) against the oracle's
+# quartile-range row count, and the final filtered aggregate against
+# the exact predicate result.
+# --------------------------------------------------------------------------
+
+
+def build_zone_mapped_table(spark: SparkSession, sf_dir: str):
+    """4-quartile table with o_orderkey zone maps; returns
+    (root, version, M)."""
+    root = _lake_root(sf_dir) / "zonemap"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    version = 0
+    for i in range(1, 5):
+        qlo, qhi = ((i - 1) * m) // 4 + 1, (i * m) // 4
+        part = (
+            orders.filter(F.col("o_orderkey").between(qlo, qhi))
+            .select("o_orderkey", F.expr(_CENTS).alias("cents"))
+            .repartition(1)
+        )
+        version = commit_snapshot(part, root, stats_cols=["o_orderkey"])
+    return root, version, m
+
+
+def _zone_oracle(intdiv) -> str:
+    half = intdiv("p.mx", "2")
+    three_q = intdiv("p.mx * 3", "4")
+    qlo = intdiv("(i.i - 1) * p.mx", "4")
+    qhi = intdiv("i.i * p.mx", "4")
+    return f"""
+WITH m AS (SELECT CAST(MAX(o_orderkey) AS BIGINT) AS mx FROM orders),
+p AS (SELECT mx FROM m),
+pred AS (
+  SELECT ({half}) + 1 AS lo, ({three_q}) + 1 AS hi, p.mx FROM p
+),
+q AS (
+  SELECT i.i, ({qlo}) + 1 AS qlo, {qhi} AS qhi
+  FROM ({{seven}}) i CROSS JOIN p
+),
+ov AS (
+  SELECT q.i, q.qlo, q.qhi,
+         CASE WHEN q.qlo <= pred.hi AND q.qhi >= pred.lo
+              THEN 1 ELSE 0 END AS keep
+  FROM q CROSS JOIN pred
+),
+scan AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS scanned_rows
+  FROM orders o JOIN ov ON ov.keep = 1
+   AND o.o_orderkey BETWEEN ov.qlo AND ov.qhi
+),
+res AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS result_rows,
+         CAST(SUM({_CENTS}) AS BIGINT) AS result_cents
+  FROM orders CROSS JOIN pred
+  WHERE o_orderkey BETWEEN pred.lo AND pred.hi
+)
+SELECT CAST(4 AS BIGINT) AS n_files,
+       CAST((SELECT SUM(keep) FROM ov) AS BIGINT) AS n_files_read,
+       CAST(4 - (SELECT SUM(keep) FROM ov) AS BIGINT) AS n_files_pruned,
+       scan.scanned_rows, res.result_rows, res.result_cents
+FROM scan CROSS JOIN res
+"""
+
+
+_ZONE_ORACLE_DUCK = _zone_oracle(lambda a, b: f"({a}) // ({b})").format(
+    seven="SELECT unnest(range(1, 5)) AS i"
+)
+
+
+@register(
+    "lake_zone_map_prune",
+    oracle=_ZONE_ORACLE_DUCK,
+    category="lakehouse",
+    tables=("orders",),
+)
+def q_lake_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level zone-map pruning (module section above): manifest
+    min/max stats turn a range predicate into a file skip-list before
+    any data I/O — the Iceberg/Delta scan-planning core. The driver
+    hash proves the planner keeps exactly the overlapping files
+    (scanned_rows) and that pruning loses no result rows
+    (result_rows/cents vs the oracle's exact predicate)."""
+    from aws_etl_spark.io.manifest import zone_map_prune
+
+    root, version, m = build_zone_mapped_table(spark, sf_dir)
+    lo, hi = m // 2 + 1, (m * 3) // 4 + 1
+    plan = zone_map_prune(root, version, "o_orderkey", lo, hi)
+    scanned = spark.read.parquet(*plan["read"])
+    agg = (
+        scanned.agg(
+            F.count(F.lit(1)).cast("bigint").alias("scanned_rows"),
+        )
+        .crossJoin(
+            scanned.filter(F.col("o_orderkey").between(lo, hi)).agg(
+                F.count(F.lit(1)).cast("bigint").alias("result_rows"),
+                F.sum("cents").cast("bigint").alias("result_cents"),
+            )
+        )
+    )
+    return agg.select(
+        F.lit(4).cast("bigint").alias("n_files"),
+        F.lit(len(plan["read"])).cast("bigint").alias("n_files_read"),
+        F.lit(len(plan["pruned"])).cast("bigint").alias("n_files_pruned"),
+        "scanned_rows",
+        "result_rows",
+        "result_cents",
+    )

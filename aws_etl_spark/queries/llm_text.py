@@ -1397,3 +1397,60 @@ sql_query(
     ),
     tables=("documents",),
 )
+
+
+# --------------------------------------------------------------------------
+# PMI collocation mining over adjacent bigrams — phrase discovery for
+# tokenizer vocab induction / stop-phrase lists. PMI compares the
+# observed pair rate to the independence expectation using the bigram
+# relation's own marginals (left/right sums of c12 — a clean 2-way
+# contingency, no mixed denominators); ln is micro-quantized at the
+# output boundary, counts stay BIGINT, cross-products go through
+# DOUBLE before multiplying so no int64 overflow at corpus scale.
+# min-count 5 prunes noise pairs BEFORE the expensive tail; top-50 by
+# (pmi, w1, w2) is a total order.
+# --------------------------------------------------------------------------
+
+def _pmi_sql(tok0: str) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, pos, token FROM ({tok0}) WHERE token <> ''
+),
+bg0 AS (
+  SELECT doc_id, token AS w1,
+         LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+),
+bg AS (SELECT w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+m1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+m2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM c12 GROUP BY w2),
+nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM c12)
+SELECT c12.w1, c12.w2, c12.c12 AS n_pair,
+       CAST(FLOOR(LN((CAST(nb.n AS DOUBLE) * c12.c12)
+                     / (CAST(m1.c1 AS DOUBLE) * m2.c2)) * 1000000)
+            AS BIGINT) AS pmi_q6
+FROM c12
+JOIN m1 ON m1.w1 = c12.w1
+JOIN m2 ON m2.w2 = c12.w2
+CROSS JOIN nb
+WHERE c12.c12 >= 5
+ORDER BY pmi_q6 DESC, c12.w1, c12.w2
+LIMIT 50
+"""
+
+
+sql_query(
+    "text_pmi_collocations",
+    _pmi_sql(_XENT_TOK_SPARK),
+    oracle=_pmi_sql(_XENT_TOK_DUCK),
+    category="text",
+    doc=(
+        "Top-50 PMI collocations over adjacent bigrams (min count 5): "
+        "ln(N*c12/(c1*c2)) against the bigram relation's own marginals, "
+        "micro-quantized; phrase discovery for vocab induction. One "
+        "posexplode + LEAD + three grouped counts, all map-side "
+        "combined; total-order top-k."
+    ),
+    tables=("documents",),
+)

@@ -280,6 +280,9 @@ _DRIVER_ORDER = (
     "lake_vacuum_plan",
     "ml_pointintime_features",
     "ml_negative_sampling",
+    "dedup_prefix_filter",
+    "text_pmi_collocations",
+    "lake_zone_map_prune",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r1-vintage, then r2-vintage in evidence order)
     "events_cohort_retention",
@@ -294,12 +297,12 @@ _DRIVER_ORDER = (
     "events_gapfill_interpolate",
     "events_ohlc_bars",
     "events_sliding_window",
-    "events_time_weighted_avg",
-    "filter_case_when",
-    "filter_predicates",
     # ---- end of the 50-query round-7 window ----
     # r2-vintage names that no longer fit the window (queue first for
     # round 8), then r3-vintage evidence in order
+    "events_time_weighted_avg",
+    "filter_case_when",
+    "filter_predicates",
     "func_array",
     "func_bitwise",
     "func_collect_agg",

@@ -383,3 +383,28 @@ def test_shingle_cap_precondition_no_drops_at_graded_sfs(spark):
             "Spark pair set diverges from the uncapped oracle; raise "
             "max_df in the oracled queries or re-examine the corpus"
         )
+
+
+def test_prefix_filter_equals_uncapped_full_join(spark, sf_dir):
+    """Prefix filtering is EXACT: its pair set and intersection counts
+    equal the uncapped full posting self-join on the real corpus (the
+    AllPairs guarantee — a Jaccard >= t pair cannot avoid both
+    prefixes)."""
+    from aws_etl_spark.dedup.jaccard import ngram_jaccard_pairs
+    from aws_etl_spark.dedup.prefix_filter import prefix_filter_jaccard_pairs
+    from aws_etl_spark.queries.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.id_a, r.id_b): r.n_common
+        for r in prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", k=3, t_num=1, t_den=2
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.n_common
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5, max_df=None
+        ).collect()
+    }
+    assert got == want and got

@@ -92,3 +92,45 @@ def test_vacuum_query_structural_invariants(spark, sf_dir):
     assert set(plan["orphans"]) == v2f - v1f
     # and the live set is exactly snapshot 3
     assert set(plan["live"]) == set(snapshot_files(root, 3))
+
+
+def test_zone_map_prune_mechanics(spark, tmp_path):
+    """Zone maps skip only provably-empty files: overlap keeps, a
+    missing stat is read conservatively, carried-over files keep
+    their stats across commits."""
+    from aws_etl_spark.io.manifest import zone_map_prune
+
+    root = tmp_path / "z"
+    v1 = commit_snapshot(
+        _df(spark, [(1, 1), (5, 1)]), root, stats_cols=["k"]
+    )
+    v2 = commit_snapshot(
+        _df(spark, [(10, 1), (20, 1)]), root, stats_cols=["k"]
+    )
+    f1 = set(snapshot_files(root, v1))
+    plan = zone_map_prune(root, v2, "k", 6, 9)  # between the files
+    assert plan["read"] == [] and len(plan["pruned"]) == 2
+    plan = zone_map_prune(root, v2, "k", 4, 12)  # overlaps both
+    assert len(plan["read"]) == 2 and plan["pruned"] == []
+    plan = zone_map_prune(root, v2, "k", 15, 30)  # only the v2 file
+    assert set(plan["pruned"]) == f1 and len(plan["read"]) == 1
+    # a commit without stats_cols is conservatively readable
+    v3 = commit_snapshot(_df(spark, [(100, 1)]), root)
+    plan = zone_map_prune(root, v3, "k", 6, 9)
+    assert len(plan["read"]) == 1  # the stats-less new file
+    assert len(plan["pruned"]) == 2  # v1+v2 stats carried and pruned
+
+
+def test_zone_map_query_reads_two_of_four(spark, sf_dir):
+    """The zone-map query's structural claim at any sf: 4 files, the
+    predicate overlaps exactly quartiles 3 and 4's first key -> 2
+    read, 2 pruned."""
+    from aws_etl_spark.io.manifest import zone_map_prune
+    from aws_etl_spark.queries.lakehouse_queries import (
+        build_zone_mapped_table,
+    )
+
+    root, version, m = build_zone_mapped_table(spark, sf_dir)
+    lo, hi = m // 2 + 1, (m * 3) // 4 + 1
+    plan = zone_map_prune(root, version, "o_orderkey", lo, hi)
+    assert len(plan["read"]) == 2 and len(plan["pruned"]) == 2
