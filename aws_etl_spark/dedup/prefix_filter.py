@@ -44,17 +44,27 @@ def prefix_filter_jaccard_pairs(
     rational so the prefix length is pure integer arithmetic
     (``ceil(t·n) = (n·t_num + t_den − 1) DIV t_den`` — no float
     boundary can flip an element in or out of a prefix)."""
-    sh = shingle_rows(df, id_col, text_col, k)
-    sh = sh.withColumn("n", F.count("*").over(Window.partitionBy("doc")))
+    from aws_etl_spark.dedup.jaccard import _cache_swap
+
+    # the shingle relation feeds THREE consumers (prefix ranking and
+    # both verify sides) — cache it once (the jaccard.py bounded-cache
+    # contract) so the posexplode+window tokenization runs once
+    sh = _cache_swap(
+        "prefix_filter_jaccard_pairs",
+        shingle_rows(df, id_col, text_col, k),
+    )
+    # per-doc sizes and global dfs via groupBy (map-side combinable —
+    # a window over the full posting relation would shuffle every row
+    # uncombined); the set-size rank n rides the SAME doc-partition
+    # window pass as the prefix rank, so no extra exchange for it
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_s"))
+    doc_win = Window.partitionBy("doc")
     ranked = (
-        sh.withColumn(
-            "df_s", F.count("*").over(Window.partitionBy("shingle"))
-        )
+        sh.join(dfreq, "shingle")
+        .withColumn("n", F.count("*").over(doc_win))
         .withColumn(
             "rnk",
-            F.row_number().over(
-                Window.partitionBy("doc").orderBy("df_s", "shingle")
-            ),
+            F.row_number().over(doc_win.orderBy("df_s", "shingle")),
         )
     )
     prefix_len = (
@@ -77,26 +87,25 @@ def prefix_filter_jaccard_pairs(
         .dropDuplicates()
     )
 
-    full = sh.select("doc", "shingle", "n")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
     inter = (
         cand.join(
-            full.select(
-                F.col("doc").alias("id_a"),
-                "shingle",
-                F.col("n").alias("na"),
-            ),
+            sh.select(F.col("doc").alias("id_a"), "shingle"), "id_a"
+        )
+        .join(
+            sh.select(F.col("doc").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+        .join(
+            sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("na")),
             "id_a",
         )
         .join(
-            full.select(
-                F.col("doc").alias("id_b"),
-                "shingle",
-                F.col("n").alias("nb"),
-            ),
-            ["id_b", "shingle"],
+            sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
         )
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("n_common"))
     )
     return (
         inter.withColumn(

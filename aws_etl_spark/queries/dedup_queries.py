@@ -675,23 +675,30 @@ def q_dedup_canonical_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PREFIX_ORACLE = _JACCARD_ORACLE.replace(">= 0.5", ">= 0.7")
+
+
 @register(
     "dedup_prefix_filter",
-    oracle=_JACCARD_ORACLE,
+    oracle=_PREFIX_ORACLE,
     category="dedup",
     tables=("documents",),
 )
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard ≥ 0.5 pairs via PREFIX FILTERING (AllPairs,
-    dedup/prefix_filter.py): candidates share a token from the
-    rarest-df prefix slice — the third exact route to the same
-    contract (full posting join / LSH+verify / prefix filter), which
-    is why this query reuses dedup_ngram_jaccard's oracle verbatim.
-    Exact recall with candidate cost concentrated on rare shingles;
-    equality with the uncapped full join pinned in tests/test_dedup.py."""
+    """Exact Jaccard ≥ 0.7 pairs via PREFIX FILTERING (AllPairs,
+    dedup/prefix_filter.py): candidates must share a token from the
+    rarest-df prefix slice (n - ceil(0.7n) + 1 ≈ 30% of each set) —
+    the third exact route to the Jaccard-pair contract alongside the
+    full posting join and LSH+verify, run at the production near-dup
+    threshold where prefix filtering pays (at t=0.5 the prefix is
+    half the set — the method's worst case). Exact recall with
+    candidate cost concentrated on rare shingles, no df cap; oracle
+    is the definitional quadratic join at the same threshold, and
+    equality with the uncapped full join at BOTH thresholds is pinned
+    in tests/test_dedup.py."""
     from aws_etl_spark.dedup.prefix_filter import prefix_filter_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(
-        docs, "doc_id", "text", k=3, t_num=1, t_den=2
+        docs, "doc_id", "text", k=3, t_num=7, t_den=10
     )

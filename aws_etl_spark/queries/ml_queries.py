@@ -84,7 +84,13 @@ sql_query(
 # splitting/sampling).
 # --------------------------------------------------------------------------
 
-_NS = 8  # shard count: each customer scores ~1/NS of the catalog
+# Shard count: each customer scores ~catalog/NS candidate items, so
+# NS is the dial that keeps per-user candidate work ~constant as the
+# catalog grows (NS ≈ catalog_size / desired_candidates). 64 gives
+# ~300 candidates per user at sf0.1 (20k parts) — two orders of
+# magnitude under the cross product, and the md5-per-candidate cost
+# tracks true sampling work, not catalog size.
+_NS = 64
 
 
 def _digit(h: str, i: int) -> str:
@@ -116,14 +122,25 @@ _DUCK_CUST_COIN = _duck_coin("CAST(c.custkey AS VARCHAR)")
 def _neg_sql(pair_coin: str, cust_coin: str) -> str:
     return f"""
 WITH pos AS (
-  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+  -- NOT deduplicated: the anti-join below is insensitive to
+  -- duplicate positives, and the DISTINCT was the query's single
+  -- most expensive stage (a full shuffle of the interaction join)
+  SELECT o.o_custkey AS custkey, l.l_partkey AS partkey
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 ),
-cust AS (SELECT DISTINCT custkey FROM pos),
+cust AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
 cand AS (
-  SELECT c.custkey, p.p_partkey AS partkey, {pair_coin} AS coin
-  FROM cust c JOIN part p
-    ON ((p.p_partkey) % {_NS}) = (({cust_coin}) % {_NS})
+  -- second dial: only coins in the lowest quarter of the range can
+  -- ever win a top-2 slot at realistic slice sizes, so the bulk of
+  -- the slice is dropped BEFORE the anti-join and ranking stages
+  -- (both engines apply the identical cut; at toy scale a user's
+  -- whole slice can fall above it and that user samples fewer
+  -- negatives — deterministically on both sides)
+  SELECT * FROM (
+    SELECT c.custkey, p.p_partkey AS partkey, {pair_coin} AS coin
+    FROM cust c JOIN part p
+      ON ((p.p_partkey) % {_NS}) = (({cust_coin}) % {_NS})
+  ) WHERE coin < 16384
 ),
 neg AS (
   SELECT cand.custkey, cand.partkey, cand.coin

@@ -395,16 +395,17 @@ def test_prefix_filter_equals_uncapped_full_join(spark, sf_dir):
     from aws_etl_spark.queries.registry import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    got = {
-        (r.id_a, r.id_b): r.n_common
-        for r in prefix_filter_jaccard_pairs(
-            docs, "doc_id", "text", k=3, t_num=1, t_den=2
-        ).collect()
-    }
-    want = {
-        (r.id_a, r.id_b): r.n_common
-        for r in ngram_jaccard_pairs(
-            docs, "doc_id", "text", k=3, threshold=0.5, max_df=None
-        ).collect()
-    }
-    assert got == want and got
+    for t_num, t_den, thr in ((1, 2, 0.5), (7, 10, 0.7)):
+        got = {
+            (r.id_a, r.id_b): r.n_common
+            for r in prefix_filter_jaccard_pairs(
+                docs, "doc_id", "text", k=3, t_num=t_num, t_den=t_den
+            ).collect()
+        }
+        want = {
+            (r.id_a, r.id_b): r.n_common
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", k=3, threshold=thr, max_df=None
+            ).collect()
+        }
+        assert got == want and got, (t_num, t_den)
