@@ -37,13 +37,32 @@ def prefix_filter_jaccard_pairs(
     k: int = 3,
     t_num: int = 1,
     t_den: int = 2,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-Jaccard ≥ t_num/t_den via
     prefix filtering; returns ``(id_a, id_b, n_common, jaccard)`` —
     the exact ngram_jaccard_pairs contract. The threshold is a
     rational so the prefix length is pure integer arithmetic
     (``ceil(t·n) = (n·t_num + t_den − 1) DIV t_den`` — no float
-    boundary can flip an element in or out of a prefix)."""
+    boundary can flip an element in or out of a prefix).
+
+    ``max_df`` is the same hot-shingle cap (and the same semantics —
+    set sizes computed BEFORE the cap, capped scores are lower
+    bounds, ``dropped_shingle_count`` audits) as the jaccard.py pair
+    generators: prefix filtering concentrates candidates on rare
+    tokens, bounding the candidate join at Σ min(df, max_df)².
+    Pass ``None`` for the uncapped exact join.
+
+    REGIME BOUNDARY (measured, 10× densification study): prefix
+    filtering pays off when the shingle space is long-tail (web-scale
+    vocabularies, prefixes at df≈1). On TEMPLATE corpora — a tiny
+    shared vocabulary where every doc's "rarest" shingles still have
+    mid-range df — the prefix slice generates many verification-
+    failing candidates (measured ~14M candidates for 250k true pairs
+    on the ×10 near-dup densification; tightening the cap to recover
+    cost loses recall instead). That regime belongs to MinHash-LSH or
+    the capped posting join; this operator's contract is exact recall
+    where rarity exists."""
     from aws_etl_spark.dedup.jaccard import _cache_swap
 
     # the shingle relation feeds THREE consumers (prefix ranking and
@@ -67,19 +86,33 @@ def prefix_filter_jaccard_pairs(
             F.row_number().over(doc_win.orderBy("df_s", "shingle")),
         )
     )
+    if max_df is not None:
+        # after n (pre-cap set size) is fixed, before prefix ranking
+        # consumes the rows; rnk stays consistent because capped
+        # shingles sort LAST (highest df) and can only occupy
+        # positions past every kept shingle of the same doc
+        ranked = ranked.filter(F.col("df_s") <= max_df)
     prefix_len = (
         F.col("n")
         - F.expr(f"(n * {t_num} + {t_den - 1}) DIV {t_den}")
         + F.lit(1)
     )
-    pre = ranked.filter(F.col("rnk") <= prefix_len).select("doc", "shingle")
+    pre = ranked.filter(F.col("rnk") <= prefix_len).select(
+        "doc", "shingle", "n"
+    )
 
+    # PPJoin length filter rides the candidate join: J >= t forces
+    # t*na <= nb <= na/t, so size-incompatible pairs never leave the
+    # join (exactness preserved — a qualifying pair always satisfies
+    # the inequality)
     cand = (
         pre.alias("a")
         .join(
             pre.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("b.n") * t_den >= F.col("a.n") * t_num)
+            & (F.col("a.n") * t_den >= F.col("b.n") * t_num),
         )
         .select(
             F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")

@@ -84,13 +84,15 @@ sql_query(
 # splitting/sampling).
 # --------------------------------------------------------------------------
 
-# Shard count: each customer scores ~catalog/NS candidate items, so
-# NS is the dial that keeps per-user candidate work ~constant as the
-# catalog grows (NS ≈ catalog_size / desired_candidates). 64 gives
-# ~300 candidates per user at sf0.1 (20k parts) — two orders of
-# magnitude under the cross product, and the md5-per-candidate cost
-# tracks true sampling work, not catalog size.
-_NS = 64
+# Shard count: each customer scores ~catalog/NS candidate items. NS
+# is DERIVED FROM THE CATALOG at runtime (a scalar subquery both
+# engines evaluate identically) so per-user candidate work stays
+# ~SLICE_TARGET as the catalog grows — a fixed NS makes total
+# candidates grow as users x catalog, which the 10x study measured
+# as a 98x cliff before this dial became adaptive. At toy scale NS
+# degrades to 1 (score the whole catalog) — the exact small-corpus
+# semantics.
+_SLICE_TARGET = 300
 
 
 def _digit(h: str, i: int) -> str:
@@ -128,7 +130,22 @@ WITH pos AS (
   SELECT o.o_custkey AS custkey, l.l_partkey AS partkey
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 ),
-cust AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+ns AS (
+  -- FLOOR of a double division (identical IEEE op both engines; a
+  -- bare CAST would truncate on Spark but ROUND on DuckDB)
+  SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / {_SLICE_TARGET}.0) AS BIGINT))
+           AS ns
+  FROM part
+),
+cust AS (
+  SELECT c.custkey, ({cust_coin}) % ns.ns AS shard
+  FROM (SELECT DISTINCT o_custkey AS custkey FROM orders) c
+  CROSS JOIN ns
+),
+parts AS (
+  SELECT p.p_partkey, p.p_partkey % ns.ns AS shard
+  FROM part p CROSS JOIN ns
+),
 cand AS (
   -- second dial: only coins in the lowest quarter of the range can
   -- ever win a top-2 slot at realistic slice sizes, so the bulk of
@@ -138,8 +155,7 @@ cand AS (
   -- negatives — deterministically on both sides)
   SELECT * FROM (
     SELECT c.custkey, p.p_partkey AS partkey, {pair_coin} AS coin
-    FROM cust c JOIN part p
-      ON ((p.p_partkey) % {_NS}) = (({cust_coin}) % {_NS})
+    FROM cust c JOIN parts p ON p.shard = c.shard
   ) WHERE coin < 16384
 ),
 neg AS (
@@ -168,7 +184,8 @@ sql_query(
     doc=(
         "Deterministic per-user negative sampling for ranking/"
         "contrastive training: candidates from an md5-coin shard join "
-        "(each customer scores ~catalog/8, never the cross product), "
+        "(the shard count adapts to catalog size so each customer "
+        "scores ~300 candidates at ANY scale, never the cross product), "
         "positives anti-joined away inside the slice, k=2 negatives "
         "kept by lowest (coin, partkey) — fully reproducible, no RNG "
         "state, hash-proven against DuckDB's decode of the same md5 "
