@@ -97,7 +97,7 @@ def commit_snapshot(
         back = spark.read.parquet(str(write_dir)).withColumn(
             "__f", F.input_file_name()
         )
-        aggs = []
+        aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in stats_cols:
             aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
         for row in back.groupBy("__f").agg(*aggs).collect():
@@ -109,6 +109,7 @@ def commit_snapshot(
             stats[path] = {
                 c: [row[f"min__{c}"], row[f"max__{c}"]] for c in stats_cols
             }
+            stats[path]["__rows"] = row["__rows"]
 
     mpath = _manifest_path(root, version)
     mpath.parent.mkdir(parents=True, exist_ok=True)
@@ -118,6 +119,32 @@ def commit_snapshot(
     )
     tmp.rename(mpath)  # atomic pointer publish
     return version
+
+
+def compaction_plan(
+    root: str | Path, version: int, target_rows: int
+) -> dict[str, int]:
+    """Small-file compaction assignment for snapshot ``version``:
+    ``{file: group_id}`` where ``group_id = (rows before this file in
+    manifest order) DIV target_rows`` — the cumulative-quota rule, a
+    pure function of the manifest metadata that any engine (or the
+    DuckDB oracle) reproduces from the same per-file row counts. A
+    group holds ≥ target_rows except possibly the last, and never
+    exceeds target + the largest member file. Manifest order is
+    commit order — the locality the writer produced. The executor
+    rewrites each group as one file and commits with
+    ``replace=group``. Files without recorded row counts are skipped
+    (compacting them blind could build an oversized file)."""
+    m = json.loads(_manifest_path(Path(root), version).read_text())
+    out: dict[str, int] = {}
+    prior = 0
+    for f in m["files"]:
+        rows = m.get("stats", {}).get(f, {}).get("__rows")
+        if rows is None:
+            continue
+        out[f] = prior // target_rows
+        prior += rows
+    return out
 
 
 def zone_map_prune(

@@ -298,3 +298,133 @@ def q_lake_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "result_rows",
         "result_cents",
     )
+
+
+# --------------------------------------------------------------------------
+# Compaction planning — the fourth lakehouse mechanism (snapshots,
+# vacuum, zone maps, compaction). Small files are the chronic cost of
+# incremental commits: at 100 TB a table ingested hourly holds
+# millions of KB-files whose per-file open/footer cost dominates
+# scans. The planner assigns files to rewrite groups by the
+# cumulative-quota rule over manifest row counts (group = rows-before
+# DIV target) — pure metadata, reproducible by any engine, no data
+# read to PLAN. The query commits eight month-slice files, plans
+# groups at target = total/3 + 1, then READS the data grouped by the
+# plan: per-group file counts come from the plan, per-group row
+# counts from the actual files — the oracle recomputes both from the
+# source table and the same arithmetic, so a mis-assigned file or a
+# row-count drift in the manifest flips the hash.
+# --------------------------------------------------------------------------
+
+
+def build_small_file_table(spark: SparkSession, sf_dir: str):
+    """Eight one-file commits (1995 months 1..8); returns (root, v)."""
+    root = _lake_root(sf_dir) / "compact"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    version = 0
+    for m in range(1, 9):
+        part = (
+            orders.filter(
+                (F.year("o_orderdate") == 1995)
+                & (F.month("o_orderdate") == m)
+            )
+            .select("o_orderkey", F.expr(_CENTS).alias("cents"))
+            .repartition(1)
+        )
+        version = commit_snapshot(part, root, stats_cols=["o_orderkey"])
+    return root, version
+
+
+_COMPACT_ORACLE = """
+WITH mth AS (
+  SELECT CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS r
+  FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1995
+    AND EXTRACT(month FROM o_orderdate) <= 8
+  GROUP BY 1
+),
+tgt AS (
+  SELECT CAST(FLOOR(SUM(r) / 3.0) AS BIGINT) + 1 AS t FROM mth
+),
+c AS (
+  SELECT m, r,
+         CAST(COALESCE(SUM(r) OVER (ORDER BY m
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prior
+  FROM mth
+),
+g AS (
+  SELECT c.m, c.r, CAST(FLOOR(c.prior / (1.0 * tgt.t)) AS BIGINT) AS group_id
+  FROM c CROSS JOIN tgt
+)
+SELECT group_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(r) AS BIGINT) AS group_rows
+FROM g GROUP BY group_id
+"""
+
+
+@register(
+    "lake_compaction_plan",
+    oracle=_COMPACT_ORACLE,
+    category="lakehouse",
+    tables=("orders",),
+)
+def q_lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning (module section above): eight month-slice
+    commits, cumulative-quota grouping at target = total/3 + 1, and a
+    grouped READ-BACK that proves the plan's assignment against the
+    actual file contents. The 8-row window in the ORACLE runs over
+    the month spine; the Spark side plans from manifest metadata and
+    executes one distributed grouped count."""
+    from pyspark.sql import types as T
+
+    from aws_etl_spark.io.manifest import compaction_plan, snapshot_files
+
+    root, version = build_small_file_table(spark, sf_dir)
+    files = snapshot_files(root, version)
+    import json as _json
+
+    m = _json.loads(
+        (Path(root) / "manifests" / f"v{version:06d}.json").read_text()
+    )
+    total = sum(m["stats"][f]["__rows"] for f in files)
+    target = total // 3 + 1
+    plan = compaction_plan(root, version, target)
+
+    mapping = spark.createDataFrame(
+        [(f, gid) for f, gid in plan.items()],
+        T.StructType(
+            [
+                T.StructField("__f", T.StringType(), False),
+                T.StructField("group_id", T.LongType(), False),
+            ]
+        ),
+    )
+    # normalize the URI scheme to the manifest's plain paths
+    # ("file:///x" -> "/x", same rule as commit_snapshot's stats pass)
+    data = spark.read.parquet(*files).withColumn(
+        "__f", F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    )
+    per_group_rows = (
+        data.join(F.broadcast(mapping), "__f")
+        .groupBy("group_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_rows"))
+    )
+    n_files = spark.createDataFrame(
+        [
+            (gid, sum(1 for g in plan.values() if g == gid))
+            for gid in sorted(set(plan.values()))
+        ],
+        T.StructType(
+            [
+                T.StructField("group_id", T.LongType(), False),
+                T.StructField("n_files", T.LongType(), False),
+            ]
+        ),
+    )
+    return per_group_rows.join(F.broadcast(n_files), "group_id").select(
+        "group_id", "n_files", "group_rows"
+    )

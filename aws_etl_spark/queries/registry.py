@@ -283,6 +283,7 @@ _DRIVER_ORDER = (
     "dedup_prefix_filter",
     "text_pmi_collocations",
     "lake_zone_map_prune",
+    "lake_compaction_plan",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r1-vintage, then r2-vintage in evidence order)
     "events_cohort_retention",
@@ -296,10 +297,10 @@ _DRIVER_ORDER = (
     "dictionary_encoding",
     "events_gapfill_interpolate",
     "events_ohlc_bars",
-    "events_sliding_window",
     # ---- end of the 50-query round-7 window ----
     # r2-vintage names that no longer fit the window (queue first for
     # round 8), then r3-vintage evidence in order
+    "events_sliding_window",
     "events_time_weighted_avg",
     "filter_case_when",
     "filter_predicates",

@@ -134,3 +134,28 @@ def test_zone_map_query_reads_two_of_four(spark, sf_dir):
     lo, hi = m // 2 + 1, (m * 3) // 4 + 1
     plan = zone_map_prune(root, version, "o_orderkey", lo, hi)
     assert len(plan["read"]) == 2 and len(plan["pruned"]) == 2
+
+
+def test_compaction_plan_mechanics(spark, tmp_path):
+    """Cumulative-quota grouping: group = rows-before DIV target over
+    manifest order; stats-less files are skipped; every group except
+    the last reaches the target."""
+    from aws_etl_spark.io.manifest import compaction_plan
+
+    root = tmp_path / "c"
+    sizes = [3, 3, 3, 3, 3]  # five 3-row files
+    for i in range(5):
+        commit_snapshot(
+            _df(spark, [(i * 10 + j, 1) for j in range(3)]),
+            root,
+            stats_cols=["k"],
+        )
+    plan = compaction_plan(root, 5, target_rows=6)
+    files = snapshot_files(root, 5)
+    assert [plan[f] for f in files] == [0, 0, 1, 1, 2]
+    # stats-less commits are skipped, not mis-grouped
+    v6 = commit_snapshot(_df(spark, [(99, 1)]), root)
+    plan6 = compaction_plan(root, v6, target_rows=6)
+    statless = set(snapshot_files(root, v6)) - set(files)
+    assert statless and all(f not in plan6 for f in statless)
+    assert [plan6[f] for f in files] == [0, 0, 1, 1, 2]
