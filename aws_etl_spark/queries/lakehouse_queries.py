@@ -428,3 +428,109 @@ def q_lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group_rows.join(F.broadcast(n_files), "group_id").select(
         "group_id", "n_files", "group_rows"
     )
+
+
+# --------------------------------------------------------------------------
+# Merge-on-read changelog table — the OTHER lakehouse write path
+# (copy-on-write is lake_time_travel_read's mechanism): writers append
+# small changelog commits (upserts + delete tombstones) instead of
+# rewriting data files; readers resolve key-latest state at scan time.
+# Commit 1 (base, seq 1): per-customer order rollup as of <= 1995.
+# Commit 2 (upserts, seq 2): recomputed <= 1996 totals for every
+# customer active in 1996 — updates AND inserts. Commit 3 (tombstones,
+# seq 3): GDPR-style erasure of custkey % 97 == 0.
+# The read-time merge (max-seq wins per key, tombstones drop) must
+# equal a direct recompute from the source table — the oracle. All
+# money is exact cents; the seq-resolution window is key-partitioned
+# (parallelism grows with keys; at 100 TB readers merge base + a few
+# % of changelog rows, the economics that make MOR worth it).
+# --------------------------------------------------------------------------
+
+_MOR_ORACLE = f"""
+WITH o AS (
+  SELECT o_custkey AS k, EXTRACT(year FROM o_orderdate) AS y,
+         {_CENTS} AS cents
+  FROM orders
+),
+base AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS c
+  FROM o WHERE y <= 1995 GROUP BY k
+),
+upd_keys AS (SELECT DISTINCT k FROM o WHERE y = 1996),
+upserts AS (
+  SELECT o.k, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(o.cents) AS BIGINT) AS c
+  FROM o JOIN upd_keys u ON u.k = o.k
+  WHERE o.y <= 1996 GROUP BY o.k
+),
+merged AS (
+  SELECT COALESCE(u.k, b.k) AS custkey,
+         COALESCE(u.n, b.n) AS n_orders,
+         COALESCE(u.c, b.c) AS total_cents
+  FROM base b FULL OUTER JOIN upserts u ON u.k = b.k
+)
+SELECT custkey, n_orders, total_cents
+FROM merged WHERE custkey % 97 <> 0
+"""
+
+
+@register(
+    "lake_merge_on_read",
+    oracle=_MOR_ORACLE,
+    category="lakehouse",
+    tables=("orders",),
+)
+def q_lake_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read scan (module comment above): write base + two
+    changelog commits as real parquet, then resolve key-latest state
+    at read time (max seq per key wins, tombstones drop). The driver
+    hash proves resolution == direct recompute; a wrong seq order, a
+    lost insert, or a leaked tombstone all flip it."""
+    root = _lake_root(sf_dir) / "mor"
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.year("o_orderdate").alias("y"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    rollup = lambda df: df.groupBy("k").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    base = rollup(o.filter("y <= 1995")).select(
+        "*", F.lit(1).alias("seq"), F.lit("U").alias("op")
+    )
+    upd_keys = o.filter("y = 1996").select("k").distinct()
+    upserts = rollup(o.filter("y <= 1996").join(upd_keys, "k")).select(
+        "*", F.lit(2).alias("seq"), F.lit("U").alias("op")
+    )
+    base.write.mode("overwrite").parquet(str(root / "base"))
+    upserts.write.mode("overwrite").parquet(str(root / "log-0002"))
+
+    live_keys = spark.read.parquet(str(root / "base")).select("k").union(
+        spark.read.parquet(str(root / "log-0002")).select("k")
+    ).distinct()
+    tombstones = live_keys.filter("k % 97 = 0").select(
+        "k",
+        F.lit(None).cast("bigint").alias("n_orders"),
+        F.lit(None).cast("bigint").alias("total_cents"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    tombstones.write.mode("overwrite").parquet(str(root / "log-0003"))
+
+    from pyspark.sql import Window
+
+    scan = (
+        spark.read.parquet(str(root / "base"))
+        .unionByName(spark.read.parquet(str(root / "log-0002")))
+        .unionByName(spark.read.parquet(str(root / "log-0003")))
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    return (
+        scan.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            F.col("k").alias("custkey"), "n_orders", "total_cents"
+        )
+    )

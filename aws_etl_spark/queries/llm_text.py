@@ -1454,3 +1454,131 @@ sql_query(
     ),
     tables=("documents",),
 )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion of a lexical (BM25) and a semantic (cosine)
+# retrieval run — the standard hybrid-search combiner (Cormack et al.,
+# SIGIR 2009): score(d) = sum over runs of 1/(60 + rank_run(d)). Ranks
+# are exact integers (each run's score order is engine-identical: the
+# BM25 scores are exact quantized BIGINTs, the cosines identical IEEE
+# sequential folds), 1/(60+rank) is micro-quantized to an exact BIGINT,
+# so the fused ordering is hash-provable end to end.
+#
+# Scale shape: each run's global top-50 is an ORDER BY+LIMIT TakeOrdered
+# (no global window over the corpus); only the bounded 50-row cuts are
+# ranked, inside the declared-single-partition seam; fusion is a
+# 50x50 full-outer join on doc_id. The corpus convention doc_id ==
+# vec_id links the two modalities (documents.text <-> embeddings).
+# --------------------------------------------------------------------------
+
+
+def _rrf_sql(tok: str, dot, declared) -> str:
+    q = "1000000000000.0"  # 1e12 micro-quant: FLOOR(1e12/(60+rank))
+    return f"""
+WITH tok AS ({tok}),
+t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl
+  FROM dl
+),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM t WHERE token IN ('join', 'vector', 'dup')
+       GROUP BY doc_id, token),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(LN(CAST(1.0 AS DOUBLE)
+             + (CAST(s.n AS DOUBLE) - df.df + CAST(0.5 AS DOUBLE))
+               / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * 1000000) AS BIGINT)
+         *
+         CAST(FLOOR(
+           ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+              / (CAST(tf.tf AS DOUBLE) + CAST(0.3 AS DOUBLE)
+                 + ((CAST(0.9 AS DOUBLE) * dl.dl) * s.n) / s.sumdl))
+           * 1000000) AS BIGINT) AS s_q
+  FROM tf
+  JOIN df ON df.token = tf.token
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+bm AS (SELECT doc_id, CAST(SUM(s_q) AS BIGINT) AS score_q12
+       FROM contrib GROUP BY doc_id),
+lex0 AS (SELECT doc_id, score_q12 FROM bm
+         ORDER BY score_q12 DESC, doc_id LIMIT 50),
+lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY __g
+              ORDER BY score_q12 DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM {declared("lex0")}
+),
+qv AS (
+  SELECT embedding AS qemb,
+         SQRT({dot("embedding", "embedding")}) AS qnrm
+  FROM embeddings WHERE vec_id = 0
+),
+sem0 AS (
+  SELECT e.vec_id AS doc_id,
+         {dot("e.embedding", "qv.qemb")}
+           / (SQRT({dot("e.embedding", "e.embedding")}) * qv.qnrm) AS cosine
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> 0
+),
+sem1 AS (SELECT doc_id, cosine FROM sem0
+         ORDER BY cosine DESC, doc_id LIMIT 50),
+sem AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY __g
+              ORDER BY cosine DESC, doc_id) AS BIGINT) AS sem_rank
+  FROM {declared("sem1")}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         COALESCE(l.lex_rank, CAST(0 AS BIGINT)) AS lex_rank,
+         COALESCE(s.sem_rank, CAST(0 AS BIGINT)) AS sem_rank,
+         COALESCE(CAST(FLOOR({q} / (60 + l.lex_rank)) AS BIGINT),
+                  CAST(0 AS BIGINT))
+       + COALESCE(CAST(FLOOR({q} / (60 + s.sem_rank)) AS BIGINT),
+                  CAST(0 AS BIGINT)) AS rrf_q12
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_q12,
+       CAST(rrf_q12 AS DOUBLE) / {q} AS rrf_score
+FROM fused
+ORDER BY rrf_q12 DESC, doc_id
+LIMIT 20
+"""
+
+
+def _rrf_spark() -> str:
+    from aws_etl_spark.queries.similarity_queries import _spark_fold_dot
+    from aws_etl_spark.queries.sql_seams import spark_declared
+
+    return _rrf_sql(_BM25_TOK_SPARK, _spark_fold_dot, spark_declared)
+
+
+def _rrf_duck() -> str:
+    from aws_etl_spark.queries.similarity_queries import _duck_fold_dot
+    from aws_etl_spark.queries.sql_seams import duck_declared
+
+    return _rrf_sql(_BM25_TOK_DUCK, _duck_fold_dot, duck_declared)
+
+
+sql_query(
+    "search_rank_fusion",
+    _rrf_spark(),
+    oracle=_rrf_duck(),
+    category="text",
+    doc=(
+        "Hybrid-retrieval reciprocal-rank fusion: BM25 top-50 (terms "
+        "{join, vector, dup}) fused with cosine top-50 against vec_id "
+        "0's embedding by RRF score sum(FLOOR(1e12/(60+rank))); rank 0 "
+        "marks absence from a run. Both runs' global cuts are "
+        "TakeOrdered LIMITs (no corpus-wide window); only the bounded "
+        "50-row cuts are ranked inside the declared-single-partition "
+        "seam; fusion is a 50x50 full-outer join."
+    ),
+    tables=("documents", "embeddings"),
+)

@@ -193,3 +193,143 @@ sql_query(
     ),
     tables=("orders", "lineitem", "part"),
 )
+
+
+# --------------------------------------------------------------------------
+# Weight-of-evidence feature binning — the classic supervised
+# discretization for scorecard/GBM features: equi-depth decile bins of
+# a continuous feature, per-bin WOE = ln(good_rate/bad_rate) and the
+# information-value contribution. Reuses the drift monitors' proven
+# portable machinery end to end: the feature is exact integer cents,
+# bin edges are exact ORDER STATISTICS located by integer cumulative
+# counts over the two-stage prefix sum (no percentile interpolation),
+# counts stay BIGINT, and the only IEEE op is one LN over an exact
+# integer ratio, micro-quantized at the output boundary.
+#
+# Laplace(+1 good/bad, +10 totals) smoothing keeps empty bins finite —
+# the same convention as the PSI monitors, so the numbers compose.
+# Scale shape: one per-value reduce (map-side combined), bounded
+# bucket-spine windows inside the declared-single-partition seam, a
+# 9-row broadcast edge table, constant-size finish.
+# --------------------------------------------------------------------------
+
+
+def _woe_sql(intdiv, bins_clause: str, declared) -> str:
+    return f"""
+WITH v0 AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS good
+  FROM orders
+),
+n AS (
+  SELECT CAST(SUM(good) AS BIGINT) AS ng,
+         CAST(SUM(1 - good) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM v0
+),
+g AS (
+  SELECT v, {intdiv("v", "5000000")} AS bucket,
+         CAST(SUM(good) AS BIGINT) AS cg,
+         CAST(SUM(1 - good) AS BIGINT) AS cb,
+         CAST(COUNT(*) AS BIGINT) AS ct
+  FROM v0 GROUP BY v
+),
+bt AS (
+  SELECT bucket, CAST(SUM(ct) AS BIGINT) AS bct FROM g GROUP BY bucket
+),
+off AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(bct) OVER (PARTITION BY __g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM {declared("bt")}
+),
+cum AS (
+  SELECT g.v, g.cg, g.cb,
+         o.o + SUM(g.ct) OVER (PARTITION BY g.bucket ORDER BY g.v
+               ROWS UNBOUNDED PRECEDING) AS f
+  FROM g JOIN off o ON o.bucket = g.bucket
+),
+ks AS (SELECT CAST(kk.k AS BIGINT) AS k FROM ({bins_clause}) kk),
+edges AS (
+  SELECT ks.k, MIN(cum.v) AS edge_v
+  FROM ks CROSS JOIN n
+  JOIN cum ON cum.f >= {intdiv("ks.k * n.nt + 9", "10")}
+  GROUP BY ks.k
+),
+binned AS (
+  SELECT cum.v, cum.cg, cum.cb,
+         CAST(COALESCE(SUM(CASE WHEN e.edge_v < cum.v THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS bin
+  FROM cum LEFT JOIN edges e ON e.edge_v < cum.v
+  GROUP BY cum.v, cum.cg, cum.cb
+),
+bc AS (
+  SELECT bin, CAST(SUM(cg) AS BIGINT) AS goods,
+         CAST(SUM(cb) AS BIGINT) AS bads
+  FROM binned GROUP BY bin
+),
+spine AS (SELECT CAST(kk.k AS BIGINT) - 1 AS bin FROM ({bins_clause}) kk
+          UNION ALL SELECT CAST(9 AS BIGINT)),
+grid AS (
+  SELECT s.bin, COALESCE(bc.goods, 0) AS goods, COALESCE(bc.bads, 0) AS bads
+  FROM spine s LEFT JOIN bc ON bc.bin = s.bin
+),
+t AS (
+  SELECT g2.bin, g2.goods, g2.bads,
+         (g2.goods + 1) * (n.nb + 10) - (g2.bads + 1) * (n.ng + 10) AS dnum,
+         CAST(FLOOR(LN(CAST((g2.goods + 1) * (n.nb + 10) AS DOUBLE) /
+                       CAST((g2.bads + 1) * (n.ng + 10) AS DOUBLE)) * 1000000)
+              AS BIGINT) AS woe_q6,
+         n.ng, n.nb
+  FROM grid g2 CROSS JOIN n
+),
+s AS (SELECT CAST(SUM(dnum * woe_q6) AS BIGINT) AS tot FROM t)
+SELECT t.bin, t.goods, t.bads, t.woe_q6,
+       CAST(t.dnum * t.woe_q6 AS BIGINT) AS iv_contrib_q6,
+       CAST(s.tot AS DOUBLE) /
+       (CAST(t.ng + 10 AS DOUBLE) * CAST(t.nb + 10 AS DOUBLE)) /
+       1000000.0 AS information_value
+FROM t CROSS JOIN s
+ORDER BY t.bin
+"""
+
+
+def _woe_spark() -> str:
+    from aws_etl_spark.queries.sql_seams import spark_declared
+
+    return _woe_sql(
+        lambda a, b: f"({a}) DIV ({b})",
+        "SELECT explode(sequence(1, 9)) AS k",
+        spark_declared,
+    )
+
+
+def _woe_duck() -> str:
+    from aws_etl_spark.queries.sql_seams import duck_declared
+
+    return _woe_sql(
+        lambda a, b: f"({a}) // ({b})",
+        "SELECT unnest(generate_series(1, 9)) AS k",
+        duck_declared,
+    )
+
+
+sql_query(
+    "ml_feature_binning_woe",
+    _woe_spark(),
+    oracle=_woe_duck(),
+    category="ml",
+    doc=(
+        "Weight-of-evidence feature binning: order totalprice (exact "
+        "cents) cut into equi-depth deciles whose edges are exact "
+        "order statistics (integer cumulative counts over the "
+        "two-stage prefix sum), label = urgent/high priority; per-bin "
+        "Laplace-smoothed WOE = ln(good_rate/bad_rate) micro-"
+        "quantized plus exact-integer information-value contributions "
+        "and the total IV. The supervised discretization pass feature "
+        "pipelines run before scorecards/GBMs."
+    ),
+    tables=("orders",),
+)

@@ -284,6 +284,10 @@ _DRIVER_ORDER = (
     "text_pmi_collocations",
     "lake_zone_map_prune",
     "lake_compaction_plan",
+    "search_rank_fusion",
+    "ml_feature_binning_woe",
+    "embeddings_outlier_prune",
+    "lake_merge_on_read",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r1-vintage, then r2-vintage in evidence order)
     "events_cohort_retention",
@@ -293,13 +297,13 @@ _DRIVER_ORDER = (
     "scd2_dimension",
     "table_profile",
     "corpus_shuffle_shards",
+    # ---- end of the 50-query round-7 window ----
+    # r1/r2-vintage names that no longer fit the window (queue first
+    # for round 8), then r3-vintage evidence in order
     "corpus_split_assign",
     "dictionary_encoding",
     "events_gapfill_interpolate",
     "events_ohlc_bars",
-    # ---- end of the 50-query round-7 window ----
-    # r2-vintage names that no longer fit the window (queue first for
-    # round 8), then r3-vintage evidence in order
     "events_sliding_window",
     "events_time_weighted_avg",
     "filter_case_when",

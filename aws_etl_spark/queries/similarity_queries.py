@@ -1033,3 +1033,101 @@ sql_query(
     ),
     tables=("embeddings",),
 )
+
+
+# --------------------------------------------------------------------------
+# Centroid-distance outlier pruning — the curation pass that drops the
+# farthest examples from each class prototype (mislabeled / off-
+# distribution candidates) before training. Division-free exactness:
+# with q the 1e-6-quantized vector, s the label's component sum and n
+# its count, n^2 * ||x - centroid||^2 == sum_dim (n*q - s)^2 exactly,
+# and the (label)-monotone n^2 factor never reorders ranks within a
+# label — so the top-5 per label is decided by exact DECIMAL integers,
+# no IEEE op anywhere. Shuffle inventory: one map-side-combined
+# (label, dim) reduce, one broadcast join of the tiny (labels x d)
+# stats back onto the exploded corpus, one per-vector reduce, then a
+# label-partitioned top-5 rank window (parallelism grows with labels).
+# --------------------------------------------------------------------------
+
+_OUTLIER_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label, dim,
+         CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS q6
+  FROM e
+),
+s AS (SELECT label, dim, CAST(SUM(q6) AS BIGINT) AS s FROM q GROUP BY label, dim),
+c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label),
+d AS (
+  SELECT q.vec_id, q.label,
+         SUM(CAST(c.n * q.q6 - s.s AS HUGEINT)
+             * CAST(c.n * q.q6 - s.s AS HUGEINT)) AS d2
+  FROM q
+  JOIN s ON s.label = q.label AND s.dim = q.dim
+  JOIN c ON c.label = q.label
+  GROUP BY q.vec_id, q.label
+),
+r AS (
+  SELECT vec_id, label, d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY label
+              ORDER BY d2 DESC, vec_id) AS BIGINT) AS rnk
+  FROM d
+)
+SELECT CAST(label AS BIGINT) AS label, vec_id,
+       CAST(d2 AS DOUBLE) AS d2_scaled, rnk
+FROM r WHERE rnk <= 5
+"""
+
+
+@register(
+    "embeddings_outlier_prune",
+    oracle=_OUTLIER_ORACLE,
+    category="similarity",
+    tables=("embeddings",),
+)
+def q_embeddings_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 centroid-distance outliers per label (module comment
+    above): the prune list a curation pipeline feeds back as
+    mislabeled/off-distribution candidates. d2_scaled = n_label^2 *
+    quantized squared distance — ranks decided on the exact DECIMAL /
+    HUGEINT integer, cast to double only at the output boundary (the
+    identical round-to-nearest both engines apply to exact ints)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("val").cast("double") * F.lit(1e6))
+            .cast("long")
+            .alias("q6"),
+        )
+    )
+    sums = q.groupBy("label", "dim").agg(F.sum("q6").alias("s"))
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dev = (F.col("n") * F.col("q6") - F.col("s")).cast("decimal(19,0)")
+    d2 = (
+        q.join(F.broadcast(sums), ["label", "dim"])
+        .join(F.broadcast(counts), "label")
+        .select("vec_id", "label", (dev * dev).alias("sq"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("sq").alias("d2"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(), F.col("vec_id"))
+    return (
+        d2.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "vec_id",
+            F.col("d2").cast("double").alias("d2_scaled"),
+            "rnk",
+        )
+    )

@@ -1,0 +1,163 @@
+"""Mechanism pins for the round-7 post-checkpoint batch: RRF rank
+fusion, WOE feature binning, centroid-distance outlier pruning, and
+the merge-on-read changelog scan. Cross-engine hash parity is proven
+by the oracle sweep; these tests pin the ALGORITHMS against
+independent replays (numpy / pure Python) and the structural
+contracts a green hash alone would not localize."""
+
+from __future__ import annotations
+
+import math
+
+from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded, load_table
+
+
+def _run(name, spark, sf_dir):
+    _ensure_loaded()
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+# -- search_rank_fusion ----------------------------------------------------
+
+
+def test_rrf_scores_recompute_from_ranks(spark, sf_dir):
+    """rrf_q12 must equal the RRF formula applied to the emitted ranks
+    (rank 0 = absent from that run, contributes nothing), and the
+    output must be the top-20 of that recomputed ordering."""
+    rows = _run("search_rank_fusion", spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        expect = 0
+        for rank in (r.lex_rank, r.sem_rank):
+            if rank > 0:
+                expect += math.floor(1e12 / (60 + rank))
+        assert r.rrf_q12 == expect, r
+    scores = [r.rrf_q12 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_fuses_both_modalities(spark, sf_dir):
+    """The fused top-20 must draw evidence from BOTH runs — at least
+    one doc carries a lexical rank and at least one a semantic rank
+    (a dead ranker would silently degrade fusion to a single run)."""
+    rows = _run("search_rank_fusion", spark, sf_dir).collect()
+    assert any(r.lex_rank > 0 for r in rows)
+    assert any(r.sem_rank > 0 for r in rows)
+    # a doc present in both runs must out-score the same doc with
+    # either contribution removed
+    both = [r for r in rows if r.lex_rank > 0 and r.sem_rank > 0]
+    for r in both:
+        assert r.rrf_q12 > math.floor(1e12 / (60 + r.lex_rank))
+        assert r.rrf_q12 > math.floor(1e12 / (60 + r.sem_rank))
+
+
+# -- ml_feature_binning_woe ------------------------------------------------
+
+
+def test_woe_bins_are_equidepth_and_iv_recomputes(spark, sf_dir):
+    """The 10 bins must each hold ~10% of orders (exact order-statistic
+    edges guarantee cumulative coverage within one distinct value),
+    WOE must equal the Laplace-smoothed log-odds recomputed in Python,
+    and the reported IV must equal the contribution sum."""
+    rows = _run("ml_feature_binning_woe", spark, sf_dir).collect()
+    assert [r.bin for r in rows] == list(range(10))
+    ng = sum(r.goods for r in rows)
+    nb = sum(r.bads for r in rows)
+    nt = ng + nb
+    tot = 0
+    for r in rows:
+        n_bin = r.goods + r.bads
+        # equi-depth: every bin within one-distinct-value slack of 10%
+        assert abs(n_bin - nt / 10) <= max(0.02 * nt, 2), (r.bin, n_bin, nt)
+        woe = math.floor(
+            math.log(((r.goods + 1) * (nb + 10)) / ((r.bads + 1) * (ng + 10)))
+            * 1_000_000
+        )
+        assert r.woe_q6 == woe, r
+        dnum = (r.goods + 1) * (nb + 10) - (r.bads + 1) * (ng + 10)
+        assert r.iv_contrib_q6 == dnum * woe
+        tot += dnum * woe
+    iv = tot / ((ng + 10) * (nb + 10)) / 1e6
+    for r in rows:
+        assert r.information_value == iv
+
+
+# -- embeddings_outlier_prune ----------------------------------------------
+
+
+def test_outlier_prune_matches_numpy_bruteforce(spark, sf_dir):
+    """Top-5-per-label prune list must equal a numpy replay of the
+    quantize → centroid → scaled-distance → rank pipeline."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        q = np.floor(np.array(r.embedding, dtype=np.float64) * 1e6).astype(
+            object
+        )  # object → exact Python ints, no int64 overflow anywhere
+        by_label.setdefault(r.label, []).append((r.vec_id, q))
+    expected = {}
+    for label, vecs in by_label.items():
+        n = len(vecs)
+        s = sum(q for _, q in vecs)
+        scored = sorted(
+            ((int(sum((n * q - s) ** 2)), vid) for vid, q in vecs),
+            key=lambda t: (-t[0], t[1]),
+        )
+        expected[label] = [
+            (vid, rank + 1, d2) for rank, (d2, vid) in enumerate(scored[:5])
+        ]
+    rows = _run("embeddings_outlier_prune", spark, sf_dir).collect()
+    got: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.label, r.rnk)):
+        got.setdefault(r.label, []).append((r.vec_id, r.rnk, int(r.d2_scaled)))
+    assert got == expected
+
+
+# -- lake_merge_on_read ----------------------------------------------------
+
+
+def test_merge_on_read_resolution_semantics(spark, sf_dir):
+    """Pin the three changelog behaviors the oracle hash can't
+    localize: tombstoned keys are gone, 1996-active customers carry
+    the seq-2 recomputed totals (upsert wins over base), and customers
+    absent from the changelog keep their base rollup."""
+    from pyspark.sql import functions as F
+
+    merged = {r.custkey: r for r in _run("lake_merge_on_read", spark, sf_dir).collect()}
+    assert merged, "merge produced no rows"
+    assert all(k % 97 != 0 for k in merged), "tombstoned key leaked"
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.year("o_orderdate").alias("y"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .collect()
+    )
+    base, through96, active96 = {}, {}, set()
+    for r in o:
+        if r.y <= 1995:
+            n, c = base.get(r.k, (0, 0))
+            base[r.k] = (n + 1, c + r.cents)
+        if r.y <= 1996:
+            n, c = through96.get(r.k, (0, 0))
+            through96[r.k] = (n + 1, c + r.cents)
+        if r.y == 1996:
+            active96.add(r.k)
+    upserted = [k for k in active96 if k % 97 != 0]
+    untouched = [k for k in base if k not in active96 and k % 97 != 0]
+    assert upserted and untouched, "fixture lacks both behaviors"
+    for k in upserted:
+        assert (merged[k].n_orders, merged[k].total_cents) == through96[k]
+    for k in untouched:
+        assert (merged[k].n_orders, merged[k].total_cents) == base[k]
+    # inserts: 1996-new customers (no base row) must appear
+    inserts = [k for k in active96 if k not in base and k % 97 != 0]
+    for k in inserts:
+        assert k in merged
