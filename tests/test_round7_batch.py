@@ -67,7 +67,7 @@ def test_woe_bins_are_equidepth_and_iv_recomputes(spark, sf_dir):
     tot = 0
     for r in rows:
         n_bin = r.goods + r.bads
-        # equi-depth: every bin within one-distinct-value slack of 10%
+        # equi-depth: every bin within one-distinct-value tolerance of 10%
         assert abs(n_bin - nt / 10) <= max(0.02 * nt, 2), (r.bin, n_bin, nt)
         woe = math.floor(
             math.log(((r.goods + 1) * (nb + 10)) / ((r.bads + 1) * (ng + 10)))
