@@ -359,6 +359,12 @@ def test_canonical_distance_propagation_matches_bfs(spark, edges):
             state["u"],
             F.least(state["enc"], F.coalesce(F.col("nenc"), state["enc"])).alias("enc"),
         )
+        # Each round references `state` twice; without lineage
+        # truncation the unrolled plan doubles per round (2^12 leaves
+        # on a 13-node graph blew past 30 min of Catalyst analysis).
+        # The production query checkpoints per round for the same
+        # reason (queries/dedup_queries.py).
+        state = state.localCheckpoint(eager=True)
     got = {
         r["u"]: (r["enc"] // 64, r["enc"] % 64) for r in state.collect()
     }
