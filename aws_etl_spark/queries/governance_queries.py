@@ -133,6 +133,68 @@ sql_query(
 
 
 # --------------------------------------------------------------------------
+# l-diversity risk profile — k-anonymity's complement: a group can be
+# large (high k) yet still leak the sensitive attribute when every
+# member SHARES it (homogeneity attack). Quasi-identifiers here are
+# (nation, $1000 balance band); the sensitive attribute is the market
+# segment. l = COUNT(DISTINCT segment) per QI group; rows in l=1
+# groups are attribute-disclosable even when k-anonymous. Same plan
+# economics as the k profile: one grouped distinct-count (Catalyst
+# expands to a two-level partial agg), constant-size rollups, a
+# broadcast-scalar total.
+# --------------------------------------------------------------------------
+
+def _ldiv_sql(intdiv) -> str:
+    bal = intdiv(
+        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000",
+        "100000",
+    )
+    return f"""
+WITH q AS (
+  SELECT c_nationkey, {bal} AS bal_band, c_mktsegment
+  FROM customer
+),
+g AS (
+  SELECT c_nationkey, bal_band,
+         CAST(COUNT(*) AS BIGINT) AS group_rows,
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+  FROM q GROUP BY c_nationkey, bal_band
+),
+b AS (
+  SELECT CASE WHEN l = 1 THEN '1'
+              WHEN l = 2 THEN '2'
+              WHEN l <= 4 THEN '3-4'
+              ELSE '5' END AS l_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(group_rows) AS BIGINT) AS n_rows
+  FROM g GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM b)
+SELECT b.l_bucket, b.n_groups, b.n_rows,
+       CAST(b.n_rows AS DOUBLE) / t.total AS row_share
+FROM b CROSS JOIN t
+"""
+
+
+sql_query(
+    "privacy_l_diversity",
+    _ldiv_sql(lambda a, b: f"({a}) DIV ({b})"),
+    oracle=_ldiv_sql(lambda a, b: f"({a}) // ({b})"),
+    category="governance",
+    doc=(
+        "l-diversity risk profile for QI (nation, $1000 balance band) "
+        "with market segment as the sensitive attribute: distribution "
+        "of per-group distinct-segment counts into l buckets "
+        "(1 / 2 / 3-4 / 5) with group counts, row counts and row "
+        "share. Rows in l=1 groups suffer homogeneity disclosure even "
+        "when the group is k-anonymous — the audit k-anonymity alone "
+        "cannot express."
+    ),
+    tables=("customer",),
+)
+
+
+# --------------------------------------------------------------------------
 # Entity-resolution golden record: fuzzy-matched duplicate customers
 # consolidated into one surviving record per entity cluster.
 # Pipeline = the SymSpell blocked fuzzy join (exact under its

@@ -288,6 +288,7 @@ _DRIVER_ORDER = (
     "ml_feature_binning_woe",
     "embeddings_outlier_prune",
     "lake_merge_on_read",
+    "privacy_l_diversity",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r1-vintage, then r2-vintage in evidence order)
     "events_cohort_retention",
@@ -296,8 +297,8 @@ _DRIVER_ORDER = (
     "row_count_validation",
     "scd2_dimension",
     "table_profile",
-    "corpus_shuffle_shards",
     # ---- end of the 50-query round-7 window ----
+    "corpus_shuffle_shards",
     # r1/r2-vintage names that no longer fit the window (queue first
     # for round 8), then r3-vintage evidence in order
     "corpus_split_assign",
