@@ -183,6 +183,110 @@ def q_lake_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Snapshot diff — changelog generation between two committed versions
+# (the Iceberg "changelog scan" / Delta CDF read): given snapshots v2
+# (the complete initial rollup) and v3 (the copy-on-write correction),
+# emit one row per ADDED / REMOVED / UPDATED key with old and new
+# values; unchanged keys are excluded. This is how a downstream
+# consumer incrementally syncs from a lake table without re-reading
+# it: the diff reads only the two manifests' file sets (here 2+2
+# tiny files; at 100 TB, only the files that differ between the
+# versions — the manifest set-difference prunes the identical ones).
+# The oracle recomputes both snapshot states from the source table
+# and takes the same full-outer diff, so a wrong version read or a
+# leaked unchanged row flips the hash.
+# --------------------------------------------------------------------------
+
+_DIFF_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority, EXTRACT(year FROM o_orderdate) AS y,
+         {_CENTS} AS cents
+  FROM orders
+),
+initial AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM base WHERE y = 1995 GROUP BY o_orderpriority
+),
+corrected AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM base
+  WHERE (o_orderpriority <> '1-URGENT' AND y = 1995)
+     OR (o_orderpriority = '1-URGENT' AND y IN (1995, 1996))
+  GROUP BY o_orderpriority
+)
+SELECT CASE WHEN o.o_orderpriority IS NULL THEN 'added'
+            WHEN n.o_orderpriority IS NULL THEN 'removed'
+            ELSE 'updated' END AS change_type,
+       COALESCE(o.o_orderpriority, n.o_orderpriority) AS o_orderpriority,
+       o.n_orders AS old_n_orders,
+       n.n_orders AS new_n_orders,
+       o.total_cents AS old_total_cents,
+       n.total_cents AS new_total_cents
+FROM initial o FULL OUTER JOIN corrected n
+  ON o.o_orderpriority = n.o_orderpriority
+WHERE o.o_orderpriority IS NULL OR n.o_orderpriority IS NULL
+   OR o.n_orders <> n.n_orders OR o.total_cents <> n.total_cents
+"""
+
+
+def _diff_snapshots(
+    spark: SparkSession,
+    root,
+    v_old: int,
+    v_new: int,
+    key: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Keyed changelog between two snapshot versions: one row per
+    added/removed/updated key with old_/new_ value columns; unchanged
+    keys are dropped. A key-equi full-outer join — shuffles on the
+    key, parallelism grows with keys."""
+    old = read_snapshot(spark, root, v_old).select(
+        F.col(key).alias("__ok"),
+        *[F.col(c).alias(f"old_{c}") for c in value_cols],
+    )
+    new = read_snapshot(spark, root, v_new).select(
+        F.col(key).alias("__nk"),
+        *[F.col(c).alias(f"new_{c}") for c in value_cols],
+    )
+    joined = old.join(new, old["__ok"] == new["__nk"], "full_outer")
+    changed = F.col("__ok").isNull() | F.col("__nk").isNull()
+    for c in value_cols:
+        changed = changed | (F.col(f"old_{c}") != F.col(f"new_{c}"))
+    return joined.filter(changed).select(
+        F.when(F.col("__ok").isNull(), "added")
+        .when(F.col("__nk").isNull(), "removed")
+        .otherwise("updated")
+        .alias("change_type"),
+        F.coalesce("__ok", "__nk").alias(key),
+        *[f"old_{c}" for c in value_cols],
+        *[f"new_{c}" for c in value_cols],
+    )
+
+
+@register(
+    "lake_snapshot_diff",
+    oracle=_DIFF_ORACLE,
+    category="lakehouse",
+    tables=("orders",),
+)
+def q_lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog between snapshot v2 and v3 of the versioned table
+    (module section above): full-outer join the two manifest reads on
+    the key, classify added/removed/updated, drop unchanged rows.
+    The driver hash proves the diff against a from-source recompute
+    of both snapshot states."""
+    root = build_versioned_table(spark, sf_dir)
+    return _diff_snapshots(
+        spark, root, 2, 3, "o_orderpriority", ["n_orders", "total_cents"]
+    )
+
+
+# --------------------------------------------------------------------------
 # Zone-map pruning. The builder commits four files covering the four
 # o_orderkey quartiles (bounds = pure integer arithmetic over
 # M = MAX(o_orderkey), so the oracle re-derives them), each with

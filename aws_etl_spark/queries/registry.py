@@ -289,6 +289,7 @@ _DRIVER_ORDER = (
     "embeddings_outlier_prune",
     "lake_merge_on_read",
     "privacy_l_diversity",
+    "lake_snapshot_diff",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r1-vintage, then r2-vintage in evidence order)
     "events_cohort_retention",
@@ -296,8 +297,8 @@ _DRIVER_ORDER = (
     "multimodal_byte_features",
     "row_count_validation",
     "scd2_dimension",
-    "table_profile",
     # ---- end of the 50-query round-7 window ----
+    "table_profile",
     "corpus_shuffle_shards",
     # r1/r2-vintage names that no longer fit the window (queue first
     # for round 8), then r3-vintage evidence in order

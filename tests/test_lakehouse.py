@@ -159,3 +159,27 @@ def test_compaction_plan_mechanics(spark, tmp_path):
     statless = set(snapshot_files(root, v6)) - set(files)
     assert statless and all(f not in plan6 for f in statless)
     assert [plan6[f] for f in files] == [0, 0, 1, 1, 2]
+
+
+def test_snapshot_diff_classifies_all_change_types(spark, tmp_path):
+    """The diff shape (full-outer + classify + drop-unchanged) must
+    emit added/removed/updated exactly — pinned on hand-built
+    snapshots because the corpus query only exercises 'updated'."""
+    from aws_etl_spark.queries.lakehouse_queries import _diff_snapshots
+
+    root = tmp_path / "d"
+    commit_snapshot(_df(spark, [(1, 10), (2, 20), (3, 30)]), root)
+    v1_files = snapshot_files(root, 1)
+    # v2: key 1 unchanged, key 2 updated, key 3 removed, key 4 added
+    commit_snapshot(
+        _df(spark, [(1, 10), (2, 99), (4, 40)]), root, replace=v1_files
+    )
+    out = {
+        (r["change_type"], r["k"]): (r["old_v"], r["new_v"])
+        for r in _diff_snapshots(spark, root, 1, 2, "k", ["v"]).collect()
+    }
+    assert out == {
+        ("updated", 2): (20, 99),
+        ("removed", 3): (30, None),
+        ("added", 4): (None, 40),
+    }
