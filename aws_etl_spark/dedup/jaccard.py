@@ -198,6 +198,67 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def incremental_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_arrival,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Arrivals-vs-index near-dup pairs — the incremental-ingest shape.
+
+    ``is_arrival`` is a predicate builder ``Column -> Column`` splitting
+    the corpus into the new batch (arrivals) and the standing index.
+    Emits one row per qualifying pair ``(doc_id, match_id, n_common,
+    jaccard, match_is_index)`` where ``doc_id`` is an arrival and
+    ``match_id`` is an index doc or an earlier arrival
+    (``match_id < doc_id``) — exactly the comparisons a streaming
+    ingest owes: index×index pairs are structurally excluded, so the
+    join cost is Σ over arrival shingles of df(shingle), LINEAR in the
+    batch size no matter how large the standing index grows. This is
+    the property that lets a 100 TB corpus dedup a daily crawl
+    increment without re-paying the corpus self-join.
+
+    Same exactness contract as :func:`ngram_jaccard_pairs`: capped at
+    ``max_df`` (audit with :func:`dropped_shingle_count`), int/int
+    jaccard, deterministic.
+    """
+    exploded = _capped_shingles(
+        df, id_col, text_col, k, max_df, "incremental_jaccard_pairs"
+    )
+    a = exploded.alias("a")  # index docs + earlier arrivals
+    b = exploded.filter(is_arrival(F.col("doc"))).alias("b")
+    a_is_index = ~is_arrival(F.col("a.doc"))
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (a_is_index | (F.col("a.doc") < F.col("b.doc"))),
+        )
+        .groupBy(
+            F.col("b.doc").alias("doc_id"),
+            F.col("a.doc").alias("match_id"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count("*").alias("n_common"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "doc_id",
+            "match_id",
+            "n_common",
+            "jaccard",
+            (~is_arrival(F.col("match_id"))).alias("match_is_index"),
+        )
+    )
+
+
 def jaccard_of_shingle_arrays(a: Column, b: Column) -> Column:
     """Exact Jaccard of two pre-computed distinct-shingle arrays
     (used to verify LSH candidate pairs without re-shuffling)."""

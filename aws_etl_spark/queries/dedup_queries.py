@@ -72,6 +72,108 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
 
 
+# --------------------------------------------------------------------------
+# Incremental arrivals-vs-index dedup: the daily-increment shape. The
+# batch = doc_id % 10 == 7 (a deterministic 10% "new crawl"); each
+# arrival is checked against the standing index AND earlier arrivals
+# in the same batch — never index×index (structurally excluded in
+# dedup/jaccard.incremental_jaccard_pairs, so cost is linear in the
+# batch no matter how large the index grows). Output: one verdict row
+# per arrival (dup_of_index / dup_in_batch / new) with qualifying-
+# match counts and the max jaccard. Counts are exact ints; jaccard is
+# int/int division and MAX over identical doubles — order-free.
+# --------------------------------------------------------------------------
+
+_INCREMENTAL_ORACLE = """
+WITH sh AS (
+  SELECT doc_id AS doc,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(string_split(trim(text), ' ')) - 2, 0) + 1),
+             i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' ')
+           )
+         ) AS shingles
+  FROM documents
+),
+e AS (SELECT doc, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+cand AS (
+  SELECT b.doc AS doc_id, a.doc AS match_id,
+         COUNT(*) * 1.0
+           / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) AS j
+  FROM e a JOIN e b ON a.s = b.s
+   AND b.doc % 10 = 7
+   AND (a.doc % 10 <> 7 OR a.doc < b.doc)
+  GROUP BY b.doc, a.doc
+  HAVING COUNT(*) * 1.0
+           / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.5
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN match_id % 10 <> 7 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_index_dups,
+         CAST(SUM(CASE WHEN match_id % 10 = 7 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_batch_dups,
+         MAX(j) AS max_jaccard
+  FROM cand GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN COALESCE(a.n_index_dups, 0) > 0 THEN 'dup_of_index'
+            WHEN COALESCE(a.n_batch_dups, 0) > 0 THEN 'dup_in_batch'
+            ELSE 'new' END AS verdict,
+       COALESCE(a.n_index_dups, 0) AS n_index_dups,
+       COALESCE(a.n_batch_dups, 0) AS n_batch_dups,
+       COALESCE(a.max_jaccard, 0.0) AS max_jaccard
+FROM documents d LEFT JOIN agg a USING (doc_id)
+WHERE d.doc_id % 10 = 7
+"""
+
+
+@register(
+    "dedup_incremental_index",
+    oracle=_INCREMENTAL_ORACLE,
+    category="dedup",
+    tables=("documents",),
+)
+def q_dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental arrivals-vs-index dedup (module comment above):
+    per-arrival verdict against the standing index and earlier
+    batch-mates, with index×index comparisons structurally excluded —
+    the linear-in-the-increment plan a 100 TB corpus needs for daily
+    crawl ingestion."""
+    from aws_etl_spark.dedup.jaccard import incremental_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_arrival = lambda c: c % 10 == 7  # noqa: E731
+    pairs = incremental_jaccard_pairs(
+        docs, "doc_id", "text", is_arrival, k=3, threshold=0.5
+    )
+    per_arrival = pairs.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("match_is_index"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_index_dups"),
+        F.sum(F.when(F.col("match_is_index"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_batch_dups"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    arrivals = docs.filter(is_arrival(F.col("doc_id"))).select("doc_id")
+    joined = arrivals.join(per_arrival, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.when(F.coalesce("n_index_dups", F.lit(0)) > 0, "dup_of_index")
+        .when(F.coalesce("n_batch_dups", F.lit(0)) > 0, "dup_in_batch")
+        .otherwise("new")
+        .alias("verdict"),
+        F.coalesce("n_index_dups", F.lit(0).cast("bigint")).alias(
+            "n_index_dups"
+        ),
+        F.coalesce("n_batch_dups", F.lit(0).cast("bigint")).alias(
+            "n_batch_dups"
+        ),
+        F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+    )
+
+
 _CLUSTER_ORACLE = """
 WITH RECURSIVE sh AS (
   SELECT doc_id AS doc,

@@ -290,14 +290,15 @@ _DRIVER_ORDER = (
     "lake_merge_on_read",
     "privacy_l_diversity",
     "lake_snapshot_diff",
+    "dedup_incremental_index",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r1-vintage, then r2-vintage in evidence order)
     "events_cohort_retention",
     "events_funnel",
     "multimodal_byte_features",
     "row_count_validation",
-    "scd2_dimension",
     # ---- end of the 50-query round-7 window ----
+    "scd2_dimension",
     "table_profile",
     "corpus_shuffle_shards",
     # r1/r2-vintage names that no longer fit the window (queue first

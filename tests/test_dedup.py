@@ -409,3 +409,33 @@ def test_prefix_filter_equals_uncapped_full_join(spark, sf_dir):
             ).collect()
         }
         assert got == want and got, (t_num, t_den)
+
+
+def test_incremental_pairs_exclude_index_x_index(spark):
+    """The incremental join owes exactly (arrival, index) and
+    (arrival, earlier-arrival) comparisons: two index docs that are
+    near-identical must NOT pair (the structural exclusion that makes
+    the plan linear in the batch), while an arrival pairs with both
+    sides and a batch-internal dup credits only the earlier arrival."""
+    from aws_etl_spark.dedup.jaccard import incremental_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (10, base),          # index dup A
+        (20, base),          # index dup B  -> (10,20) must NOT appear
+        (7, base),           # arrival: dup of index 10 and 20
+        (17, base + " iota"),  # arrival: near-dup, pairs w/ index + 7
+        (27, "one two three four five six seven eight nine"),  # new
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["match_id"]): r["match_is_index"]
+        for r in incremental_jaccard_pairs(
+            df, "doc_id", "text", lambda c: c % 10 == 7, threshold=0.5
+        ).collect()
+    }
+    assert (10, 20) not in got and (20, 10) not in got
+    assert got[(7, 10)] is True and got[(7, 20)] is True
+    assert got[(17, 7)] is False          # earlier arrival credited
+    assert (7, 17) not in got             # never the reverse direction
+    assert not any(d == 27 for d, _ in got)
