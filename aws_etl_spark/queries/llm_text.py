@@ -1582,3 +1582,56 @@ sql_query(
     ),
     tables=("documents", "embeddings"),
 )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer vocabulary-coverage audit (OOV rate). A tokenizer trained
+# on one distribution under-covers another; before training, the audit
+# is: fix the vocabulary = top-V corpus words (frequency desc, word
+# asc tiebreak — deterministic), then measure per-source token and
+# TYPE coverage outside it. Plan: one token explode (map-side flatMap)
+# -> word-frequency agg (map-side combined, vocabulary-bounded) ->
+# top-V LIMIT (tiny, broadcast back) -> per-source left join + agg.
+# At 100 TB the vocab agg output is corpus-vocabulary-sized (millions,
+# not trillions) and the top-V result broadcasts — no large shuffle
+# beyond the two grouped aggs. Rates are exact-int divisions.
+# --------------------------------------------------------------------------
+
+def _oov_sql(tok: str) -> str:
+    return f"""
+WITH tok AS (
+  SELECT source, {tok} AS w FROM documents
+),
+freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY w),
+vocab AS (SELECT w FROM freq ORDER BY f DESC, w LIMIT 20),
+per_src AS (
+  SELECT tok.source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+         CAST(COUNT(DISTINCT CASE WHEN v.w IS NULL THEN tok.w END)
+              AS BIGINT) AS n_oov_types
+  FROM tok LEFT JOIN vocab v ON v.w = tok.w
+  GROUP BY tok.source
+)
+SELECT source, n_tokens, n_oov, n_oov_types,
+       CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+FROM per_src
+"""
+
+
+sql_query(
+    "text_oov_rate",
+    _oov_sql("explode(split(trim(text), '\\\\s+'))"),
+    oracle=_oov_sql("unnest(string_split(trim(text), ' '))"),
+    category="text",
+    doc=(
+        "Tokenizer vocabulary-coverage audit: vocabulary = top-20 "
+        "corpus words (freq desc, word asc tiebreak), then per-source "
+        "token count, out-of-vocabulary token count, distinct OOV "
+        "types, and OOV rate. The pre-training check that a fixed "
+        "vocabulary covers every source; token explode + two bounded "
+        "aggs + a broadcast top-V join."
+    ),
+    tables=("documents",),
+)

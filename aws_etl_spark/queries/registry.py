@@ -291,13 +291,14 @@ _DRIVER_ORDER = (
     "privacy_l_diversity",
     "lake_snapshot_diff",
     "dedup_incremental_index",
+    "text_oov_rate",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r1-vintage, then r2-vintage in evidence order)
     "events_cohort_retention",
     "events_funnel",
     "multimodal_byte_features",
-    "row_count_validation",
     # ---- end of the 50-query round-7 window ----
+    "row_count_validation",
     "scd2_dimension",
     "table_profile",
     "corpus_shuffle_shards",
