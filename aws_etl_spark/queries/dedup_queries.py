@@ -804,3 +804,87 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         docs, "doc_id", "text", k=3, t_num=7, t_den=10
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication census: which sources duplicate EACH OTHER.
+# Near-dup pairs (the proven capped shingle join) are mapped to their
+# sources and counted per unordered source pair — the triage view that
+# decides which crawl feeds to de-prioritize or fold together. Two
+# keyed joins of the slim pair list against the (doc -> source) map
+# (shuffles on doc id, linear in pairs), one bounded agg (sources x
+# sources), a broadcast-scalar total for the share.
+# --------------------------------------------------------------------------
+
+_CROSSDUP_ORACLE = """
+WITH sh AS (
+  SELECT doc_id AS doc,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(string_split(trim(text), ' ')) - 2, 0) + 1),
+             i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' ')
+           )
+         ) AS shingles
+  FROM documents
+),
+e AS (SELECT doc, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc AS id_a, b.doc AS id_b
+  FROM e a JOIN e b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+  HAVING COUNT(*) * 1.0 / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.5
+),
+srcpairs AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b
+  FROM pairs
+  JOIN documents da ON da.doc_id = pairs.id_a
+  JOIN documents db ON db.doc_id = pairs.id_b
+),
+agg AS (
+  SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM srcpairs GROUP BY source_a, source_b
+)
+SELECT source_a, source_b, n_pairs,
+       CAST(n_pairs AS DOUBLE) / (SELECT SUM(n_pairs) FROM agg)
+         AS pair_share
+FROM agg
+"""
+
+
+@register(
+    "dedup_source_crossdup",
+    oracle=_CROSSDUP_ORACLE,
+    category="dedup",
+    tables=("documents",),
+)
+def q_dedup_source_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication census (module comment above): near-dup
+    pairs mapped to unordered source pairs with counts and shares —
+    same-source cells on the diagonal, cross-source cells off it."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    sa = src.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "source", "sa"
+    )
+    sb = src.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "source", "sb"
+    )
+    agg = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+    total = agg.agg(F.sum("n_pairs").alias("t"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        (F.col("n_pairs").cast("double") / F.col("t")).alias("pair_share"),
+    )

@@ -292,12 +292,13 @@ _DRIVER_ORDER = (
     "lake_snapshot_diff",
     "dedup_incremental_index",
     "text_oov_rate",
+    "dedup_source_crossdup",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r1-vintage, then r2-vintage in evidence order)
     "events_cohort_retention",
     "events_funnel",
-    "multimodal_byte_features",
     # ---- end of the 50-query round-7 window ----
+    "multimodal_byte_features",
     "row_count_validation",
     "scd2_dimension",
     "table_profile",
