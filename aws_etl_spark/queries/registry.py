@@ -293,11 +293,12 @@ _DRIVER_ORDER = (
     "dedup_incremental_index",
     "text_oov_rate",
     "dedup_source_crossdup",
+    "embeddings_fisher_separation",
     # -- block 3: re-confirmation — oldest hash evidence first
     #    (r1-vintage, then r2-vintage in evidence order)
     "events_cohort_retention",
-    "events_funnel",
     # ---- end of the 50-query round-7 window ----
+    "events_funnel",
     "multimodal_byte_features",
     "row_count_validation",
     "scd2_dimension",

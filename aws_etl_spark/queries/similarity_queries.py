@@ -1131,3 +1131,86 @@ def q_embeddings_outlier_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Supervised class-separation audit (two-class Fisher ratio per
+# dimension): how well each embedding dimension separates label 0
+# from label 1 — (mean gap)^2 / (within-class scatter). The complement
+# of the geometry-only isotropy audit: it needs labels. Division-free
+# exactness: with q the 1e-3-quantized component, n/S1/S2 the exact
+# per-(dim,label) count/sum/sum-of-squares, multiply every mean and
+# variance through by the class sizes:
+#     num   = (S1a*nb - S1b*na)^2
+#     den   = nb^2*(na*S2a - S1a^2) + na^2*(nb*S2b - S1b^2)
+# — all DECIMAL integer algebra (two-factor products only, each factor
+# re-based to DECIMAL(18,0); exact while class sizes stay under ~1e6
+# at this quantization — beyond that, lower the quantization scale),
+# then ONE double division at the output boundary. Plan: one component
+# explode filtered to the two classes, one (dim,label) grouped agg
+# (map-side combined, 128 rows), a 64-row self-join — nothing scales
+# with corpus size after the first agg.
+# --------------------------------------------------------------------------
+
+def _fisher_sql(exp: str) -> str:
+    return f"""
+WITH e AS ({exp}),
+stats AS (
+  SELECT d, label,
+         CAST(COUNT(*) AS DECIMAL(18,0)) AS n,
+         CAST(SUM(q) AS DECIMAL(18,0)) AS s1,
+         CAST(SUM(q * q) AS DECIMAL(18,0)) AS s2
+  FROM e WHERE label IN (0, 1) GROUP BY d, label
+),
+ab AS (
+  SELECT a.d,
+         a.n AS na, a.s1 AS s1a, a.s2 AS s2a,
+         b.n AS nb, b.s1 AS s1b, b.s2 AS s2b
+  FROM stats a JOIN stats b
+    ON a.d = b.d AND a.label = 0 AND b.label = 1
+),
+parts AS (
+  SELECT d,
+         CAST(s1a * nb - s1b * na AS DECIMAL(18,0)) AS gap,
+         CAST(na * s2a - s1a * s1a AS DECIMAL(18,0)) AS wa,
+         CAST(nb * s2b - s1b * s1b AS DECIMAL(18,0)) AS wb,
+         CAST(na * na AS DECIMAL(18,0)) AS na2,
+         CAST(nb * nb AS DECIMAL(18,0)) AS nb2
+  FROM ab
+),
+fin AS (
+  SELECT d, gap * gap AS num, nb2 * wa + na2 * wb AS den FROM parts
+)
+SELECT CAST(d AS BIGINT) AS d,
+       CASE WHEN den = 0 THEN 0.0
+            ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END
+         AS fisher_ratio
+FROM fin
+"""
+
+
+sql_query(
+    "embeddings_fisher_separation",
+    _fisher_sql(
+        "SELECT label, pos + 1 AS d, "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q "
+        "FROM (SELECT label, posexplode(embedding) AS (pos, x) "
+        "FROM embeddings)"
+    ),
+    oracle=_fisher_sql(
+        "SELECT label, generate_subscripts(embedding, 1) AS d, "
+        "CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q "
+        "FROM embeddings"
+    ),
+    category="similarity",
+    doc=(
+        "Two-class Fisher separation per embedding dimension "
+        "(labels 0 vs 1): squared mean gap over summed within-class "
+        "scatter, computed division-free on exact DECIMAL integers "
+        "with one IEEE division at the boundary. The supervised "
+        "feature-audit complement to the isotropy (geometry) audit — "
+        "flags which dimensions carry label signal before training a "
+        "probe."
+    ),
+    tables=("embeddings",),
+)

@@ -502,3 +502,36 @@ def test_canonical_distance_matches_bfs_replay(spark, sf_dir):
         for r in REGISTRY["dedup_canonical_distance"].fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_fisher_separation_matches_numpy(spark, sf_dir):
+    """The division-free DECIMAL algebra equals the definitional
+    Fisher ratio computed by numpy on the same quantized components
+    (exact integers -> the only rounding is the one output division,
+    so agreement is to double precision, not a loose tolerance)."""
+    _ensure_loaded()
+    got = {
+        r["d"]: r["fisher_ratio"]
+        for r in REGISTRY["embeddings_fisher_separation"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    X = {
+        lab: np.floor(
+            np.stack([r["embedding"] for r in emb if r["label"] == lab])
+            .astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        for lab in (0, 1)
+    }
+    a, b = X[0], X[1]
+    na, nb = len(a), len(b)
+    for d in range(1, a.shape[1] + 1):
+        qa, qb = a[:, d - 1], b[:, d - 1]
+        num = float(int(qa.sum()) * nb - int(qb.sum()) * na) ** 2
+        den = float(
+            nb * nb * (na * int((qa * qa).sum()) - int(qa.sum()) ** 2)
+            + na * na * (nb * int((qb * qb).sum()) - int(qb.sum()) ** 2)
+        )
+        expect = 0.0 if den == 0 else num / den
+        assert got[d] == pytest.approx(expect, rel=1e-12, abs=1e-300)
