@@ -294,10 +294,13 @@ _DRIVER_ORDER = (
     "text_oov_rate",
     "dedup_source_crossdup",
     "embeddings_fisher_separation",
-    # -- block 3: re-confirmation — oldest hash evidence first
-    #    (r1-vintage, then r2-vintage in evidence order)
-    "events_cohort_retention",
+    "stat_bootstrap_ci",
     # ---- end of the 50-query round-7 window ----
+    # -- block 3 (re-confirmation of oldest hash evidence) was fully
+    #    displaced past the marker by late-round additions: every r7
+    #    addition is evidence-less and outranks a re-confirmation.
+    #    These names queue first for the round-8 window.
+    "events_cohort_retention",
     "events_funnel",
     "multimodal_byte_features",
     "row_count_validation",

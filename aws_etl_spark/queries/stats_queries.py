@@ -1560,3 +1560,73 @@ sql_query(
     ),
     tables=("events",),
 )
+
+
+# --------------------------------------------------------------------------
+# Bootstrap confidence band for the median — resampling inference with
+# NO engine RNG: replica r keeps a row iff the salted md5 bucket of
+# (key, ':boot', r) clears 50%, so every replica is a deterministic,
+# append-stable half-sample and the whole bootstrap replays bit-for-
+# bit on any engine. B=20 replicas; per replica the lower median is
+# the exact ((n+1) DIV 2)-th order statistic (a replica-partitioned
+# rank window — parallelism = B; for per-GROUP bootstraps at 100 TB
+# the partition key gains the group and parallelism grows with
+# B x groups). The 20-row output IS the sampling distribution: its
+# spread is the CI; everything stays exact BIGINT cents.
+# --------------------------------------------------------------------------
+
+def _bootstrap_sql(bucket, vchar: str, spine: str, intdiv) -> str:
+    key = (
+        f"CONCAT(CAST(b.k AS {vchar}), ':boot', CAST(r.replica AS {vchar}))"
+    )
+    rn_mid = intdiv("(n + 1)", "2")
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+reps AS ({spine}),
+s AS (
+  SELECT r.replica, b.cents
+  FROM base b CROSS JOIN reps r
+  WHERE {bucket(key)} < 32768
+),
+ranked AS (
+  SELECT replica, cents,
+         ROW_NUMBER() OVER (PARTITION BY replica ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY replica) AS n
+  FROM s
+)
+SELECT CAST(replica AS BIGINT) AS replica,
+       CAST(n AS BIGINT) AS n_rows,
+       cents AS median_cents
+FROM ranked
+WHERE rn = {rn_mid}
+"""
+
+
+sql_query(
+    "stat_bootstrap_ci",
+    _bootstrap_sql(
+        _spark_bucket,
+        "STRING",
+        "SELECT explode(sequence(0, 19)) AS replica",
+        lambda a, b: f"({a}) DIV ({b})",
+    ),
+    oracle=_bootstrap_sql(
+        duckdb_bucket_sql,
+        "VARCHAR",
+        "SELECT unnest(range(0, 20)) AS replica",
+        lambda a, b: f"({a}) // ({b})",
+    ),
+    category="stats",
+    doc=(
+        "Deterministic bootstrap of the order-price median: 20 "
+        "md5-coin half-sample replicas, each reduced to its exact "
+        "lower-median cents — the 20-row sampling distribution whose "
+        "spread is the confidence band. No engine RNG anywhere; "
+        "append-stable and engine-portable."
+    ),
+    tables=("orders",),
+)
