@@ -1564,33 +1564,60 @@ sql_query(
 
 # --------------------------------------------------------------------------
 # Bootstrap confidence band for the median — resampling inference with
-# NO engine RNG: replica r keeps a row iff the salted md5 bucket of
-# (key, ':boot', r) clears 50%, so every replica is a deterministic,
-# append-stable half-sample and the whole bootstrap replays bit-for-
-# bit on any engine. B=20 replicas; per replica the lower median is
-# the exact ((n+1) DIV 2)-th order statistic (a replica-partitioned
-# rank window — parallelism = B; for per-GROUP bootstraps at 100 TB
-# the partition key gains the group and parallelism grows with
-# B x groups). The 20-row output IS the sampling distribution: its
-# spread is the CI; everything stays exact BIGINT cents.
+# NO engine RNG: replica r keeps a row iff its 16-bit md5 coin clears
+# 50%, so every replica is a deterministic, append-stable half-sample
+# and the whole bootstrap replays bit-for-bit on any engine. B=20
+# replicas; per replica the lower median is the exact ((n+1) DIV 2)-th
+# order statistic (a replica-partitioned rank window — parallelism =
+# B; for per-GROUP bootstraps at 100 TB the partition key gains the
+# group and parallelism grows with B x groups).
+#
+# Coin amortization: one md5 yields 32 hex chars = EIGHT independent
+# 16-bit coins, so the 20 replicas need only ceil(20/8) = 3 md5 calls
+# per row, computed once in the base CTE BEFORE the replica explode —
+# measured 2x on the whole query at sf0.1 (md5-per-coin was the
+# dominant cost; the explode then pays only a substring decode per
+# (row, replica)). Replica r reads digits (r%8)*4+1..+4 of
+# md5(key || ':boot' || r DIV 8). The 20-row output IS the sampling
+# distribution: its spread is the CI; everything stays exact BIGINT.
 # --------------------------------------------------------------------------
 
-def _bootstrap_sql(bucket, vchar: str, spine: str, intdiv) -> str:
-    key = (
-        f"CONCAT(CAST(b.k AS {vchar}), ':boot', CAST(r.replica AS {vchar}))"
+def _boot_digits(h: str, off: str) -> str:
+    """DuckDB 4-hex-digit decode of ``h`` at 0-based char offset
+    ``off`` (generalizes ops/corpus.duckdb_bucket_sql's fixed 1..4)."""
+    digit = f"(strpos('0123456789abcdef', substr({h}, ({off}) + {{i}}, 1)) - 1)"
+    return " + ".join(
+        digit.format(i=i) + f" * {16 ** (4 - i)}" for i in range(1, 5)
+    )
+
+
+def _bootstrap_sql(spark_side: bool, vchar: str, spine: str, intdiv) -> str:
+    md5 = lambda n: (  # noqa: E731
+        f"MD5(CONCAT(CAST(k AS {vchar}), ':boot{n}'))"
+    )
+    h = (
+        "CASE " + intdiv("r.replica", "8")
+        + " WHEN 0 THEN b.m0 WHEN 1 THEN b.m1 ELSE b.m2 END"
+    )
+    off = "(r.replica % 8) * 4"
+    coin = (
+        f"CAST(CONV(SUBSTRING({h}, {off} + 1, 4), 16, 10) AS INT)"
+        if spark_side
+        else f"({_boot_digits(h, off)})"
     )
     rn_mid = intdiv("(n + 1)", "2")
     return f"""
 WITH base AS (
   SELECT o_orderkey AS k,
-         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         {md5(0)} AS m0, {md5(1)} AS m1, {md5(2)} AS m2
   FROM orders
 ),
 reps AS ({spine}),
 s AS (
   SELECT r.replica, b.cents
   FROM base b CROSS JOIN reps r
-  WHERE {bucket(key)} < 32768
+  WHERE {coin} < 32768
 ),
 ranked AS (
   SELECT replica, cents,
@@ -1609,13 +1636,13 @@ WHERE rn = {rn_mid}
 sql_query(
     "stat_bootstrap_ci",
     _bootstrap_sql(
-        _spark_bucket,
+        True,
         "STRING",
         "SELECT explode(sequence(0, 19)) AS replica",
         lambda a, b: f"({a}) DIV ({b})",
     ),
     oracle=_bootstrap_sql(
-        duckdb_bucket_sql,
+        False,
         "VARCHAR",
         "SELECT unnest(range(0, 20)) AS replica",
         lambda a, b: f"({a}) // ({b})",
