@@ -861,9 +861,19 @@ FROM agg
 def q_dedup_source_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication census (module comment above): near-dup
     pairs mapped to unordered source pairs with counts and shares —
-    same-source cells on the diagonal, cross-source cells off it."""
+    same-source cells on the diagonal, cross-source cells off it.
+
+    Candidate generation is MinHash-LSH with exact-Jaccard verify (the
+    dedup_clusters_cc route; recall = 1.0 pinned on this corpus, so
+    the exact-SQL oracle still hash-matches) rather than the exact
+    shingle self-join: the census is discovery-shaped, and the exact
+    join's Σdf² measured 25.5x (and OOM'd a 4 GiB driver) on the x10
+    densified scratch, while LSH candidate volume tracks the TRUE pair
+    count."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5
+    )
     src = docs.select("doc_id", "source")
     sa = src.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
         "source", "sa"

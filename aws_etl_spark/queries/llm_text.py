@@ -1473,8 +1473,11 @@ sql_query(
 # --------------------------------------------------------------------------
 
 
-def _rrf_sql(tok: str, dot, declared) -> str:
-    q = "1000000000000.0"  # 1e12 micro-quant: FLOOR(1e12/(60+rank))
+def _hybrid_runs_sql(tok: str, dot, declared) -> str:
+    """Shared WITH-prefix producing the two retrieval runs: ``lex``
+    (BM25 top-50: doc_id, lex_rank) and ``sem`` (cosine top-50:
+    doc_id, sem_rank). Consumed by both the RRF fusion and the nDCG
+    evaluation tails — one proven ranking pipeline, two analyses."""
     return f"""
 WITH tok AS ({tok}),
 t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
@@ -1533,7 +1536,12 @@ sem AS (
          CAST(ROW_NUMBER() OVER (PARTITION BY __g
               ORDER BY cosine DESC, doc_id) AS BIGINT) AS sem_rank
   FROM {declared("sem1")}
-),
+)"""
+
+
+def _rrf_sql(tok: str, dot, declared) -> str:
+    q = "1000000000000.0"  # 1e12 micro-quant: FLOOR(1e12/(60+rank))
+    return _hybrid_runs_sql(tok, dot, declared) + f""",
 fused AS (
   SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
          COALESCE(l.lex_rank, CAST(0 AS BIGINT)) AS lex_rank,
@@ -1579,6 +1587,87 @@ sql_query(
         "TakeOrdered LIMITs (no corpus-wide window); only the bounded "
         "50-row cuts are ranked inside the declared-single-partition "
         "seam; fusion is a 50x50 full-outer join."
+    ),
+    tables=("documents", "embeddings"),
+)
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation: nDCG@10 of the lexical (BM25) run scored
+# against the semantic (exact-cosine) run as graded ground truth
+# (rel = 11 - truth_rank for the truth top-10, else 0) — the metric
+# that quantifies what rank fusion is worth before shipping it. DCG
+# discount weights 1/log2(p+1) are the only transcendental inputs and
+# positions are FIXED (p = 1..10), so the weights are inlined as ten
+# integer literals computed once in Python — the pinned-literal trick
+# (IVF centroids, LSH hyperplanes) applied to a math table. Everything
+# else is exact integer algebra over the shared hybrid-runs prefix;
+# one IEEE division (DCG/IDCG) at the boundary.
+# --------------------------------------------------------------------------
+
+def _ndcg_weights() -> tuple[int, ...]:
+    import math
+
+    return tuple(
+        int(round(1e9 / math.log2(p + 1))) for p in range(1, 11)
+    )
+
+
+def _ndcg_sql(tok: str, dot, declared) -> str:
+    wspine = " UNION ALL ".join(
+        f"SELECT {p} AS p, CAST({w} AS BIGINT) AS w"
+        for p, w in enumerate(_ndcg_weights(), start=1)
+    )
+    return _hybrid_runs_sql(tok, dot, declared) + f""",
+wspine AS ({wspine}),
+hits AS (
+  SELECT s.lex_rank AS p, COALESCE(11 - t.sem_rank, 0) AS rel
+  FROM (SELECT doc_id, lex_rank FROM lex WHERE lex_rank <= 10) s
+  LEFT JOIN (SELECT doc_id, sem_rank FROM sem WHERE sem_rank <= 10) t
+    ON t.doc_id = s.doc_id
+),
+dcg AS (
+  SELECT CAST(SUM(w.w * h.rel) AS BIGINT) AS dcg_q,
+         CAST(SUM(CASE WHEN h.rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overlap
+  FROM hits h JOIN wspine w ON w.p = h.p
+),
+idcg AS (
+  SELECT CAST(SUM(w.w * (11 - w.p)) AS BIGINT) AS idcg_q FROM wspine w
+)
+SELECT dcg.dcg_q, idcg.idcg_q, dcg.n_overlap,
+       CAST(dcg.dcg_q AS DOUBLE) / idcg.idcg_q AS ndcg_at_10
+FROM dcg CROSS JOIN idcg
+"""
+
+
+def _ndcg_spark() -> str:
+    from aws_etl_spark.queries.similarity_queries import _spark_fold_dot
+    from aws_etl_spark.queries.sql_seams import spark_declared
+
+    return _ndcg_sql(_BM25_TOK_SPARK, _spark_fold_dot, spark_declared)
+
+
+def _ndcg_duck() -> str:
+    from aws_etl_spark.queries.similarity_queries import _duck_fold_dot
+    from aws_etl_spark.queries.sql_seams import duck_declared
+
+    return _ndcg_sql(_BM25_TOK_DUCK, _duck_fold_dot, duck_declared)
+
+
+sql_query(
+    "search_eval_ndcg",
+    _ndcg_spark(),
+    oracle=_ndcg_duck(),
+    category="text",
+    doc=(
+        "Retrieval evaluation: nDCG@10 of the BM25 lexical run against "
+        "the exact-cosine semantic top-10 as graded relevance "
+        "(rel = 11 - truth rank). DCG discounts are ten pinned integer "
+        "literals (positions are fixed, so 1/log2(p+1) is a math "
+        "table, not a runtime transcendental); DCG/IDCG stay exact "
+        "BIGINTs with one boundary division. Reuses the hybrid-runs "
+        "prefix shared with search_rank_fusion."
     ),
     tables=("documents", "embeddings"),
 )

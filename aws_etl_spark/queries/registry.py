@@ -240,10 +240,14 @@ def sql_query(
 # rows-only names. Unranked names sort after all ranked ones, oracled
 # before rows-only, in registration order.
 _DRIVER_ORDER = (
-    # -- block 1: the 16 rows-only names (refresh their "ran" rows)
-    "agg_approx_distinct",
+    # -- block 1: rows-only names with r5-vintage "ran" rows (the r6
+    #    verdict asked the rows-only family to lead; agg_approx_distinct
+    #    and sample_stratified already got fresh r6 rows in the r6
+    #    window, so they rank LAST among the rows-only — and
+    #    sample_stratified is the one name deferred past the marker to
+    #    make room for the nine late-r7 additions, which have no
+    #    evidence at all. agg_approx_distinct kept the final slot.)
     "agg_approx_percentiles",
-    "sample_stratified",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_graph_pagerank",
@@ -295,7 +299,11 @@ _DRIVER_ORDER = (
     "dedup_source_crossdup",
     "embeddings_fisher_separation",
     "stat_bootstrap_ci",
+    "search_eval_ndcg",
+    "agg_approx_distinct",
     # ---- end of the 50-query round-7 window ----
+    # deferred rows-only refresh (fresh r6 "ran" row; see block 1)
+    "sample_stratified",
     # -- block 3 (re-confirmation of oldest hash evidence) was fully
     #    displaced past the marker by late-round additions: every r7
     #    addition is evidence-less and outranks a re-confirmation.

@@ -161,3 +161,46 @@ def test_merge_on_read_resolution_semantics(spark, sf_dir):
     inserts = [k for k in active96 if k not in base and k % 97 != 0]
     for k in inserts:
         assert k in merged
+
+
+def test_ndcg_replays_from_the_run_rankings(spark, sf_dir):
+    """nDCG@10 must equal a Python replay over the SAME two retrieval
+    runs (executed via the shared hybrid-runs prefix), and the ten
+    pinned discount literals must equal round(1e9 / log2(p+1))."""
+    from aws_etl_spark.queries.llm_text import (
+        _BM25_TOK_SPARK,
+        _hybrid_runs_sql,
+        _ndcg_weights,
+    )
+    from aws_etl_spark.queries.registry import register_views
+    from aws_etl_spark.queries.similarity_queries import _spark_fold_dot
+    from aws_etl_spark.queries.sql_seams import spark_declared
+
+    w = _ndcg_weights()
+    assert len(w) == 10
+    for p, wp in enumerate(w, start=1):
+        assert wp == round(1e9 / math.log2(p + 1))
+
+    _ensure_loaded()
+    register_views(spark, sf_dir)
+    prefix = _hybrid_runs_sql(_BM25_TOK_SPARK, _spark_fold_dot, spark_declared)
+    lex = {
+        r["doc_id"]: r["lex_rank"]
+        for r in spark.sql(prefix + " SELECT * FROM lex").collect()
+    }
+    sem = {
+        r["doc_id"]: r["sem_rank"]
+        for r in spark.sql(prefix + " SELECT * FROM sem").collect()
+    }
+    rel = {d: 11 - rk for d, rk in sem.items() if rk <= 10}
+    dcg = sum(
+        w[rk - 1] * rel.get(d, 0) for d, rk in lex.items() if rk <= 10
+    )
+    idcg = sum(w[p - 1] * (11 - p) for p in range(1, 11))
+    got = (
+        REGISTRY["search_eval_ndcg"].fn(spark, sf_dir).collect()[0]
+    )
+    assert got["dcg_q"] == dcg
+    assert got["idcg_q"] == idcg
+    assert got["ndcg_at_10"] == float(dcg) / float(idcg)
+    assert 0.0 <= got["ndcg_at_10"] <= 1.0
