@@ -40,19 +40,28 @@ def hash_bucket(key: Column) -> Column:
     return F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int")
 
 
-def duckdb_bucket_sql(key_expr: str) -> str:
-    """DuckDB SQL computing the same bucket as :func:`hash_bucket`.
+def duckdb_hex4_decode_sql(hash_expr: str, offset_expr: str = "0") -> str:
+    """DuckDB SQL decoding 4 hex digits of ``hash_expr`` starting at
+    0-based character offset ``offset_expr`` into an integer.
 
-    DuckDB has no hex→int conversion builtin, so the 4 hex digits are
-    decoded positionally via strpos arithmetic (verified equal to
-    Spark's conv() for every key in the test corpus).
-    """
-    h = f"md5({key_expr})"
-    digit = "(strpos('0123456789abcdef', substr({h},{i},1))-1)"
+    DuckDB has no hex→int conversion builtin, so digits are decoded
+    positionally via strpos arithmetic (verified equal to Spark's
+    conv() for every key in the test corpus). The offset form lets
+    one md5 yield eight independent 16-bit coins (stat_bootstrap_ci's
+    amortization)."""
+    digit = (
+        f"(strpos('0123456789abcdef',"
+        f" substr({hash_expr}, ({offset_expr}) + {{i}}, 1)) - 1)"
+    )
     terms = " + ".join(
-        digit.format(h=h, i=i) + f"*{16 ** (4 - i)}" for i in range(1, 5)
+        digit.format(i=i) + f" * {16 ** (4 - i)}" for i in range(1, 5)
     )
     return f"({terms})"
+
+
+def duckdb_bucket_sql(key_expr: str) -> str:
+    """DuckDB SQL computing the same bucket as :func:`hash_bucket`."""
+    return duckdb_hex4_decode_sql(f"md5({key_expr})")
 
 
 def split_assign(

@@ -256,7 +256,9 @@ def _diff_snapshots(
     joined = old.join(new, old["__ok"] == new["__nk"], "full_outer")
     changed = F.col("__ok").isNull() | F.col("__nk").isNull()
     for c in value_cols:
-        changed = changed | (F.col(f"old_{c}") != F.col(f"new_{c}"))
+        # null-safe: a NULL<->value flip on a shared key IS a change
+        # (the scd2_from_history idiom; plain != would drop it)
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
     return joined.filter(changed).select(
         F.when(F.col("__ok").isNull(), "added")
         .when(F.col("__nk").isNull(), "removed")

@@ -1687,9 +1687,13 @@ sql_query(
 # --------------------------------------------------------------------------
 
 def _oov_sql(tok: str) -> str:
+    # symmetric single-space split + empty filter on BOTH engines (the
+    # _BM25_TOK convention): a regex-vs-literal split pair would break
+    # hash parity on any doc with consecutive whitespace
     return f"""
 WITH tok AS (
-  SELECT source, {tok} AS w FROM documents
+  SELECT source, w FROM (SELECT source, {tok} AS w FROM documents)
+  WHERE w <> ''
 ),
 freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY w),
 vocab AS (SELECT w FROM freq ORDER BY f DESC, w LIMIT 20),
@@ -1711,7 +1715,7 @@ FROM per_src
 
 sql_query(
     "text_oov_rate",
-    _oov_sql("explode(split(trim(text), '\\\\s+'))"),
+    _oov_sql("explode(split(trim(text), ' '))"),
     oracle=_oov_sql("unnest(string_split(trim(text), ' '))"),
     category="text",
     doc=(

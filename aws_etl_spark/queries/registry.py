@@ -245,7 +245,7 @@ _DRIVER_ORDER = (
     #    and sample_stratified already got fresh r6 rows in the r6
     #    window, so they rank LAST among the rows-only — and
     #    sample_stratified is the one name deferred past the marker to
-    #    make room for the nine late-r7 additions, which have no
+    #    make room for the eight late-r7 additions, which have no
     #    evidence at all. agg_approx_distinct kept the final slot.)
     "agg_approx_percentiles",
     "dedup_minhash_lsh",

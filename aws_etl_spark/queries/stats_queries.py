@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_etl_spark.ops.corpus import duckdb_bucket_sql
+from aws_etl_spark.ops.corpus import duckdb_bucket_sql, duckdb_hex4_decode_sql
 from aws_etl_spark.queries.registry import load_table, register, sql_query
 from aws_etl_spark.queries.sql_seams import duck_declared, spark_declared
 
@@ -1582,15 +1582,6 @@ sql_query(
 # distribution: its spread is the CI; everything stays exact BIGINT.
 # --------------------------------------------------------------------------
 
-def _boot_digits(h: str, off: str) -> str:
-    """DuckDB 4-hex-digit decode of ``h`` at 0-based char offset
-    ``off`` (generalizes ops/corpus.duckdb_bucket_sql's fixed 1..4)."""
-    digit = f"(strpos('0123456789abcdef', substr({h}, ({off}) + {{i}}, 1)) - 1)"
-    return " + ".join(
-        digit.format(i=i) + f" * {16 ** (4 - i)}" for i in range(1, 5)
-    )
-
-
 def _bootstrap_sql(spark_side: bool, vchar: str, spine: str, intdiv) -> str:
     md5 = lambda n: (  # noqa: E731
         f"MD5(CONCAT(CAST(k AS {vchar}), ':boot{n}'))"
@@ -1603,7 +1594,7 @@ def _bootstrap_sql(spark_side: bool, vchar: str, spine: str, intdiv) -> str:
     coin = (
         f"CAST(CONV(SUBSTRING({h}, {off} + 1, 4), 16, 10) AS INT)"
         if spark_side
-        else f"({_boot_digits(h, off)})"
+        else duckdb_hex4_decode_sql(h, off)
     )
     rn_mid = intdiv("(n + 1)", "2")
     return f"""

@@ -168,11 +168,14 @@ def test_snapshot_diff_classifies_all_change_types(spark, tmp_path):
     from aws_etl_spark.queries.lakehouse_queries import _diff_snapshots
 
     root = tmp_path / "d"
-    commit_snapshot(_df(spark, [(1, 10), (2, 20), (3, 30)]), root)
+    commit_snapshot(_df(spark, [(1, 10), (2, 20), (3, 30), (5, None)]), root)
     v1_files = snapshot_files(root, 1)
-    # v2: key 1 unchanged, key 2 updated, key 3 removed, key 4 added
+    # v2: key 1 unchanged, key 2 updated, key 3 removed, key 4 added,
+    # key 5 NULL -> value (null-safe comparison must flag it)
     commit_snapshot(
-        _df(spark, [(1, 10), (2, 99), (4, 40)]), root, replace=v1_files
+        _df(spark, [(1, 10), (2, 99), (4, 40), (5, 50)]),
+        root,
+        replace=v1_files,
     )
     out = {
         (r["change_type"], r["k"]): (r["old_v"], r["new_v"])
@@ -182,4 +185,5 @@ def test_snapshot_diff_classifies_all_change_types(spark, tmp_path):
         ("updated", 2): (20, 99),
         ("removed", 3): (30, None),
         ("added", 4): (None, 40),
+        ("updated", 5): (None, 50),
     }
