@@ -244,9 +244,9 @@ _DRIVER_ORDER = (
     #    verdict asked the rows-only family to lead; agg_approx_distinct
     #    and sample_stratified already got fresh r6 rows in the r6
     #    window, so they rank LAST among the rows-only — and
-    #    sample_stratified is the one name deferred past the marker to
-    #    make room for the eight late-r7 additions, which have no
-    #    evidence at all. agg_approx_distinct kept the final slot.)
+    #    sample_stratified and agg_approx_distinct are the two names
+    #    deferred past the marker to make room for the nine late-r7
+    #    additions, which have no evidence at all.)
     "agg_approx_percentiles",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -300,9 +300,10 @@ _DRIVER_ORDER = (
     "embeddings_fisher_separation",
     "stat_bootstrap_ci",
     "search_eval_ndcg",
-    "agg_approx_distinct",
+    "sketch_kmv_audience",
     # ---- end of the 50-query round-7 window ----
-    # deferred rows-only refresh (fresh r6 "ran" row; see block 1)
+    # deferred rows-only refreshes (fresh r6 "ran" rows; see block 1)
+    "agg_approx_distinct",
     "sample_stratified",
     # -- block 3 (re-confirmation of oldest hash evidence) was fully
     #    displaced past the marker by late-round additions: every r7

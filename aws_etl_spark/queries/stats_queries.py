@@ -1648,3 +1648,107 @@ sql_query(
     ),
     tables=("orders",),
 )
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) distinct-count sketch with set
+# operations — the mergeable cardinality sketch that, unlike HLL, is
+# HASH-PROVABLE end to end: the sketch is the k smallest md5 values
+# of the set (pure order statistics of a deterministic hash — no
+# engine RNG, no opaque register state), the estimator is
+# (k-1)·2^32 DIV v_k (one integer division), the union sketch is the
+# k smallest of the merged value sets, and the intersection uses the
+# standard m/k·D̂_union rule with m an exact integer. Audience
+# overlap for click vs purchase users, estimates side by side with
+# the exact counts. Every per-set cut is an ORDER BY + LIMIT k
+# (TakeOrdered — no corpus-wide window); at 100 TB each sketch is a
+# k-row object and merges are k-row unions, the property that makes
+# bottom-k the warehouse-portable cardinality sketch. Sets smaller
+# than k short-circuit to their exact size (the standard KMV rule).
+# --------------------------------------------------------------------------
+
+_KMV_K = 12
+
+
+def _kmv_sql(hash32, intdiv) -> str:
+    k = _KMV_K
+    h = hash32("user_id")
+    est = lambda n, vk: (  # noqa: E731
+        f"CASE WHEN {n} < {k} THEN {n} "
+        f"ELSE {intdiv(f'{k - 1} * 4294967296', vk)} END"
+    )
+    return f"""
+WITH a_h AS (
+  SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'click'
+),
+b_h AS (
+  SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'purchase'
+),
+sk_a AS (SELECT h FROM a_h ORDER BY h LIMIT {k}),
+sk_b AS (SELECT h FROM b_h ORDER BY h LIMIT {k}),
+u_h AS (SELECT h FROM a_h UNION SELECT h FROM b_h),
+sk_u AS (SELECT h FROM u_h ORDER BY h LIMIT {k}),
+est_a AS (
+  SELECT CAST({est("COUNT(*)", "MAX(h)")} AS BIGINT) AS v FROM sk_a
+),
+est_b AS (
+  SELECT CAST({est("COUNT(*)", "MAX(h)")} AS BIGINT) AS v FROM sk_b
+),
+est_u AS (
+  SELECT CAST({est("COUNT(*)", "MAX(h)")} AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS n_sk
+  FROM sk_u
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m
+  FROM sk_u
+  WHERE h IN (SELECT h FROM a_h) AND h IN (SELECT h FROM b_h)
+),
+exact AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a_h) AS exact_a,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM b_h) AS exact_b,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM u_h) AS exact_union,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM a_h WHERE h IN (SELECT h FROM b_h)) AS exact_inter
+)
+SELECT CAST({k} AS BIGINT) AS k,
+       est_a.v AS est_a,
+       est_b.v AS est_b,
+       est_u.v AS est_union,
+       CAST({intdiv("m.m * est_u.v", "est_u.n_sk")} AS BIGINT)
+         AS est_inter,
+       exact.exact_a, exact.exact_b, exact.exact_union,
+       exact.exact_inter
+FROM est_a CROSS JOIN est_b CROSS JOIN est_u CROSS JOIN m
+CROSS JOIN exact
+"""
+
+
+def _kmv_spark_hash(key: str) -> str:
+    return (
+        f"CAST(CONV(SUBSTRING(MD5(CAST({key} AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
+def _kmv_duck_hash(key: str) -> str:
+    h = f"md5(CAST({key} AS VARCHAR))"
+    hi = duckdb_hex4_decode_sql(h, "0")
+    lo = duckdb_hex4_decode_sql(h, "4")
+    return f"(CAST({hi} AS BIGINT) * 65536 + {lo})"
+
+
+sql_query(
+    "sketch_kmv_audience",
+    _kmv_sql(_kmv_spark_hash, lambda a, b: f"({a}) DIV ({b})"),
+    oracle=_kmv_sql(_kmv_duck_hash, lambda a, b: f"({a}) // ({b})"),
+    category="stats",
+    doc=(
+        "KMV bottom-k cardinality sketch (k=12, 32-bit md5 values) "
+        "over click vs purchase audiences: per-set estimates, merged "
+        "union estimate, and the m/k intersection rule, each beside "
+        "its exact count. Hash-provable order statistics — the "
+        "sketch family's exact-twin counterpart to the rows-only HLL."
+    ),
+    tables=("events",),
+)

@@ -204,3 +204,40 @@ def test_ndcg_replays_from_the_run_rankings(spark, sf_dir):
     assert got["idcg_q"] == idcg
     assert got["ndcg_at_10"] == float(dcg) / float(idcg)
     assert 0.0 <= got["ndcg_at_10"] <= 1.0
+
+
+def test_kmv_sketch_replays_in_pure_python(spark, sf_dir):
+    """The whole KMV pipeline (32-bit md5 values, bottom-k order
+    statistics, (k-1)*2^32 DIV v_k estimator, union merge, m/k
+    intersection rule, small-set short-circuit) must replay exactly
+    from hashlib — the property that makes this the sketch family's
+    hash-provable member."""
+    import hashlib
+
+    _ensure_loaded()
+    k = 12
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select("event_type", "user_id").collect()
+    h32 = lambda u: int(  # noqa: E731
+        hashlib.md5(str(u).encode()).hexdigest()[:8], 16
+    )
+    a = {h32(r["user_id"]) for r in rows if r["event_type"] == "click"}
+    b = {h32(r["user_id"]) for r in rows if r["event_type"] == "purchase"}
+    u = a | b
+
+    def est(s):
+        sk = sorted(s)[:k]
+        return len(sk) if len(sk) < k else (k - 1) * 4294967296 // max(sk)
+
+    sk_u = sorted(u)[:k]
+    m = sum(1 for h in sk_u if h in a and h in b)
+    got = REGISTRY["sketch_kmv_audience"].fn(spark, sf_dir).collect()[0]
+    assert got["k"] == k
+    assert got["est_a"] == est(a)
+    assert got["est_b"] == est(b)
+    assert got["est_union"] == est(u)
+    assert got["est_inter"] == m * est(u) // len(sk_u)
+    assert got["exact_a"] == len(a)
+    assert got["exact_b"] == len(b)
+    assert got["exact_union"] == len(u)
+    assert got["exact_inter"] == len(a & b)
