@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aws_etl_spark.ops.corpus import duckdb_bucket_sql
 from aws_etl_spark.queries.registry import load_table, register, sql_query
 
 # --------------------------------------------------------------------------
@@ -318,3 +319,61 @@ def q_customers_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survivor_acctbal",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Differential-privacy count release (Laplace mechanism) with a
+# REPLAYABLE noise stream: u is the group's salted 16-bit md5 coin
+# mapped to (0,1) as (2b+1)/131072 (odd numerator — never exactly 0,
+# 1/2 or 1), and Laplace(1/eps) noise comes from the inverse CDF
+# (ln(2u) below the median, -ln(2-2u) above), micro-quantized with
+# the house FLOOR(ln·1e6) rule so both engines agree bit-for-bit.
+# Per-nation counts with eps = 1 and sensitivity 1; the true count is
+# included alongside the release because this registry row proves the
+# MECHANISM (a production release would withhold it). One grouped
+# count + constant-size noise arithmetic; the noise stream is
+# append-stable — re-running the release never re-rolls it.
+# --------------------------------------------------------------------------
+
+def _dp_sql(bucket, vchar: str) -> str:
+    coin = bucket(f"CONCAT('dp:', CAST(c_nationkey AS {vchar}))")
+    return f"""
+WITH g AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS true_count,
+         CAST({coin} AS BIGINT) AS b
+  FROM customer GROUP BY c_nationkey
+),
+n AS (
+  SELECT c_nationkey, true_count,
+         CASE WHEN 2 * b + 1 < 65536
+              THEN CAST(FLOOR(LN((2 * b + 1) / CAST(65536 AS DOUBLE)) * 1000000)
+                        AS BIGINT)
+              ELSE -CAST(FLOOR(LN((131071 - 2 * b) / CAST(65536 AS DOUBLE)) * 1000000)
+                         AS BIGINT)
+         END AS noise_q6
+  FROM g
+)
+SELECT c_nationkey, true_count, noise_q6,
+       true_count * 1000000 + noise_q6 AS released_count_q6,
+       CAST(1.0 AS DOUBLE) AS epsilon
+FROM n
+"""
+
+
+sql_query(
+    "privacy_dp_counts",
+    _dp_sql(
+        lambda k: f"CAST(CONV(SUBSTRING(MD5({k}), 1, 4), 16, 10) AS INT)",
+        "STRING",
+    ),
+    oracle=_dp_sql(duckdb_bucket_sql, "VARCHAR"),
+    category="governance",
+    doc=(
+        "Laplace-mechanism DP count release per nation (eps=1, "
+        "sensitivity 1) with a deterministic, append-stable noise "
+        "stream: inverse-CDF noise from the salted md5 coin, "
+        "micro-quantized ln. True count included to prove the "
+        "mechanism; a production release withholds it."
+    ),
+    tables=("customer",),
+)

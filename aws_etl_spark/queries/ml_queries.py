@@ -15,6 +15,7 @@ needs and every naive implementation gets wrong:
 
 from __future__ import annotations
 
+from aws_etl_spark.ops.corpus import duckdb_bucket_sql
 from aws_etl_spark.queries.registry import sql_query
 
 # --------------------------------------------------------------------------
@@ -332,4 +333,64 @@ sql_query(
         "pipelines run before scorecards/GBMs."
     ),
     tables=("orders",),
+)
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (the hashing trick, Weinberger et al. 2009): map an
+# unbounded categorical vocabulary into a FIXED 64-bucket feature
+# space with a signed hash — bucket = md5 coin % 64, sign from the
+# next coin bit — so downstream models take a constant-width vector
+# regardless of vocabulary growth, and collisions cancel in
+# expectation instead of biasing up. Features here are the customer's
+# (nation, segment) one-hot pairs; output = the 64-bucket hashed
+# aggregate plus the collision audit (distinct original features per
+# bucket) a feature pipeline must watch. One scan, one 64-row agg;
+# vocabulary size never enters the plan.
+# --------------------------------------------------------------------------
+
+def _feat_hash_sql(bucket, vchar: str, intmod) -> str:
+    key = f"CONCAT('nat=', CAST(c_nationkey AS {vchar}), ':seg=', c_mktsegment)"
+    coin = bucket(key)
+    b = intmod(coin, "64")
+    # sign from an independent bit of the same 16-bit coin (bit 6)
+    sign_key = f"CONCAT({key}, ':sign')"
+    sign = f"CASE WHEN {intmod(bucket(sign_key), '2')} = 0 THEN 1 ELSE -1 END"
+    return f"""
+WITH feat AS (
+  SELECT {key} AS f, CAST({b} AS BIGINT) AS bucket,
+         CAST({sign} AS BIGINT) AS sgn
+  FROM customer
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT f) AS BIGINT) AS n_features,
+       CAST(SUM(sgn) AS BIGINT) AS signed_sum
+FROM feat
+GROUP BY bucket
+"""
+
+
+sql_query(
+    "ml_feature_hashing",
+    _feat_hash_sql(
+        lambda k: f"CAST(CONV(SUBSTRING(MD5({k}), 1, 4), 16, 10) AS INT)",
+        "STRING",
+        lambda a, b: f"({a}) % ({b})",
+    ),
+    oracle=_feat_hash_sql(
+        duckdb_bucket_sql,
+        "VARCHAR",
+        lambda a, b: f"({a}) % ({b})",
+    ),
+    category="ml",
+    doc=(
+        "Feature hashing (the hashing trick): (nation, segment) "
+        "one-hot features signed-hashed into a fixed 64-bucket space "
+        "via md5 coins — constant-width model input at any vocabulary "
+        "size. Per bucket: row count, distinct-feature collision "
+        "audit, and the signed sum whose collisions cancel in "
+        "expectation."
+    ),
+    tables=("customer",),
 )

@@ -302,7 +302,11 @@ _DRIVER_ORDER = (
     "search_eval_ndcg",
     "sketch_kmv_audience",
     # ---- end of the 50-query round-7 window ----
+    # post-window late additions (gates 1+2 hash-prove them this
+    # round; they queue FIRST for the round-8 window) and the two
     # deferred rows-only refreshes (fresh r6 "ran" rows; see block 1)
+    "ml_feature_hashing",
+    "privacy_dp_counts",
     "agg_approx_distinct",
     "sample_stratified",
     # -- block 3 (re-confirmation of oldest hash evidence) was fully

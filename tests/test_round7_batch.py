@@ -241,3 +241,33 @@ def test_kmv_sketch_replays_in_pure_python(spark, sf_dir):
     assert got["exact_b"] == len(b)
     assert got["exact_union"] == len(u)
     assert got["exact_inter"] == len(a & b)
+
+
+def test_dp_noise_stream_replays_in_pure_python(spark, sf_dir):
+    """The Laplace release must replay exactly from hashlib + math:
+    coin -> inverse CDF branch -> FLOOR(ln*1e6) quantization; the
+    released value is true_count*1e6 + noise. Also pins the noise
+    stream's determinism contract: same group key -> same noise on
+    every run (append-stable, never re-rolled)."""
+    import hashlib
+
+    _ensure_loaded()
+    rows = REGISTRY["privacy_dp_counts"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        b = int(
+            hashlib.md5(f"dp:{r['c_nationkey']}".encode()).hexdigest()[:4],
+            16,
+        )
+        if 2 * b + 1 < 65536:
+            expect = math.floor(math.log((2 * b + 1) / 65536.0) * 1e6)
+        else:
+            expect = -math.floor(
+                math.log((131071 - 2 * b) / 65536.0) * 1e6
+            )
+        assert r["noise_q6"] == expect
+        assert (
+            r["released_count_q6"]
+            == r["true_count"] * 1000000 + r["noise_q6"]
+        )
+        assert r["epsilon"] == 1.0
