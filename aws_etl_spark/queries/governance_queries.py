@@ -330,9 +330,14 @@ def q_customers_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the house FLOOR(ln·1e6) rule so both engines agree bit-for-bit.
 # Per-nation counts with eps = 1 and sensitivity 1; the true count is
 # included alongside the release because this registry row proves the
-# MECHANISM (a production release would withhold it). One grouped
-# count + constant-size noise arithmetic; the noise stream is
-# append-stable — re-running the release never re-rolls it.
+# MECHANISM. IMPORTANT privacy caveat: determinism from a PUBLIC salt
+# is a replay-test affordance, not a DP property — anyone who knows
+# the salt recomputes the noise and inverts the release exactly
+# (effective eps = infinity). A production release must draw the salt
+# secret and per-release (and withhold true_count); the eps=1 claim
+# holds only then. One grouped count + constant-size noise
+# arithmetic; the noise stream is append-stable — re-running the
+# release never re-rolls it.
 # --------------------------------------------------------------------------
 
 def _dp_sql(bucket, vchar: str) -> str:
@@ -373,7 +378,9 @@ sql_query(
         "sensitivity 1) with a deterministic, append-stable noise "
         "stream: inverse-CDF noise from the salted md5 coin, "
         "micro-quantized ln. True count included to prove the "
-        "mechanism; a production release withholds it."
+        "mechanism; a production release withholds it AND keeps the "
+        "noise salt secret/per-release — a public salt makes the "
+        "release exactly invertible (see module comment)."
     ),
     tables=("customer",),
 )

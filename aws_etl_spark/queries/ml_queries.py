@@ -349,18 +349,22 @@ sql_query(
 # vocabulary size never enters the plan.
 # --------------------------------------------------------------------------
 
-def _feat_hash_sql(bucket, vchar: str, intmod) -> str:
+def _feat_hash_sql(bucket, vchar: str, intmod, intdiv) -> str:
     key = f"CONCAT('nat=', CAST(c_nationkey AS {vchar}), ':seg=', c_mktsegment)"
     coin = bucket(key)
-    b = intmod(coin, "64")
-    # sign from an independent bit of the same 16-bit coin (bit 6)
-    sign_key = f"CONCAT({key}, ':sign')"
-    sign = f"CASE WHEN {intmod(bucket(sign_key), '2')} = 0 THEN 1 ELSE -1 END"
+    # ONE md5 per row: bucket from bits 0-5 of the 16-bit coin, sign
+    # from bit 6 of the same coin (independent bits of one hash — the
+    # per-coin-md5 variant is the 2x cost stat_bootstrap_ci measured)
+    b = intmod("c", "64")
+    sign = f"CASE WHEN {intmod(intdiv('c', '64'), '2')} = 0 THEN 1 ELSE -1 END"
     return f"""
-WITH feat AS (
-  SELECT {key} AS f, CAST({b} AS BIGINT) AS bucket,
+WITH coins AS (
+  SELECT {key} AS f, {coin} AS c FROM customer
+),
+feat AS (
+  SELECT f, CAST({b} AS BIGINT) AS bucket,
          CAST({sign} AS BIGINT) AS sgn
-  FROM customer
+  FROM coins
 )
 SELECT bucket,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -377,11 +381,13 @@ sql_query(
         lambda k: f"CAST(CONV(SUBSTRING(MD5({k}), 1, 4), 16, 10) AS INT)",
         "STRING",
         lambda a, b: f"({a}) % ({b})",
+        lambda a, b: f"({a}) DIV ({b})",
     ),
     oracle=_feat_hash_sql(
         duckdb_bucket_sql,
         "VARCHAR",
         lambda a, b: f"({a}) % ({b})",
+        lambda a, b: f"({a}) // ({b})",
     ),
     category="ml",
     doc=(

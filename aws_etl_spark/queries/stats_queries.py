@@ -1704,12 +1704,21 @@ m AS (
   FROM sk_u
   WHERE h IN (SELECT h FROM a_h) AND h IN (SELECT h FROM b_h)
 ),
+a_u AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+b_u AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
 exact AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a_h) AS exact_a,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM b_h) AS exact_b,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM u_h) AS exact_union,
+  -- exact counts over user_id itself, NOT the 32-bit hash space
+  -- (hash-space counts silently undercount by birthday collisions
+  -- at ~1e5+ users; the estimates are hash-space by nature, the
+  -- ground truth must not be)
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a_u) AS exact_a,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM b_u) AS exact_b,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT user_id FROM a_u UNION SELECT user_id FROM b_u) uu)
+           AS exact_union,
          (SELECT CAST(COUNT(*) AS BIGINT)
-          FROM a_h WHERE h IN (SELECT h FROM b_h)) AS exact_inter
+          FROM a_u WHERE user_id IN (SELECT user_id FROM b_u))
+           AS exact_inter
 )
 SELECT CAST({k} AS BIGINT) AS k,
        est_a.v AS est_a,

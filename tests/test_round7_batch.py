@@ -221,8 +221,10 @@ def test_kmv_sketch_replays_in_pure_python(spark, sf_dir):
     h32 = lambda u: int(  # noqa: E731
         hashlib.md5(str(u).encode()).hexdigest()[:8], 16
     )
-    a = {h32(r["user_id"]) for r in rows if r["event_type"] == "click"}
-    b = {h32(r["user_id"]) for r in rows if r["event_type"] == "purchase"}
+    a_users = {r["user_id"] for r in rows if r["event_type"] == "click"}
+    b_users = {r["user_id"] for r in rows if r["event_type"] == "purchase"}
+    a = {h32(u) for u in a_users}
+    b = {h32(u) for u in b_users}
     u = a | b
 
     def est(s):
@@ -237,10 +239,12 @@ def test_kmv_sketch_replays_in_pure_python(spark, sf_dir):
     assert got["est_b"] == est(b)
     assert got["est_union"] == est(u)
     assert got["est_inter"] == m * est(u) // len(sk_u)
-    assert got["exact_a"] == len(a)
-    assert got["exact_b"] == len(b)
-    assert got["exact_union"] == len(u)
-    assert got["exact_inter"] == len(a & b)
+    # ground truth is USER-space distinct counts, not hash-space —
+    # hash-space "exact" would undercount by birthday collisions
+    assert got["exact_a"] == len(a_users)
+    assert got["exact_b"] == len(b_users)
+    assert got["exact_union"] == len(a_users | b_users)
+    assert got["exact_inter"] == len(a_users & b_users)
 
 
 def test_dp_noise_stream_replays_in_pure_python(spark, sf_dir):
