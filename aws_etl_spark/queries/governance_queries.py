@@ -384,3 +384,103 @@ sql_query(
     ),
     tables=("customer",),
 )
+
+
+# --------------------------------------------------------------------------
+# t-closeness — the third rung of the privacy ladder (k-anonymity:
+# group size; l-diversity: distinct sensitive values; t-closeness:
+# the group's sensitive-value DISTRIBUTION must stay close to the
+# table-wide one, or skew itself discloses). For the categorical
+# segment attribute the distance is total variation:
+#     t_g = 1/2 * sum_s | Q_g(s) - P(s) |
+# made integer-exact over the common denominator n_g * N:
+#     t_num_g = sum_s | c_{g,s} * N - C_s * n_g |,  t_g = t_num/(2 n_g N)
+# (c*N fits BIGINT to ~3e9 rows; beyond that re-base to DECIMAL).
+# Plan: one (QI, segment) grouped count, two bounded rollups, a
+# broadcast join of the 5-row global distribution, one division at
+# the boundary. Output = the family-style risk profile: t-bucket
+# distribution over groups plus the worst group's t.
+# --------------------------------------------------------------------------
+
+def _tclose_sql(intdiv) -> str:
+    bal = intdiv(
+        "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000",
+        "100000",
+    )
+    return f"""
+WITH q AS (
+  SELECT c_nationkey, {bal} AS bal_band, c_mktsegment
+  FROM customer
+),
+cell AS (
+  SELECT c_nationkey, bal_band, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM q GROUP BY c_nationkey, bal_band, c_mktsegment
+),
+grp AS (
+  SELECT c_nationkey, bal_band, CAST(SUM(c) AS BIGINT) AS n_g
+  FROM cell GROUP BY c_nationkey, bal_band
+),
+gseg AS (
+  SELECT c_mktsegment, CAST(SUM(c) AS BIGINT) AS c_s
+  FROM cell GROUP BY c_mktsegment
+),
+tot AS (SELECT CAST(SUM(c_s) AS BIGINT) AS n FROM gseg),
+-- every (group x segment) pair, including zero cells (a segment the
+-- group lacks still contributes |0 - C_s * n_g|)
+spread AS (
+  SELECT g.c_nationkey, g.bal_band, g.n_g, gl.c_mktsegment, gl.c_s,
+         COALESCE(cell.c, 0) AS c
+  FROM grp g CROSS JOIN gseg gl
+  LEFT JOIN cell
+    ON cell.c_nationkey = g.c_nationkey
+   AND cell.bal_band = g.bal_band
+   AND cell.c_mktsegment = gl.c_mktsegment
+),
+tg AS (
+  SELECT c_nationkey, bal_band, n_g,
+         CAST(SUM(ABS(c * (SELECT n FROM tot) - c_s * n_g)) AS BIGINT)
+           AS t_num
+  FROM spread
+  GROUP BY c_nationkey, bal_band, n_g
+),
+scored AS (
+  SELECT n_g,
+         CAST(t_num AS DOUBLE)
+           / (2.0 * n_g * (SELECT n FROM tot)) AS t
+  FROM tg
+),
+b AS (
+  SELECT CASE WHEN t <= 0.1 THEN '<=0.10'
+              WHEN t <= 0.2 THEN '<=0.20'
+              WHEN t <= 0.35 THEN '<=0.35'
+              ELSE '>0.35' END AS t_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(n_g) AS BIGINT) AS n_rows
+  FROM scored GROUP BY 1
+),
+tt AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM b)
+SELECT b.t_bucket, b.n_groups, b.n_rows,
+       CAST(b.n_rows AS DOUBLE) / tt.total AS row_share,
+       (SELECT MAX(t) FROM scored) AS worst_t
+FROM b CROSS JOIN tt
+"""
+
+
+sql_query(
+    "privacy_t_closeness",
+    _tclose_sql(lambda a, b: f"({a}) DIV ({b})"),
+    oracle=_tclose_sql(lambda a, b: f"({a}) // ({b})"),
+    category="governance",
+    doc=(
+        "t-closeness risk profile for QI (nation, $1000 balance band) "
+        "with market segment as the sensitive attribute: per-group "
+        "total-variation distance to the table-wide segment "
+        "distribution, integer-exact over the common denominator, "
+        "bucketed (<=0.10 / <=0.20 / <=0.35 / >0.35) with the worst "
+        "group's t. Completes the k-anonymity -> l-diversity -> "
+        "t-closeness ladder: a group can be large AND diverse yet "
+        "still disclose through distribution skew."
+    ),
+    tables=("customer",),
+)

@@ -307,6 +307,7 @@ _DRIVER_ORDER = (
     # deferred rows-only refreshes (fresh r6 "ran" rows; see block 1)
     "ml_feature_hashing",
     "privacy_dp_counts",
+    "privacy_t_closeness",
     "agg_approx_distinct",
     "sample_stratified",
     # -- block 3 (re-confirmation of oldest hash evidence) was fully

@@ -1726,8 +1726,13 @@ SELECT CAST({k} AS BIGINT) AS k,
        est_u.v AS est_union,
        CAST({intdiv("m.m * est_u.v", "est_u.n_sk")} AS BIGINT)
          AS est_inter,
+       -- set difference by inclusion-exclusion on the sketches:
+       -- |A \\ B| = |A u B| - |B| (never negative: est_union >= est_b
+       -- holds because the union sketch's v_k <= sk_b's v_k)
+       est_u.v - est_b.v AS est_diff_a,
        exact.exact_a, exact.exact_b, exact.exact_union,
-       exact.exact_inter
+       exact.exact_inter,
+       exact.exact_union - exact.exact_b AS exact_diff_a
 FROM est_a CROSS JOIN est_b CROSS JOIN est_u CROSS JOIN m
 CROSS JOIN exact
 """

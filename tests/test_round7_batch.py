@@ -239,6 +239,9 @@ def test_kmv_sketch_replays_in_pure_python(spark, sf_dir):
     assert got["est_b"] == est(b)
     assert got["est_union"] == est(u)
     assert got["est_inter"] == m * est(u) // len(sk_u)
+    assert got["est_diff_a"] == est(u) - est(b)
+    assert got["est_diff_a"] >= 0
+    assert got["exact_diff_a"] == len(a_users | b_users) - len(b_users)
     # ground truth is USER-space distinct counts, not hash-space —
     # hash-space "exact" would undercount by birthday collisions
     assert got["exact_a"] == len(a_users)
@@ -275,3 +278,58 @@ def test_dp_noise_stream_replays_in_pure_python(spark, sf_dir):
             == r["true_count"] * 1000000 + r["noise_q6"]
         )
         assert r["epsilon"] == 1.0
+
+
+def test_t_closeness_replays_in_pure_python(spark, sf_dir):
+    """Bucketed t-closeness must equal a dict-based replay of the
+    integer total-variation formula t = sum|c*N - C_s*n_g| / (2*n_g*N),
+    including zero cells (a segment a group lacks still contributes)."""
+    from collections import Counter, defaultdict
+
+    _ensure_loaded()
+    cust = load_table(spark, sf_dir, "customer").collect()
+    cells: Counter = Counter()
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for r in cust:
+        # replay Spark's double -> DECIMAL(12,2) cast: BigDecimal of
+        # the shortest repr, HALF_UP to 2 decimals
+        cents = int(
+            Decimal(repr(r["c_acctbal"])).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP
+            )
+            * 100
+        )
+        band = (cents + 100000) // 100000
+        cells[(r["c_nationkey"], band, r["c_mktsegment"])] += 1
+    glob: Counter = Counter()
+    grp: Counter = Counter()
+    for (nat, band, seg), c in cells.items():
+        glob[seg] += c
+        grp[(nat, band)] += c
+    n = sum(glob.values())
+    scored = {}
+    for (nat, band), n_g in grp.items():
+        t_num = sum(
+            abs(cells.get((nat, band, seg), 0) * n - c_s * n_g)
+            for seg, c_s in glob.items()
+        )
+        scored[(nat, band)] = (t_num, n_g)
+    buckets: dict = defaultdict(lambda: [0, 0])
+    for t_num, n_g in scored.values():
+        t = t_num / (2.0 * n_g * n)
+        k = ("<=0.10" if t <= 0.1 else "<=0.20" if t <= 0.2
+             else "<=0.35" if t <= 0.35 else ">0.35")
+        buckets[k][0] += 1
+        buckets[k][1] += n_g
+    worst = max(t_num / (2.0 * n_g * n) for t_num, n_g in scored.values())
+    got = {
+        r["t_bucket"]: r
+        for r in REGISTRY["privacy_t_closeness"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(buckets)
+    for k, (n_groups, n_rows) in buckets.items():
+        assert got[k]["n_groups"] == n_groups
+        assert got[k]["n_rows"] == n_rows
+        assert got[k]["row_share"] == n_rows / float(n)
+        assert got[k]["worst_t"] == worst
