@@ -149,6 +149,20 @@ def main() -> None:
     # small enough to survive the driver's output capture).
     detail = dict(record, queries=timings)
     (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
+    # Round-stamped archive so the all-query 2x comparison survives
+    # tree churn (BENCH_DETAIL.json is overwritten by every run and
+    # gitignored; the r7 per-query history was lost that way). The
+    # round number is the one the driver will stamp on this run's
+    # BENCH_r{N}.json: one past the newest existing record.
+    rounds = [
+        int(p.stem.rsplit("_r", 1)[-1])
+        for p in REPO.glob("BENCH_r[0-9]*.json")
+        if p.stem.rsplit("_r", 1)[-1].isdigit()
+    ]
+    this_round = (max(rounds) if rounds else 0) + 1
+    (REPO / f"BENCH_DETAIL_r{this_round:02d}.json").write_text(
+        json.dumps(detail, indent=1)
+    )
     print(json.dumps(record, separators=(",", ":")))
     spark.stop()
 
