@@ -523,3 +523,85 @@ sql_query(
     ),
     tables=("documents",),
 )
+
+
+# --------------------------------------------------------------------------
+# Training-mix epoch planner: given target mixture weights and the
+# per-source token supply the corpus actually has, emit the table an
+# LLM data team plans a run from — tokens wanted per source for a
+# fixed budget, how many epochs (full passes) of each source that
+# demands, the shortfall a single epoch leaves, and the per-epoch
+# sample rate. Complements corpus_mixture_sample (which SAMPLES rows
+# by keep-rate) with the PLANNING arithmetic itself. The budget is
+# pinned to 3x the corpus's own token supply so the plan exercises
+# both the multi-epoch branch (upweighted sources) and the
+# subsample branch. Everything is exact BIGINT algebra — weights are
+# small integer literals, targets are one integer multiply/divide,
+# ceil(a/b) is the classic (a+b-1) div b — with one IEEE division at
+# the boundary for the epoch multiplier. Plan: one scan, one
+# source-grouped agg (20 groups), one scalar total joined back by
+# broadcast; linear at any corpus size.
+# --------------------------------------------------------------------------
+
+# Head-heavy target mixture (a curated head source dominates, the
+# long tail is down-weighted): with the 3x-supply budget over 20
+# equal-supply sources this exercises BOTH planner branches — head
+# sources need multiple epochs, weight-1 tail sources get a <1
+# multiplier (subsample).
+_EPOCH_WEIGHT_CASE = (
+    "CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 20 "
+    "WHEN 'src2' THEN 10 ELSE 1 END"
+)
+
+
+def _epoch_sql(nwords: str, intdiv) -> str:
+    return f"""
+WITH supply AS (
+  SELECT source,
+         {_EPOCH_WEIGHT_CASE} AS weight,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({nwords}) AS BIGINT) AS supply_tokens
+  FROM documents
+  GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(weight) AS BIGINT) AS wsum,
+         CAST(3 * SUM(supply_tokens) AS BIGINT) AS budget
+  FROM supply
+),
+plan AS (
+  SELECT s.source, s.weight, s.n_docs, s.supply_tokens,
+         CAST({intdiv("s.weight * t.budget", "t.wsum")} AS BIGINT)
+           AS target_tokens
+  FROM supply s CROSS JOIN tot t
+)
+SELECT source, weight, n_docs, supply_tokens, target_tokens,
+       CAST({intdiv("target_tokens + supply_tokens - 1", "supply_tokens")}
+            AS BIGINT) AS epochs_needed,
+       CAST(GREATEST(target_tokens - supply_tokens, 0) AS BIGINT)
+         AS deficit_tokens,
+       CAST(target_tokens AS DOUBLE) / supply_tokens AS epoch_multiplier
+FROM plan
+ORDER BY source
+"""
+
+
+sql_query(
+    "corpus_epoch_planner",
+    _epoch_sql(
+        "size(split(trim(text), ' '))", lambda a, b: f"({a}) DIV ({b})"
+    ),
+    oracle=_epoch_sql(
+        "LEN(STRING_SPLIT(TRIM(text), ' '))", lambda a, b: f"({a}) // ({b})"
+    ),
+    category="corpus",
+    doc=(
+        "Per-source training-mix epoch planner: target tokens = "
+        "weight/wsum of a 3x-supply budget, epochs = ceil(target/"
+        "supply) via (a+b-1) div b, single-epoch deficit, and the "
+        "epoch multiplier (>1 means repeat the source, <1 means "
+        "subsample). Exact BIGINT algebra over one source-grouped "
+        "agg; the scalar budget row broadcasts back."
+    ),
+    tables=("documents",),
+)

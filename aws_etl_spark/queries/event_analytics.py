@@ -448,3 +448,231 @@ sql_query(
     ),
     tables=("events",),
 )
+
+
+# --------------------------------------------------------------------------
+# Session-boundary A/B exposure attribution with a two-model uplift
+# readout. stat_ab_experiment reads out an ALL-USERS experiment; real
+# feature experiments only count a user from the moment a session
+# actually showed the feature (exposure), or dilution buries the
+# effect. Assignment is the shared salted-md5 coin (sticky, no
+# assignment table); exposure = the START of the user's first session
+# containing a qualifying event (event_type = 'click' — the feature
+# surface); conversion = any purchase at/after the exposure moment.
+# The readout is the two-model (T-learner at the aggregate level)
+# uplift: per-arm conversion rate among exposed users, differenced.
+# All counts are exact BIGINTs; each rate is one IEEE division and
+# the uplift is one subtraction of those — identical op sequence on
+# both engines. Plan: the user-partitioned sessionization window
+# (parallelism grows with users), two user-keyed reduces, a per-user
+# purchase-after-exposure join, then constant-size arm aggregates.
+# --------------------------------------------------------------------------
+
+def _uplift_sql(bucket, vchar: str, declared) -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) >
+                   LAG(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+g AS (
+  SELECT user_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM s
+),
+sess AS (
+  SELECT user_id, session_seq, MIN(ts) AS session_start,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           AS has_exposure
+  FROM g GROUP BY user_id, session_seq
+),
+exposure AS (
+  SELECT user_id, MIN(session_start) AS exposure_ts
+  FROM sess WHERE has_exposure = 1 GROUP BY user_id
+),
+conv AS (
+  SELECT x.user_id,
+         MAX(CASE WHEN e.event_type = 'purchase'
+                  AND CAST(e.ts AS TIMESTAMP) >= x.exposure_ts
+             THEN 1 ELSE 0 END) AS converted
+  FROM exposure x JOIN events e ON e.user_id = x.user_id
+  GROUP BY x.user_id
+),
+arms AS (
+  SELECT ({bucket(f"CONCAT('exp2:', CAST(user_id AS {vchar}))")} % 2)
+           AS variant,
+         converted
+  FROM conv
+),
+v AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS exposed_users,
+         CAST(SUM(converted) AS BIGINT) AS converters
+  FROM arms GROUP BY variant
+),
+r AS (
+  SELECT variant, exposed_users, converters,
+         CAST(converters AS DOUBLE) / exposed_users AS conversion_rate
+  FROM v
+)
+SELECT variant, exposed_users, converters, conversion_rate,
+       MAX(CASE WHEN variant = 1 THEN conversion_rate END)
+         OVER (PARTITION BY __g)
+       - MAX(CASE WHEN variant = 0 THEN conversion_rate END)
+         OVER (PARTITION BY __g) AS uplift
+FROM {declared("r")}
+ORDER BY variant
+"""
+
+
+def _uplift_spark() -> str:
+    from aws_etl_spark.queries.sql_seams import spark_declared
+    from aws_etl_spark.queries.stats_queries import _spark_bucket
+
+    return _uplift_sql(_spark_bucket, "STRING", spark_declared)
+
+
+def _uplift_duck() -> str:
+    from aws_etl_spark.ops.corpus import duckdb_bucket_sql
+    from aws_etl_spark.queries.sql_seams import duck_declared
+
+    return _uplift_sql(duckdb_bucket_sql, "VARCHAR", duck_declared)
+
+
+sql_query(
+    "events_ab_exposure_uplift",
+    _uplift_spark(),
+    oracle=_uplift_duck(),
+    category="events",
+    doc=(
+        "Session-boundary A/B exposure attribution: md5-coin "
+        "assignment, exposure = start of the first 30-min-gap session "
+        "containing a click, conversion = purchase at/after exposure, "
+        "read out as per-arm conversion among EXPOSED users plus the "
+        "two-model uplift difference. Exact counts, two IEEE "
+        "divisions and one subtraction at the boundary."
+    ),
+    tables=("events",),
+)
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier time-to-event survival — the product-analytics
+# estimator for "how long until a user first does X" that handles
+# CENSORING correctly (users who haven't done X by the study horizon
+# are not failures, and naive waiting-time averages that drop them
+# are biased). Event of interest = first high-value purchase
+# (value >= 250 — rare enough that most users remain censored, the
+# regime KM exists for; activity-based churn is degenerate on this
+# synthetic month where every user stays active to the horizon).
+# Duration = days from a user's first event to the qualifying
+# purchase (death) or to the horizon (censored). The product-limit
+# estimator S(t) = prod(1 -
+# d_i/n_i) is computed in log space: each factor's ln is
+# micro-quantized (the corpus FLOOR(LN(x)*1e6) idiom) so the running
+# product is an exact BIGINT prefix sum over the day spine, with the
+# at-risk counts n_i derived from the same spine by prefix-summing
+# exits. The spine is calendar-bounded (<= 31 distinct durations), so
+# both windows run inside the declared-single-partition seam — the
+# CUSUM/KS shape. The only data-sized stage is the per-user reduce.
+# --------------------------------------------------------------------------
+
+def _km_sql(daydiff, declared) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+  FROM events
+),
+horizon AS (SELECT CAST(MAX(ts) AS DATE) AS study_end FROM e),
+u AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS birth,
+         MIN(CASE WHEN event_type = 'purchase' AND value >= 250
+                  THEN CAST(ts AS DATE) END) AS hit
+  FROM e GROUP BY user_id
+),
+obs AS (
+  SELECT CASE WHEN u.hit IS NOT NULL
+              THEN {daydiff("u.birth", "u.hit")}
+              ELSE {daydiff("u.birth", "h.study_end")} END AS t,
+         CASE WHEN u.hit IS NOT NULL THEN 1 ELSE 0 END AS d
+  FROM u CROSS JOIN horizon h
+),
+per_t AS (
+  SELECT t, CAST(SUM(d) AS BIGINT) AS deaths,
+         CAST(COUNT(*) AS BIGINT) AS exits
+  FROM obs GROUP BY t
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM obs),
+spine AS (
+  SELECT p.t, p.deaths, p.exits, tot.n_users FROM per_t p CROSS JOIN tot
+),
+risk AS (
+  SELECT t, deaths, exits,
+         CAST(n_users - COALESCE(
+           SUM(exits) OVER (PARTITION BY __g ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS at_risk
+  FROM {declared("spine")}
+),
+terms AS (
+  SELECT t, deaths, exits - deaths AS censored, at_risk,
+         CASE WHEN deaths = 0 THEN CAST(0 AS BIGINT)
+              WHEN deaths < at_risk THEN
+                CAST(FLOOR(LN(CAST(at_risk - deaths AS DOUBLE) / at_risk)
+                           * 1000000) AS BIGINT)
+              ELSE CAST(-138000000 AS BIGINT) END AS lq,
+         CASE WHEN deaths >= at_risk THEN 1 ELSE 0 END AS extinct
+  FROM risk
+),
+km AS (
+  SELECT t, deaths, censored, at_risk,
+         CAST(SUM(lq) OVER (PARTITION BY __g ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS log_surv_micros,
+         MAX(extinct) OVER (PARTITION BY __g ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS extinct_cum
+  FROM {declared("terms")}
+)
+SELECT t AS duration_days, at_risk, deaths, censored, log_surv_micros,
+       CASE WHEN extinct_cum = 1 THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR(EXP(CAST(log_surv_micros AS DOUBLE) / 1000000)
+                            * 1000000) AS BIGINT) END AS km_survival_e6
+FROM km
+ORDER BY t
+"""
+
+
+def _km_spark() -> str:
+    from aws_etl_spark.queries.sql_seams import spark_declared
+
+    return _km_sql(lambda a, b: f"DATEDIFF({b}, {a})", spark_declared)
+
+
+def _km_duck() -> str:
+    from aws_etl_spark.queries.sql_seams import duck_declared
+
+    return _km_sql(lambda a, b: f"DATE_DIFF('day', {a}, {b})", duck_declared)
+
+
+sql_query(
+    "events_survival_km",
+    _km_spark(),
+    oracle=_km_duck(),
+    category="events",
+    doc=(
+        "Kaplan-Meier time-to-event survival with right-censoring: "
+        "event = first high-value purchase (value >= 250), duration = "
+        "first event to the hit or to the horizon (censored); S(t) = "
+        "prod(1 - "
+        "d_i/n_i) as an exact micro-quantized log-space prefix sum "
+        "over the <=31-row day spine (declared-single-partition), "
+        "at-risk counts by prefix-summing exits. Per-user reduce is "
+        "the only data-sized stage."
+    ),
+    tables=("events",),
+)

@@ -1728,3 +1728,160 @@ sql_query(
     ),
     tables=("documents",),
 )
+
+
+# --------------------------------------------------------------------------
+# Readability scoring (Flesch reading ease, vowel-group syllable
+# heuristic). The classic pre-training quality gate the corpus's
+# C4/Gopher/surprisal/cross-entropy family still lacked: score =
+# 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words). All
+# three counts are exact integers (split length + two regexp match
+# counts), so the score is the single IEEE division of two exact
+# BIGINT polynomials:
+#   num = 206835*S*W - 1015*W^2 - 84600*Y*S,  den = 1000*S*W
+# and the band thresholds compare num against k*den in exact integer
+# space — no float ever enters a comparison. Per-row map, no shuffle;
+# linear at any scale and trivially partition-parallel.
+# --------------------------------------------------------------------------
+
+def _readability_sql(nwords: str, ngroups) -> str:
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(GREATEST({nwords}, 1) AS BIGINT) AS n_words,
+         CAST(GREATEST({ngroups("text", "[.!?]+")}, 1) AS BIGINT)
+           AS n_sentences,
+         CAST(GREATEST({ngroups("lower(text)", "[aeiouy]+")}, 1) AS BIGINT)
+           AS n_syllables
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_words, n_sentences, n_syllables,
+         206835 * n_sentences * n_words
+           - 1015 * n_words * n_words
+           - 84600 * n_syllables * n_sentences AS num,
+         1000 * n_sentences * n_words AS den
+  FROM m
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(num AS DOUBLE) / den AS flesch,
+       CASE WHEN num >= 70 * den THEN 'easy'
+            WHEN num >= 50 * den THEN 'standard'
+            WHEN num >= 30 * den THEN 'difficult'
+            ELSE 'very_difficult' END AS readability_band
+FROM f
+"""
+
+
+sql_query(
+    "text_readability_score",
+    _readability_sql(
+        "size(split(trim(text), ' '))",
+        lambda col, pat: f"regexp_count({col}, '{pat}')",
+    ),
+    oracle=_readability_sql(
+        "LEN(STRING_SPLIT(TRIM(text), ' '))",
+        lambda col, pat: f"LEN(REGEXP_EXTRACT_ALL({col}, '{pat}'))",
+    ),
+    category="text",
+    doc=(
+        "Flesch reading-ease per document with the vowel-group "
+        "syllable heuristic: words = space-split length, sentences = "
+        "[.!?]+ group count, syllables = [aeiouy]+ group count (all "
+        "GREATEST(...,1)-guarded exact integers). The score is one "
+        "IEEE division of exact BIGINT polynomials and the difficulty "
+        "band is decided by integer comparisons (num vs k*den) — no "
+        "float comparison anywhere. Pure per-row map; no shuffle."
+    ),
+    tables=("documents",),
+)
+
+
+# --------------------------------------------------------------------------
+# Zipf law fit over the corpus word-frequency distribution: the
+# rank-frequency diagnostic (alongside the existing Heaps-law fit)
+# that tells a data team whether a source's token distribution is
+# natural-language-shaped or degenerate (boilerplate / spam collapse
+# the slope toward 0; natural text sits near -1). Least squares of
+# ln f on ln r over the top-100 ranks. ln values are micro-quantized
+# BIGINTs (the corpus's proven FLOOR(LN(x)*1e6) idiom), so all five
+# regression sums are exact integers; the normal-equation arithmetic
+# then runs in double where both engines perform the identical IEEE
+# op sequence on identical inputs. Plan: token explode -> map-side-
+# combined word count -> top-100 TakeOrdered cut -> 100-row bounded
+# window inside the declared-single-partition seam -> one scalar agg.
+# At 100 TB the only wide stage is the vocabulary-sized word count.
+# --------------------------------------------------------------------------
+
+def _zipf_sql(tok: str, declared) -> str:
+    return f"""
+WITH tok AS (
+  SELECT w FROM (SELECT {tok} AS w FROM documents) WHERE w <> ''
+),
+freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY w),
+topk AS (SELECT w, f FROM freq ORDER BY f DESC, w LIMIT 100),
+ranked AS (
+  SELECT f,
+         ROW_NUMBER() OVER (PARTITION BY __g ORDER BY f DESC, w) AS r
+  FROM {declared("topk")}
+),
+q AS (
+  SELECT CAST(FLOOR(LN(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS xq,
+         CAST(FLOOR(LN(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS yq
+  FROM ranked
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xq) AS BIGINT) AS sx,
+         CAST(SUM(yq) AS BIGINT) AS sy,
+         CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+         CAST(SUM(xq * xq) AS BIGINT) AS sxx
+  FROM q
+),
+fit AS (
+  SELECT n, sx, sy,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+  FROM s
+)
+SELECT n AS n_ranks,
+       slope AS zipf_slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE) AS zipf_intercept_ln
+FROM fit
+"""
+
+
+def _zipf_spark() -> str:
+    from aws_etl_spark.queries.sql_seams import spark_declared
+
+    return _zipf_sql("explode(split(trim(lower(text)), ' '))", spark_declared)
+
+
+def _zipf_duck() -> str:
+    from aws_etl_spark.queries.sql_seams import duck_declared
+
+    return _zipf_sql(
+        "unnest(string_split(trim(lower(text)), ' '))", duck_declared
+    )
+
+
+sql_query(
+    "text_zipf_fit",
+    _zipf_spark(),
+    oracle=_zipf_duck(),
+    category="text",
+    doc=(
+        "Zipf rank-frequency fit: least squares of ln(frequency) on "
+        "ln(rank) over the top-100 corpus words (freq desc, word asc "
+        "tiebreak). ln terms are micro-quantized BIGINTs so the five "
+        "regression sums are exact; slope/intercept are a fixed IEEE "
+        "expression over those exact sums. Natural text fits near "
+        "slope -1; boilerplate collapses toward 0. One vocabulary "
+        "agg + a broadcastable top-100 cut — the bounded ranking runs "
+        "inside the declared-single-partition seam."
+    ),
+    tables=("documents",),
+)

@@ -400,3 +400,74 @@ sql_query(
     ),
     tables=("customer",),
 )
+
+
+# --------------------------------------------------------------------------
+# Smoothed target encoding — the standard high-cardinality categorical
+# feature transform (replace a category with its shrunk label rate).
+# Label = customer ever placed a fulfilled ('F') order; categories =
+# c_mktsegment and c_nationkey, emitted as one long (feature,
+# category) table the way a feature store materializes encoders.
+# Shrinkage enc = (pos_g + m*p_global)/(n_g + m) with prior m = 100 is
+# kept EXACT by clearing denominators:
+#   enc = (pos_g*n_all + m*pos_all) / (n_all*(n_g + m))
+# — two BIGINT polynomials, one IEEE division at the boundary; the
+# lift ratio multiplies on n_all/pos_all in DOUBLE (the all-integer
+# form would cube a row-count and overflow int64 at ~1e9 users). Plan:
+# one
+# customer⨝orders semi-style label agg (map-side combined), two
+# category-grouped reduces over the labeled users, a UNION ALL, and a
+# broadcast scalar total. Category cardinality bounds every shuffle;
+# at 100 TB the wide stage is the per-customer label reduce.
+# --------------------------------------------------------------------------
+
+_TARGET_ENC_SQL = """
+WITH labeled AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+         ) THEN 1 ELSE 0 END AS y
+  FROM customer c
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(y) AS BIGINT) AS pos_all
+  FROM labeled
+),
+cats AS (
+  SELECT 'mktsegment' AS feature, c_mktsegment AS category,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM labeled GROUP BY c_mktsegment
+  UNION ALL
+  SELECT 'nation' AS feature, CAST(c_nationkey AS STRING) AS category,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM labeled GROUP BY c_nationkey
+)
+SELECT c.feature, c.category, c.n, c.pos,
+       CAST(c.pos * t.n_all + 100 * t.pos_all AS DOUBLE)
+         / (t.n_all * (c.n + 100)) AS target_enc,
+       CAST(c.pos * t.n_all + 100 * t.pos_all AS DOUBLE)
+         / (t.n_all * (c.n + 100))
+         * CAST(t.n_all AS DOUBLE) / CAST(t.pos_all AS DOUBLE)
+           AS lift_vs_global
+FROM cats c CROSS JOIN tot t
+ORDER BY c.feature, c.category
+"""
+
+
+sql_query(
+    "ml_target_encoding",
+    _TARGET_ENC_SQL,
+    oracle=_TARGET_ENC_SQL.replace("AS STRING", "AS VARCHAR"),
+    category="ml",
+    doc=(
+        "Smoothed target encoding of c_mktsegment and c_nationkey "
+        "against the fulfilled-order label: shrunk rate (pos_g + "
+        "m*p_global)/(n_g + m) with m=100, computed as exact BIGINT "
+        "polynomials with one boundary IEEE division, plus the lift "
+        "ratio vs the global rate. Per-customer label reduce, two "
+        "bounded category aggs, broadcast scalar totals."
+    ),
+    tables=("customer", "orders"),
+)
