@@ -172,30 +172,40 @@ def ngram_jaccard_pairs(
     document frequency > ``max_df`` are dropped before the self-join
     (see module docstring; audit with :func:`dropped_shingle_count`,
     pass ``max_df=None`` for the uncapped exact join).
-    """
-    exploded = _capped_shingles(
-        df, id_col, text_col, k, max_df, "ngram_jaccard_pairs"
-    )
 
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.n_shingles").alias("na"),
-            F.col("b.n_shingles").alias("nb"),
+    The pair table is materialized once per process per (params,
+    input) and reused by later consumers — see ``ops/pair_cache.py``
+    (a fresh process computes it exactly as before).
+    """
+    from aws_etl_spark.ops.pair_cache import materialized
+
+    def build() -> DataFrame:
+        exploded = _capped_shingles(
+            df, id_col, text_col, k, max_df, "ngram_jaccard_pairs"
         )
-        .agg(F.count("*").alias("n_common"))
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        return (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(
+                F.col("a.doc").alias("id_a"),
+                F.col("b.doc").alias("id_b"),
+                F.col("a.n_shingles").alias("na"),
+                F.col("b.n_shingles").alias("nb"),
+            )
+            .agg(F.count("*").alias("n_common"))
+            .withColumn(
+                "jaccard",
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "n_common", "jaccard")
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_common", "jaccard")
-    )
-    return pairs
+
+    params = {"id_col": id_col, "text_col": text_col, "k": k,
+              "threshold": threshold, "max_df": max_df}
+    return materialized("ngram_jaccard", df, params, build)
 
 
 def incremental_jaccard_pairs(

@@ -100,9 +100,39 @@ def minhash_near_dup_pairs(
     max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, exact jaccard ≥ threshold) found
-    via LSH banding and verified exactly."""
+    via LSH banding and verified exactly.
+
+    The verified pair table is materialized once per process per
+    (params, input) and reused by later consumers — see
+    ``ops/pair_cache.py`` (a fresh process computes it as before).
+    """
     if n_hashes % bands != 0:
         raise ValueError(f"n_hashes={n_hashes} not divisible by bands={bands}")
+    from aws_etl_spark.ops.pair_cache import materialized
+
+    params = {"id_col": id_col, "text_col": text_col, "k": k,
+              "n_hashes": n_hashes, "bands": bands, "seed": seed,
+              "threshold": threshold, "max_bucket": max_bucket}
+    return materialized(
+        "minhash_near_dup", df, params,
+        lambda: _minhash_near_dup_pairs_build(
+            df, id_col, text_col, k, n_hashes, bands, seed, threshold,
+            max_bucket,
+        ),
+    )
+
+
+def _minhash_near_dup_pairs_build(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    n_hashes: int,
+    bands: int,
+    seed: int,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
     r = n_hashes // bands
 
     # signatures (shingle scan + 64 min-aggs) feed the banded join AND

@@ -1,0 +1,95 @@
+"""Process-scoped materialization cache for near-dup candidate pairs.
+
+Ten-plus registry queries (clusters, graph metrics, PageRank ×2,
+canonical distance, the cross-source census, cluster-safe splits)
+consume the SAME candidate-pair table and, under the driver contract
+(any single query may run alone in a fresh process), each derives it
+independently. A real pipeline materializes the pair table once per
+corpus version and fans the consumers out from it. This module is that
+materialization, scoped to one process so per-query isolation is
+untouched: the FIRST consumer in a process computes the pairs and
+writes them to scratch parquet; later consumers with the same kernel,
+parameters, and input read the file. A fresh process starts cold —
+exactly today's behavior — so a query called alone is bit-identical
+with or without the cache.
+
+Round-8 measurement (tools/candidate_cache_study.py, sf0.1, warm
+session): the 13-query dedup/graph family went 68.2 s -> 39.0 s; the
+two generator queries pay the write (+2.3 s / +0.8 s), every
+downstream consumer drops 2-9x.
+
+Keying: md5 of (kernel tag, full parameter list, input fingerprint),
+where the input fingerprint is the ANALYZED logical plan text with
+expression ids normalized out — it embeds the source paths and the
+full transformation lineage, so different datasets, filters, or
+parameterizations can never collide. Results are deterministic by the
+kernels' own contract (exact verified Jaccard over deterministic
+shingles), so a parquet round-trip changes row order only — and every
+consumer is order-insensitive (aggregations, joins, fixed-point
+iterations).
+
+Storage lives in a per-process temp dir removed at interpreter exit.
+``SPARK_GRAFT_NO_PAIR_CACHE=1`` disables the cache (checked per call —
+the plan-structure tests use it so they measure the pipeline, not a
+parquet scan).
+"""
+
+from __future__ import annotations
+
+import atexit
+import hashlib
+import os
+import re
+import shutil
+import tempfile
+import threading
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+_DIR: str | None = None
+_LOCK = threading.Lock()
+
+
+def _cache_dir() -> str:
+    global _DIR
+    if _DIR is None:
+        _DIR = tempfile.mkdtemp(prefix="aws_etl_spark_paircache_")
+        atexit.register(shutil.rmtree, _DIR, ignore_errors=True)
+    return _DIR
+
+
+def _fingerprint(tag: str, df: DataFrame, params: dict) -> str | None:
+    """Stable key for (kernel, params, input), or None if the input
+    plan is unavailable (Connect-only sessions)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    # expression ids (doc_id#123L) differ per view registration; the
+    # same logical input must key identically across calls
+    plan = re.sub(r"#\d+", "#", plan)
+    raw = f"{tag}|{sorted(params.items())}|{plan}"
+    return hashlib.md5(raw.encode()).hexdigest()
+
+
+def materialized(
+    tag: str,
+    df: DataFrame,
+    params: dict,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return ``build()``'s result, materialized once per process for
+    this (tag, params, input) and read back on later calls."""
+    if os.environ.get("SPARK_GRAFT_NO_PAIR_CACHE", "") == "1":
+        return build()
+    key = _fingerprint(tag, df, params)
+    if key is None:
+        return build()
+    path = os.path.join(_cache_dir(), key)
+    with _LOCK:
+        if not os.path.isdir(path):
+            tmp = f"{path}.tmp-{os.getpid()}"
+            build().write.mode("overwrite").parquet(tmp)
+            os.replace(tmp, path)
+    return df.sparkSession.read.parquet(path)

@@ -81,19 +81,25 @@ def test_dedup_exact_no_separator_ambiguity(spark):
     assert dedup_exact(df, ["c1", "c2"], "id").count() == 2
 
 
-def test_minhash_plan_has_no_python_udf(spark, sf_dir):
+def test_minhash_plan_has_no_python_udf(spark, sf_dir, monkeypatch):
+    # disable the pair cache: this pins the PIPELINE's plan, not a
+    # parquet read-back of a memoized result
+    monkeypatch.setenv("SPARK_GRAFT_NO_PAIR_CACHE", "1")
     docs = load_table(spark, sf_dir, "documents")
     plan = minhash_near_dup_pairs(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 
-def test_minhash_band_join_carries_no_shingles_measured(spark, sf_dir):
+def test_minhash_band_join_carries_no_shingles_measured(spark, sf_dir, monkeypatch):
     """Quantitative pin of the round-2 restructure: total shuffle
     volume of the full LSH pipeline stays within a small multiple of
     ONE doc→shingles aggregation (the unavoidable linear cost). The
     pre-restructure plan carried each doc's shingle set through the
     band self-join ×bands ×2 sides — an order of magnitude more."""
+    # disable the pair cache so the measurement sees the pipeline,
+    # not a parquet read-back of a memoized result
+    monkeypatch.setenv("SPARK_GRAFT_NO_PAIR_CACHE", "1")
     from aws_etl_spark.dedup.minhash import (
         minhash_near_dup_pairs,
         minhash_signatures,
@@ -439,3 +445,56 @@ def test_incremental_pairs_exclude_index_x_index(spark):
     assert got[(17, 7)] is False          # earlier arrival credited
     assert (7, 17) not in got             # never the reverse direction
     assert not any(d == 27 for d, _ in got)
+
+
+# -- pair cache (ops/pair_cache.py, round 8) --------------------------------
+
+
+def test_pair_cache_hit_is_bit_identical_to_direct(spark, sf_dir, monkeypatch):
+    """A cached read-back must equal the uncached pipeline exactly
+    (same rows, including the double jaccard bits), and a second call
+    must actually hit the cache (same materialized file set)."""
+    import aws_etl_spark.ops.pair_cache as pc
+
+    docs = load_table(spark, sf_dir, "documents")
+    monkeypatch.setenv("SPARK_GRAFT_NO_PAIR_CACHE", "1")
+    direct = sorted(
+        map(tuple, minhash_near_dup_pairs(docs, "doc_id", "text").collect())
+    )
+    monkeypatch.delenv("SPARK_GRAFT_NO_PAIR_CACHE")
+    first = sorted(
+        map(tuple, minhash_near_dup_pairs(docs, "doc_id", "text").collect())
+    )
+    import os
+
+    entries = set(os.listdir(pc._cache_dir()))
+    second = sorted(
+        map(tuple, minhash_near_dup_pairs(docs, "doc_id", "text").collect())
+    )
+    assert direct == first == second
+    assert set(os.listdir(pc._cache_dir())) == entries  # reused, not rebuilt
+
+
+def test_pair_cache_keys_separate_params_and_inputs(spark, sf_dir):
+    """Different thresholds/inputs must key separately — a collision
+    would silently serve one query's pairs to another."""
+    from aws_etl_spark.dedup.jaccard import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    loose = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3)
+    tight = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    n_loose, n_tight = loose.count(), tight.count()
+    assert n_loose >= n_tight
+    assert all(r.jaccard >= 0.5 for r in tight.collect())
+    # a FILTERED input is a different fingerprint, not the cached corpus
+    half = docs.filter("doc_id % 2 = 0")
+    n_half = ngram_jaccard_pairs(half, "doc_id", "text", k=3, threshold=0.3).count()
+    assert n_half <= n_loose
+    ids = {
+        x
+        for r in ngram_jaccard_pairs(half, "doc_id", "text", k=3, threshold=0.3)
+        .select("id_a", "id_b")
+        .collect()
+        for x in (r.id_a, r.id_b)
+    }
+    assert all(i % 2 == 0 for i in ids)
