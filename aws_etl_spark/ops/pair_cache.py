@@ -60,11 +60,17 @@ def _cache_dir() -> str:
 
 
 def _fingerprint(tag: str, df: DataFrame, params: dict) -> str | None:
-    """Stable key for (kernel, params, input), or None if the input
-    plan is unavailable (Connect-only sessions)."""
+    """Stable key for (kernel, params, input), or None when the input
+    cannot be identified by its plan text: Connect-only sessions
+    (no _jdf), and in-memory inputs (LocalRelation/LogicalRDD print
+    schema but NOT data — two different in-memory corpora with the
+    same schema would collide and serve stale pairs). Only file-backed
+    lineages, whose plan text embeds the source paths, are cacheable."""
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
+        return None
+    if re.search(r"LocalRelation|LogicalRDD|ExistingRDD", plan):
         return None
     # expression ids (doc_id#123L) differ per view registration; the
     # same logical input must key identically across calls

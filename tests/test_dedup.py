@@ -498,3 +498,27 @@ def test_pair_cache_keys_separate_params_and_inputs(spark, sf_dir):
         for x in (r.id_a, r.id_b)
     }
     assert all(i % 2 == 0 for i in ids)
+
+
+def test_pair_cache_bypasses_inmemory_inputs(spark):
+    """LocalRelation/LogicalRDD plan text prints schema but NOT data:
+    two different in-memory corpora with the same schema must never
+    share a cache entry. The fingerprint must refuse them (bypass),
+    and the computed results must differ accordingly."""
+    from aws_etl_spark.dedup.jaccard import ngram_jaccard_pairs
+    from aws_etl_spark.ops.pair_cache import _fingerprint
+
+    d1 = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], ["doc_id", "text"]
+    )
+    d2 = spark.createDataFrame(
+        [(1, "x y z w q r"), (2, "totally different thing here now")],
+        ["doc_id", "text"],
+    )
+    assert _fingerprint("t", d1, {}) is None
+    assert _fingerprint("t", d2, {}) is None
+    assert ngram_jaccard_pairs(d1, "doc_id", "text", k=3, threshold=0.5).count() == 1
+    assert ngram_jaccard_pairs(d2, "doc_id", "text", k=3, threshold=0.5).count() == 0
+    # file-backed lineage stays cacheable (paths identify the input)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert _fingerprint("t", docs, {}) is not None
