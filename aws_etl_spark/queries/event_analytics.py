@@ -458,7 +458,9 @@ sql_query(
 # effect. Assignment is the shared salted-md5 coin (sticky, no
 # assignment table); exposure = the START of the user's first session
 # containing a qualifying event (event_type = 'click' — the feature
-# surface); conversion = any purchase at/after the exposure moment.
+# surface); conversion = a purchase within the 24h attribution window
+# after exposure (ever-after conversion is a degenerate 100% on this
+# synthetic month — every user purchases eventually).
 # The readout is the two-model (T-learner at the aggregate level)
 # uplift: per-arm conversion rate among exposed users, differenced.
 # All counts are exact BIGINTs; each rate is one IEEE division and
@@ -496,9 +498,15 @@ exposure AS (
   FROM sess WHERE has_exposure = 1 GROUP BY user_id
 ),
 conv AS (
+  -- 24h attribution window: "ever purchases after exposure" is a
+  -- degenerate 100% on this synthetic month (every user purchases
+  -- eventually), so the readout counts purchases attributed to the
+  -- exposure itself — the standard conversion-window definition
   SELECT x.user_id,
          MAX(CASE WHEN e.event_type = 'purchase'
                   AND CAST(e.ts AS TIMESTAMP) >= x.exposure_ts
+                  AND CAST(e.ts AS TIMESTAMP)
+                      < x.exposure_ts + INTERVAL 24 HOUR
              THEN 1 ELSE 0 END) AS converted
   FROM exposure x JOIN events e ON e.user_id = x.user_id
   GROUP BY x.user_id
@@ -552,10 +560,11 @@ sql_query(
     doc=(
         "Session-boundary A/B exposure attribution: md5-coin "
         "assignment, exposure = start of the first 30-min-gap session "
-        "containing a click, conversion = purchase at/after exposure, "
-        "read out as per-arm conversion among EXPOSED users plus the "
-        "two-model uplift difference. Exact counts, two IEEE "
-        "divisions and one subtraction at the boundary."
+        "containing a click, conversion = purchase within the 24h "
+        "attribution window after exposure, read out as per-arm "
+        "conversion among EXPOSED users plus the two-model uplift "
+        "difference. Exact counts, two IEEE divisions and one "
+        "subtraction at the boundary."
     ),
     tables=("events",),
 )

@@ -179,9 +179,9 @@ def test_exposure_uplift_readout_identities(spark, sf_dir):
 
 
 def test_exposure_starts_at_first_clicking_session(spark, sf_dir):
-    """The exposure definition must be session-boundary: for a sample
-    user with a click, conversion counts purchases from the START of
-    the first session containing a click — replayed independently."""
+    """The exposure definition must be session-boundary: conversion
+    counts purchases in the 24h window from the START of the first
+    session containing a click — replayed independently."""
     events = duckdb.sql(
         f"""SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
             FROM '{sf_dir}/events.parquet' ORDER BY user_id, ts"""
@@ -206,8 +206,10 @@ def test_exposure_starts_at_first_clicking_session(spark, sf_dir):
         if sess_has_click and exposure is None:
             exposure = sess_start
         if exposure is not None:
+            cutoff = exposure + datetime.timedelta(hours=24)
             exposed[uid] = any(
-                et == "purchase" and ts >= exposure for ts, et in evs
+                et == "purchase" and exposure <= ts < cutoff
+                for ts, et in evs
             )
     rows = _run("events_ab_exposure_uplift", spark, sf_dir).collect()
     assert sum(r.exposed_users for r in rows) == len(exposed)
