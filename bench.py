@@ -63,6 +63,8 @@ HEADLINE = (
     # them driver-visible. ALL-query comparison: tools/bench_compare.py
     "text_ngram_novelty",
     "dedup_pair_explain",
+    # r8: the heaviest round-8 addition (double sessionization window)
+    "events_ab_exposure_uplift",
 )
 
 
