@@ -19,10 +19,12 @@ two generator queries pay the write (+2.3 s / +0.8 s), every
 downstream consumer drops 2-9x.
 
 Keying: md5 of (kernel tag, full parameter list, input fingerprint),
-where the input fingerprint is the ANALYZED logical plan text with
-expression ids normalized out — it embeds the source paths and the
-full transformation lineage, so different datasets, filters, or
-parameterizations can never collide. Results are deterministic by the
+where the input fingerprint is the CANONICALIZED analyzed plan (the
+engine's own exprId-free form, literals preserved) plus the concrete
+input-file list — it embeds source paths, the full transformation
+lineage, and the on-disk file generation, so different datasets,
+filters, parameterizations, or a rewritten source at the same path
+can never collide. Results are deterministic by the
 kernels' own contract (exact verified Jaccard over deterministic
 shingles), so a parquet round-trip changes row order only — and every
 consumer is order-insensitive (aggregations, joins, fixed-point
@@ -52,6 +54,9 @@ _LOCK = threading.Lock()
 
 
 def _cache_dir() -> str:
+    # caller holds _LOCK (materialized() serializes build+lookup); the
+    # guard matters on a cold process with concurrent first calls — a
+    # check-then-set race would orphan one dir and its entries
     global _DIR
     if _DIR is None:
         _DIR = tempfile.mkdtemp(prefix="aws_etl_spark_paircache_")
@@ -61,21 +66,23 @@ def _cache_dir() -> str:
 
 def _fingerprint(tag: str, df: DataFrame, params: dict) -> str | None:
     """Stable key for (kernel, params, input), or None when the input
-    cannot be identified by its plan text: Connect-only sessions
-    (no _jdf), and in-memory inputs (LocalRelation/LogicalRDD print
-    schema but NOT data — two different in-memory corpora with the
-    same schema would collide and serve stale pairs). Only file-backed
-    lineages, whose plan text embeds the source paths, are cacheable."""
+    cannot be identified: Connect-only sessions (no _jdf) and
+    in-memory inputs (LocalRelation/LogicalRDD print schema but NOT
+    data — two different in-memory corpora with the same schema would
+    collide and serve stale pairs). File-backed lineages key on the
+    CANONICALIZED analyzed plan (exprIds normalized by the engine,
+    literals preserved — a text-level ``#\\d+`` strip would also eat
+    data literals like ``Customer#000000001``) plus the concrete
+    input-file list, so overwriting a source dataset at the same path
+    (new part-file names) invalidates the entry."""
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
+        plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
+        files = sorted(df.inputFiles())
     except Exception:
         return None
-    if re.search(r"LocalRelation|LogicalRDD|ExistingRDD", plan):
+    if not files or re.search(r"LocalRelation|LogicalRDD|ExistingRDD", plan):
         return None
-    # expression ids (doc_id#123L) differ per view registration; the
-    # same logical input must key identically across calls
-    plan = re.sub(r"#\d+", "#", plan)
-    raw = f"{tag}|{sorted(params.items())}|{plan}"
+    raw = f"{tag}|{sorted(params.items())}|{plan}|{files}"
     return hashlib.md5(raw.encode()).hexdigest()
 
 
@@ -92,8 +99,8 @@ def materialized(
     key = _fingerprint(tag, df, params)
     if key is None:
         return build()
-    path = os.path.join(_cache_dir(), key)
     with _LOCK:
+        path = os.path.join(_cache_dir(), key)
         if not os.path.isdir(path):
             tmp = f"{path}.tmp-{os.getpid()}"
             build().write.mode("overwrite").parquet(tmp)

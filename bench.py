@@ -155,16 +155,22 @@ def main() -> None:
     # tree churn (BENCH_DETAIL.json is overwritten by every run and
     # gitignored; the r7 per-query history was lost that way). The
     # round number is the one the driver will stamp on this run's
-    # BENCH_r{N}.json: one past the newest existing record.
+    # BENCH_r{N}.json: one past the newest existing record. Never
+    # overwrite an earlier archive — the certification protocol runs
+    # two back-to-back benches whose per-query detail must BOTH
+    # survive (suffix _run2, _run3, ... for same-round re-runs).
     rounds = [
         int(p.stem.rsplit("_r", 1)[-1])
         for p in REPO.glob("BENCH_r[0-9]*.json")
         if p.stem.rsplit("_r", 1)[-1].isdigit()
     ]
     this_round = (max(rounds) if rounds else 0) + 1
-    (REPO / f"BENCH_DETAIL_r{this_round:02d}.json").write_text(
-        json.dumps(detail, indent=1)
-    )
+    archive = REPO / f"BENCH_DETAIL_r{this_round:02d}.json"
+    k = 2
+    while archive.exists():
+        archive = REPO / f"BENCH_DETAIL_r{this_round:02d}_run{k}.json"
+        k += 1
+    archive.write_text(json.dumps(detail, indent=1))
     print(json.dumps(record, separators=(",", ":")))
     spark.stop()
 

@@ -407,12 +407,15 @@ def test_click_attribution_is_binned_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_triangle_wedge_join_is_equi(spark, sf_dir):
+def test_triangle_wedge_join_is_equi(spark, sf_dir, monkeypatch):
     """Wedge + closing joins must be hash/sort-merge equi-joins; the
     oriented edge list bounds wedge fanout, and nothing in the plan
     may fall back to a nested-loop."""
     from aws_etl_spark.plans import formatted_plan
 
+    # disable the pair cache so the pin inspects the full edge-list
+    # pipeline, not a parquet read-back of a memoized pair table
+    monkeypatch.setenv("SPARK_GRAFT_NO_PAIR_CACHE", "1")
     fn = REGISTRY["dedup_graph_triangles"].fn
     plan = formatted_plan(fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
