@@ -159,18 +159,24 @@ def main() -> None:
     # overwrite an earlier archive — the certification protocol runs
     # two back-to-back benches whose per-query detail must BOTH
     # survive (suffix _run2, _run3, ... for same-round re-runs).
-    rounds = [
-        int(p.stem.rsplit("_r", 1)[-1])
-        for p in REPO.glob("BENCH_r[0-9]*.json")
-        if p.stem.rsplit("_r", 1)[-1].isdigit()
-    ]
-    this_round = (max(rounds) if rounds else 0) + 1
-    archive = REPO / f"BENCH_DETAIL_r{this_round:02d}.json"
-    k = 2
-    while archive.exists():
-        archive = REPO / f"BENCH_DETAIL_r{this_round:02d}_run{k}.json"
-        k += 1
-    archive.write_text(json.dumps(detail, indent=1))
+    # Harness runs that are NOT round measurements (the pytest bench
+    # contract runs bench.py at sf0.001 in a subprocess — it consumed
+    # a round-8 archive slot before this guard existed) must set
+    # SPARK_GRAFT_NO_BENCH_ARCHIVE=1 (skips only the archive; the
+    # contract JSON line below always prints).
+    if os.environ.get("SPARK_GRAFT_NO_BENCH_ARCHIVE", "") != "1":
+        rounds = [
+            int(p.stem.rsplit("_r", 1)[-1])
+            for p in REPO.glob("BENCH_r[0-9]*.json")
+            if p.stem.rsplit("_r", 1)[-1].isdigit()
+        ]
+        this_round = (max(rounds) if rounds else 0) + 1
+        archive = REPO / f"BENCH_DETAIL_r{this_round:02d}.json"
+        k = 2
+        while archive.exists():
+            archive = REPO / f"BENCH_DETAIL_r{this_round:02d}_run{k}.json"
+            k += 1
+        archive.write_text(json.dumps(detail, indent=1))
     print(json.dumps(record, separators=(",", ":")))
     spark.stop()
 

@@ -18,6 +18,9 @@ def test_bench_emits_contract_json():
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
+        # a contract check is not a round measurement: don't consume a
+        # BENCH_DETAIL_r{N}[_runK].json archive slot
+        SPARK_GRAFT_NO_BENCH_ARCHIVE="1",
     )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
