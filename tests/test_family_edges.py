@@ -239,3 +239,77 @@ def test_lang_id_und_branch_cross_engine(spark, tmp_path):
     assert pred[0] == "und"
     assert pred[1] == "en"
     assert pred[2] == "es"
+
+
+# -- temporal join boundaries ---------------------------------------------
+
+
+def test_asof_join_exact_tie_and_no_prior_cross_engine(spark, tmp_path):
+    """A purchase at EXACTLY the signup timestamp (the <=/< boundary),
+    a purchase with no prior signup (NULL as-of side), and a purchase
+    between two signups (must pick the LATEST prior) — both engines."""
+    sf = _mk_sf(
+        tmp_path,
+        events=_events(
+            [
+                (1, "2024-01-02 00:00:00", 1, "signup", 0),
+                (2, "2024-01-02 00:00:00", 1, "purchase", 10),  # tie
+                (3, "2024-01-05 00:00:00", 1, "signup", 0),
+                (4, "2024-01-06 00:00:00", 1, "purchase", 20),  # latest=Jan5
+                (5, "2024-01-01 00:00:00", 2, "purchase", 30),  # no signup
+            ]
+        ),
+    )
+    r = check_query("events_asof_join", spark, sf)
+    assert r.ok, str(r)
+    rows = {
+        x.event_id: x
+        for x in REGISTRY["events_asof_join"].fn(spark, sf).collect()
+    }
+    assert rows[4].asof_ts is not None
+    assert rows[4].asof_ts.day == 5  # latest prior, not the first
+    assert rows[5].asof_ts is None  # left join keeps the orphan
+
+
+def test_range_overlap_touching_intervals_cross_engine(spark, tmp_path):
+    """Intervals that exactly TOUCH at an endpoint (one user's last
+    event equals another's first) sit on the overlap predicate's
+    boundary — banded equi-join and naive theta oracle must agree."""
+    sf = _mk_sf(
+        tmp_path,
+        events=_events(
+            [
+                # user 1: [00:00, 02:00]; user 2: [02:00, 04:00] (touch)
+                (1, "2024-01-01 00:00:00", 1, "view", 1),
+                (2, "2024-01-01 02:00:00", 1, "view", 1),
+                (3, "2024-01-01 02:00:00", 2, "view", 1),
+                (4, "2024-01-01 04:00:00", 2, "view", 1),
+                # user 3: disjoint [10:00, 11:00]
+                (5, "2024-01-01 10:00:00", 3, "view", 1),
+                (6, "2024-01-01 11:00:00", 3, "view", 1),
+                # user 4: point interval inside user 2's range
+                (7, "2024-01-01 03:00:00", 4, "view", 1),
+            ]
+        ),
+    )
+    r = check_query("join_range_overlap", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_gapfill_locf_single_point_and_long_gap_cross_engine(spark, tmp_path):
+    """A key with a single observation (spine of one hour, nothing to
+    fill) and a key with one long gap (many carried hours) — the LOCF
+    carry and spine generation must agree across engines."""
+    sf = _mk_sf(
+        tmp_path,
+        events=_events(
+            [
+                (1, "2024-01-01 00:30:00", 1, "view", 10),
+                (2, "2024-01-01 00:45:00", 1, "view", 5),
+                (3, "2024-01-01 06:15:00", 1, "view", 7),   # 5-hour gap
+                (4, "2024-01-03 12:00:00", 2, "error", 99),  # single point
+            ]
+        ),
+    )
+    r = check_query("events_gapfill_locf", spark, sf)
+    assert r.ok, str(r)
