@@ -175,7 +175,12 @@ def ngram_jaccard_pairs(
 
     The pair table is materialized once per process per (params,
     input) and reused by later consumers — see ``ops/pair_cache.py``
-    (a fresh process computes it exactly as before).
+    (a fresh process computes it exactly as before). NOTE this makes
+    the first call EAGER for file-backed inputs: it runs the full job
+    and writes scratch parquet, and the returned frame is a scan of
+    that parquet, not the lazy pipeline. Plan-inspection or
+    ``limit()``-style callers that need the lazy plan must set
+    ``SPARK_GRAFT_NO_PAIR_CACHE=1`` (the in-repo plan tests do).
     """
     from aws_etl_spark.ops.pair_cache import materialized
 

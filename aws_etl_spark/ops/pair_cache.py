@@ -21,10 +21,11 @@ downstream consumer drops 2-9x.
 Keying: md5 of (kernel tag, full parameter list, input fingerprint),
 where the input fingerprint is the CANONICALIZED analyzed plan (the
 engine's own exprId-free form, literals preserved) plus the concrete
-input-file list — it embeds source paths, the full transformation
-lineage, and the on-disk file generation, so different datasets,
-filters, parameterizations, or a rewritten source at the same path
-can never collide. Results are deterministic by the
+input-file list with each local file's (size, mtime_ns) — it embeds
+source paths, the full transformation lineage, and the on-disk file
+generation, so different datasets, filters, parameterizations, a
+rewritten source at the same path, or an IN-PLACE single-file rewrite
+at the same filename can never collide. Results are deterministic by the
 kernels' own contract (exact verified Jaccard over deterministic
 shingles), so a parquet round-trip changes row order only — and every
 consumer is order-insensitive (aggregations, joins, fixed-point
@@ -50,18 +51,30 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 _DIR: str | None = None
-_LOCK = threading.Lock()
+_LOCK = threading.Lock()  # guards _DIR init and the key-lock map only
+_KEY_LOCKS: dict[str, threading.Lock] = {}
 
 
 def _cache_dir() -> str:
-    # caller holds _LOCK (materialized() serializes build+lookup); the
-    # guard matters on a cold process with concurrent first calls — a
-    # check-then-set race would orphan one dir and its entries
+    # caller holds _LOCK; the guard matters on a cold process with
+    # concurrent first calls — a check-then-set race would orphan one
+    # dir and its entries
     global _DIR
     if _DIR is None:
         _DIR = tempfile.mkdtemp(prefix="aws_etl_spark_paircache_")
         atexit.register(shutil.rmtree, _DIR, ignore_errors=True)
     return _DIR
+
+
+def _key_lock(key: str) -> threading.Lock:
+    # per-key build locks: a multi-threaded driver building two
+    # DIFFERENT pair tables must not serialize one multi-second Spark
+    # job behind the other; only same-key callers wait on each other
+    with _LOCK:
+        lock = _KEY_LOCKS.get(key)
+        if lock is None:
+            lock = _KEY_LOCKS[key] = threading.Lock()
+        return lock
 
 
 def _fingerprint(tag: str, df: DataFrame, params: dict) -> str | None:
@@ -73,8 +86,10 @@ def _fingerprint(tag: str, df: DataFrame, params: dict) -> str | None:
     CANONICALIZED analyzed plan (exprIds normalized by the engine,
     literals preserved — a text-level ``#\\d+`` strip would also eat
     data literals like ``Customer#000000001``) plus the concrete
-    input-file list, so overwriting a source dataset at the same path
-    (new part-file names) invalidates the entry."""
+    input-file list PLUS each local file's (size, mtime_ns), so both
+    Spark-style rewrites (new part-file names) and IN-PLACE rewrites of
+    a single-file parquet at the same filename (the pandas/arrow
+    pattern) invalidate the entry."""
     try:
         plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
         files = sorted(df.inputFiles())
@@ -82,7 +97,17 @@ def _fingerprint(tag: str, df: DataFrame, params: dict) -> str | None:
         return None
     if not files or re.search(r"LocalRelation|LogicalRDD|ExistingRDD", plan):
         return None
-    raw = f"{tag}|{sorted(params.items())}|{plan}|{files}"
+    stamped = []
+    for f in files:
+        local = f[7:] if f.startswith("file://") else f
+        try:
+            st = os.stat(local)
+            stamped.append((f, st.st_size, st.st_mtime_ns))
+        except OSError:
+            # non-local scheme (s3a://, hdfs://) — path-only keying;
+            # remote object stores don't rewrite in place under one key
+            stamped.append((f, -1, -1))
+    raw = f"{tag}|{sorted(params.items())}|{plan}|{stamped}"
     return hashlib.md5(raw.encode()).hexdigest()
 
 
@@ -101,6 +126,7 @@ def materialized(
         return build()
     with _LOCK:
         path = os.path.join(_cache_dir(), key)
+    with _key_lock(key):
         if not os.path.isdir(path):
             tmp = f"{path}.tmp-{os.getpid()}"
             build().write.mode("overwrite").parquet(tmp)

@@ -164,13 +164,22 @@ def main() -> None:
     # a round-8 archive slot before this guard existed) must set
     # SPARK_GRAFT_NO_BENCH_ARCHIVE=1 (skips only the archive; the
     # contract JSON line below always prints).
+    # Round number: SPARK_GRAFT_ROUND wins (set it for every manual
+    # run — the glob heuristic below cannot distinguish "round-N
+    # re-run after the driver stamped BENCH_r{N}.json" from "first
+    # round-N+1 run", and would archive the former as r{N+1},
+    # corrupting the round-over-round comparison basis).
     if os.environ.get("SPARK_GRAFT_NO_BENCH_ARCHIVE", "") != "1":
-        rounds = [
-            int(p.stem.rsplit("_r", 1)[-1])
-            for p in REPO.glob("BENCH_r[0-9]*.json")
-            if p.stem.rsplit("_r", 1)[-1].isdigit()
-        ]
-        this_round = (max(rounds) if rounds else 0) + 1
+        env_round = os.environ.get("SPARK_GRAFT_ROUND", "")
+        if env_round.isdigit():
+            this_round = int(env_round)
+        else:
+            rounds = [
+                int(p.stem.rsplit("_r", 1)[-1])
+                for p in REPO.glob("BENCH_r[0-9]*.json")
+                if p.stem.rsplit("_r", 1)[-1].isdigit()
+            ]
+            this_round = (max(rounds) if rounds else 0) + 1
         archive = REPO / f"BENCH_DETAIL_r{this_round:02d}.json"
         k = 2
         while archive.exists():

@@ -522,3 +522,48 @@ def test_pair_cache_bypasses_inmemory_inputs(spark):
     # file-backed lineage stays cacheable (paths identify the input)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert _fingerprint("t", docs, {}) is not None
+
+
+def test_pair_cache_invalidates_inplace_single_file_rewrite(spark, tmp_path):
+    """An in-place rewrite of a single-file parquet at the SAME
+    filename (the pandas/arrow pattern used throughout the edge tests)
+    keeps the path list and the canonicalized plan identical — only
+    (size, mtime) change. The fingerprint must change with them, or a
+    long-lived process serves stale pairs (round-9 advisory)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from aws_etl_spark.ops.pair_cache import _fingerprint
+
+    p = str(tmp_path / "docs.parquet")
+    pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "a b c"]}).to_parquet(p)
+    f1 = _fingerprint("t", spark.read.parquet(p), {})
+    # same row count / schema, different content; nudge mtime so the
+    # stamp moves even on coarse-mtime filesystems
+    pd.DataFrame({"doc_id": [1, 2], "text": ["x y z", "q r s"]}).to_parquet(p)
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    f2 = _fingerprint("t", spark.read.parquet(p), {})
+    assert f1 is not None and f2 is not None and f1 != f2
+    # unchanged file keeps its key (cache still hits across calls)
+    f3 = _fingerprint("t", spark.read.parquet(p), {})
+    assert f3 == f2
+
+
+def test_pair_cache_per_key_locks_are_independent():
+    """Distinct cache keys get distinct build locks (an unrelated
+    multi-second build must not serialize other keys); the same key
+    returns the same lock object so same-key callers do wait."""
+    import aws_etl_spark.ops.pair_cache as pc
+
+    a1 = pc._key_lock("key-a")
+    a2 = pc._key_lock("key-a")
+    b = pc._key_lock("key-b")
+    assert a1 is a2
+    assert a1 is not b
+    # holding key-a must not block key-b acquisition
+    with a1:
+        assert b.acquire(timeout=1)
+        b.release()
