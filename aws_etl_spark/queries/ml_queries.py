@@ -16,7 +16,7 @@ needs and every naive implementation gets wrong:
 from __future__ import annotations
 
 from aws_etl_spark.ops.corpus import duckdb_bucket_sql
-from aws_etl_spark.queries.registry import sql_query
+from aws_etl_spark.queries.registry import register, sql_query
 
 # --------------------------------------------------------------------------
 # Point-in-time feature join. One user-partitioned window, ordered by
@@ -177,9 +177,110 @@ FROM ranked WHERE rn <= 2
 """
 
 
-sql_query(
+def _neg_sampling_fn(spark, sf_dir):
+    """Single-scan realization of the negative-sampling plan.
+
+    The r8 SQL form let Catalyst inline the CTE chain: its executed
+    plan re-read the same base relations into 6 parquet scans / 10
+    exchanges (``pos``/``cust`` each re-derived orders, ``parts``/
+    ``ns`` each re-derived part, and ``ns`` was recomputed per
+    consumer). Here each base relation is scanned ONCE:
+
+    * ``orders`` → a 2-column (custkey, orderkey) projection,
+      localCheckpoint'ed, feeding BOTH the positives join and the
+      distinct-customer slice — the optimizer cannot inline a
+      materialized RDD back into two scans;
+    * ``part`` → one data scan (the shard table); ``ns`` (the
+      adaptive shard count) is a driver-side scalar from a separate
+      zero-column count job, hoisted into the plan as a literal
+      instead of a per-consumer scalar subquery.
+
+    At 100 TB the checkpoints hold pruned integer projections (the
+    narrow columns the query touches anyway), traded against a second
+    full parquet scan of each base — the same discipline
+    ``corpus_e2e_pipeline`` proved. The shard join is left unhinted:
+    AQE broadcasts the checkpointed key table at any realistic
+    catalog size and falls back to the shard equi-join shuffle beyond
+    broadcast range. Executed-plan shape is pinned by
+    ``tests/test_plans.py`` (≤3 parquet scans, ≤5 shuffle exchanges).
+    """
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_etl_spark.queries.registry import load_table
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    part_keys = load_table(spark, sf_dir, "part").select("p_partkey")
+    # adaptive shard count (see _neg_sql's ns CTE): FLOOR of a double
+    # division, identical to the oracle's GREATEST(1, FLOOR(n/300.0)).
+    # The count is its own zero-column job (parquet row-group counts),
+    # cheaper than checkpointing the key column just to count it; the
+    # shard table below is then part's ONLY data scan in the main plan.
+    ns = max(1, int(math.floor(part_keys.count() / float(_SLICE_TARGET))))
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_partkey").alias("partkey"),
+    )
+    # positives deliberately NOT deduplicated (the anti-join below is
+    # insensitive to duplicates; the DISTINCT was the query's single
+    # most expensive stage in r7)
+    pos = orders.join(lineitem, "orderkey").select("custkey", "partkey")
+
+    cust_coin = _SPARK_CUST_COIN.replace("c.custkey", "custkey")
+    # Explicit-width ROUND-ROBIN repartition after the distinct: the
+    # distinct's shuffle output is tiny (one row per customer) so AQE
+    # coalesces it to ~1 partition — but the shard join below fans
+    # each row out ~SLICE_TARGET× and evaluates two md5 coins per
+    # candidate, work AQE cannot see at planning time (the
+    # explode-after-coalesce trap; single-threaded it was this
+    # query's whole budget). It must be round-robin with an explicit
+    # count: a KEYED repartition on custkey collapses into the
+    # distinct's own ENSURE_REQUIREMENTS exchange, which AQE then
+    # coalesces anyway (measured: the whole fan-out ran on 1 core).
+    cust = (
+        orders.select("custkey")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("shard", F.expr(cust_coin) % F.lit(ns))
+    )
+    parts = part_keys.select(
+        F.col("p_partkey").alias("partkey"),
+        (F.col("p_partkey") % F.lit(ns)).alias("shard"),
+    )
+    pair_coin = _SPARK_PAIR_COIN.replace("c.custkey", "custkey").replace(
+        "p.p_partkey", "partkey"
+    )
+    cand = (
+        cust.join(parts, "shard")
+        .withColumn("coin", F.expr(pair_coin))
+        .filter(F.col("coin") < 16384)
+    )
+    neg = cand.join(pos, ["custkey", "partkey"], "left_anti")
+    w = Window.partitionBy("custkey").orderBy("coin", "partkey")
+    return (
+        neg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "custkey",
+            F.col("partkey").alias("negative_partkey"),
+            F.col("coin").cast("bigint").alias("coin"),
+            F.col("rn").cast("bigint").alias("sample_rank"),
+        )
+    )
+
+
+register(
     "ml_negative_sampling",
-    _neg_sql(_SPARK_PAIR_COIN, _SPARK_CUST_COIN),
     oracle=_neg_sql(_DUCK_PAIR_COIN, _DUCK_CUST_COIN),
     category="ml",
     doc=(
@@ -190,10 +291,11 @@ sql_query(
         "positives anti-joined away inside the slice, k=2 negatives "
         "kept by lowest (coin, partkey) — fully reproducible, no RNG "
         "state, hash-proven against DuckDB's decode of the same md5 "
-        "coins."
+        "coins. Round 9: restructured from the SQL CTE form to a "
+        "single scan per base relation (6 scans/10 exchanges → ≤3/≤5)."
     ),
     tables=("orders", "lineitem", "part"),
-)
+)(_neg_sampling_fn)
 
 
 # --------------------------------------------------------------------------
