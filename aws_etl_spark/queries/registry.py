@@ -221,86 +221,33 @@ def sql_query(
 # in insertion order and records CORRECTNESS rows for only the first
 # 50, so this order is rotated every round to maximize EVIDENCE.
 #
-# Round 8's window = the first 50 names, three blocks in order (the
+# Round 9's window = the first 50 names, three blocks in order (the
 # blocks are marked by the inline comments below — trust those, not
-# hand-counted positions). Cumulative driver evidence at round-8
-# start: 256/259 queries have driver rows (0 failures ever); three
-# late-r7 additions have none. The r7 verdict's window-budget rule
-# applies from this round on: block 3 keeps a floor of ~10 slots, and
-# an addition that cannot fit the current window queues for the NEXT
-# round's block 1 instead of displacing re-confirmations.
-#   * block 1 — the 3 names with ZERO driver evidence (late-r7
-#     additions, judge-verified green live) + the 2 rows-only
-#     refreshes deferred past the r7 marker.
-#   * block 2 — new round-8 queries, capped at 6 so block 3 keeps
-#     all 39 r1/r2-vintage names (after this round no name's latest
-#     driver evidence is older than r3 — the r7 verdict's done bar).
-#   * block 3 — re-confirmation, oldest hash evidence first: the six
-#     r1-vintage names, then the 33 r2-vintage names.
+# hand-counted positions). Cumulative driver evidence at round-9
+# start: 265/265 queries have driver rows (0 failures ever); the
+# oldest evidence is r3 (42 names). The window-budget rule: block 3
+# keeps a floor of ~10 slots, and an addition that cannot fit the
+# current window queues for the NEXT round's block 1 instead of
+# displacing re-confirmations.
+#   * block 1 — names CHANGED this round (ml_negative_sampling was
+#     restructured to single-scan; its r7 evidence predates the new
+#     plan, so it re-enters first).
+#   * block 2 — new round-9 queries, capped at 7. Until each lands,
+#     its slot is held by a provisional r4-vintage re-confirmation at
+#     the window tail (swap one out per addition).
+#   * block 3 — re-confirmation, oldest hash evidence first: all 42
+#     r3-vintage names (after this round no name's latest driver
+#     evidence is older than r4 — the r8 verdict's done bar), then
+#     the provisional r4-vintage tail.
 # Ranked names sort strictly by their position here — INCLUDING
 # rows-only names. Unranked names sort after all ranked ones, oracled
 # before rows-only, in registration order.
 _DRIVER_ORDER = (
-    # -- block 1: zero-evidence late-r7 additions, then the two
-    #    deferred rows-only refreshes (latest "ran" rows are r6)
-    "ml_feature_hashing",
-    "privacy_dp_counts",
-    "privacy_t_closeness",
-    "agg_approx_distinct",
-    "sample_stratified",
-    # -- block 2: new round-8 queries (landing during this round;
-    #    capped at 6 by the window-budget rule)
-    "text_readability_score",
-    "events_ab_exposure_uplift",
-    "corpus_epoch_planner",
-    "text_zipf_fit",
-    "ml_target_encoding",
-    "events_survival_km",
-    # -- block 3: re-confirmation, oldest driver evidence first —
-    #    the six r1-vintage names…
-    "events_cohort_retention",
-    "events_funnel",
-    "multimodal_byte_features",
-    "row_count_validation",
-    "scd2_dimension",
-    "table_profile",
-    #    …then the 33 r2-vintage names
-    "corpus_shuffle_shards",
-    "corpus_split_assign",
-    "dictionary_encoding",
-    "events_gapfill_interpolate",
-    "events_ohlc_bars",
-    "events_sliding_window",
-    "events_time_weighted_avg",
-    "filter_case_when",
-    "filter_predicates",
-    "func_array",
-    "func_bitwise",
-    "func_collect_agg",
-    "func_conditional",
-    "func_date_extract",
-    "func_date_parse",
-    "func_explode_wordcount",
-    "func_histogram",
-    "func_json",
-    "func_regexp",
-    "join_cross",
-    "join_left",
-    "join_right",
-    "merge_upsert",
-    "sort_limit_topk",
-    "stat_correlation",
-    "surrogate_keys",
-    "text_fingerprint",
-    "text_normalize_unicode",
-    "text_pii_redaction",
-    "text_sequence_packing",
-    "text_token_counts",
-    "tpch_q6_forecast_revenue",
-    "udaf_grouped_agg",
-    # ---- end of the 50-query round-8 window ----
-    # r3-vintage evidence queues next (round-9 block 3; also the
-    # backfill if a block-2 addition fails to land this round)
+    # -- block 1: changed this round (single-scan restructure)
+    "ml_negative_sampling",
+    # -- block 2: new round-9 queries (landing during this round;
+    #    capped at 7 by the window-budget rule)
+    # -- block 3: re-confirmation — the 42 r3-vintage names
     "ann_embedding_near_dup",
     "corpus_mixture_sample",
     "cte_subquery",
@@ -322,6 +269,76 @@ _DRIVER_ORDER = (
     "stat_equidepth_histogram",
     "stat_rfm_segmentation",
     "subquery_correlated_exists",
+    "subquery_in_correlated_agg",
+    "table_diff_reconcile",
+    "text_c4_filter",
+    "text_chunking",
+    "text_inverted_index",
+    "text_repetition_ratio",
+    "text_top_ngrams",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_sole_return_suppliers",
+    "tpch_q22_dormant_customers",
+    "tpch_q3_unshipped_revenue",
+    "tpch_q4_priority_returns",
+    "tpch_q7_volume_shipping",
+    #    provisional tail: oldest r4-vintage re-confirmations,
+    #    displaced one-for-one by block-2 additions as they land
+    "agg_grouping_flags",
+    "ann_cosine_topk_exact",
+    "basket_affinity_pairs",
+    "bloom_filter_membership",
+    "corpus_cluster_safe_split",
+    "corpus_domain_cap",
+    "corpus_e2e_pipeline",
+    # ---- end of the 50-query round-9 window ----
+    # r4-vintage evidence queues next (round-10 block 3; also the
+    # backfill if a block-2 addition fails to land this round)
+    "dedup_decontaminate",
+    "dedup_graph_degrees",
+    "dedup_graph_kcore",
+    "dedup_graph_label_propagation",
+    "dedup_graph_nbr_jaccard",
+    "dedup_graph_pagerank_exact",
+    "dedup_graph_triangles",
+    "dedup_span_census",
+    "dedup_span_doc_profile",
+    "dedup_survivors",
+    "embeddings_dim_stats",
+    "embeddings_hard_negatives",
+    "embeddings_kmeans_quantized",
+    "events_attribution_multitouch",
+    "events_click_attribution",
+    "events_exp_smoothing",
+    "events_rollup_incremental",
+    "func_calendar_spine",
+    "func_higher_order",
+    "func_map_type",
+    "func_variant_json",
+    "join_lateral_topn",
+    "join_scd2_pointintime",
+    "join_skew_salted",
+    "sort_limit_offset",
+    "stat_linear_regression",
+    "text_gopher_rules",
+    "text_unigram_surprisal",
+    "text_word_entropy",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "udtf_word_ngrams",
+    "window_distribution",
 )
 
 
