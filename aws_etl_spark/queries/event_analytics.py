@@ -685,3 +685,80 @@ sql_query(
     ),
     tables=("events",),
 )
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen robust trend on daily event volume (round 9). The
+# outlier-proof slope every volume monitor wants (one anomalous day
+# drags OLS, but not the median of pairwise slopes). Declared-seam
+# shape like the KM spine: the daily rollup is the only data-sized
+# stage; the pairwise self-join runs over the ≤31-row day spine
+# (≤465 pairs), and the median is an exact order statistic — rank by
+# (slope, t1, t2), pick the middle one or two rows, AVG them (a
+# 2-value IEEE mean is commutative, so cross-engine order is moot).
+# Each slope is ONE IEEE division of two exact BIGINTs; no
+# transcendentals anywhere.
+# --------------------------------------------------------------------------
+
+
+def _theilsen_sql(epoch_days, intdiv, declared) -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS v
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+idx AS (SELECT {epoch_days("d")} AS t, v FROM daily),
+pairs AS (
+  SELECT a.t AS t1, b.t AS t2,
+         CAST(b.v - a.v AS DOUBLE) / (b.t - a.t) AS slope
+  FROM idx a JOIN idx b ON b.t > a.t
+),
+ranked AS (
+  SELECT slope,
+         ROW_NUMBER() OVER (PARTITION BY __g
+                            ORDER BY slope, t1, t2) AS rn
+  FROM {declared("pairs")}
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+SELECT nd.n_days, m.n_pairs,
+       (SELECT AVG(r.slope) FROM ranked r CROSS JOIN m
+        WHERE r.rn IN ({intdiv("m.n_pairs + 1", "2")}, {intdiv("m.n_pairs + 2", "2")}))
+         AS slope_per_day
+FROM nd CROSS JOIN m
+"""
+
+
+def _theilsen_spark() -> str:
+    from aws_etl_spark.queries.sql_seams import spark_declared
+
+    return _theilsen_sql(
+        lambda d: f"DATEDIFF({d}, DATE '1970-01-01')",
+        lambda a, b: f"({a}) DIV ({b})",
+        spark_declared,
+    )
+
+
+def _theilsen_duck() -> str:
+    from aws_etl_spark.queries.sql_seams import duck_declared
+
+    return _theilsen_sql(
+        lambda d: f"DATEDIFF('day', DATE '1970-01-01', {d})",
+        lambda a, b: f"({a}) // ({b})",
+        duck_declared,
+    )
+
+
+sql_query(
+    "events_theilsen_trend",
+    _theilsen_spark(),
+    oracle=_theilsen_duck(),
+    category="events",
+    doc=(
+        "Theil–Sen robust trend of daily event volume: median of all "
+        "pairwise day-to-day slopes over the ≤31-day spine, as an "
+        "exact order statistic (rank, middle 1-2 rows, commutative "
+        "2-value mean). One daily rollup is the only data-sized stage."
+    ),
+    tables=("events",),
+)

@@ -1885,3 +1885,207 @@ sql_query(
     ),
     tables=("documents",),
 )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility / bytes-per-token by language (round 9) — the
+# compression-ratio audit that closes the tokenizer set (BPE
+# train/encode, OOV rate, Zipf, Heaps): fix the vocabulary = top-V
+# corpus words (the text_oov_rate convention; V=16 keeps roughly half
+# the synthetic corpus's 31 word types out-of-vocab — the degeneracy
+# audit: V=50 made fertility identically 1.0), price each word at 1
+# token if in-vocab else LENGTH(word) byte-fallback tokens (the
+# BPE-miss cost model), then per LANGUAGE report subword fertility
+# (tokens per word) and bytes per token. A tokenizer trained on one
+# language mix under-covers the others — this is the audit that shows
+# it, per language, before a single GPU-hour is spent.
+#
+# Scale shape: one token explode -> vocabulary-bounded word-freq agg
+# (map-side combined) -> top-V LIMIT broadcast back -> one per-lang
+# agg (≤ n_languages rows). All counts exact BIGINTs; the only IEEE
+# ops are the two boundary divisions per output row.
+# --------------------------------------------------------------------------
+
+def _fertility_sql(tok: str, bytelen: str) -> str:
+    return f"""
+WITH tok AS (
+  SELECT lang, w FROM (SELECT lang, {tok} AS w FROM documents)
+  WHERE w <> ''
+),
+freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY w),
+vocab AS (SELECT w FROM freq ORDER BY f DESC, w LIMIT 16),
+cost AS (
+  SELECT tok.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(CASE WHEN v.w IS NULL THEN LENGTH(tok.w) ELSE 1 END)
+              AS BIGINT) AS n_subword_tokens
+  FROM tok LEFT JOIN vocab v ON v.w = tok.w
+  GROUP BY tok.lang
+),
+sizes AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({bytelen}) AS BIGINT) AS n_bytes
+  FROM documents GROUP BY lang
+)
+SELECT s.lang, s.n_docs, s.n_bytes, c.n_words, c.n_subword_tokens,
+       CAST(c.n_subword_tokens AS DOUBLE) / c.n_words AS fertility,
+       CAST(s.n_bytes AS DOUBLE) / c.n_subword_tokens AS bytes_per_token
+FROM sizes s JOIN cost c ON c.lang = s.lang
+"""
+
+
+sql_query(
+    "text_tokenizer_fertility",
+    _fertility_sql("explode(split(trim(text), ' '))", "octet_length(text)"),
+    oracle=_fertility_sql(
+        "unnest(string_split(trim(text), ' '))", "strlen(text)"
+    ),
+    category="text",
+    doc=(
+        "Tokenizer fertility audit by language: vocabulary = top-16 "
+        "corpus words (freq desc, word asc tiebreak); each word costs "
+        "1 token in-vocab else LENGTH(word) byte-fallback tokens; per "
+        "language, subword fertility (tokens/word) and bytes/token. "
+        "Exact BIGINT counts, two boundary divisions per row."
+    ),
+    tables=("documents",),
+)
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level duplication fraction (round 9) — the Gopher
+# repetition signal at the granularity between span dedup
+# (dedup/spans.py k-gram census) and whole-document dedup: split on
+# blank lines, hash paragraphs corpus-wide, report per document the
+# fraction of its paragraphs (and of its characters) that belong to a
+# paragraph seen more than once ANYWHERE in the corpus.
+#
+# The synthetic corpus has no newlines, so every document is one
+# paragraph and the query degrades to exact doc-level duplication
+# (still a non-trivial hash: the corpus contains exact-dup docs); the
+# multi-paragraph branches are pinned by a crafted-parquet edge
+# differential in tests/test_round9_edges.py (the r8 pattern).
+#
+# Scale shape: paragraph explode (map-side flatMap), one md5-freq agg
+# (map-side combined, paragraph-vocabulary-bounded), one join back on
+# the hash, one per-doc agg. Counts exact; two boundary divisions.
+# --------------------------------------------------------------------------
+
+def _paragraph_dup_sql(split: str) -> str:
+    return f"""
+WITH p0 AS (
+  SELECT doc_id, TRIM(x) AS para
+  FROM (SELECT doc_id, {split} AS x FROM documents)
+),
+h AS (
+  SELECT doc_id, MD5(para) AS ph, CAST(LENGTH(para) AS BIGINT) AS plen
+  FROM p0 WHERE para <> ''
+),
+freq AS (SELECT ph, CAST(COUNT(*) AS BIGINT) AS f FROM h GROUP BY ph)
+SELECT h.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+       CAST(SUM(CASE WHEN freq.f > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_paragraphs,
+       CAST(SUM(h.plen) AS BIGINT) AS n_chars,
+       CAST(SUM(CASE WHEN freq.f > 1 THEN h.plen ELSE 0 END) AS BIGINT)
+         AS n_dup_chars,
+       CAST(SUM(CASE WHEN freq.f > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_para_frac,
+       CAST(SUM(CASE WHEN freq.f > 1 THEN h.plen ELSE 0 END) AS DOUBLE)
+         / SUM(h.plen) AS dup_char_frac
+FROM h JOIN freq ON freq.ph = h.ph
+GROUP BY h.doc_id
+"""
+
+
+sql_query(
+    "text_paragraph_dup",
+    _paragraph_dup_sql("explode(split(text, '\\n\\n'))"),
+    oracle=_paragraph_dup_sql(
+        "unnest(string_split(text, chr(10) || chr(10)))"
+    ),
+    category="text",
+    doc=(
+        "Gopher-style duplicate-paragraph fraction: split documents "
+        "on blank lines, md5 each trimmed non-empty paragraph, count "
+        "corpus-wide occurrences, and report per document the "
+        "paragraph- and character-weighted fractions that are "
+        "duplicated anywhere in the corpus."
+    ),
+    tables=("documents",),
+)
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage curve (round 9): what fraction of all token
+# OCCURRENCES the top-K word types cover, for a spine of K values —
+# the sizing curve a tokenizer budget decision reads (Zipf gives the
+# fit, Heaps the growth; this gives the cumulative payoff per vocab
+# slot). One explode + vocabulary-bounded freq agg; the ranking
+# window runs over the top-64 cut only (declared single-partition
+# seam, same discipline as text_zipf_fit's top-100) while totals come
+# from the full freq table via cheap scalar aggregates. Exact BIGINT
+# counts; one boundary division per spine row.
+# --------------------------------------------------------------------------
+
+
+def _vocab_cov_sql(tok: str, ks_clause: str, declared) -> str:
+    return f"""
+WITH tok AS (
+  SELECT w FROM (SELECT {tok} AS w FROM documents) WHERE w <> ''
+),
+freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY w),
+tot AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM freq
+),
+top AS (SELECT w, f FROM freq ORDER BY f DESC, w LIMIT 64),
+cum AS (
+  SELECT ROW_NUMBER() OVER (PARTITION BY __g ORDER BY f DESC, w) AS rk,
+         CAST(SUM(f) OVER (PARTITION BY __g ORDER BY f DESC, w
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cf
+  FROM {declared("top")}
+),
+ks AS (SELECT CAST(kk.k AS BIGINT) AS k FROM ({ks_clause}) kk)
+SELECT ks.k, tot.n_types, tot.n_tokens,
+       c.cf AS covered_tokens,
+       CAST(c.cf AS DOUBLE) / tot.n_tokens AS coverage
+FROM ks CROSS JOIN tot
+JOIN cum c ON c.rk = LEAST(ks.k, tot.n_types)
+"""
+
+
+def _vocab_cov_spark() -> str:
+    from aws_etl_spark.queries.sql_seams import spark_declared
+
+    return _vocab_cov_sql(
+        "explode(split(trim(text), ' '))",
+        "SELECT explode(array(4, 8, 16, 24)) AS k",
+        spark_declared,
+    )
+
+
+def _vocab_cov_duck() -> str:
+    from aws_etl_spark.queries.sql_seams import duck_declared
+
+    return _vocab_cov_sql(
+        "unnest(string_split(trim(text), ' '))",
+        "SELECT unnest([4, 8, 16, 24]) AS k",
+        duck_declared,
+    )
+
+
+sql_query(
+    "text_vocab_coverage",
+    _vocab_cov_spark(),
+    oracle=_vocab_cov_duck(),
+    category="text",
+    doc=(
+        "Vocabulary coverage curve: fraction of token occurrences "
+        "covered by the top-K word types for K in (4, 8, 16, 24) — "
+        "rank by (freq desc, word), exact cumulative BIGINT prefix "
+        "sums over the top-64 cut, one boundary division per row."
+    ),
+    tables=("documents",),
+)

@@ -573,3 +573,154 @@ sql_query(
     ),
     tables=("customer", "orders"),
 )
+
+
+# --------------------------------------------------------------------------
+# Calibration-bin / ECE evaluation (round 9). Extends the eval family
+# (nDCG@10, bootstrap CI) with the classifier-calibration audit:
+# scores come from the corpus's salted-md5-coin convention (a
+# synthetic "model" — uniform scores against a real label make the
+# reliability diagram non-trivial by construction: per-bin confidence
+# ramps 0.05→0.95 while accuracy stays at the label base rate), bins
+# are exact integer deciles of the 16-bit coin (coin*10 // 65536 — no
+# float ever enters the binning), and per-bin counts stay BIGINT. The
+# only IEEE ops are the two boundary divisions (confidence, accuracy);
+# the |acc − conf| gap is micro-quantized so the weighted ECE numerator
+# stays an exact integer: ECE = SUM(ece_contrib_micro) / (1e6·SUM(n)).
+# Scale shape: one map-side-combined 10-group agg; constant output.
+# --------------------------------------------------------------------------
+
+
+def _ece_sql(coin: str, intdiv) -> str:
+    return f"""
+WITH scored AS (
+  SELECT {coin} AS coin,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS label
+  FROM orders
+),
+g AS (
+  SELECT {intdiv("coin * 10", "65536")} AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS n_pos,
+         CAST(SUM(coin) AS BIGINT) AS sum_score
+  FROM scored GROUP BY {intdiv("coin * 10", "65536")}
+),
+m AS (
+  SELECT bin, n, n_pos, sum_score,
+         CAST(sum_score AS DOUBLE) / (n * 65536) AS confidence,
+         CAST(n_pos AS DOUBLE) / n AS accuracy
+  FROM g
+)
+SELECT bin, n, n_pos, sum_score, confidence, accuracy,
+       CAST(FLOOR(ABS(accuracy - confidence) * CAST(1000000 AS DOUBLE))
+            AS BIGINT) AS gap_micro,
+       CAST(FLOOR(ABS(accuracy - confidence) * CAST(1000000 AS DOUBLE))
+            AS BIGINT) * n AS ece_contrib_micro
+FROM m
+"""
+
+
+_SPARK_CAL_COIN = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT('cal#', CAST(o_orderkey AS STRING))),"
+    " 1, 4), 16, 10) AS BIGINT)"
+)
+_DUCK_CAL_COIN = _duck_coin("'cal#' || CAST(o_orderkey AS VARCHAR)")
+
+
+sql_query(
+    "ml_calibration_ece",
+    _ece_sql(_SPARK_CAL_COIN, lambda a, b: f"({a}) DIV ({b})"),
+    oracle=_ece_sql(_DUCK_CAL_COIN, lambda a, b: f"({a}) // ({b})"),
+    category="ml",
+    doc=(
+        "Expected-calibration-error bins: md5-coin scores vs the "
+        "urgent-priority label, 10 exact integer decile bins, per-bin "
+        "confidence/accuracy (one IEEE division each over exact BIGINT "
+        "sums) and the micro-quantized |acc-conf| gap; "
+        "ECE = SUM(ece_contrib_micro) / (1e6 * SUM(n))."
+    ),
+    tables=("orders",),
+)
+
+
+# --------------------------------------------------------------------------
+# Inter-annotator agreement — Cohen's kappa (round 9). The label-audit
+# every human/LLM annotation pipeline runs before trusting a training
+# signal: two synthetic annotators share a deterministic base rule
+# (n_chars >= 300) and each flips it independently with its own
+# salted-md5 coin (A: 10 %, B: 20 %), so the confusion matrix, the
+# observed agreement, the chance agreement, and kappa are all fixed
+# functions of the corpus — non-degenerate by construction (kappa lands
+# well inside (0, 1)). Per-language confusion counts stay exact
+# BIGINTs; po/pe/kappa are short IEEE chains over those exact ints
+# (divisions, products, one final ratio — no transcendentals), bit-
+# identical across engines. Scale: one map-side-combined 5-group agg.
+# --------------------------------------------------------------------------
+
+
+def _kappa_sql(coin_a: str, coin_b: str) -> str:
+    return f"""
+WITH lab AS (
+  SELECT lang,
+         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS base,
+         CASE WHEN {coin_a} < 6554 THEN 1 ELSE 0 END AS flip_a,
+         CASE WHEN {coin_b} < 13107 THEN 1 ELSE 0 END AS flip_b
+  FROM documents
+),
+ann AS (
+  SELECT lang,
+         ABS(base - flip_a) AS a,
+         ABS(base - flip_b) AS b
+  FROM lab
+),
+cm AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+         CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+  FROM ann GROUP BY lang
+),
+m AS (
+  SELECT lang, n, n00, n01, n10, n11,
+         CAST(n00 + n11 AS DOUBLE) / n AS po,
+         (CAST(n10 + n11 AS DOUBLE) / n) * (CAST(n01 + n11 AS DOUBLE) / n)
+         + (CAST(n00 + n01 AS DOUBLE) / n) * (CAST(n00 + n10 AS DOUBLE) / n)
+           AS pe
+  FROM cm
+)
+SELECT lang, n, n00, n01, n10, n11, po, pe,
+       CASE WHEN pe = CAST(1 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+            ELSE (po - pe) / (CAST(1 AS DOUBLE) - pe) END AS kappa
+FROM m
+"""
+
+
+_SPARK_ANN_A = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT('annA#', CAST(doc_id AS STRING))),"
+    " 1, 4), 16, 10) AS BIGINT)"
+)
+_SPARK_ANN_B = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT('annB#', CAST(doc_id AS STRING))),"
+    " 1, 4), 16, 10) AS BIGINT)"
+)
+_DUCK_ANN_A = _duck_coin("'annA#' || CAST(doc_id AS VARCHAR)")
+_DUCK_ANN_B = _duck_coin("'annB#' || CAST(doc_id AS VARCHAR)")
+
+
+sql_query(
+    "ml_annotator_kappa",
+    _kappa_sql(_SPARK_ANN_A, _SPARK_ANN_B),
+    oracle=_kappa_sql(_DUCK_ANN_A, _DUCK_ANN_B),
+    category="ml",
+    doc=(
+        "Inter-annotator agreement: Cohen's kappa per language between "
+        "two deterministic synthetic annotators (shared n_chars rule, "
+        "independent 10 %/20 % md5-coin flips). Exact BIGINT confusion "
+        "matrix; po/pe/kappa as short IEEE chains; the pe=1 degenerate "
+        "guard is pinned cross-engine."
+    ),
+    tables=("documents",),
+)

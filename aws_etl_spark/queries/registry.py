@@ -247,6 +247,13 @@ _DRIVER_ORDER = (
     "ml_negative_sampling",
     # -- block 2: new round-9 queries (landing during this round;
     #    capped at 7 by the window-budget rule)
+    "join_bloom_pruned",
+    "text_tokenizer_fertility",
+    "text_paragraph_dup",
+    "ml_calibration_ece",
+    "ml_annotator_kappa",
+    "events_theilsen_trend",
+    "text_vocab_coverage",
     # -- block 3: re-confirmation — the 42 r3-vintage names
     "ann_embedding_near_dup",
     "corpus_mixture_sample",
@@ -290,8 +297,9 @@ _DRIVER_ORDER = (
     "tpch_q3_unshipped_revenue",
     "tpch_q4_priority_returns",
     "tpch_q7_volume_shipping",
-    #    provisional tail: oldest r4-vintage re-confirmations,
-    #    displaced one-for-one by block-2 additions as they land
+    # ---- end of the 50-query round-9 window ----
+    # r4-vintage evidence queues next (round-10 block 3; also the
+    # backfill if a block-2 addition fails to land this round)
     "agg_grouping_flags",
     "ann_cosine_topk_exact",
     "basket_affinity_pairs",
@@ -299,9 +307,6 @@ _DRIVER_ORDER = (
     "corpus_cluster_safe_split",
     "corpus_domain_cap",
     "corpus_e2e_pipeline",
-    # ---- end of the 50-query round-9 window ----
-    # r4-vintage evidence queues next (round-10 block 3; also the
-    # backfill if a block-2 addition fails to land this round)
     "dedup_decontaminate",
     "dedup_graph_degrees",
     "dedup_graph_kcore",

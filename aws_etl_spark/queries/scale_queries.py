@@ -72,3 +72,66 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue"), 2).cast("double").alias("revenue"),
         F.col("n_items").cast("bigint").alias("n_items"),
     )
+
+
+_BLOOM_ORACLE = """
+SELECT s_suppkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey = 19
+GROUP BY s_suppkey
+"""
+
+
+@register(
+    "join_bloom_pruned",
+    oracle=_BLOOM_ORACLE,
+    category="scale",
+    tables=("lineitem", "supplier"),
+)
+def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by supplier for ONE nation's suppliers, executed as a
+    Bloom-pruned shuffle join: the selective dimension (one nationkey, ≈1/25 of
+    suppliers) builds a bitmap (``ops/bloom.py`` — one tiny bit_or
+    agg), the fact side is broadcast-probed and filtered BEFORE its
+    shuffle, then the exact join runs on the survivors. False
+    positives only cost shuffle rows; the join stays exact, so the
+    plain-SQL oracle hash proves the mechanism is result-preserving
+    (the ``join_skew_salted`` proof pattern). The merge hint pins the
+    shuffle-join shape the mechanism exists for — with a
+    broadcast-able dim the prune would be pointless (the big side
+    never shuffles), which is exactly the 100 TB regime this row
+    rehearses: a dimension too big to broadcast, most fact rows
+    keyless. Plan pinned by tests/test_plans.py (probe filter below
+    the fact-side exchange)."""
+    from aws_etl_spark.ops.scale import bloom_pruned_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(6,4)"))
+        ).alias("rev"),
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 19)
+        .select(F.col("s_suppkey").alias("suppkey"))
+        .hint("merge")
+    )
+    joined = bloom_pruned_join(li, supp, "suppkey", m_bits=1 << 17)
+    return (
+        joined.groupBy("suppkey")
+        .agg(
+            F.sum("rev").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.col("suppkey").alias("s_suppkey"),
+            F.round(F.col("revenue"), 2).cast("double").alias("revenue"),
+            F.col("n_items").cast("bigint").alias("n_items"),
+        )
+    )

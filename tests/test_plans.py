@@ -624,3 +624,22 @@ def test_negative_sampling_single_scan_plan(spark, sf_dir):
     # the window must reuse the anti-join side's custkey partitioning
     # (no exchange between the join and the Window operator)
     assert "WindowGroupLimit" in final
+
+
+def test_bloom_pruned_join_prunes_before_shuffle(spark, sf_dir):
+    """join_bloom_pruned's contract: the fact side is Bloom-filtered
+    BELOW its shuffle exchange (prune-then-shuffle is the operator's
+    whole value at 100 TB), and the join itself is the pinned
+    SortMergeJoin shape (a broadcast dim would make the prune moot)."""
+    from aws_etl_spark.plans.inspect import executed_plan_text
+    from aws_etl_spark.queries.registry import REGISTRY
+
+    text = executed_plan_text(REGISTRY["join_bloom_pruned"].fn(spark, sf_dir))
+    final = text.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in final
+    ex = final.find("Exchange hashpartitioning(suppkey")
+    probe = final.find("shiftleft")  # the probe's bit-mask expressions
+    assert ex != -1 and probe != -1
+    # tree text prints parents before children: the probe filter must
+    # sit INSIDE the fact-side exchange's subtree, i.e. after it
+    assert ex < probe, "bloom probe not below the fact-side exchange"
