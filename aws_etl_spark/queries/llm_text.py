@@ -2089,3 +2089,137 @@ sql_query(
     ),
     tables=("documents",),
 )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion audit (round 9, queued for the r10 window):
+# per-class precision/recall/F1 of the stopword-overlap langid
+# heuristic against the stored labels — the eval row on top of
+# text_lang_id (which emits predictions; this grades them). One scan
+# feeds a ≤(langs+1)² confusion matrix (localCheckpoint'ed so the two
+# marginal aggregates cannot re-expand into two corpus scans — the
+# ml_negative_sampling lesson); every downstream stage runs on ≤36
+# rows. Counts exact BIGINTs; precision/recall one IEEE division
+# each; F1 a guarded fixed-shape IEEE expression.
+# --------------------------------------------------------------------------
+
+_LANG_CONF_ORACLE = """
+WITH t AS (
+  SELECT lang AS lang_actual,
+         LIST_DISTINCT(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w
+  FROM documents
+),
+s AS (
+  SELECT lang_actual,
+    LEN(LIST_INTERSECT(w, ['the','and','of','to','a','in','is','it','that','for'])) AS s_en,
+    LEN(LIST_INTERSECT(w, ['el','la','de','que','y','en','un','por','con','una'])) AS s_es,
+    LEN(LIST_INTERSECT(w, ['le','la','de','et','un','une','du','des','est','dans'])) AS s_fr,
+    LEN(LIST_INTERSECT(w, ['der','die','das','und','ist','von','ein','eine','mit','zu'])) AS s_de
+  FROM t
+),
+pred AS (
+  SELECT lang_actual,
+       CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+            WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de) THEN 'de'
+            WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de) THEN 'en'
+            WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+  FROM s
+),
+cm AS (
+  SELECT lang_actual, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang_actual, lang_pred
+),
+a AS (
+  SELECT lang_actual AS lang,
+         CAST(SUM(n) AS BIGINT) AS n_actual,
+         CAST(SUM(CASE WHEN lang_pred = lang_actual THEN n ELSE 0 END)
+              AS BIGINT) AS tp
+  FROM cm GROUP BY lang_actual
+),
+p AS (
+  SELECT lang_pred AS lang, CAST(SUM(n) AS BIGINT) AS n_pred
+  FROM cm GROUP BY lang_pred
+),
+m AS (
+  SELECT COALESCE(a.lang, p.lang) AS lang,
+         COALESCE(a.tp, 0) AS tp,
+         COALESCE(a.n_actual, 0) AS n_actual,
+         COALESCE(p.n_pred, 0) AS n_pred
+  FROM a FULL OUTER JOIN p ON p.lang = a.lang
+),
+f AS (
+  SELECT lang, tp, n_actual, n_pred,
+         CASE WHEN n_pred = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(tp AS DOUBLE) / n_pred END AS precision,
+         CASE WHEN n_actual = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(tp AS DOUBLE) / n_actual END AS recall
+  FROM m
+)
+SELECT lang, tp, n_actual, n_pred, precision, recall,
+       CASE WHEN precision + recall = CAST(0 AS DOUBLE)
+            THEN CAST(0 AS DOUBLE)
+            ELSE 2 * precision * recall / (precision + recall)
+       END AS f1
+FROM f
+"""
+
+
+@register(
+    "text_lang_confusion",
+    oracle=_LANG_CONF_ORACLE,
+    category="text",
+    tables=("documents",),
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the langid heuristic vs the
+    stored labels, via one checkpointed bounded confusion matrix."""
+    docs = load_table(spark, sf_dir, "documents")
+    cm = (
+        docs.select(
+            F.col("lang").alias("lang_actual"),
+            lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang_actual", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    a = cm.groupBy(F.col("lang_actual").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_actual"),
+        F.sum(
+            F.when(F.col("lang_pred") == F.col("lang_actual"), F.col("n"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("tp"),
+    )
+    p = cm.groupBy(F.col("lang_pred").alias("lang")).agg(
+        F.sum("n").cast("bigint").alias("n_pred")
+    )
+    m = (
+        a.join(p, "lang", "full_outer")
+        .select(
+            "lang",
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            F.coalesce(F.col("n_actual"), F.lit(0)).alias("n_actual"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+        )
+        .withColumn(
+            "precision",
+            F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+                F.col("tp").cast("double") / F.col("n_pred")
+            ),
+        )
+        .withColumn(
+            "recall",
+            F.when(F.col("n_actual") == 0, F.lit(0.0)).otherwise(
+                F.col("tp").cast("double") / F.col("n_actual")
+            ),
+        )
+    )
+    return m.withColumn(
+        "f1",
+        F.when(F.col("precision") + F.col("recall") == 0.0, F.lit(0.0))
+        .otherwise(
+            2 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall"))
+        ),
+    )

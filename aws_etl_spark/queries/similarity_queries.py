@@ -1214,3 +1214,71 @@ sql_query(
     ),
     tables=("embeddings",),
 )
+
+
+# --------------------------------------------------------------------------
+# ANN recall@k evaluation (round 9, queued for the r10 window): the
+# quality number every approximate index is judged by, as a registry
+# row — per query point, |LSH top-5 ∩ exact top-5| / 5 for the
+# production 32-bit×8-band parameterization. Both legs are already
+# hash-proven queries (ann_cosine_topk_exact, ann_cosine_topk_lsh);
+# this row eval-joins them on ids only, so the oracle is the literal
+# composition of their two oracle texts — doubles never enter the
+# join or the recall ratio (exact-int hit counts, one boundary
+# division). The in-repo recall GATE (tests/test_similarity.py)
+# asserts a floor; this row publishes the measured value per query.
+# --------------------------------------------------------------------------
+
+_ANN_RECALL_ORACLE = f"""
+WITH exact_r AS (
+  SELECT query_id, neighbor_id FROM ({_TOPK_ORACLE}) x
+),
+lsh_r AS (
+  SELECT query_id, neighbor_id FROM ({_lsh_exact_oracle(bits=32, bands=8)}) y
+)
+SELECT e.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_at_k
+FROM exact_r e
+LEFT JOIN lsh_r l
+  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "embeddings_ann_recall",
+    oracle=_ANN_RECALL_ORACLE,
+    category="similarity",
+    tables=("embeddings",),
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the production sign-LSH ANN vs the exact top-5,
+    per query point — id-only eval join of two hash-proven legs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 20")
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    lsh = (
+        cosine_topk_lsh(emb, queries, k=5)
+        .select(
+            F.col("query_id").alias("l_qid"),
+            F.col("neighbor_id").alias("l_nid"),
+        )
+    )
+    return (
+        exact.join(
+            lsh,
+            (F.col("query_id") == F.col("l_qid"))
+            & (F.col("neighbor_id") == F.col("l_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("l_nid").cast("bigint").alias("n_hits"),
+            F.count("*").cast("bigint").alias("k"),
+            (F.count("l_nid").cast("double") / F.count("*")).alias(
+                "recall_at_k"
+            ),
+        )
+    )

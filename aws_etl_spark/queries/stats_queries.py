@@ -1766,3 +1766,102 @@ sql_query(
     ),
     tables=("events",),
 )
+
+
+# --------------------------------------------------------------------------
+# Mann–Whitney U rank-sum drift test (round 9, queued for the r10
+# window) — the nonparametric location-shift companion to the KS
+# shape test: same first-vs-second-half-month split, same two-stage
+# distributed prefix sum (per-value totals + bucket-offset windows,
+# never a whole-table window). U is computed WITHOUT materializing
+# ranks: for each distinct value, sample-1 rows × (sample-2 rows
+# strictly below) plus half the cross-ties — kept exact by carrying
+# 2·U1 as a BIGINT. The tie-corrected normal approximation's z is a
+# fixed-shape IEEE chain (divisions, one correctly-rounded SQRT) over
+# exact integers, bit-identical across engines. Overflow contract:
+# Σ(t³−t) needs (max ties)³ < 2^63 — beyond ~2e6 rows per distinct
+# value, bucket the values first (the KS n1·n2 < 2^63 convention).
+# --------------------------------------------------------------------------
+
+
+def _mw_sql(declared) -> str:
+    return f"""
+WITH v AS (
+  SELECT value AS v,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS in1
+  FROM events WHERE value IS NOT NULL
+),
+n AS (
+  SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+         CAST(SUM(1 - in1) AS BIGINT) AS n2
+  FROM v
+),
+g AS (
+  SELECT v, CAST(FLOOR(v / 50.0) AS BIGINT) AS bucket,
+         CAST(SUM(in1) AS BIGINT) AS c1,
+         CAST(SUM(1 - in1) AS BIGINT) AS c2
+  FROM v GROUP BY v
+),
+bt AS (
+  SELECT bucket, CAST(SUM(c2) AS BIGINT) AS bc2,
+         CAST(SUM(c1 + c2) AS BIGINT) AS bct
+  FROM g GROUP BY bucket
+),
+off AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(bc2) OVER (PARTITION BY __g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o2
+  FROM {declared("bt")}
+),
+c AS (
+  SELECT g.c1, g.c2,
+         o.o2 + SUM(g.c2) OVER (PARTITION BY g.bucket ORDER BY g.v
+              ROWS UNBOUNDED PRECEDING) - g.c2 AS f2_below
+  FROM g JOIN off o ON o.bucket = g.bucket
+),
+u AS (
+  SELECT CAST(SUM(2 * c.c1 * c.f2_below + c.c1 * c.c2) AS BIGINT) AS u2,
+         CAST(SUM((c.c1 + c.c2) * (c.c1 + c.c2) * (c.c1 + c.c2)
+                  - (c.c1 + c.c2)) AS BIGINT) AS tie_cubes
+  FROM c
+)
+SELECT n.n1, n.n2, u.u2, u.tie_cubes,
+       -- degenerate guards decided in EXACT INTEGER space (a var=0
+       -- double comparison would still let 0/0 NaNs differ-or-agree
+       -- by accident): one empty sample, or every value tied
+       -- (tie_cubes = N^3 - N), pins z to 0 on both engines
+       CASE WHEN n.n1 = 0 OR n.n2 = 0
+                 OR u.tie_cubes = (n.n1 + n.n2) * (n.n1 + n.n2)
+                    * (n.n1 + n.n2) - (n.n1 + n.n2)
+            THEN CAST(0 AS DOUBLE)
+            ELSE
+       (CAST(u.u2 AS DOUBLE) / CAST(2 AS DOUBLE)
+        - CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE) / CAST(2 AS DOUBLE))
+       / SQRT(
+           (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)
+            / (CAST(n.n1 + n.n2 AS DOUBLE) * CAST(n.n1 + n.n2 - 1 AS DOUBLE)))
+           * ((CAST(n.n1 + n.n2 AS DOUBLE) * CAST(n.n1 + n.n2 AS DOUBLE)
+               * CAST(n.n1 + n.n2 AS DOUBLE) - CAST(n.n1 + n.n2 AS DOUBLE)
+               - CAST(u.tie_cubes AS DOUBLE)) / CAST(12 AS DOUBLE))
+         )
+       END AS z_score
+FROM u CROSS JOIN n
+"""
+
+
+sql_query(
+    "stat_mann_whitney",
+    _mw_sql(spark_declared),
+    oracle=_mw_sql(duck_declared),
+    category="stats",
+    doc=(
+        "Mann-Whitney U rank-sum drift test between the first and "
+        "second half of the event month: 2·U1 and the tie-correction "
+        "term stay exact BIGINTs via the KS-style two-stage prefix "
+        "sum (no rank materialization, no whole-table window); the "
+        "tie-corrected z is one fixed-shape IEEE chain with a "
+        "correctly-rounded SQRT."
+    ),
+    tables=("events",),
+)

@@ -699,3 +699,114 @@ def _register_seasonal() -> None:
 
 
 _register_seasonal()
+
+
+# --------------------------------------------------------------------------
+# Markov stationary distribution of the event-type chain (round 9,
+# queued for the r10 window) — "where does a user's session settle":
+# the long-run occupancy the transition matrix only implies. Twelve
+# unrolled quantized power-iteration steps, exact integer algebra in
+# micro-units: step k is pi_k(j) = Σ_src (pi_{k-1}(src) · n(src,j))
+# DIV rowsum(src) — per-term floor division spelled identically on
+# both engines, so every intermediate is a bit-pinned BIGINT (the
+# pagerank/PCA quantized-iteration convention; floor mass loss is
+# deterministic and identical). The Spark side scans events ONCE into
+# a checkpointed ≤(types)² count table and iterates driver-side over
+# broadcast-tiny frames; the oracle unrolls the same twelve steps as
+# MATERIALIZED CTEs (DuckDB would otherwise re-inline the count CTE
+# once per step — the exponential-CTE trap).
+# --------------------------------------------------------------------------
+
+_STATIONARY_STEPS = 12
+
+
+def _stationary_oracle() -> str:
+    steps = []
+    for k in range(1, _STATIONARY_STEPS + 1):
+        steps.append(f"""
+p{k} AS MATERIALIZED (
+  SELECT counts.dst AS s,
+         CAST(SUM((p{k-1}.pi * counts.n) // ns.tot) AS BIGINT) AS pi
+  FROM p{k-1}
+  JOIN counts ON counts.src = p{k-1}.s
+  JOIN ns ON ns.src = p{k-1}.s
+  GROUP BY counts.dst
+)""")
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+  FROM events
+),
+counts AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE dst IS NOT NULL
+  GROUP BY src, dst
+),
+ns AS MATERIALIZED (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM counts GROUP BY src
+),
+states AS MATERIALIZED (SELECT src AS s FROM counts GROUP BY src),
+p0 AS MATERIALIZED (
+  SELECT s, CAST(1000000 // (SELECT COUNT(*) FROM states) AS BIGINT) AS pi
+  FROM states
+),{",".join(steps)}
+SELECT s AS event_type, pi AS pi_micro,
+       CAST(pi AS DOUBLE) / CAST(1000000 AS DOUBLE) AS pi
+FROM p{_STATIONARY_STEPS}
+"""
+
+
+@register(
+    "events_markov_stationary",
+    oracle=_stationary_oracle(),
+    category="timeseries",
+    tables=("events",),
+)
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution by quantized power iteration: one scan
+    of events into a checkpointed count table, then twelve driver-side
+    steps over broadcast-tiny frames (exact per-term floor division,
+    bit-pinned to the oracle's unrolled MATERIALIZED CTEs)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        events.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    ns = counts.groupBy("src").agg(F.sum("n").cast("bigint").alias("tot"))
+    states = counts.select(F.col("src").alias("s")).distinct()
+    n_states = states.count()
+    if n_states == 0:
+        # no transitions anywhere (≤1 event per user): the chain is
+        # empty — mirror the oracle's zero-row result with the schema
+        return spark.createDataFrame(
+            [], "event_type string, pi_micro bigint, pi double"
+        )
+    pi = states.withColumn(
+        "pi", F.lit(1000000 // n_states).cast("bigint")
+    )
+    for _ in range(_STATIONARY_STEPS):
+        pi = (
+            pi.join(counts, pi["s"] == counts["src"])
+            .join(ns, "src")
+            .select(
+                F.col("dst").alias("s"),
+                F.expr("(pi * n) DIV tot").alias("term"),
+            )
+            .groupBy("s")
+            .agg(F.sum("term").cast("bigint").alias("pi"))
+        )
+    return pi.select(
+        F.col("s").alias("event_type"),
+        F.col("pi").alias("pi_micro"),
+        (F.col("pi").cast("double") / F.lit(1000000).cast("double")).alias("pi"),
+    )

@@ -246,3 +246,141 @@ def test_vocab_coverage_tiny_vocabulary_cross_engine(spark, tmp_path):
 
     rows = REGISTRY["text_vocab_coverage"].fn(spark, sf).collect()
     assert len(rows) == 4 and all(row["coverage"] == 1.0 for row in rows)
+
+
+# -- text_lang_confusion ------------------------------------------------------
+
+
+def test_lang_confusion_unpredicted_classes_cross_engine(spark, tmp_path):
+    """Stopword-free docs (everything predicted 'und'): every actual
+    class has n_pred=0 (precision guard) and 'und' has n_actual=0
+    (recall guard) — the full-outer marginal branches, both engines."""
+    docs = _docs(["xyzzy plugh grault", "zork frotz blorb", ""])
+    docs["lang"] = ["zh", "ko", "zh"]
+    sf = _mk_sf(tmp_path, documents=docs)
+    r = check_query("text_lang_confusion", spark, sf)
+    assert r.ok, str(r)
+
+    from aws_etl_spark.queries.registry import REGISTRY
+
+    rows = {
+        row["lang"]: row
+        for row in REGISTRY["text_lang_confusion"].fn(spark, sf).collect()
+    }
+    assert rows["und"]["n_actual"] == 0 and rows["und"]["recall"] == 0.0
+    assert rows["zh"]["n_pred"] == 0 and rows["zh"]["precision"] == 0.0
+    assert all(row["f1"] == 0.0 for row in rows.values())
+
+
+# -- stat_mann_whitney --------------------------------------------------------
+
+
+def test_mann_whitney_degenerate_guards_cross_engine(spark, tmp_path):
+    """All values tied (var=0) and an empty second half (n2=0): the
+    integer-space guards must pin z_score to 0 on both engines — the
+    unguarded form produces 0/0 NaNs."""
+    tied = _mk_sf(
+        tmp_path,
+        events=_events(
+            [
+                (1, "2024-01-02 00:00:00", 1, "view", 42),
+                (2, "2024-01-03 00:00:00", 1, "view", 42),
+                (3, "2024-01-20 00:00:00", 2, "view", 42),
+                (4, "2024-01-21 00:00:00", 2, "view", 42),
+            ]
+        ),
+    )
+    r = check_query("stat_mann_whitney", spark, tied)
+    assert r.ok, str(r)
+
+    from aws_etl_spark.queries.registry import REGISTRY
+
+    row = REGISTRY["stat_mann_whitney"].fn(spark, tied).collect()[0]
+    assert row["z_score"] == 0.0
+
+    half_dir = tmp_path / "half"
+    half_dir.mkdir()
+    half = _mk_sf(
+        half_dir,
+        events=_events(
+            [
+                (1, "2024-01-02 00:00:00", 1, "view", 10),
+                (2, "2024-01-03 00:00:00", 1, "view", 20),
+                (3, "2024-01-04 00:00:00", 2, "view", 30),
+            ]
+        ),
+    )
+    r2 = check_query("stat_mann_whitney", spark, half)
+    assert r2.ok, str(r2)
+    row2 = REGISTRY["stat_mann_whitney"].fn(spark, half).collect()[0]
+    assert row2["n2"] == 0 and row2["z_score"] == 0.0
+
+
+# -- events_markov_stationary -------------------------------------------------
+
+
+def test_markov_stationary_degenerate_chains_cross_engine(spark, tmp_path):
+    """No transitions at all (one event per user → empty chain, zero
+    rows) and a single absorbing self-loop state (pi = 1e6) must
+    hash-match."""
+    empty_chain = _mk_sf(
+        tmp_path,
+        events=_events(
+            [
+                (1, "2024-01-02 00:00:00", 1, "view", 1),
+                (2, "2024-01-03 00:00:00", 2, "click", 1),
+            ]
+        ),
+    )
+    r = check_query("events_markov_stationary", spark, empty_chain)
+    assert r.ok, str(r)
+    assert r.rows_spark == 0
+
+    loop_dir = tmp_path / "loop"
+    loop_dir.mkdir()
+    loop = _mk_sf(
+        loop_dir,
+        events=_events(
+            [
+                (1, "2024-01-02 00:00:00", 1, "view", 1),
+                (2, "2024-01-03 00:00:00", 1, "view", 1),
+                (3, "2024-01-04 00:00:00", 1, "view", 1),
+            ]
+        ),
+    )
+    r2 = check_query("events_markov_stationary", spark, loop)
+    assert r2.ok, str(r2)
+
+    from aws_etl_spark.queries.registry import REGISTRY
+
+    row = REGISTRY["events_markov_stationary"].fn(spark, loop).collect()[0]
+    assert row["event_type"] == "view" and row["pi_micro"] == 1_000_000
+
+
+# -- embeddings_ann_recall ----------------------------------------------------
+
+
+def test_ann_recall_identical_vectors_cross_engine(spark, tmp_path):
+    """All-identical embeddings: every cosine ties at 1.0, so top-5
+    membership is decided purely by the neighbor_id tiebreak — the
+    same five ids on both engines and on both legs (recall 1.0)."""
+    import numpy as np
+
+    n = 30
+    vec = np.arange(64, dtype=np.float32) / 64.0
+    emb = pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [vec.tolist()] * n,
+            "label": [1] * n,
+        }
+    )
+    sf = _mk_sf(tmp_path, embeddings=emb)
+    r = check_query("embeddings_ann_recall", spark, sf)
+    assert r.ok, str(r)
+
+    from aws_etl_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["embeddings_ann_recall"].fn(spark, sf).collect()
+    assert len(rows) == 20
+    assert all(row["recall_at_k"] == 1.0 for row in rows)
