@@ -172,8 +172,17 @@ def _del_at(s: str, p: str) -> str:
     tables=("customer",),
 )
 def q_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    from aws_etl_spark.ops.widen import widen_if_narrow
+
+    # scale-aware widening BEFORE the ~190x deletion-variant explode:
+    # a single-row-group customer snapshot scans as ONE partition, so
+    # the whole variant expansion ran serially (measured 1.9s -> 0.9s
+    # at sf0.1); at production scale the scan is already wide and this
+    # adds nothing
+    cust = widen_if_narrow(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+        )
     )
     # enumerate deletion position pairs (i, j): j in 0..len, i in
     # 0..j-1 (0 = no deletion) — (0,0) identity, (0,j) one deletion,
