@@ -298,12 +298,14 @@ _DRIVER_ORDER = (
     "tpch_q4_priority_returns",
     "tpch_q7_volume_shipping",
     # ---- end of the 50-query round-9 window ----
-    # round-9 LATE additions (window-budget rule: block 2 was full at
-    # 7, so these queue FIRST for round-10 block 1)
+    # round-9 LATE additions + late-changed names (window-budget
+    # rule: block 2 was full at 7, so these queue FIRST for round-10
+    # block 1)
     "text_lang_confusion",
     "stat_mann_whitney",
     "events_markov_stationary",
     "embeddings_ann_recall",
+    "stat_bootstrap_ci",
     # r4-vintage evidence queues next (round-10 block 3; also the
     # backfill if a block-2 addition fails to land this round)
     "agg_grouping_flags",
