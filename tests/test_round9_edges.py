@@ -384,3 +384,168 @@ def test_ann_recall_identical_vectors_cross_engine(spark, tmp_path):
     rows = REGISTRY["embeddings_ann_recall"].fn(spark, sf).collect()
     assert len(rows) == 20
     assert all(row["recall_at_k"] == 1.0 for row in rows)
+
+
+# -- r3-vintage window names: crafted-input differentials ----------------------
+# These names lead the round-9 driver window; each test fires a guard
+# branch the synthetic corpus cannot (constant series, sub-bin
+# cardinality, zero-norm vectors, empty corpora, tied maxima) and
+# requires full cross-engine hash parity on it.
+
+
+def test_anomaly_zscore_constant_series_cross_engine(spark, tmp_path):
+    """Constant daily volume: variance is exactly 0 — the z-score's
+    zero-spread guard must agree across engines."""
+    rows = [
+        (i, f"2024-01-{(i % 10) + 1:02d} 0{i % 9}:00:00", i % 3, "view", 5)
+        for i in range(30)
+    ]
+    sf = _mk_sf(tmp_path, events=_events(rows))
+    r = check_query("events_anomaly_zscore", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_equidepth_histogram_fewer_values_than_bins_cross_engine(
+    spark, tmp_path
+):
+    """Two distinct values cannot fill the bin spine — edge collapse
+    must be identical on both engines."""
+    rows = [
+        (i, f"2024-01-{(i % 28) + 1:02d} 03:00:00", i % 5, "view",
+         10 if i % 2 else 250)
+        for i in range(40)
+    ]
+    sf = _mk_sf(tmp_path, events=_events(rows))
+    r = check_query("stat_equidepth_histogram", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_quantize_int8_zero_vector_cross_engine(spark, tmp_path):
+    """A zero embedding has max|w| = 0 — the quantizer's zero-norm
+    guard (no 0/0) must hash-match."""
+    import numpy as np
+
+    vecs = [np.zeros(64, dtype=np.float32).tolist()] + [
+        (np.arange(64, dtype=np.float32) * (i + 1) / 64.0).tolist()
+        for i in range(9)
+    ]
+    emb = pd.DataFrame(
+        {"vec_id": range(10), "embedding": vecs, "label": [1] * 10}
+    )
+    sf = _mk_sf(tmp_path, embeddings=emb)
+    r = check_query("embeddings_quantize_int8", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_inverted_index_and_chunking_empty_corpus_cross_engine(
+    spark, tmp_path
+):
+    """Empty and whitespace-only documents: the index has no postings,
+    chunking emits nothing — zero-row parity on both engines."""
+    sf = _mk_sf(tmp_path, documents=_docs(["", "   ", ""]))
+    for q in ("text_inverted_index", "text_chunking", "text_top_ngrams"):
+        r = check_query(q, spark, sf)
+        assert r.ok, f"{q}: {r}"
+
+
+def test_table_diff_reconcile_identical_tables_cross_engine(spark, tmp_path):
+    """Zero-diff reconciliation (the null report) must hash-match."""
+    sf = _mk_sf(tmp_path)  # untouched sf0.001 symlinks: compares as-is
+    r = check_query("table_diff_reconcile", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_transition_and_sequence_single_events_cross_engine(spark, tmp_path):
+    """One event per user: no transitions, no sequences — empty-result
+    parity for the chain family."""
+    sf = _mk_sf(
+        tmp_path,
+        events=_events(
+            [
+                (1, "2024-01-02 00:00:00", 1, "view", 1),
+                (2, "2024-01-03 00:00:00", 2, "click", 1),
+                (3, "2024-01-04 00:00:00", 3, "purchase", 1),
+            ]
+        ),
+    )
+    for q in ("events_transition_matrix", "events_sequence_pattern"):
+        r = check_query(q, spark, sf)
+        assert r.ok, f"{q}: {r}"
+
+
+def test_rfm_single_customer_cross_engine(spark, tmp_path):
+    """One customer with one order: every RFM quantile collapses to
+    one value — the degenerate segmentation must agree."""
+    orders = pd.read_parquet(f"{SF0001}/orders.parquet").head(1).copy()
+    sf = _mk_sf(tmp_path, orders=orders)
+    r = check_query("stat_rfm_segmentation", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_tpch_q15_revenue_tie_cross_engine(spark, tmp_path):
+    """Two suppliers with EXACTLY equal max revenue: the top-supplier
+    selection must resolve the tie identically (both engines emit both
+    rows, or the same deterministic pick — whichever the query
+    defines, parity is the contract)."""
+    li = pd.read_parquet(f"{SF0001}/lineitem.parquet")
+    li = li.head(40).copy()
+    # force two suppliers with identical single-line revenues
+    li.loc[li.index[:2], "l_suppkey"] = [7001, 7002]
+    li.loc[li.index[:2], "l_extendedprice"] = 1000.0
+    li.loc[li.index[:2], "l_discount"] = 0.0
+    li.loc[li.index[:2], "l_shipdate"] = li["l_shipdate"].iloc[5]
+    sf = _mk_sf(tmp_path, lineitem=li)
+    r = check_query("tpch_q15_top_supplier", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_sketches_empty_and_tiny_inputs_cross_engine(spark, tmp_path):
+    """Count-min and equi-depth machinery over a 2-event table: sparse
+    sketch rows must agree exactly."""
+    sf = _mk_sf(
+        tmp_path,
+        events=_events(
+            [
+                (1, "2024-01-02 00:00:00", 1, "view", 10),
+                (2, "2024-01-03 00:00:00", 1, "view", 10),
+            ]
+        ),
+    )
+    r = check_query("sketch_count_min", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_grouped_map_topk_ties_cross_engine(spark, tmp_path):
+    """Orders with identical totalprice within a segment: the grouped
+    top-k must tiebreak deterministically on both engines."""
+    orders = pd.read_parquet(f"{SF0001}/orders.parquet").head(20).copy()
+    orders["o_totalprice"] = 5000.0  # all tied
+    sf = _mk_sf(tmp_path, orders=orders)
+    r = check_query("grouped_map_topk", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_rollup_daily_single_day_cross_engine(spark, tmp_path):
+    """A one-day event table: single-row rollup, no gaps to fill."""
+    sf = _mk_sf(
+        tmp_path,
+        events=_events(
+            [
+                (1, "2024-01-05 01:00:00", 1, "view", 1),
+                (2, "2024-01-05 02:00:00", 2, "click", 2),
+            ]
+        ),
+    )
+    for q in ("events_rollup_daily",):
+        r = check_query(q, spark, sf)
+        assert r.ok, f"{q}: {r}"
+
+
+def test_quality_expectations_extreme_rows_cross_engine(spark, tmp_path):
+    """Rows violating every expectation at once (negative totals,
+    far-future dates) must produce identical violation counts."""
+    orders = pd.read_parquet(f"{SF0001}/orders.parquet").head(10).copy()
+    orders.loc[orders.index[:3], "o_totalprice"] = -1.0
+    sf = _mk_sf(tmp_path, orders=orders)
+    r = check_query("quality_expectations", spark, sf)
+    assert r.ok, str(r)
