@@ -441,3 +441,184 @@ def test_cusum_window_identity_matches_recurrence(spark, xs):
         s_neg = max(0, s_neg - e)
         assert row["pos"] == s_pos
         assert row["neg"] == s_neg
+
+
+# -- round-9 additions: randomized-input models -------------------------------
+
+
+_daily_series = st.lists(
+    st.integers(min_value=1, max_value=40),  # events per day
+    min_size=1,
+    max_size=8,
+)
+
+
+@_settings
+@given(per_day=_daily_series)
+def test_theilsen_matches_python_model(spark, per_day):
+    """events_theilsen_trend == brute-force pairwise-slope median with
+    the query's exact rank semantics (order by (slope, t1, t2), pick
+    the integer-division middle ranks, mean them)."""
+    import datetime as dt
+
+    from aws_etl_spark.queries.event_analytics import _theilsen_spark
+
+    rows, eid = [], 0
+    for d, n in enumerate(per_day):
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, d + 1, i % 24, 0, 0), i, "view", 1.0)
+            )
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).createOrReplaceTempView("events")
+    got = spark.sql(_theilsen_spark()).collect()[0]
+
+    days = sorted({(r[1].date() - dt.date(1970, 1, 1)).days for r in rows})
+    vol = {}
+    for r in rows:
+        t = (r[1].date() - dt.date(1970, 1, 1)).days
+        vol[t] = vol.get(t, 0) + 1
+    pairs = [
+        ((vol[t2] - vol[t1]) / (t2 - t1), t1, t2)
+        for i, t1 in enumerate(days)
+        for t2 in days[i + 1 :]
+    ]
+    assert got["n_days"] == len(days) and got["n_pairs"] == len(pairs)
+    if not pairs:
+        assert got["slope_per_day"] is None
+        return
+    pairs.sort()
+    m = len(pairs)
+    picks = sorted({(m + 1) // 2, (m + 2) // 2})
+    sel = [pairs[rn - 1][0] for rn in picks]
+    assert got["slope_per_day"] == sum(sel) / len(sel)
+
+
+_mw_values = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=28),  # day of January
+        st.integers(min_value=0, max_value=6),  # value bucket → ties
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_settings
+@given(rows=_mw_values)
+def test_mann_whitney_matches_python_model(spark, rows):
+    """stat_mann_whitney == brute-force pairwise U (ties at 0.5) and
+    the tie-corrected z replayed with the query's expression order."""
+    import datetime as dt
+    import math
+
+    from aws_etl_spark.queries.stats_queries import _mw_sql
+    from aws_etl_spark.queries.sql_seams import spark_declared
+
+    data = [
+        (i, dt.datetime(2024, 1, d, 3, 0, 0), i, "view", float(v * 50))
+        for i, (d, v) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).createOrReplaceTempView("events")
+    got = spark.sql(_mw_sql(spark_declared)).collect()[0]
+
+    x = [float(v * 50) for d, v in rows if d < 16]
+    y = [float(v * 50) for d, v in rows if d >= 16]
+    u2 = sum(
+        2 * sum(1 for yv in y if xv > yv) + sum(1 for yv in y if xv == yv)
+        for xv in x
+    )
+    from collections import Counter
+
+    t = Counter(x + y)
+    tie = sum(c**3 - c for c in t.values())
+    n1, n2 = len(x), len(y)
+    assert (got["n1"], got["n2"], got["u2"], got["tie_cubes"]) == (
+        n1, n2, u2, tie,
+    )
+    N = n1 + n2
+    if n1 == 0 or n2 == 0 or tie == N**3 - N:
+        assert got["z_score"] == 0.0
+        return
+    z = (
+        float(u2) / 2.0 - float(n1) * float(n2) / 2.0
+    ) / math.sqrt(
+        (float(n1) * float(n2) / (float(N) * float(N - 1)))
+        * ((float(N) * float(N) * float(N) - float(N) - float(tie)) / 12.0)
+    )
+    assert got["z_score"] == z
+
+
+_chains = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.integers(min_value=0, max_value=3),  # event type id
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@_settings
+@given(seq=_chains)
+def test_markov_stationary_matches_python_replay(spark, seq):
+    """events_markov_stationary == a dict replay of the quantized
+    power iteration (per-term floor division, 12 steps)."""
+    import datetime as dt
+
+    from aws_etl_spark.queries.registry import REGISTRY
+    from aws_etl_spark.queries.timeseries_queries import _STATIONARY_STEPS
+
+    types = ["view", "click", "purchase", "signup"]
+    data = [
+        (i, dt.datetime(2024, 1, 1 + i // 20, i % 20, 0, 0), u, types[t], 1.0)
+        for i, (u, t) in enumerate(seq)
+    ]
+    # write a scratch sf dir (the registry fn loads parquet)
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    d = tempfile.mkdtemp()
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in data],
+            "ts": [r[1] for r in data],
+            "user_id": [r[2] for r in data],
+            "event_type": [r[3] for r in data],
+            "value": [r[4] for r in data],
+            "props": ["{}"] * len(data),
+        }
+    ).to_parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r["event_type"]: r["pi_micro"]
+        for r in REGISTRY["events_markov_stationary"].fn(spark, d).collect()
+    }
+
+    # python replay
+    by_user = {}
+    for i, (u, t) in enumerate(seq):
+        by_user.setdefault(u, []).append((data[i][1], i, types[t]))
+    counts = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    if not counts:
+        assert got == {}
+        return
+    states = sorted({s for s, _ in counts})
+    tot = {s: sum(n for (a, b), n in counts.items() if a == s) for s in states}
+    pi = {s: 1_000_000 // len(states) for s in states}
+    for _ in range(_STATIONARY_STEPS):
+        new = {}
+        for (a, b), n in counts.items():
+            if a in pi:
+                new[b] = new.get(b, 0) + (pi[a] * n) // tot[a]
+        pi = new
+    assert got == pi
