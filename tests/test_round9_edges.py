@@ -549,3 +549,171 @@ def test_quality_expectations_extreme_rows_cross_engine(spark, tmp_path):
     sf = _mk_sf(tmp_path, orders=orders)
     r = check_query("quality_expectations", spark, sf)
     assert r.ok, str(r)
+
+
+# -- r4-vintage names (round-10 window block 3): pre-hardening -----------------
+# These re-confirm next round; firing their guard branches now means
+# the r10 window carries no surprises.
+
+
+def test_basket_affinity_single_item_orders_cross_engine(spark, tmp_path):
+    """Every order has exactly one line item: zero co-purchase pairs."""
+    li = pd.read_parquet(f"{SF0001}/lineitem.parquet")
+    li = li.drop_duplicates(subset=["l_orderkey"]).head(30)
+    sf = _mk_sf(tmp_path, lineitem=li)
+    r = check_query("basket_affinity_pairs", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_multitouch_attribution_single_touch_cross_engine(spark, tmp_path):
+    """One touch per converting user: first/last/linear credit all
+    collapse onto the same event — weight algebra must agree."""
+    sf = _mk_sf(
+        tmp_path,
+        events=_events(
+            [
+                (1, "2024-01-02 00:00:00", 1, "click", 10),
+                (2, "2024-01-02 01:00:00", 1, "purchase", 300),
+                (3, "2024-01-03 00:00:00", 2, "view", 5),
+                (4, "2024-01-03 00:30:00", 2, "purchase", 400),
+            ]
+        ),
+    )
+    r = check_query("events_attribution_multitouch", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_lateral_topn_all_tied_cross_engine(spark, tmp_path):
+    """Every candidate tied on the ranking value: the unique-key
+    tiebreak decides membership identically."""
+    orders = pd.read_parquet(f"{SF0001}/orders.parquet").head(30).copy()
+    orders["o_totalprice"] = 777.0
+    sf = _mk_sf(tmp_path, orders=orders)
+    r = check_query("join_lateral_topn", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_gopher_rules_pathological_docs_cross_engine(spark, tmp_path):
+    """Symbol-only, one-word, and extremely repetitive docs hit the
+    Gopher thresholds from every side."""
+    sf = _mk_sf(
+        tmp_path,
+        documents=_docs(
+            [
+                "### $$$ %%% !!!",
+                "word",
+                "same same same same same same same same same same",
+                "",
+                "a " * 200,
+            ]
+        ),
+    )
+    for q in ("text_gopher_rules", "text_c4_filter"):
+        r = check_query(q, spark, sf)
+        assert r.ok, f"{q}: {r}"
+
+
+def test_word_ngrams_short_docs_cross_engine(spark, tmp_path):
+    """Docs shorter than the n-gram width emit nothing — UDTF and
+    oracle agree on the empty expansion."""
+    sf = _mk_sf(tmp_path, documents=_docs(["one", "two words", ""]))
+    r = check_query("udtf_word_ngrams", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_window_distribution_constant_values_cross_engine(spark, tmp_path):
+    """All-equal order totals: percent_rank/cume_dist hit their
+    whole-partition-tie branch."""
+    orders = pd.read_parquet(f"{SF0001}/orders.parquet").head(25).copy()
+    orders["o_totalprice"] = 123.45
+    sf = _mk_sf(tmp_path, orders=orders)
+    r = check_query("window_distribution", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_sort_limit_offset_beyond_end_cross_engine(spark, tmp_path):
+    """An offset past the table's end returns zero rows on both
+    engines (no partial-page divergence)."""
+    orders = pd.read_parquet(f"{SF0001}/orders.parquet").head(3)
+    sf = _mk_sf(tmp_path, orders=orders)
+    r = check_query("sort_limit_offset", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_span_census_short_docs_cross_engine(spark, tmp_path):
+    """Docs shorter than the span width produce no spans; mixed with
+    one long doc the census stays exact."""
+    sf = _mk_sf(
+        tmp_path,
+        documents=_docs(["a b", "", "x " * 40 + "y z w q r t u v"]),
+    )
+    for q in ("dedup_span_census", "dedup_span_doc_profile"):
+        r = check_query(q, spark, sf)
+        assert r.ok, f"{q}: {r}"
+
+
+def test_hard_negatives_single_label_cross_engine(spark, tmp_path):
+    """Every embedding shares one label: there are no cross-label
+    negatives — empty result parity."""
+    import numpy as np
+
+    emb = pd.DataFrame(
+        {
+            "vec_id": range(12),
+            "embedding": [
+                (np.arange(64, dtype=np.float32) * (i + 1) / 64).tolist()
+                for i in range(12)
+            ],
+            "label": [3] * 12,
+        }
+    )
+    sf = _mk_sf(tmp_path, embeddings=emb)
+    r = check_query("embeddings_hard_negatives", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_linear_regression_degenerate_x_cross_engine(spark, tmp_path):
+    """A single distinct x per group (zero x-variance): the OLS slope
+    guard must agree — the unguarded form is 0/0."""
+    sf = _mk_sf(
+        tmp_path,
+        events=_events(
+            [
+                (1, "2024-01-05 10:00:00", 1, "view", 10),
+                (2, "2024-01-05 11:00:00", 2, "view", 20),
+                (3, "2024-01-05 12:00:00", 3, "view", 30),
+                (4, "2024-01-06 10:00:00", 1, "click", 7),
+            ]
+        ),
+    )
+    r = check_query("stat_linear_regression", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_exp_smoothing_single_point_cross_engine(spark, tmp_path):
+    """A one-observation series: the fold's base case only."""
+    sf = _mk_sf(
+        tmp_path,
+        events=_events([(1, "2024-01-05 10:00:00", 1, "view", 42)]),
+    )
+    r = check_query("events_exp_smoothing", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_domain_cap_single_dominant_source_cross_engine(spark, tmp_path):
+    """One source holding ~all documents: the cap fires maximally and
+    the survivor choice is deterministic on both engines."""
+    docs = _docs(["text " + str(i) for i in range(30)])
+    docs["source"] = ["src0"] * 28 + ["src1", "src2"]
+    sf = _mk_sf(tmp_path, documents=docs)
+    r = check_query("corpus_domain_cap", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_decontaminate_zero_overlap_cross_engine(spark, tmp_path):
+    """A corpus with no benchmark overlap at all: nothing is removed,
+    and the pass-through set hash-matches."""
+    docs = _docs([f"totally unique doc number {i} with fresh words" for i in range(12)])
+    sf = _mk_sf(tmp_path, documents=docs)
+    r = check_query("dedup_decontaminate", spark, sf)
+    assert r.ok, str(r)
