@@ -354,9 +354,9 @@ sql_query(
     """
     SELECT event_type,
            COUNT(*) AS n,
-           MIN(variant_get(parse_json(props), '$.k', 'int')) AS min_k,
-           MAX(variant_get(parse_json(props), '$.k', 'int')) AS max_k,
-           COUNT(DISTINCT variant_get(parse_json(props), '$.k', 'int'))
+           MIN(try_variant_get(try_parse_json(props), '$.k', 'int')) AS min_k,
+           MAX(try_variant_get(try_parse_json(props), '$.k', 'int')) AS max_k,
+           COUNT(DISTINCT try_variant_get(try_parse_json(props), '$.k', 'int'))
              AS distinct_k
     FROM events
     GROUP BY event_type
@@ -364,20 +364,28 @@ sql_query(
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           MIN(CAST(props->>'k' AS INTEGER)) AS min_k,
-           MAX(CAST(props->>'k' AS INTEGER)) AS max_k,
-           COUNT(DISTINCT CAST(props->>'k' AS INTEGER)) AS distinct_k
+           MIN(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+               AS INTEGER)) AS min_k,
+           MAX(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+               AS INTEGER)) AS max_k,
+           COUNT(DISTINCT TRY_CAST(json_extract_string(
+               TRY_CAST(props AS JSON), '$.k') AS INTEGER)) AS distinct_k
     FROM events
     GROUP BY event_type
     """,
     category="function",
     doc=(
-        "Spark 4 VARIANT path for semi-structured columns: parse_json "
-        "into the binary VARIANT encoding once, typed variant_get "
-        "extraction (no per-access string re-parse — the engine-native "
-        "answer to schema-on-read JSON at scale, vs get_json_object's "
-        "repeated parsing). Oracle uses DuckDB's typed JSON operator; "
-        "integer extraction keeps the aggregate exact."
+        "Spark 4 VARIANT path for semi-structured columns: "
+        "try_parse_json into the binary VARIANT encoding once, typed "
+        "try_variant_get extraction (no per-access string re-parse — "
+        "the engine-native answer to schema-on-read JSON at scale, vs "
+        "get_json_object's repeated parsing). LENIENT by the corpus "
+        "contract: malformed JSON and non-integer values extract as "
+        "NULL on both engines (round-9 fix — the FAILFAST parse_json "
+        "form crashed on malformed props; crafted-parquet "
+        "differential pins the branch). Oracle uses DuckDB's TRY_CAST "
+        "to JSON + typed extraction; integer extraction keeps the "
+        "aggregate exact."
     ),
     tables=("events",),
 )

@@ -306,6 +306,7 @@ _DRIVER_ORDER = (
     "events_markov_stationary",
     "embeddings_ann_recall",
     "stat_bootstrap_ci",
+    "func_variant_json",
     # r4-vintage evidence queues next (round-10 block 3; also the
     # backfill if a block-2 addition fails to land this round)
     "agg_grouping_flags",

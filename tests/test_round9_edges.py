@@ -717,3 +717,76 @@ def test_decontaminate_zero_overlap_cross_engine(spark, tmp_path):
     sf = _mk_sf(tmp_path, documents=docs)
     r = check_query("dedup_decontaminate", spark, sf)
     assert r.ok, str(r)
+
+
+def test_grouping_flags_with_data_nulls_cross_engine(spark, tmp_path):
+    """Real NULL group keys alongside grouping-set NULLs: GROUPING()
+    is the only disambiguator, and both engines must agree on every
+    (flag, key) combination."""
+    orders = pd.read_parquet(f"{SF0001}/orders.parquet").head(20).copy()
+    orders["o_orderpriority"] = orders["o_orderpriority"].astype(object)
+    orders.loc[orders.index[:5], "o_orderpriority"] = None
+    sf = _mk_sf(tmp_path, orders=orders)
+    r = check_query("agg_grouping_flags", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_variant_json_malformed_props_cross_engine(spark, tmp_path):
+    """Malformed / empty / deeply-typed JSON props: the VARIANT parse
+    path must degrade identically (lenient NULLs, no errors)."""
+    ev = _events(
+        [
+            (1, "2024-01-02 00:00:00", 1, "view", 1),
+            (2, "2024-01-02 01:00:00", 2, "view", 1),
+            (3, "2024-01-02 02:00:00", 3, "view", 1),
+            (4, "2024-01-02 03:00:00", 4, "view", 1),
+        ]
+    )
+    ev["props"] = [
+        '{"a": 1, "b": {"c": [1, 2, 3]}}',
+        "not json at all",
+        "",
+        '{"a": null}',
+    ]
+    sf = _mk_sf(tmp_path, events=ev)
+    r = check_query("func_variant_json", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_cluster_safe_split_one_giant_cluster_cross_engine(spark, tmp_path):
+    """Every document near-identical (one cluster spanning the whole
+    corpus): the split must place ALL of them in one fold — the
+    leakage guard's extreme case."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs([base + f" tail{i}" if i % 2 else base for i in range(12)])
+    sf = _mk_sf(tmp_path, documents=docs)
+    r = check_query("corpus_cluster_safe_split", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_scd2_pointintime_boundary_orders_cross_engine(spark, tmp_path):
+    """Order dates exactly on SCD2 validity boundaries: the
+    inclusive/exclusive convention must match across engines."""
+    orders = pd.read_parquet(f"{SF0001}/orders.parquet").head(12).copy()
+    # collapse to two distinct dates so boundary rows are guaranteed;
+    # keep the column MICROS (a bare assignment re-types it to nanos,
+    # which Spark reads as BIGINT under the nanosAsLong escape)
+    dates = sorted(orders["o_orderdate"].unique())
+    orders["o_orderdate"] = pd.Series(
+        [dates[0], dates[-1]] * 6, index=orders.index
+    ).astype("datetime64[us]")
+    sf = _mk_sf(tmp_path, orders=orders)
+    r = check_query("join_scd2_pointintime", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_rollup_incremental_duplicate_hours_cross_engine(spark, tmp_path):
+    """Many events in a single hour bucket plus an empty day gap: the
+    rollup-of-partials must equal the oracle's direct aggregation."""
+    rows = [(i, f"2024-01-0{1 + (i > 20) * 3}" + f" 0{i % 3}:15:00", i % 4, "view", i)
+            for i in range(30)]
+    sf = _mk_sf(tmp_path, events=_events(
+        [(e, t.replace("2024-01-04", "2024-01-04 ") if False else t, u, ty, v)
+         for e, t, u, ty, v in rows]))
+    r = check_query("events_rollup_incremental", spark, sf)
+    assert r.ok, str(r)
