@@ -99,7 +99,15 @@ def _fingerprint(tag: str, df: DataFrame, params: dict) -> str | None:
         return None
     stamped = []
     for f in files:
-        local = f[7:] if f.startswith("file://") else f
+        # Spark emits both file:///p and file:/p URI spellings; strip
+        # the scheme down to the path either way (a fixed-width strip
+        # would silently break stat on the single-slash form and
+        # degrade the staleness fix to path-only keying)
+        local = f
+        if local.startswith("file:"):
+            local = local[5:]
+            while local.startswith("//"):
+                local = local[1:]
         try:
             st = os.stat(local)
             stamped.append((f, st.st_size, st.st_mtime_ns))
