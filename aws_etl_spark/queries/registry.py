@@ -215,100 +215,49 @@ def sql_query(
         tables=tables,
         bench=bench,
     )(fn)
-
-
 # Driver-facing iteration order. The driver walks the queries() dict
 # in insertion order and records CORRECTNESS rows for only the first
 # 50, so this order is rotated every round to maximize EVIDENCE.
 #
-# Round 9's window = the first 50 names, three blocks in order (the
+# Round 10's window = the first 50 names, three blocks in order (the
 # blocks are marked by the inline comments below — trust those, not
-# hand-counted positions). Cumulative driver evidence at round-9
-# start: 265/265 queries have driver rows (0 failures ever); the
-# oldest evidence is r3 (42 names). The window-budget rule: block 3
-# keeps a floor of ~10 slots, and an addition that cannot fit the
-# current window queues for the NEXT round's block 1 instead of
-# displacing re-confirmations.
-#   * block 1 — names CHANGED this round (ml_negative_sampling was
-#     restructured to single-scan; its r7 evidence predates the new
-#     plan, so it re-enters first).
-#   * block 2 — new round-9 queries, capped at 7. Until each lands,
-#     its slot is held by a provisional r4-vintage re-confirmation at
-#     the window tail (swap one out per addition).
-#   * block 3 — re-confirmation, oldest hash evidence first: all 42
-#     r3-vintage names (after this round no name's latest driver
-#     evidence is older than r4 — the r8 verdict's done bar), then
-#     the provisional r4-vintage tail.
+# hand-counted positions). Cumulative driver evidence at round-10
+# start: 272/276 names have driver rows (0 failures ever); the only
+# never-checked names are the four round-9 LATE additions, which lead
+# block 1 per the window-budget rule. The oldest evidence is r4
+# (43 names — block 3). The window-budget rule: block 3 keeps a floor
+# of ~10 slots, and an addition that cannot fit the current window
+# queues for the NEXT round's block 1 instead of displacing
+# re-confirmations.
+#   * block 1 — never-driver-checked names first (the 4 round-9 late
+#     additions), then names whose SQL/plan CHANGED late in round 9
+#     (stat_bootstrap_ci scan-widening; func_variant_json lenient
+#     VARIANT fix — previously listed twice, the r9 ADVICE duplicate,
+#     now held only here).
+#   * block 2 — names restructured during round 10 (the rescan-family
+#     single-scan treatment). privacy_t_closeness takes the one free
+#     slot; further round-10 changed names queue for round 11's
+#     block 1.
+#   * block 3 — re-confirmation, oldest hash evidence first: the 43
+#     distinct r4-vintage names (after this round no name's latest
+#     driver evidence is older than r5).
 # Ranked names sort strictly by their position here — INCLUDING
 # rows-only names. Unranked names sort after all ranked ones, oracled
-# before rows-only, in registration order.
+# before rows-only, in registration order. _DRIVER_ORDER must contain
+# no duplicates (asserted below — rank = {name: index} silently keeps
+# the LAST index otherwise, which broke the round-10 budget math).
 _DRIVER_ORDER = (
-    # -- block 1: changed this round (single-scan restructure)
-    "ml_negative_sampling",
-    # -- block 2: new round-9 queries (landing during this round;
-    #    capped at 7 by the window-budget rule)
-    "join_bloom_pruned",
-    "text_tokenizer_fertility",
-    "text_paragraph_dup",
-    "ml_calibration_ece",
-    "ml_annotator_kappa",
-    "events_theilsen_trend",
-    "text_vocab_coverage",
-    # -- block 3: re-confirmation — the 42 r3-vintage names
-    "ann_embedding_near_dup",
-    "corpus_mixture_sample",
-    "cte_subquery",
-    "embeddings_label_centroids",
-    "embeddings_quantize_int8",
-    "events_anomaly_zscore",
-    "events_rollup_daily",
-    "events_sequence_pattern",
-    "events_stream_heavy_hitters_exact",
-    "events_transition_matrix",
-    "func_math",
-    "grouped_map_topk",
-    "join_theta",
-    "layout_zorder_stats",
-    "quality_expectations",
-    "scalar_subquery",
-    "set_union_distinct",
-    "sketch_count_min",
-    "stat_equidepth_histogram",
-    "stat_rfm_segmentation",
-    "subquery_correlated_exists",
-    "subquery_in_correlated_agg",
-    "table_diff_reconcile",
-    "text_c4_filter",
-    "text_chunking",
-    "text_inverted_index",
-    "text_repetition_ratio",
-    "text_top_ngrams",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_sole_return_suppliers",
-    "tpch_q22_dormant_customers",
-    "tpch_q3_unshipped_revenue",
-    "tpch_q4_priority_returns",
-    "tpch_q7_volume_shipping",
-    # ---- end of the 50-query round-9 window ----
-    # round-9 LATE additions + late-changed names (window-budget
-    # rule: block 2 was full at 7, so these queue FIRST for round-10
-    # block 1)
+    # -- block 1: never-driver-checked round-9 late additions, then
+    #    late-changed round-9 names
     "text_lang_confusion",
     "stat_mann_whitney",
     "events_markov_stationary",
     "embeddings_ann_recall",
     "stat_bootstrap_ci",
     "func_variant_json",
-    # r4-vintage evidence queues next (round-10 block 3; also the
-    # backfill if a block-2 addition fails to land this round)
+    # -- block 2: round-10 rescan-family restructures (one free slot)
+    "privacy_t_closeness",
+    # -- block 3: re-confirmation — the 43 r4-vintage names
     "agg_grouping_flags",
     "ann_cosine_topk_exact",
     "basket_affinity_pairs",
@@ -336,7 +285,6 @@ _DRIVER_ORDER = (
     "func_calendar_spine",
     "func_higher_order",
     "func_map_type",
-    "func_variant_json",
     "join_lateral_topn",
     "join_scd2_pointintime",
     "join_skew_salted",
@@ -353,6 +301,22 @@ _DRIVER_ORDER = (
     "tpch_q9_product_profit",
     "udtf_word_ngrams",
     "window_distribution",
+    # ---- end of the 50-query round-10 window ----
+    # round-9 window residents rotate to the tail (hash-green in r9;
+    # they re-enter by vintage order in later rounds)
+    "ml_negative_sampling",
+    "join_bloom_pruned",
+    "text_tokenizer_fertility",
+    "text_paragraph_dup",
+    "ml_calibration_ece",
+    "ml_annotator_kappa",
+    "events_theilsen_trend",
+    "text_vocab_coverage",
+)
+
+assert len(set(_DRIVER_ORDER)) == len(_DRIVER_ORDER), (
+    "duplicate name in _DRIVER_ORDER — the rank dict keeps the LAST "
+    "index, silently moving the name out of its documented window slot"
 )
 
 

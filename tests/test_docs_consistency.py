@@ -50,3 +50,15 @@ def test_driver_window_marker_sits_at_position_50():
         "names) so the documented window matches the driver's actual "
         "50-query record"
     )
+
+
+def test_driver_order_has_no_duplicates():
+    """rank = {n: i for i, n in enumerate(_DRIVER_ORDER)} keeps the
+    LAST index for a duplicated name, silently moving it out of its
+    documented window slot (func_variant_json in round 9 sorted at
+    position 82 instead of its block-1 slot). The module-level assert
+    guards imports; this test makes the failure visible in CI."""
+    from aws_etl_spark.queries.registry import _DRIVER_ORDER
+
+    dupes = {n for n in _DRIVER_ORDER if _DRIVER_ORDER.count(n) > 1}
+    assert not dupes, f"duplicate names in _DRIVER_ORDER: {sorted(dupes)}"
