@@ -16,7 +16,8 @@ needs and every naive implementation gets wrong:
 from __future__ import annotations
 
 from aws_etl_spark.ops.corpus import duckdb_bucket_sql
-from aws_etl_spark.queries.registry import register, sql_query
+from aws_etl_spark.queries.registry import register, sql_query, staged_sql_query
+from aws_etl_spark.queries.sql_seams import spark_declared
 
 # --------------------------------------------------------------------------
 # Point-in-time feature join. One user-partitioned window, ordered by
@@ -419,9 +420,107 @@ def _woe_duck() -> str:
     )
 
 
-sql_query(
+staged_sql_query(
     "ml_feature_binning_woe",
-    _woe_spark(),
+    # Round-10 rescan fix: the single-statement form re-derived the
+    # v0/g/cum chain into 12 logical orders scans / 34 exchanges.
+    # Staged exactly like stat_psi_equidepth (the two share the
+    # order-statistic binning machinery): the per-value rollup g (ONE
+    # orders scan) and the cumulative count cum are checkpointed; the
+    # good/bad/total counts become driver literals.
+    ops=(
+        (
+            "view",
+            "woe_g",
+            """
+            SELECT v, (v) DIV (5000000) AS bucket,
+                   CAST(SUM(good) AS BIGINT) AS cg,
+                   CAST(SUM(1 - good) AS BIGINT) AS cb,
+                   CAST(COUNT(*) AS BIGINT) AS ct
+            FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                              AS BIGINT) AS v,
+                         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END AS good
+                  FROM orders)
+            GROUP BY v
+            """,
+        ),
+        ("scalar", "WOENG", "SELECT CAST(SUM(cg) AS BIGINT) FROM woe_g"),
+        ("scalar", "WOENB", "SELECT CAST(SUM(cb) AS BIGINT) FROM woe_g"),
+        ("scalar", "WOENT", "SELECT CAST(SUM(ct) AS BIGINT) FROM woe_g"),
+        (
+            "view",
+            "woe_cum",
+            f"""
+            WITH bt AS (
+              SELECT bucket, CAST(SUM(ct) AS BIGINT) AS bct
+              FROM woe_g GROUP BY bucket
+            ),
+            off AS (
+              SELECT bucket,
+                     CAST(COALESCE(SUM(bct) OVER (PARTITION BY __g
+                          ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS o
+              FROM {spark_declared("bt")}
+            )
+            SELECT g.v, g.cg, g.cb,
+                   o.o + SUM(g.ct) OVER (PARTITION BY g.bucket
+                         ORDER BY g.v ROWS UNBOUNDED PRECEDING) AS f
+            FROM woe_g g JOIN off o ON o.bucket = g.bucket
+            """,
+        ),
+    ),
+    final="""
+    WITH ks AS (
+      SELECT CAST(kk.k AS BIGINT) AS k
+      FROM (SELECT explode(sequence(1, 9)) AS k) kk
+    ),
+    edges AS (
+      SELECT ks.k, MIN(cum.v) AS edge_v
+      FROM ks JOIN woe_cum cum
+        ON cum.f >= (ks.k * {WOENT} + 9) DIV (10)
+      GROUP BY ks.k
+    ),
+    binned AS (
+      SELECT cum.v, cum.cg, cum.cb,
+             CAST(COALESCE(SUM(CASE WHEN e.edge_v < cum.v THEN 1 ELSE 0 END),
+                  0) AS BIGINT) AS bin
+      FROM woe_cum cum LEFT JOIN edges e ON e.edge_v < cum.v
+      GROUP BY cum.v, cum.cg, cum.cb
+    ),
+    bc AS (
+      SELECT bin, CAST(SUM(cg) AS BIGINT) AS goods,
+             CAST(SUM(cb) AS BIGINT) AS bads
+      FROM binned GROUP BY bin
+    ),
+    spine AS (
+      SELECT CAST(kk.k AS BIGINT) - 1 AS bin
+      FROM (SELECT explode(sequence(1, 9)) AS k) kk
+      UNION ALL SELECT CAST(9 AS BIGINT)
+    ),
+    grid AS (
+      SELECT s.bin, COALESCE(bc.goods, 0) AS goods,
+             COALESCE(bc.bads, 0) AS bads
+      FROM spine s LEFT JOIN bc ON bc.bin = s.bin
+    ),
+    t AS (
+      SELECT g2.bin, g2.goods, g2.bads,
+             (g2.goods + 1) * ({WOENB} + 10) - (g2.bads + 1) * ({WOENG} + 10)
+               AS dnum,
+             CAST(FLOOR(LN(CAST((g2.goods + 1) * ({WOENB} + 10) AS DOUBLE) /
+                           CAST((g2.bads + 1) * ({WOENG} + 10) AS DOUBLE))
+                  * 1000000) AS BIGINT) AS woe_q6
+      FROM grid g2
+    ),
+    s AS (SELECT CAST(SUM(dnum * woe_q6) AS BIGINT) AS tot FROM t)
+    SELECT t.bin, t.goods, t.bads, t.woe_q6,
+           CAST(t.dnum * t.woe_q6 AS BIGINT) AS iv_contrib_q6,
+           CAST(s.tot AS DOUBLE) /
+           (CAST({WOENG} + 10 AS DOUBLE) * CAST({WOENB} + 10 AS DOUBLE)) /
+           1000000.0 AS information_value
+    FROM t CROSS JOIN s
+    ORDER BY t.bin
+    """,
     oracle=_woe_duck(),
     category="ml",
     doc=(

@@ -215,6 +215,84 @@ def sql_query(
         tables=tables,
         bench=bench,
     )(fn)
+
+
+def staged_sql_query(
+    name: str,
+    *,
+    ops: tuple,
+    final: str,
+    oracle: str,
+    category: str = "relational",
+    doc: str = "",
+    tables: tuple[str, ...] = ALL_TABLES,
+    bench: bool = True,
+) -> None:
+    """Register a SQL query executed in checkpointed STAGES — the
+    rescan-family treatment (r9 verdict item 1, generalizing the
+    ``ml_negative_sampling`` restructure).
+
+    A single WITH-chain lets Catalyst inline every CTE into each
+    consumer: a base CTE referenced k times re-derives the base scan k
+    times in the plan (runtime exchange reuse dedupes SOME of it, but
+    the reuse-counting census still showed 10–18 logical scans of one
+    parquet base, and reused exchanges re-read shuffle files at every
+    consumer — the plan you would not want at 100 TB). Here each
+    shared intermediate is evaluated ONCE, ``localCheckpoint``'ed, and
+    registered as a temp view; later stages reference the materialized
+    RDD, which the optimizer cannot inline back into base scans.
+    Whole-table scalars (total counts, global maxima) become driver
+    literals instead of per-consumer scalar subqueries.
+
+    ``ops``: sequence of ``("view", view_name, sql)`` or
+    ``("scalar", key, sql)`` evaluated in order. A scalar op runs its
+    (single-row, single-column) SQL and substitutes the value for the
+    token ``{key}`` in all LATER sql texts including ``final`` —
+    integers as ``CAST(v AS BIGINT)``, floats as
+    ``CAST('repr(v)' AS DOUBLE)`` (repr round-trips IEEE doubles
+    exactly, so hash parity with the oracle's scalar subquery holds).
+
+    At 100 TB the checkpointed stages are the narrow aggregates the
+    query shares (group counts, histograms, per-key rollups) — tiny
+    relative to their base tables — traded against k repeated scans of
+    those bases. ``oracle`` stays the reference single-statement SQL;
+    results are hash-identical because every stage computes the exact
+    expressions the inlined CTEs computed.
+    """
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, tables)
+        subs: dict[str, str] = {}
+
+        def sub(s: str) -> str:
+            for k, v in subs.items():
+                s = s.replace("{" + k + "}", v)
+            return s
+
+        for kind, key, sql in ops:
+            if kind == "view":
+                df = spark.sql(sub(sql)).localCheckpoint(eager=True)
+                df.createOrReplaceTempView(key)
+            else:
+                v = spark.sql(sub(sql)).collect()[0][0]
+                if isinstance(v, float):
+                    subs[key] = f"CAST('{v!r}' AS DOUBLE)"
+                else:
+                    subs[key] = f"CAST({v} AS BIGINT)"
+        return spark.sql(sub(final))
+
+    fn.__name__ = f"q_{name}"
+    fn.__doc__ = doc
+    register(
+        name,
+        oracle=oracle,
+        category=category,
+        doc=doc,
+        tables=tables,
+        bench=bench,
+    )(fn)
+
+
 # Driver-facing iteration order. The driver walks the queries() dict
 # in insertion order and records CORRECTNESS rows for only the first
 # 50, so this order is rotated every round to maximize EVIDENCE.

@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_etl_spark.ops.corpus import duckdb_bucket_sql, duckdb_hex4_decode_sql
-from aws_etl_spark.queries.registry import load_table, register, sql_query
+from aws_etl_spark.queries.registry import (
+    load_table,
+    register,
+    sql_query,
+    staged_sql_query,
+)
 from aws_etl_spark.queries.sql_seams import duck_declared, spark_declared
 
 
@@ -1544,13 +1549,102 @@ ORDER BY t.bin
 """
 
 
-sql_query(
+staged_sql_query(
     "stat_psi_equidepth",
-    _psi_eq_sql(
-        lambda a, b: f"({a}) DIV ({b})",
-        "SELECT explode(sequence(1, 9)) AS k",
-        spark_declared,
+    # Round-10 rescan fix: the single-statement form re-derived the
+    # v/g/cum chain into 12 logical events scans / 38 exchanges. The
+    # per-distinct-value rollup g (ONE events scan) and the cumulative
+    # count cum (consumed by both the edge search and the binning) are
+    # checkpointed; the half-month totals become driver literals.
+    ops=(
+        (
+            "view",
+            "psi_eq_g",
+            """
+            SELECT v, CAST(FLOOR(v / 50.0) AS BIGINT) AS bucket,
+                   CAST(SUM(in1) AS BIGINT) AS c1,
+                   CAST(SUM(1 - in1) AS BIGINT) AS c2
+            FROM (SELECT value AS v,
+                         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                              THEN 1 ELSE 0 END AS in1
+                  FROM events WHERE value IS NOT NULL)
+            GROUP BY v
+            """,
+        ),
+        ("scalar", "PSIN1", "SELECT CAST(SUM(c1) AS BIGINT) FROM psi_eq_g"),
+        ("scalar", "PSIN2", "SELECT CAST(SUM(c2) AS BIGINT) FROM psi_eq_g"),
+        (
+            "view",
+            "psi_eq_cum",
+            f"""
+            WITH bt AS (
+              SELECT bucket, CAST(SUM(c1) AS BIGINT) AS bc1
+              FROM psi_eq_g GROUP BY bucket
+            ),
+            off AS (
+              SELECT bucket,
+                     CAST(COALESCE(SUM(bc1) OVER (PARTITION BY __g
+                          ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS o1
+              FROM {spark_declared("bt")}
+            )
+            SELECT g.v, g.c1, g.c2,
+                   o.o1 + SUM(g.c1) OVER (PARTITION BY g.bucket
+                          ORDER BY g.v ROWS UNBOUNDED PRECEDING) AS f1
+            FROM psi_eq_g g JOIN off o ON o.bucket = g.bucket
+            """,
+        ),
     ),
+    final="""
+    WITH ks AS (
+      SELECT CAST(kk.k AS BIGINT) AS k
+      FROM (SELECT explode(sequence(1, 9)) AS k) kk
+    ),
+    edges AS (
+      SELECT ks.k, MIN(cum.v) AS edge_v
+      FROM ks JOIN psi_eq_cum cum
+        ON cum.f1 >= (ks.k * {PSIN1} + 9) DIV (10)
+      GROUP BY ks.k
+    ),
+    binned AS (
+      SELECT cum.v, cum.c1, cum.c2,
+             CAST(COALESCE(SUM(CASE WHEN e.edge_v < cum.v THEN 1 ELSE 0 END),
+                  0) AS BIGINT) AS bin
+      FROM psi_eq_cum cum LEFT JOIN edges e ON e.edge_v < cum.v
+      GROUP BY cum.v, cum.c1, cum.c2
+    ),
+    bc AS (
+      SELECT bin, CAST(SUM(c1) AS BIGINT) AS c1,
+             CAST(SUM(c2) AS BIGINT) AS c2
+      FROM binned GROUP BY bin
+    ),
+    spine AS (
+      SELECT CAST(kk.k AS BIGINT) - 1 AS bin
+      FROM (SELECT explode(sequence(1, 9)) AS k) kk
+      UNION ALL SELECT CAST(9 AS BIGINT)
+    ),
+    grid AS (
+      SELECT s.bin, COALESCE(bc.c1, 0) AS c1, COALESCE(bc.c2, 0) AS c2
+      FROM spine s LEFT JOIN bc ON bc.bin = s.bin
+    ),
+    t AS (
+      SELECT g2.bin, g2.c1, g2.c2,
+             (g2.c1 + 1) * ({PSIN2} + 10) - (g2.c2 + 1) * ({PSIN1} + 10)
+               AS dnum,
+             CAST(FLOOR(LN(CAST((g2.c1 + 1) * ({PSIN2} + 10) AS DOUBLE) /
+                           CAST((g2.c2 + 1) * ({PSIN1} + 10) AS DOUBLE))
+                  * 1000000) AS BIGINT) AS lnratio_q6
+      FROM grid g2
+    ),
+    s AS (SELECT CAST(SUM(dnum * lnratio_q6) AS BIGINT) AS tot FROM t)
+    SELECT t.bin, t.c1, t.c2, t.dnum, t.lnratio_q6,
+           CAST(t.dnum * t.lnratio_q6 AS BIGINT) AS contrib_q6,
+           CAST(s.tot AS DOUBLE) /
+           (CAST({PSIN1} + 10 AS DOUBLE) * CAST({PSIN2} + 10 AS DOUBLE)) /
+           1000000.0 AS psi
+    FROM t CROSS JOIN s
+    ORDER BY t.bin
+    """,
     oracle=_psi_eq_sql(
         lambda a, b: f"({a}) // ({b})",
         "SELECT unnest(generate_series(1, 9)) AS k",
@@ -1695,20 +1789,33 @@ register(
 _KMV_K = 12
 
 
-def _kmv_sql(hash32, intdiv) -> str:
+def _kmv_sql(hash32, intdiv, base: str | None = None) -> str:
+    """The KMV query text. ``base=None`` reads events directly (the
+    oracle's single-statement form); ``base=<view>`` reads the staged
+    distinct (event_type, user_id, h) checkpoint instead — same
+    values, one events scan (round-10 rescan fix)."""
     k = _KMV_K
     h = hash32("user_id")
+    if base is None:
+        a_h = f"SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'click'"
+        b_h = f"SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'purchase'"
+        a_u = "SELECT DISTINCT user_id FROM events WHERE event_type = 'click'"
+        b_u = "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'"
+    else:
+        # the staged base is already distinct per (event_type, user_id)
+        # with h precomputed; DISTINCT h still applies (two users can
+        # hash-collide and the sketch lives in hash space)
+        a_h = f"SELECT DISTINCT h FROM {base} WHERE event_type = 'click'"
+        b_h = f"SELECT DISTINCT h FROM {base} WHERE event_type = 'purchase'"
+        a_u = f"SELECT user_id FROM {base} WHERE event_type = 'click'"
+        b_u = f"SELECT user_id FROM {base} WHERE event_type = 'purchase'"
     est = lambda n, vk: (  # noqa: E731
         f"CASE WHEN {n} < {k} THEN {n} "
         f"ELSE {intdiv(f'{k - 1} * 4294967296', vk)} END"
     )
     return f"""
-WITH a_h AS (
-  SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'click'
-),
-b_h AS (
-  SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'purchase'
-),
+WITH a_h AS ({a_h}),
+b_h AS ({b_h}),
 sk_a AS (SELECT h FROM a_h ORDER BY h LIMIT {k}),
 sk_b AS (SELECT h FROM b_h ORDER BY h LIMIT {k}),
 u_h AS (SELECT h FROM a_h UNION SELECT h FROM b_h),
@@ -1729,8 +1836,8 @@ m AS (
   FROM sk_u
   WHERE h IN (SELECT h FROM a_h) AND h IN (SELECT h FROM b_h)
 ),
-a_u AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
-b_u AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+a_u AS ({a_u}),
+b_u AS ({b_u}),
 exact AS (
   -- exact counts over user_id itself, NOT the 32-bit hash space
   -- (hash-space counts silently undercount by birthday collisions
@@ -1777,9 +1884,28 @@ def _kmv_duck_hash(key: str) -> str:
     return f"(CAST({hi} AS BIGINT) * 65536 + {lo})"
 
 
-sql_query(
+staged_sql_query(
     "sketch_kmv_audience",
-    _kmv_sql(_kmv_spark_hash, lambda a, b: f"({a}) DIV ({b})"),
+    # Round-10 rescan fix: the single-statement form re-derived the
+    # a_h/b_h/a_u/b_u audience CTEs into 14 logical events scans.
+    # Staged: ONE events scan produces the distinct (event_type,
+    # user_id, h) audience table — exactly the rows every downstream
+    # CTE needs, already deduped and hashed — checkpointed; sketches,
+    # set ops, and exact counts all read the checkpoint.
+    ops=(
+        (
+            "view",
+            "kmv_audience_base",
+            "SELECT DISTINCT event_type, user_id, "
+            + _kmv_spark_hash("user_id")
+            + " AS h FROM events WHERE event_type IN ('click', 'purchase')",
+        ),
+    ),
+    final=_kmv_sql(
+        _kmv_spark_hash,
+        lambda a, b: f"({a}) DIV ({b})",
+        base="kmv_audience_base",
+    ),
     oracle=_kmv_sql(_kmv_duck_hash, lambda a, b: f"({a}) // ({b})"),
     category="stats",
     doc=(
@@ -1787,7 +1913,9 @@ sql_query(
         "over click vs purchase audiences: per-set estimates, merged "
         "union estimate, and the m/k intersection rule, each beside "
         "its exact count. Hash-provable order statistics — the "
-        "sketch family's exact-twin counterpart to the rows-only HLL."
+        "sketch family's exact-twin counterpart to the rows-only HLL. "
+        "Round 10: staged single-scan realization (was 14 logical "
+        "events scans)."
     ),
     tables=("events",),
 )
