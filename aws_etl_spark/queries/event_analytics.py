@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_etl_spark.queries.registry import load_table, register, sql_query
+from aws_etl_spark.queries.registry import (
+    load_table,
+    register,
+    sql_query,
+    staged_sql_query,
+)
 
 _FUNNEL_ORACLE = """
 WITH per_user AS (
@@ -749,16 +754,66 @@ def _theilsen_duck() -> str:
     )
 
 
-sql_query(
+def _theilsen_staged_ops():
+    from aws_etl_spark.queries.sql_seams import spark_declared
+
+    return (
+        (
+            "view",
+            "theilsen_idx",
+            """
+            SELECT DATEDIFF(d, DATE '1970-01-01') AS t, v
+            FROM (SELECT CAST(ts AS DATE) AS d,
+                         CAST(COUNT(*) AS BIGINT) AS v
+                  FROM events GROUP BY CAST(ts AS DATE))
+            """,
+        ),
+        (
+            "view",
+            "theilsen_pairs",
+            """
+            SELECT a.t AS t1, b.t AS t2,
+                   CAST(b.v - a.v AS DOUBLE) / (b.t - a.t) AS slope
+            FROM theilsen_idx a JOIN theilsen_idx b ON b.t > a.t
+            """,
+        ),
+        ("scalar", "TSND", "SELECT CAST(COUNT(*) AS BIGINT) FROM theilsen_idx"),
+        ("scalar", "TSNP", "SELECT CAST(COUNT(*) AS BIGINT) FROM theilsen_pairs"),
+    ), spark_declared
+
+
+_TS_OPS, _ts_declared = _theilsen_staged_ops()
+
+staged_sql_query(
     "events_theilsen_trend",
-    _theilsen_spark(),
+    # Round-10 rescan fix (tier 2; r9 ADVICE item 5 — the builder's
+    # own "≤4 scans" audit undercounted this r9 addition at 7): the
+    # idx CTE sat on BOTH sides of the pairwise self-join and under
+    # nd, so Catalyst re-derived the daily rollup (and its events
+    # scan) per consumer. Staged: ONE events scan into the ≤31-row
+    # checkpointed day spine; the ≤465-pair table and its counts
+    # follow from the checkpoint.
+    ops=_TS_OPS,
+    final=f"""
+    WITH ranked AS (
+      SELECT slope,
+             ROW_NUMBER() OVER (PARTITION BY __g
+                                ORDER BY slope, t1, t2) AS rn
+      FROM {_ts_declared("theilsen_pairs")}
+    )
+    SELECT {{TSND}} AS n_days, {{TSNP}} AS n_pairs,
+           (SELECT AVG(r.slope) FROM ranked r
+            WHERE r.rn IN (({{TSNP}} + 1) DIV (2), ({{TSNP}} + 2) DIV (2)))
+             AS slope_per_day
+    """,
     oracle=_theilsen_duck(),
     category="events",
     doc=(
         "Theil–Sen robust trend of daily event volume: median of all "
         "pairwise day-to-day slopes over the ≤31-day spine, as an "
         "exact order statistic (rank, middle 1-2 rows, commutative "
-        "2-value mean). One daily rollup is the only data-sized stage."
+        "2-value mean). One daily rollup is the only data-sized stage "
+        "— checkpointed since round 10 so it executes exactly once."
     ),
     tables=("events",),
 )

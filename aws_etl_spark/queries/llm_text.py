@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_etl_spark.queries.registry import load_table, register
+from aws_etl_spark.queries.registry import load_table, register, staged_sql_query
 from aws_etl_spark.text import (
     c4_filter_flags,
     fingerprint_md5,
@@ -1102,9 +1102,81 @@ _HEAPS_DUCK_TOK = (
 _HEAPS_SPARK_BINS = "(SELECT explode(sequence(0, 19)) AS bin) bins"
 _HEAPS_DUCK_BINS = "(SELECT unnest(generate_series(0, 19)) AS bin) bins"
 
-sql_query(
+staged_sql_query(
     "text_heaps_law",
-    _heaps_sql(_HEAPS_SPARK_TOK).replace("bins)", _HEAPS_SPARK_BINS + ")"),
+    # Round-10 rescan fix: the CTE form re-derived the token explode
+    # into 10 logical documents scans (dt and wf each re-tokenized,
+    # then the 20 correlated checkpoint subqueries inlined them
+    # again). Staged: the per-doc token counts and the per-word
+    # first-occurrence docs are each ONE tokenizing scan (two
+    # documents scans total — checkpointing the exploded token stream
+    # itself would materialize more than the corpus, the wrong trade
+    # at 100 TB); both rollups checkpoint small (docs / vocab sized)
+    # and the 20-point curve reads only them.
+    ops=(
+        (
+            "view",
+            "heaps_dt",
+            f"""
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+            FROM ({_HEAPS_SPARK_TOK}) tok WHERE word <> ''
+            GROUP BY doc_id
+            """,
+        ),
+        (
+            "view",
+            "heaps_wf",
+            f"""
+            SELECT word, MIN(doc_id) AS first_doc
+            FROM ({_HEAPS_SPARK_TOK}) tok WHERE word <> ''
+            GROUP BY word
+            """,
+        ),
+        ("scalar", "HEAPSND", "SELECT MAX(doc_id) + 1 FROM heaps_dt"),
+    ),
+    final="""
+    WITH cp AS (
+      SELECT g.k,
+             CAST(FLOOR(CAST({HEAPSND} AS DOUBLE) * g.k / 20.0) AS BIGINT)
+               AS cut
+      FROM (SELECT bin + 1 AS k
+            FROM (SELECT explode(sequence(0, 19)) AS bin) bins) g
+    ),
+    curve AS (
+      SELECT cp.k, cp.cut,
+             (SELECT CAST(SUM(nt) AS BIGINT) FROM heaps_dt dt
+              WHERE dt.doc_id < cp.cut) AS n_tokens,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM heaps_wf wf
+              WHERE wf.first_doc < cp.cut) AS vocab
+      FROM cp
+    ),
+    q AS (
+      SELECT k, cut, n_tokens, vocab,
+             CAST(FLOOR(LN(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS ln_n_q6,
+             CAST(FLOOR(LN(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT)
+               AS ln_v_q6
+      FROM curve
+    ),
+    ols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+             CAST(SUM(ln_n_q6) AS BIGINT) AS sx,
+             CAST(SUM(ln_v_q6) AS BIGINT) AS sy,
+             CAST(SUM(ln_n_q6 * ln_v_q6) AS BIGINT) AS sxy,
+             CAST(SUM(ln_n_q6 * ln_n_q6) AS BIGINT) AS sxx
+      FROM q
+    )
+    SELECT q.k, q.cut, q.n_tokens, q.vocab, q.ln_n_q6, q.ln_v_q6,
+           CAST(ols.kk * ols.sxy - ols.sx * ols.sy AS DOUBLE) /
+           CAST(ols.kk * ols.sxx - ols.sx * ols.sx AS DOUBLE) AS beta,
+           (CAST(ols.sy AS DOUBLE) -
+            CAST(ols.kk * ols.sxy - ols.sx * ols.sy AS DOUBLE) /
+            CAST(ols.kk * ols.sxx - ols.sx * ols.sx AS DOUBLE) *
+            CAST(ols.sx AS DOUBLE)) / CAST(ols.kk AS DOUBLE) / 1000000.0
+             AS alpha_lnk
+    FROM q CROSS JOIN ols
+    ORDER BY q.k
+    """,
     oracle=_heaps_sql(_HEAPS_DUCK_TOK).replace(
         "bins)", _HEAPS_DUCK_BINS + ")"
     ),

@@ -567,10 +567,37 @@ SELECT
     AS orphan_orders
 """
 
-_QUALITY_SPARK = _QUALITY_SQL.replace(
-    "COUNT(DISTINCT (l_orderkey, l_linenumber))",
-    "COUNT(DISTINCT l_orderkey, l_linenumber)",
+# Round-10 rescan fix (tier 2): the Spark side folds the five
+# lineitem expectation counters into ONE conditional-aggregation scan
+# (the oracle keeps the readable scalar-subquery form — DuckDB
+# evaluates each against its row cache; values are identical exact
+# BIGINTs). Remaining scans: lineitem 2 (counter pass + orphan
+# probe), orders 2, customer 1 — was 6/2/1.
+_QUALITY_SPARK = """
+WITH li AS (
+  SELECT COUNT(*) AS n_lineitem,
+         CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_quantity,
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT)
+           AS qty_range_violations,
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT)
+           AS discount_range_violations,
+         COUNT(*) - COUNT(DISTINCT l_orderkey, l_linenumber)
+           AS pk_duplicates
+  FROM lineitem
 )
+SELECT li.n_lineitem, li.null_quantity, li.qty_range_violations,
+       li.discount_range_violations, li.pk_duplicates,
+       (SELECT COUNT(*) FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         AS orphan_lineitems,
+       (SELECT COUNT(*) FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+         AS orphan_orders
+FROM li
+"""
 
 sql_query(
     "quality_expectations",
@@ -919,9 +946,49 @@ SELECT 'lineitem',
 """
 
 
-sql_query(
+staged_sql_query(
     "gdpr_delete_cascade",
-    _gdpr_sql(_spark_bucket, "STRING"),
+    # Round-10 rescan fix (tier 2): the CTE form re-derived del_cust /
+    # del_orders into every downstream count — 7 customer / 5 orders /
+    # 3 lineitem logical scans. Staged: each cascade level is ONE
+    # semi-join scan checkpointed as a key list (5%-ish of keys, the
+    # natural size of a deletion request set), every count a driver
+    # literal; each base table is scanned exactly twice (the cascade
+    # level + its zero-column total count).
+    ops=(
+        (
+            "view",
+            "gdpr_del_cust",
+            "SELECT c_custkey FROM customer WHERE "
+            + _spark_bucket("CONCAT(CAST(c_custkey AS STRING), ':gdpr42')")
+            + " < 3277",
+        ),
+        (
+            "view",
+            "gdpr_del_orders",
+            "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+            "(SELECT c_custkey FROM gdpr_del_cust)",
+        ),
+        ("scalar", "GDNDELC", "SELECT COUNT(*) FROM gdpr_del_cust"),
+        ("scalar", "GDNC", "SELECT COUNT(*) FROM customer"),
+        ("scalar", "GDNDELO", "SELECT COUNT(*) FROM gdpr_del_orders"),
+        ("scalar", "GDNO", "SELECT COUNT(*) FROM orders"),
+        (
+            "scalar",
+            "GDNDELI",
+            "SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM gdpr_del_orders)",
+        ),
+        ("scalar", "GDNL", "SELECT COUNT(*) FROM lineitem"),
+    ),
+    final="""
+    SELECT 'customer' AS table_name, {GDNDELC} AS n_delete,
+           {GDNC} - {GDNDELC} AS n_survive
+    UNION ALL
+    SELECT 'orders', {GDNDELO}, {GDNO} - {GDNDELO}
+    UNION ALL
+    SELECT 'lineitem', {GDNDELI}, {GDNL} - {GDNDELI}
+    """,
     oracle=_gdpr_sql(duckdb_bucket_sql, "VARCHAR"),
     category="governance",
     doc=(
@@ -1044,9 +1111,61 @@ FROM m JOIN a ON a.source = m.source JOIN o ON o.source = m.source
 """
 
 
-sql_query(
+_MAD_PCT = lambda e, p: f"percentile({e}, {p})"  # noqa: E731
+
+staged_sql_query(
     "stat_mad_robust",
-    _mad_sql(lambda e, p: f"percentile({e}, {p})"),
+    # Round-10 rescan fix (tier 2): the CTE form re-derived documents
+    # 7 times (d inlined the documents+medians join into both the MAD
+    # agg and the outlier count). Staged: the per-source medians are
+    # one scan; the (source, x, med) deviation projection is the
+    # second and last — checkpointed narrow (two doubles + the group
+    # key), the same pruned-projection trade ml_negative_sampling
+    # established — and both downstream aggs read it.
+    ops=(
+        (
+            "view",
+            "mad_m",
+            f"""
+            SELECT source,
+                   {_MAD_PCT('n_chars', '0.5')} AS med,
+                   {_MAD_PCT('n_chars', '0.25')} AS p25,
+                   {_MAD_PCT('n_chars', '0.75')} AS p75
+            FROM documents GROUP BY source
+            """,
+        ),
+        (
+            "view",
+            "mad_d",
+            """
+            SELECT doc.source, CAST(doc.n_chars AS DOUBLE) AS x, m.med
+            FROM documents doc JOIN mad_m m ON m.source = doc.source
+            """,
+        ),
+        (
+            "view",
+            "mad_a",
+            f"""
+            SELECT source, {_MAD_PCT('ABS(x - med)', '0.5')} AS mad
+            FROM mad_d GROUP BY source
+            """,
+        ),
+    ),
+    final="""
+    WITH o AS (
+      SELECT d.source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN ABS(d.x - d.med) > 3.0 * 1.4826 * a.mad
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_robust_outliers
+      FROM mad_d d JOIN mad_a a ON a.source = d.source
+      GROUP BY d.source
+    )
+    SELECT m.source, o.n_docs, m.med AS median_chars,
+           a.mad AS mad_chars, m.p75 - m.p25 AS iqr_chars,
+           o.n_robust_outliers
+    FROM mad_m m JOIN mad_a a ON a.source = m.source
+    JOIN o ON o.source = m.source
+    """,
     oracle=_mad_sql(
         lambda e, p: f"PERCENTILE_CONT({p}) WITHIN GROUP (ORDER BY {e})"
     ),
@@ -1105,9 +1224,57 @@ SELECT lang, source, o AS observed,
 FROM ex
 """
 
-sql_query(
+staged_sql_query(
     "stat_chi_square",
-    _CHI2_SQL,
+    # Round-10 rescan fix: cells/langs/sources each re-derived the
+    # documents scan and grid re-derived all three per consumer — 12
+    # logical documents scans. Staged: ONE documents scan builds the
+    # (lang, source) contingency cells; langs/sources marginals come
+    # from the cells themselves; the zero-completed grid (R*C rows) is
+    # checkpointed and N becomes a driver literal.
+    ops=(
+        (
+            "view",
+            "chi2_cells",
+            "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o "
+            "FROM documents GROUP BY lang, source",
+        ),
+        (
+            "view",
+            "chi2_grid",
+            """
+            WITH langs AS (SELECT DISTINCT lang FROM chi2_cells),
+            sources AS (SELECT DISTINCT source FROM chi2_cells)
+            SELECT l.lang, s.source, CAST(COALESCE(c.o, 0) AS BIGINT) AS o
+            FROM langs l CROSS JOIN sources s
+            LEFT JOIN chi2_cells c ON c.lang = l.lang AND c.source = s.source
+            """,
+        ),
+        ("scalar", "CHI2N", "SELECT CAST(SUM(o) AS BIGINT) FROM chi2_grid"),
+    ),
+    final="""
+    WITH rt AS (
+      SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM chi2_grid GROUP BY lang
+    ),
+    ct AS (
+      SELECT source, CAST(SUM(o) AS BIGINT) AS c
+      FROM chi2_grid GROUP BY source
+    ),
+    ex AS (
+      SELECT g.lang, g.source, g.o,
+             CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) /
+             CAST({CHI2N} AS DOUBLE) AS e
+      FROM chi2_grid g
+      JOIN rt ON rt.lang = g.lang
+      JOIN ct ON ct.source = g.source
+    )
+    SELECT lang, source, o AS observed,
+           CAST(FLOOR(e * 1000000) AS BIGINT) AS expected_micros,
+           CAST(FLOOR((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                      * 1000000) AS BIGINT) AS contrib_micros
+    FROM ex
+    """,
+    oracle=_CHI2_SQL,
     category="stats",
     doc=(
         "Chi-square independence contributions for the lang x source "
@@ -1197,9 +1364,63 @@ FROM d CROSS JOIN n
 """
 
 
-sql_query(
+staged_sql_query(
     "stat_ks_drift",
-    _ks_sql(lambda a, b: f"({a}) DIV ({b})", spark_declared),
+    # Round-10 rescan fix (tier 2): v was inlined into both the
+    # half-month totals and the per-value rollup — 4 logical events
+    # scans. Staged like stat_psi_equidepth: ONE events scan into the
+    # per-distinct-value rollup, totals as driver literals, the ECDF
+    # prefix sum over the checkpoint.
+    ops=(
+        (
+            "view",
+            "ks_g",
+            """
+            SELECT v, CAST(FLOOR(v / 50.0) AS BIGINT) AS bucket,
+                   CAST(SUM(in1) AS BIGINT) AS c1,
+                   CAST(SUM(1 - in1) AS BIGINT) AS c2
+            FROM (SELECT value AS v,
+                         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                              THEN 1 ELSE 0 END AS in1
+                  FROM events WHERE value IS NOT NULL)
+            GROUP BY v
+            """,
+        ),
+        ("scalar", "KSN1", "SELECT CAST(SUM(c1) AS BIGINT) FROM ks_g"),
+        ("scalar", "KSN2", "SELECT CAST(SUM(c2) AS BIGINT) FROM ks_g"),
+    ),
+    final=f"""
+    WITH bt AS (
+      SELECT bucket, CAST(SUM(c1) AS BIGINT) AS bc1,
+             CAST(SUM(c2) AS BIGINT) AS bc2
+      FROM ks_g GROUP BY bucket
+    ),
+    off AS (
+      SELECT bucket,
+             CAST(COALESCE(SUM(bc1) OVER (PARTITION BY __g ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS o1,
+             CAST(COALESCE(SUM(bc2) OVER (PARTITION BY __g ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS o2
+      FROM {spark_declared("bt")}
+    ),
+    c AS (
+      SELECT o.o1 + SUM(g.c1) OVER (PARTITION BY g.bucket ORDER BY g.v
+                  ROWS UNBOUNDED PRECEDING) AS f1,
+             o.o2 + SUM(g.c2) OVER (PARTITION BY g.bucket ORDER BY g.v
+                  ROWS UNBOUNDED PRECEDING) AS f2
+      FROM ks_g g JOIN off o ON o.bucket = g.bucket
+    ),
+    d AS (
+      SELECT CAST(MAX(ABS(c.f1 * {{KSN2}} - c.f2 * {{KSN1}})) AS BIGINT)
+               AS ks_num
+      FROM c
+    )
+    SELECT {{KSN1}} AS n1, {{KSN2}} AS n2, d.ks_num,
+           (d.ks_num * 1000000) DIV ({{KSN1}} * {{KSN2}}) AS ks_x1e6
+    FROM d
+    """,
     oracle=_ks_sql(lambda a, b: f"({a}) // ({b})", duck_declared),
     category="stats",
     doc=(
