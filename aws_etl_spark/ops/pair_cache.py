@@ -47,6 +47,7 @@ import shutil
 import tempfile
 import threading
 from collections.abc import Callable
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
 
@@ -99,15 +100,15 @@ def _fingerprint(tag: str, df: DataFrame, params: dict) -> str | None:
         return None
     stamped = []
     for f in files:
-        # Spark emits both file:///p and file:/p URI spellings; strip
-        # the scheme down to the path either way (a fixed-width strip
-        # would silently break stat on the single-slash form and
-        # degrade the staleness fix to path-only keying)
+        # Spark emits file URIs in several spellings (file:///p,
+        # file:/p, possibly percent-encoded for spaces/unicode).
+        # Proper URI parsing + unquoting instead of prefix slicing —
+        # a %-escaped path would fail os.stat and silently degrade
+        # the staleness fix to path-only keying (r9 advice item 2).
         local = f
         if local.startswith("file:"):
-            local = local[5:]
-            while local.startswith("//"):
-                local = local[1:]
+            parsed = urlparse(local)
+            local = unquote(parsed.path)
         try:
             st = os.stat(local)
             stamped.append((f, st.st_size, st.st_mtime_ns))

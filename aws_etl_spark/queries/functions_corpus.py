@@ -349,27 +349,48 @@ sql_query(
 )
 
 
+# Exact-integer-syntax guard: TRY_CAST alone is NOT portable for the
+# lenient path — DuckDB TRY_CAST('3.7' AS INTEGER) ROUNDS to 4 while
+# Spark NULLs it, and Spark's bare 'int' typed get TRUNCATES 3.7 to 3
+# and casts true to 1 (r9 advice item 3). Both sides extract the value
+# as a string and admit only ^-?[0-9]+$ before the integer cast; both
+# regex engines agree on this class.
+_VARIANT_K_SPARK = "try_variant_get(try_parse_json(props), '$.k', 'string')"
+_VARIANT_K_DUCK = "json_extract_string(TRY_CAST(props AS JSON), '$.k')"
+
+
+def _variant_int(s: str, guard: str, itype: str) -> str:
+    return (
+        f"CASE WHEN {guard} THEN CAST({s} AS {itype}) END"
+    )
+
+
+_VK_S = _variant_int(
+    _VARIANT_K_SPARK, f"{_VARIANT_K_SPARK} RLIKE '^-?[0-9]+$'", "INT"
+)
+_VK_D = _variant_int(
+    _VARIANT_K_DUCK,
+    f"regexp_matches({_VARIANT_K_DUCK}, '^-?[0-9]+$')",
+    "INTEGER",
+)
+
 sql_query(
     "func_variant_json",
-    """
+    f"""
     SELECT event_type,
            COUNT(*) AS n,
-           MIN(try_variant_get(try_parse_json(props), '$.k', 'int')) AS min_k,
-           MAX(try_variant_get(try_parse_json(props), '$.k', 'int')) AS max_k,
-           COUNT(DISTINCT try_variant_get(try_parse_json(props), '$.k', 'int'))
-             AS distinct_k
+           MIN({_VK_S}) AS min_k,
+           MAX({_VK_S}) AS max_k,
+           COUNT(DISTINCT {_VK_S}) AS distinct_k
     FROM events
     GROUP BY event_type
     """,
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            COUNT(*) AS n,
-           MIN(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
-               AS INTEGER)) AS min_k,
-           MAX(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
-               AS INTEGER)) AS max_k,
-           COUNT(DISTINCT TRY_CAST(json_extract_string(
-               TRY_CAST(props AS JSON), '$.k') AS INTEGER)) AS distinct_k
+           MIN({_VK_D}) AS min_k,
+           MAX({_VK_D}) AS max_k,
+           COUNT(DISTINCT {_VK_D}) AS distinct_k
     FROM events
     GROUP BY event_type
     """,
@@ -382,10 +403,14 @@ sql_query(
         "get_json_object's repeated parsing). LENIENT by the corpus "
         "contract: malformed JSON and non-integer values extract as "
         "NULL on both engines (round-9 fix — the FAILFAST parse_json "
-        "form crashed on malformed props; crafted-parquet "
-        "differential pins the branch). Oracle uses DuckDB's TRY_CAST "
-        "to JSON + typed extraction; integer extraction keeps the "
-        "aggregate exact."
+        "form crashed on malformed props). Round 10 closes the "
+        "remaining parity hole (r9 advice item 3): extraction is "
+        "the STRING typed get guarded by an exact-integer-syntax "
+        "regex before the cast, because every cast-only form "
+        "diverges (Spark int get truncates 3.7 to 3 and casts "
+        "true to 1; DuckDB TRY_CAST('3.7' AS INTEGER) rounds to "
+        "4). Crafted-parquet differentials pin 3.7/true/quoted/"
+        "non-numeric/negative on both engines."
     ),
     tables=("events",),
 )

@@ -1906,7 +1906,13 @@ staged_sql_query(
 # distribution: its spread is the CI; everything stays exact BIGINT.
 # --------------------------------------------------------------------------
 
-def _bootstrap_sql(spark_side: bool, vchar: str, spine: str, intdiv) -> str:
+def _bootstrap_sql(
+    spark_side: bool, vchar: str, spine: str, intdiv, source: str = "orders"
+) -> str:
+    """``source`` names the base relation — parameterized rather than
+    post-hoc text replacement (r9 advice item 4: a textual
+    .replace('FROM orders', ...) would silently corrupt any future
+    relation whose name extends 'orders')."""
     md5 = lambda n: (  # noqa: E731
         f"MD5(CONCAT(CAST(k AS {vchar}), ':boot{n}'))"
     )
@@ -1926,7 +1932,7 @@ WITH base AS (
   SELECT o_orderkey AS k,
          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
          {md5(0)} AS m0, {md5(1)} AS m1, {md5(2)} AS m2
-  FROM orders
+  FROM {source}
 ),
 reps AS ({spine}),
 s AS (
@@ -1960,14 +1966,19 @@ def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     widen_if_narrow(load_table(spark, sf_dir, "orders")).createOrReplaceTempView(
         "orders_wide_boot"
     )
-    return spark.sql(
+    df = spark.sql(
         _bootstrap_sql(
             True,
             "STRING",
             "SELECT explode(sequence(0, 19)) AS replica",
             lambda a, b: f"({a}) DIV ({b})",
-        ).replace("FROM orders", "FROM orders_wide_boot")
+            source="orders_wide_boot",
+        )
     )
+    # the analyzed plan captured the view's subtree; drop the name so
+    # repeated calls never leak session-catalog entries
+    spark.catalog.dropTempView("orders_wide_boot")
+    return df
 
 
 register(

@@ -552,6 +552,31 @@ def test_pair_cache_invalidates_inplace_single_file_rewrite(spark, tmp_path):
     assert f3 == f2
 
 
+def test_pair_cache_stats_percent_encoded_paths(spark, tmp_path):
+    """inputFiles() returns percent-encoded file URIs; a path with a
+    space must still be stat'able so the (size, mtime_ns) staleness
+    stamp applies — prefix slicing left such files on path-only
+    keying (round-9 advice item 2)."""
+    import os
+
+    import pandas as pd
+
+    from aws_etl_spark.ops.pair_cache import _fingerprint
+
+    d = tmp_path / "dir with space"
+    d.mkdir()
+    p = str(d / "docs.parquet")
+    pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "a b c"]}).to_parquet(p)
+    df = spark.read.parquet(p)
+    assert any("%20" in f for f in df.inputFiles()), df.inputFiles()
+    f1 = _fingerprint("t", df, {})
+    pd.DataFrame({"doc_id": [1, 2], "text": ["x y z", "q r s"]}).to_parquet(p)
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    f2 = _fingerprint("t", spark.read.parquet(p), {})
+    assert f1 is not None and f2 is not None and f1 != f2
+
+
 def test_pair_cache_per_key_locks_are_independent():
     """Distinct cache keys get distinct build locks (an unrelated
     multi-second build must not serialize other keys); the same key

@@ -753,6 +753,35 @@ def test_variant_json_malformed_props_cross_engine(spark, tmp_path):
     assert r.ok, str(r)
 
 
+def test_variant_json_nonint_values_cross_engine(spark, tmp_path):
+    """Non-integer k values ({"k": 3.7}, {"k": true}, {"k": "5"},
+    {"k": "x"}): Spark's bare 'int' typed get would truncate 3.7 to 3
+    and cast true to 1 while the oracle NULLs both — the round-10
+    normalization (string typed get + TRY_CAST) must NULL/keep them
+    identically on both engines (r9 advice item 3)."""
+    ev = _events(
+        [
+            (1, "2024-01-02 00:00:00", 1, "view", 1),
+            (2, "2024-01-02 01:00:00", 2, "view", 1),
+            (3, "2024-01-02 02:00:00", 3, "view", 1),
+            (4, "2024-01-02 03:00:00", 4, "view", 1),
+            (5, "2024-01-02 04:00:00", 5, "view", 1),
+            (6, "2024-01-02 05:00:00", 6, "view", 1),
+        ]
+    )
+    ev["props"] = [
+        '{"k": 3.7}',
+        '{"k": true}',
+        '{"k": "5"}',
+        '{"k": "x"}',
+        '{"k": 42}',
+        '{"k": -7}',
+    ]
+    sf = _mk_sf(tmp_path, events=ev)
+    r = check_query("func_variant_json", spark, sf)
+    assert r.ok, str(r)
+
+
 def test_cluster_safe_split_one_giant_cluster_cross_engine(spark, tmp_path):
     """Every document near-identical (one cluster spanning the whole
     corpus): the split must place ALL of them in one fold — the
