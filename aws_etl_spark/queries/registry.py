@@ -380,6 +380,16 @@ _DRIVER_ORDER = (
     "udtf_word_ngrams",
     "window_distribution",
     # ---- end of the 50-query round-10 window ----
+    # Round-11 block-1 queue (window-budget rule): the round-10 NEW
+    # names (stat_mann_whitney_by_group, embeddings_pq_adc) and the
+    # round-10 CHANGED names not already in this window
+    # (sketch_kmv_audience, stat_psi_equidepth, ml_feature_binning_woe,
+    # stat_chi_square, text_heaps_law, stat_mad_robust, stat_ks_drift,
+    # events_theilsen_trend*, gdpr_delete_cascade, quality_expectations,
+    # dedup_prefix_filter*, func_variant_json*, stat_bootstrap_ci* —
+    # *already covered by an r10 window slot or unchanged-oracle
+    # rows-evidence) queue FIRST next round, before vintage
+    # re-confirmations.
     # round-9 window residents rotate to the tail (hash-green in r9;
     # they re-enter by vintage order in later rounds)
     "ml_negative_sampling",

@@ -591,6 +591,118 @@ def q_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Product quantization + ADC (round 10) — completes the ANN ladder
+# LSH (hash-provable) -> IVF (+exact twin) -> PQ next to
+# embeddings_ann_recall's eval harness. Per-subspace quantized-exact
+# k-means (the kmeans.py arithmetic with a carried ``sub`` key), so
+# codebooks, codes, and the asymmetric-distance top-k are all exact
+# BIGINTs and the ENTIRE index+search pipeline hash-matches an
+# unrolled-CTE DuckDB oracle — not just its inputs.
+# --------------------------------------------------------------------------
+
+
+def _pq_oracle(
+    m: int = 2, k: int = 4, n_iter: int = 2, n_queries: int = 5, topk: int = 3
+) -> str:
+    """Unrolled per-subspace Lloyd rounds + encode + ADC top-k.
+
+    Every chained CTE is AS MATERIALIZED (DuckDB inlines CTEs; an
+    iterative chain re-evaluates exponentially otherwise — the
+    pagerank oracle lesson)."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+{name} AS MATERIALIZED (
+  SELECT id, sub, cluster, dist FROM (
+    SELECT e.id, e.sub, c.cluster,
+           SUM((e.q - c.c) * (e.q - c.c)) AS dist,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.id, e.sub
+             ORDER BY SUM((e.q - c.c) * (e.q - c.c)) ASC, c.cluster ASC
+           ) AS rn
+    FROM ex e JOIN {cents} c ON c.sub = e.sub AND c.dim = e.dim
+    GROUP BY e.id, e.sub, c.cluster
+  ) WHERE rn = 1
+)"""
+
+    parts = []
+    for r in range(1, n_iter + 1):
+        parts.append(assign(f"a{r}", f"c{r - 1}"))
+        parts.append(f"""
+c{r} AS MATERIALIZED (
+  SELECT p.sub, p.cluster, p.dim, COALESCE(u.c_new, p.c) AS c
+  FROM c{r - 1} p LEFT JOIN (
+    SELECT a.sub, a.cluster, e.dim, SUM(e.q) // COUNT(*) AS c_new
+    FROM a{r} a JOIN ex e ON e.id = a.id AND e.sub = a.sub
+    GROUP BY a.sub, a.cluster, e.dim
+  ) u ON u.sub = p.sub AND u.cluster = p.cluster AND u.dim = p.dim
+)""")
+    parts.append(assign("afinal", f"c{n_iter}"))
+    return f"""
+WITH dd AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
+ex AS MATERIALIZED (
+  SELECT vec_id AS id,
+         ((generate_subscripts(embedding, 1) - 1) * {m}) // dd.d + 1 AS sub,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+           + 2000000 AS q
+  FROM embeddings CROSS JOIN dd
+),
+seeds AS (SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT {k}),
+c0 AS (
+  SELECT e.sub, e.id AS cluster, e.dim, e.q AS c
+  FROM ex e JOIN seeds s USING (id)
+),{",".join(parts)},
+codes AS (SELECT id, sub, cluster FROM afinal),
+qdist AS MATERIALIZED (
+  SELECT e.id AS qid, e.sub, c.cluster,
+         SUM((e.q - c.c) * (e.q - c.c)) AS dq
+  FROM ex e JOIN c{n_iter} c ON c.sub = e.sub AND c.dim = e.dim
+  WHERE e.id < {n_queries}
+  GROUP BY e.id, e.sub, c.cluster
+),
+adc AS (
+  SELECT q.qid, x.id, SUM(q.dq) AS adc
+  FROM codes x JOIN qdist q ON q.sub = x.sub AND q.cluster = x.cluster
+  WHERE x.id <> q.qid
+  GROUP BY q.qid, x.id
+),
+ranked AS (
+  SELECT qid, id, adc,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS rn
+  FROM adc
+)
+SELECT CAST(qid AS BIGINT) AS query_id,
+       CAST(id AS BIGINT) AS neighbor_id,
+       CAST(adc AS BIGINT) AS adc_dist_q,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {topk}
+"""
+
+
+@register(
+    "embeddings_pq_adc",
+    oracle=_pq_oracle(),
+    category="similarity",
+    tables=("embeddings",),
+)
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (similarity/pq.py): M=2 subspace codebooks trained by
+    quantized-exact Lloyd rounds, every vector encoded as M codes, the
+    5-query eval set searched by summing M precomputed
+    (query, centroid) distances per candidate — the scan touches only
+    codes, never raw vectors. Integer-exact end to end, so the FULL
+    train+encode+search pipeline hash-matches the unrolled-CTE
+    oracle. Production dials: M=8..16, K=256, IVF routing in front
+    (compose with ann_cosine_topk_ivf's partitioner)."""
+    from aws_etl_spark.similarity.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, "vec_id", "embedding")
+
+
+# --------------------------------------------------------------------------
 # MMR (maximal marginal relevance) diverse re-ranking. The greedy
 # selection is inherently sequential in k, so both engines run the
 # SAME k-step unrolled plan: relevance = cosine to the query vector,

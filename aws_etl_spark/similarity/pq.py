@@ -1,0 +1,156 @@
+"""Product quantization (PQ) with asymmetric distance computation —
+the third rung of the ANN ladder (LSH → IVF → PQ; Jégou et al., TPAMI
+2011 "Product Quantization for Nearest Neighbor Search").
+
+The vector is split into M contiguous subspaces; each subspace gets
+its own small k-means codebook; a database vector is stored as M
+one-byte-ish codes (here M=2, K=4 for the oracle-sized demo — the
+production dials are M=8..16, K=256). Search never decodes: a query
+precomputes its distance to every (subspace, centroid) once — an
+M·K-row table — and a candidate's approximate distance is the SUM of
+M table lookups over its codes (ADC). At 100 TB the scan touches only
+the code columns (M bytes/vector instead of 4·d), the codebook
+broadcast is M·K·(d/M) rows, and the lookup join shuffles nothing but
+(id, sub, code).
+
+Exactness: the whole pipeline reuses the quantized-integer k-means
+arithmetic of similarity/kmeans.py (FLOOR(v·1e6)+OFFSET components,
+integer squared distances, argmin ties to the smallest centroid id,
+integer-mean updates) — run independently per subspace by carrying a
+``sub`` key through every stage — so codebooks, codes, the query
+distance table, and the final ADC top-k are all exact BIGINTs,
+hash-verified against an unrolled-CTE DuckDB oracle.
+
+Reference scope: camposvinicius/aws-etl has no vector operators at
+all (SURVEY.md §2.13); this is north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_etl_spark.similarity.kmeans import _exploded
+
+
+def _sub_exploded(
+    emb: DataFrame, id_col: str, vec_col: str, m: int, d: int
+) -> DataFrame:
+    """(id, sub, dim, q): the kmeans quantization with the subspace
+    key ``sub = ((dim-1)·m) DIV d + 1`` (contiguous equal splits)."""
+    ex = _exploded(emb, id_col, vec_col)
+    # integer DIV (non-negative operands, so Spark's truncation and
+    # DuckDB's floor agree — the kmeans dialect-seam convention)
+    return ex.select(
+        "id",
+        (F.expr(f"((dim - 1) * {m}) DIV {d}") + 1).alias("sub"),
+        "dim",
+        "q",
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 2,
+    k: int = 4,
+    n_iter: int = 2,
+    n_queries: int = 5,
+    topk: int = 3,
+) -> DataFrame:
+    """Train per-subspace codebooks (``n_iter`` Lloyd rounds), encode
+    every vector, and return the ADC top-``topk`` neighbors for the
+    query set ``id < n_queries``: (query_id, neighbor_id, adc_dist_q,
+    rank) — approximate squared distance as Σ over subspaces of the
+    query's precomputed distance to the neighbor's centroid.
+
+    Plan shape: the exploded components checkpoint once; each Lloyd
+    round is one broadcast join of the M·K·(d/M)-row codebook + one
+    (id, sub)-keyed aggregation (the kmeans shape with a composite
+    key); encoding is the final assignment; the ADC join touches only
+    the (id, sub, code) relation against the broadcast M·K distance
+    table — the scan-compressed-codes property that IS product
+    quantization.
+    """
+    d = emb.select(F.max(F.size(vec_col))).collect()[0][0]
+    ex = _sub_exploded(emb, id_col, vec_col, m, d).localCheckpoint(eager=True)
+    seeds = emb.select(F.col(id_col).alias("id")).orderBy("id").limit(k)
+    centroids = (
+        ex.join(F.broadcast(seeds), "id")
+        .select("sub", F.col("id").alias("cluster"), "dim", F.col("q").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        dists = (
+            ex.join(F.broadcast(cents), ["sub", "dim"])
+            .groupBy("id", "sub", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))
+                ).alias("dist")
+            )
+        )
+        return (
+            dists.groupBy("id", "sub")
+            .agg(
+                F.max(
+                    F.struct(
+                        (-F.col("dist")).alias("nd"),
+                        (-F.col("cluster")).alias("nc"),
+                    )
+                ).alias("mx")
+            )
+            .select(
+                "id",
+                "sub",
+                (-F.col("mx.nc")).alias("cluster"),
+                (-F.col("mx.nd")).alias("dist_q"),
+            )
+        )
+
+    for _ in range(n_iter):
+        asg = assign(centroids)
+        upd = (
+            ex.join(asg.select("id", "sub", "cluster"), ["id", "sub"])
+            .groupBy("sub", "cluster", "dim")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            .select("sub", "cluster", "dim", F.expr("s DIV n").alias("c_new"))
+        )
+        centroids = (
+            centroids.join(upd, ["sub", "cluster", "dim"], "left")
+            .select(
+                "sub", "cluster", "dim", F.coalesce("c_new", "c").alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    codes = assign(centroids).select("id", "sub", "cluster")
+    qdist = (
+        ex.filter(F.col("id") < n_queries)
+        .join(F.broadcast(centroids), ["sub", "dim"])
+        .groupBy(F.col("id").alias("qid"), "sub", "cluster")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))
+            ).alias("dq")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(qdist), ["sub", "cluster"])
+        .filter(F.col("id") != F.col("qid"))
+        .groupBy("qid", "id")
+        .agg(F.sum("dq").alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc", "id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select(
+            F.col("qid").cast("bigint").alias("query_id"),
+            F.col("id").cast("bigint").alias("neighbor_id"),
+            F.col("adc").cast("bigint").alias("adc_dist_q"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
