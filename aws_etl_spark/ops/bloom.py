@@ -94,7 +94,15 @@ def bloom_probe(
     regroup → join back) hid a full big-side key shuffle, which is the
     exact cost this operator exists to avoid. Missing words (never
     touched by the build) mean bit unset.
+
+    The bitmap is eagerly localCheckpoint'ed here (round 10): each of
+    the k broadcasts otherwise carries the WHOLE build lineage — the
+    r10 plan census showed the build side's base table re-derived k+1
+    times (orders×6 / supplier×6) through the five broadcast subtrees.
+    The bitmap is ≤ m_bits/32 rows by construction, so materializing
+    it costs nothing and the build executes exactly once.
     """
+    bitmap = bitmap.localCheckpoint(eager=True)
     folded = F.pmod(F.col(key_col).cast("long"), F.lit(_P))
     out = df
     tests = []

@@ -303,10 +303,20 @@ def q_events_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_e2e_pipeline. Every branch keys on user_id, so the joins
     reuse one hash partitioning (AQE coalesces the exchanges); the
     composition adds no kernels beyond the registry's own session and
-    funnel operators."""
+    funnel operators.
+
+    Round 10: the three branches (base stats, funnel join-back chain,
+    sessionization) consumed the scan independently — 5 logical events
+    scans in the plan census. The needed 5-column projection is
+    checkpointed once and feeds every branch (the staged rescan-family
+    trade: one narrow materialization vs five fact scans)."""
     from aws_etl_spark.streaming.sessions import session_rollup
 
-    events = load_table(spark, sf_dir, "events")
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type", "event_id", "value")
+        .localCheckpoint(eager=True)
+    )
     base = events.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)"))

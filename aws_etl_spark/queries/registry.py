@@ -386,7 +386,9 @@ _DRIVER_ORDER = (
     # (sketch_kmv_audience, stat_psi_equidepth, ml_feature_binning_woe,
     # stat_chi_square, text_heaps_law, stat_mad_robust, stat_ks_drift,
     # events_theilsen_trend*, gdpr_delete_cascade, quality_expectations,
-    # dedup_prefix_filter*, func_variant_json*, stat_bootstrap_ci* —
+    # layout_zorder_stats, bloom_filter_membership, join_bloom_pruned*,
+    # events_e2e_mart, dedup_prefix_filter*, func_variant_json*,
+    # stat_bootstrap_ci* —
     # *already covered by an r10 window slot or unchanged-oracle
     # rows-evidence) queue FIRST next round, before vintage
     # re-confirmations.

@@ -526,9 +526,52 @@ GROUP BY 1
 """
 
 
-sql_query(
+def _zorder_spark_staged() -> tuple:
+    """Round-10 rescan fix: the bounds CTE held four scalar subqueries
+    that each re-scanned lineitem (5 logical scans). Staged: ONE
+    1-row bounds aggregate checkpointed, the coded scan is the second
+    and last lineitem pass."""
+    div = "DIV"
+    x8 = f"(((l_partkey - lo_p) * 256) {div} (hi_p - lo_p + 1))"
+    y8 = f"(((l_suppkey - lo_s) * 256) {div} (hi_s - lo_s + 1))"
+    z = _morton_terms("x8", "y8", 8, "spark")
+    ops = (
+        (
+            "view",
+            "zorder_bounds",
+            """
+            SELECT MIN(l_partkey) AS lo_p, MAX(l_partkey) AS hi_p,
+                   MIN(l_suppkey) AS lo_s, MAX(l_suppkey) AS hi_s
+            FROM lineitem
+            """,
+        ),
+    )
+    final = f"""
+    WITH coded AS (
+      SELECT l_partkey, l_suppkey, ({z}) AS zval
+      FROM (
+        SELECT l_partkey, l_suppkey, {x8} AS x8, {y8} AS y8
+        FROM lineitem CROSS JOIN zorder_bounds
+      ) norm
+    )
+    SELECT CAST(SHIFTRIGHT(zval, 10) AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS part_lo,
+           CAST(MAX(l_partkey) AS BIGINT) AS part_hi,
+           CAST(MIN(l_suppkey) AS BIGINT) AS supp_lo,
+           CAST(MAX(l_suppkey) AS BIGINT) AS supp_hi
+    FROM coded
+    GROUP BY 1
+    """
+    return ops, final
+
+
+_ZORDER_OPS, _ZORDER_FINAL = _zorder_spark_staged()
+
+staged_sql_query(
     "layout_zorder_stats",
-    _zorder_sql("spark"),
+    ops=_ZORDER_OPS,
+    final=_ZORDER_FINAL,
     oracle=_zorder_sql("duck"),
     category="layout",
     doc=(

@@ -665,6 +665,11 @@ _RESCAN_FAMILY_BOUNDS = {
     "events_theilsen_trend": (2, 4),
     "gdpr_delete_cascade": (2, 4),
     "quality_expectations": (2, 8),
+    # tier 3 (round-10 full-registry census, worst remaining >= 5)
+    "layout_zorder_stats": (2, 4),
+    "bloom_filter_membership": (2, 6),
+    "join_bloom_pruned": (2, 6),
+    "events_e2e_mart": (2, 8),
 }
 
 
