@@ -683,9 +683,95 @@ def _km_duck() -> str:
     return _km_sql(lambda a, b: f"DATE_DIFF('day', {a}, {b})", duck_declared)
 
 
-sql_query(
+def _km_spark_staged() -> tuple:
+    from aws_etl_spark.queries.sql_seams import spark_declared
+
+    ops = (
+        (
+            "view",
+            "km_u",
+            """
+            SELECT user_id, CAST(MIN(ts) AS DATE) AS birth,
+                   MIN(CASE WHEN event_type = 'purchase' AND value >= 250
+                            THEN CAST(ts AS DATE) END) AS hit,
+                   MAX(ts) AS last_ts
+            FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                         event_type, value
+                  FROM events)
+            GROUP BY user_id
+            """,
+        ),
+        (
+            "view",
+            "km_per_t",
+            """
+            WITH horizon AS (
+              SELECT CAST(MAX(last_ts) AS DATE) AS study_end FROM km_u
+            ),
+            obs AS (
+              SELECT CASE WHEN u.hit IS NOT NULL
+                          THEN DATEDIFF(u.hit, u.birth)
+                          ELSE DATEDIFF(h.study_end, u.birth) END AS t,
+                     CASE WHEN u.hit IS NOT NULL THEN 1 ELSE 0 END AS d
+              FROM km_u u CROSS JOIN horizon h
+            )
+            SELECT t, CAST(SUM(d) AS BIGINT) AS deaths,
+                   CAST(COUNT(*) AS BIGINT) AS exits
+            FROM obs GROUP BY t
+            """,
+        ),
+        ("scalar", "KMNU", "SELECT CAST(SUM(exits) AS BIGINT) FROM km_per_t"),
+    )
+    final = f"""
+    WITH risk AS (
+      SELECT t, deaths, exits,
+             CAST({{KMNU}} - COALESCE(
+               SUM(exits) OVER (PARTITION BY __g ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS at_risk
+      FROM {spark_declared("km_per_t")}
+    ),
+    terms AS (
+      SELECT t, deaths, exits - deaths AS censored, at_risk,
+             CASE WHEN deaths = 0 THEN CAST(0 AS BIGINT)
+                  WHEN deaths < at_risk THEN
+                    CAST(FLOOR(LN(CAST(at_risk - deaths AS DOUBLE) / at_risk)
+                               * 1000000) AS BIGINT)
+                  ELSE CAST(-138000000 AS BIGINT) END AS lq,
+             CASE WHEN deaths >= at_risk THEN 1 ELSE 0 END AS extinct
+      FROM risk
+    ),
+    km AS (
+      SELECT t, deaths, censored, at_risk,
+             CAST(SUM(lq) OVER (PARTITION BY __g ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS log_surv_micros,
+             MAX(extinct) OVER (PARTITION BY __g ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS extinct_cum
+      FROM {spark_declared("terms")}
+    )
+    SELECT t AS duration_days, at_risk, deaths, censored, log_surv_micros,
+           CASE WHEN extinct_cum = 1 THEN CAST(0 AS BIGINT)
+                ELSE CAST(FLOOR(EXP(CAST(log_surv_micros AS DOUBLE) / 1000000)
+                                * 1000000) AS BIGINT) END AS km_survival_e6
+    FROM km
+    ORDER BY t
+    """
+    return ops, final
+
+
+_KM_OPS, _KM_FINAL = _km_spark_staged()
+
+staged_sql_query(
     "events_survival_km",
-    _km_spark(),
+    # Round-10 rescan fix (x4 band): e fed horizon and the per-user
+    # rollup, and obs re-derived both into per_t and tot — 4 logical
+    # events scans. ONE scan into the checkpointed per-user table
+    # (birth/hit/last_ts); the horizon is a 1-row agg over it, the
+    # user count a driver literal, and the day-spine prefix sums run
+    # on the checkpointed per_t rollup.
+    ops=_KM_OPS,
+    final=_KM_FINAL,
     oracle=_km_duck(),
     category="events",
     doc=(

@@ -46,12 +46,15 @@ _RI_CHECKS = (
 
 
 def _ri_branch(rel, child, ck, parent, pk) -> str:
+    # one conditional aggregation over the left join — a single scan
+    # of each child per branch (the child-count scalar subquery was a
+    # second full scan; round-10 census fix)
     return f"""
   SELECT '{rel}' AS relationship,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child_rows,
-         (SELECT CAST(COUNT(*) AS BIGINT)
-          FROM {child} c LEFT JOIN {parent} p ON p.{pk} = c.{ck}
-          WHERE p.{pk} IS NULL) AS n_orphans
+         CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+         CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+  FROM {child} c LEFT JOIN {parent} p ON p.{pk} = c.{ck}
 """
 
 

@@ -387,7 +387,9 @@ _DRIVER_ORDER = (
     # stat_chi_square, text_heaps_law, stat_mad_robust, stat_ks_drift,
     # events_theilsen_trend*, gdpr_delete_cascade, quality_expectations,
     # layout_zorder_stats, bloom_filter_membership, join_bloom_pruned*,
-    # events_e2e_mart, dedup_prefix_filter*, func_variant_json*,
+    # events_e2e_mart, stat_psi_drift, stat_rfm_segmentation,
+    # quality_referential_integrity, events_survival_km,
+    # dedup_prefix_filter*, func_variant_json*,
     # stat_bootstrap_ci* —
     # *already covered by an r10 window slot or unchanged-oracle
     # rows-evidence) queue FIRST next round, before vintage

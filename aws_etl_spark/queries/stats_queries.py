@@ -763,9 +763,74 @@ FROM rfm, bounds
 """
 
 
-sql_query(
+def _rfm_spark_staged() -> tuple:
+    """Round-10 rescan fix (x4 band): base/gmax each scanned orders
+    and the rfm CTE re-derived both into the bounds agg and the final
+    select — 4 logical orders scans. ONE scan into the per-customer
+    rollup; the global max rides a 1-row agg over the checkpoint; the
+    scored join reads the checkpointed rfm rows twice (boundary agg +
+    final), never the base."""
+
+    def score(col: str, prefix: str, reverse: bool = False) -> str:
+        case = " ".join(
+            f"WHEN {col} <= {prefix}{i} THEN {i if not reverse else 6 - i}"
+            for i in range(1, 5)
+        )
+        return f"CAST(CASE {case} ELSE {5 if not reverse else 1} END AS BIGINT)"
+
+    def cuts(col: str, prefix: str) -> str:
+        return ",\n             ".join(
+            f"PERCENTILE({col}, {i / 5.0}) AS {prefix}{i}" for i in range(1, 5)
+        )
+
+    ops = (
+        (
+            "view",
+            "rfm_vals",
+            """
+            SELECT o_custkey AS custkey,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS monetary,
+                   MAX(CAST(o_orderdate AS TIMESTAMP)) AS last_order
+            FROM orders
+            GROUP BY o_custkey
+            """,
+        ),
+        (
+            "view",
+            "rfm_rows",
+            """
+            SELECT custkey, frequency, monetary,
+                   CAST((UNIX_MICROS(g.now_ts) - UNIX_MICROS(last_order))
+                        DIV 86400000000 AS BIGINT) AS recency_days
+            FROM rfm_vals,
+                 (SELECT MAX(last_order) AS now_ts FROM rfm_vals) g
+            """,
+        ),
+    )
+    final = f"""
+    WITH bounds AS (
+      SELECT {cuts("recency_days", "r")},
+             {cuts("frequency", "f")},
+             {cuts("monetary", "m")}
+      FROM rfm_rows
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           {score("recency_days", "r", reverse=True)} AS r_score,
+           {score("frequency", "f")} AS f_score,
+           {score("monetary", "m")} AS m_score
+    FROM rfm_rows, bounds
+    """
+    return ops, final
+
+
+_RFM_OPS, _RFM_FINAL = _rfm_spark_staged()
+
+staged_sql_query(
     "stat_rfm_segmentation",
-    _rfm_sql("PERCENTILE", "UNIX_MICROS", int_div="DIV"),
+    ops=_RFM_OPS,
+    final=_RFM_FINAL,
     oracle=_rfm_sql("QUANTILE_CONT", "EPOCH_US"),
     category="stats",
     doc=(
@@ -1539,12 +1604,55 @@ ORDER BY t.bin
 """
 
 
-sql_query(
+staged_sql_query(
     "stat_psi_drift",
-    _psi_sql(
-        "SELECT CAST(b AS BIGINT) AS bin "
-        "FROM (SELECT explode(sequence(0, 9)) AS b)"
+    # Round-10 rescan fix (x4 band): v was inlined into both n and
+    # the binned counts. ONE events scan into the checkpointed 10-bin
+    # rollup; totals as driver literals.
+    ops=(
+        (
+            "view",
+            "psi_drift_c",
+            """
+            SELECT bin, CAST(SUM(in1) AS BIGINT) AS c1,
+                   CAST(SUM(1 - in1) AS BIGINT) AS c2
+            FROM (SELECT LEAST(CAST(FLOOR(value / 60.0) AS BIGINT), 9) AS bin,
+                         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                              THEN 1 ELSE 0 END AS in1
+                  FROM events WHERE value IS NOT NULL)
+            GROUP BY bin
+            """,
+        ),
+        ("scalar", "PSIDN1", "SELECT CAST(SUM(c1) AS BIGINT) FROM psi_drift_c"),
+        ("scalar", "PSIDN2", "SELECT CAST(SUM(c2) AS BIGINT) FROM psi_drift_c"),
     ),
+    final="""
+    WITH bins AS (
+      SELECT CAST(b AS BIGINT) AS bin
+      FROM (SELECT explode(sequence(0, 9)) AS b)
+    ),
+    grid AS (
+      SELECT b.bin, COALESCE(c.c1, 0) AS c1, COALESCE(c.c2, 0) AS c2
+      FROM bins b LEFT JOIN psi_drift_c c ON c.bin = b.bin
+    ),
+    t AS (
+      SELECT g.bin, g.c1, g.c2,
+             (g.c1 + 1) * ({PSIDN2} + 10) - (g.c2 + 1) * ({PSIDN1} + 10)
+               AS dnum,
+             CAST(FLOOR(LN(CAST((g.c1 + 1) * ({PSIDN2} + 10) AS DOUBLE) /
+                           CAST((g.c2 + 1) * ({PSIDN1} + 10) AS DOUBLE))
+                  * 1000000) AS BIGINT) AS lnratio_q6
+      FROM grid g
+    ),
+    s AS (SELECT CAST(SUM(dnum * lnratio_q6) AS BIGINT) AS tot FROM t)
+    SELECT t.bin, t.c1, t.c2, t.dnum, t.lnratio_q6,
+           CAST(t.dnum * t.lnratio_q6 AS BIGINT) AS contrib_q6,
+           CAST(s.tot AS DOUBLE) /
+           (CAST({PSIDN1} + 10 AS DOUBLE) * CAST({PSIDN2} + 10 AS DOUBLE)) /
+           1000000.0 AS psi
+    FROM t CROSS JOIN s
+    ORDER BY t.bin
+    """,
     oracle=_psi_sql(
         "SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin"
     ),

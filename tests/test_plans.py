@@ -670,6 +670,12 @@ _RESCAN_FAMILY_BOUNDS = {
     "bloom_filter_membership": (2, 6),
     "join_bloom_pruned": (2, 6),
     "events_e2e_mart": (2, 8),
+    "stat_psi_drift": (2, 4),
+    "stat_rfm_segmentation": (2, 3),
+    "events_survival_km": (2, 4),
+    # referential integrity: each CHILD scans once per branch; the
+    # small parents (nation) legitimately appear in several branches
+    "quality_referential_integrity": (3, 8),
 }
 
 
