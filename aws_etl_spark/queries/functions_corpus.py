@@ -359,41 +359,32 @@ _VARIANT_K_SPARK = "try_variant_get(try_parse_json(props), '$.k', 'string')"
 _VARIANT_K_DUCK = "json_extract_string(TRY_CAST(props AS JSON), '$.k')"
 
 
-def _variant_int(s: str, guard: str, itype: str) -> str:
-    return (
-        f"CASE WHEN {guard} THEN CAST({s} AS {itype}) END"
+def _variant_sql(extract: str, guard_fn: str, itype: str) -> str:
+    # k computed ONCE per row in an inner projection (the VARIANT
+    # parse + regex guard inside three aggregate arguments tripled the
+    # per-row work — measured 0.74 -> 1.96 s at sf0.1 before this
+    # hoist), then plain aggregates over k.
+    return f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           COUNT(DISTINCT k) AS distinct_k
+    FROM (
+      SELECT event_type,
+             CASE WHEN {guard_fn} THEN CAST(s AS {itype}) END AS k
+      FROM (SELECT event_type, {extract} AS s FROM events)
     )
+    GROUP BY event_type
+    """
 
-
-_VK_S = _variant_int(
-    _VARIANT_K_SPARK, f"{_VARIANT_K_SPARK} RLIKE '^-?[0-9]+$'", "INT"
-)
-_VK_D = _variant_int(
-    _VARIANT_K_DUCK,
-    f"regexp_matches({_VARIANT_K_DUCK}, '^-?[0-9]+$')",
-    "INTEGER",
-)
 
 sql_query(
     "func_variant_json",
-    f"""
-    SELECT event_type,
-           COUNT(*) AS n,
-           MIN({_VK_S}) AS min_k,
-           MAX({_VK_S}) AS max_k,
-           COUNT(DISTINCT {_VK_S}) AS distinct_k
-    FROM events
-    GROUP BY event_type
-    """,
-    oracle=f"""
-    SELECT event_type,
-           COUNT(*) AS n,
-           MIN({_VK_D}) AS min_k,
-           MAX({_VK_D}) AS max_k,
-           COUNT(DISTINCT {_VK_D}) AS distinct_k
-    FROM events
-    GROUP BY event_type
-    """,
+    _variant_sql(_VARIANT_K_SPARK, "s RLIKE '^-?[0-9]+$'", "INT"),
+    oracle=_variant_sql(
+        _VARIANT_K_DUCK, "regexp_matches(s, '^-?[0-9]+$')", "INTEGER"
+    ),
     category="function",
     doc=(
         "Spark 4 VARIANT path for semi-structured columns: "
