@@ -275,10 +275,27 @@ def staged_sql_query(
                 df.createOrReplaceTempView(key)
             else:
                 v = spark.sql(sub(sql)).collect()[0][0]
-                if isinstance(v, float):
+                if v is None:
+                    # empty-input degenerate: the oracle's scalar
+                    # subquery yields SQL NULL there too, so the
+                    # literal must be a typed NULL, not the string
+                    # "None" (crafted empty-table differentials pin
+                    # this branch)
+                    subs[key] = "CAST(NULL AS BIGINT)"
+                elif isinstance(v, bool):
+                    raise TypeError(
+                        f"staged scalar {key}: bool is not a portable "
+                        "literal; cast to int in the stage SQL"
+                    )
+                elif isinstance(v, float):
                     subs[key] = f"CAST('{v!r}' AS DOUBLE)"
-                else:
+                elif isinstance(v, int):
                     subs[key] = f"CAST({v} AS BIGINT)"
+                else:
+                    raise TypeError(
+                        f"staged scalar {key}: unsupported literal type "
+                        f"{type(v).__name__} (int/float/NULL only)"
+                    )
         return spark.sql(sub(final))
 
     fn.__name__ = f"q_{name}"

@@ -224,3 +224,54 @@ def test_pq_adc_tiny_corpus_cross_engine(spark, tmp_path):
     sf = _mk_sf(tmp_path, embeddings=emb)
     r = check_query("embeddings_pq_adc", spark, sf)
     assert r.ok, str(r)
+
+
+# -- staged-query degenerate inputs ------------------------------------------
+
+
+def _empty_events():
+    df = pd.DataFrame(
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df = df.astype(
+        {
+            "event_id": "int64",
+            "user_id": "int64",
+            "event_type": "object",
+            "value": "float64",
+            "props": "object",
+        }
+    )
+    df["ts"] = pd.to_datetime(df["ts"])
+    return df
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "stat_ks_drift",
+        "stat_psi_equidepth",
+        "stat_psi_drift",
+        "sketch_kmv_audience",
+        "events_theilsen_trend",
+        "stat_mann_whitney_by_group",
+        "events_survival_km",
+    ],
+)
+def test_staged_queries_survive_empty_events(spark, tmp_path, name):
+    """Empty base table: every staged scalar collects SQL NULL, which
+    must substitute as a typed NULL literal (a repr'd None would be a
+    parse error) and still hash-match the oracle's NULL-propagating
+    scalar subqueries."""
+    sf = _mk_sf(tmp_path, events=_empty_events())
+    r = check_query(name, spark, sf)
+    assert r.ok, str(r)
+
+
+def test_staged_tclose_single_customer_cross_engine(spark, tmp_path):
+    """One customer: one QI group, worst_t from a single row — the
+    float-scalar (TCWORST) repr round-trip path."""
+    cust = pd.read_parquet(f"{SF0001}/customer.parquet").head(1)
+    sf = _mk_sf(tmp_path, customer=cust)
+    r = check_query("privacy_t_closeness", spark, sf)
+    assert r.ok, str(r)
