@@ -2387,6 +2387,137 @@ FROM u CROSS JOIN n
 
 
 # --------------------------------------------------------------------------
+# Kruskal-Wallis H (round 10): the k-group generalization of the
+# Mann-Whitney rank test — "do ANY of these segments draw from a
+# shifted distribution?" — the one-shot monitor a platform runs
+# before drilling into pairwise MW. Rank machinery is the same
+# two-stage prefix sum over pooled distinct values; ties take exact
+# midranks carried as 2·midrank BIGINTs (2·mr(v) = 2·F_below(v) +
+# c(v) + 1), so each group's doubled rank sum 2R_i is an exact
+# BIGINT. The per-group H contribution (2R_i/2)²/n_i is one IEEE
+# chain over exact integers, floor-quantized to integer units BEFORE
+# the cross-group sum (the lnratio idiom — a raw double sum would be
+# partition-order-dependent; the quantization error in H is below
+# 12·k/(N(N+1)), far under any decision threshold). Overflow
+# contract: contributions need ~4N³ < 2^63 ⇒ N ≲ 1.3e6 values per
+# monitor window — shard the window first beyond that (the KS
+# n1·n2 < 2^63 convention).
+# --------------------------------------------------------------------------
+
+_KW_G = """
+SELECT grp, v, CAST(FLOOR(v / 50.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS c
+FROM (SELECT event_type AS grp, value AS v
+      FROM events WHERE value IS NOT NULL)
+GROUP BY grp, v
+"""
+
+
+def _kw_pool(declared, g: str) -> str:
+    return f"""
+WITH pv AS (
+  SELECT v, bucket, CAST(SUM(c) AS BIGINT) AS c
+  FROM {g} GROUP BY v, bucket
+),
+bt AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS bc FROM pv GROUP BY bucket),
+off AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(bc) OVER (PARTITION BY __g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM {declared("bt")}
+),
+cum AS (
+  SELECT p.v, p.c,
+         o.o + SUM(p.c) OVER (PARTITION BY p.bucket ORDER BY p.v
+               ROWS UNBOUNDED PRECEDING) - p.c AS f_below
+  FROM pv p JOIN off o ON o.bucket = p.bucket
+)
+SELECT v, c, CAST(2 * f_below + c + 1 AS BIGINT) AS mr2 FROM cum
+"""
+
+
+def _kw_tail(g: str, pool: str, n: str, tie: str) -> str:
+    contrib = (
+        "CAST(FLOOR((CAST(r2_i AS DOUBLE) / CAST(2 AS DOUBLE))"
+        " * (CAST(r2_i AS DOUBLE) / CAST(2 AS DOUBLE))"
+        " / CAST(n_i AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+WITH r AS (
+  SELECT g.grp, CAST(SUM(g.c) AS BIGINT) AS n_i,
+         CAST(SUM(g.c * p.mr2) AS BIGINT) AS r2_i
+  FROM {g} g JOIN {pool} p ON p.v = g.v
+  GROUP BY g.grp
+),
+s AS (SELECT CAST(SUM({contrib}) AS BIGINT) AS sq FROM r),
+h AS (
+  SELECT CASE WHEN {n} <= 1
+                   OR {tie} = {n} * {n} * {n} - {n}
+              THEN CAST(0 AS DOUBLE)
+              ELSE (CAST(12 AS DOUBLE) * CAST(s.sq AS DOUBLE)
+                    / (CAST({n} AS DOUBLE) * CAST({n} + 1 AS DOUBLE))
+                    - CAST(3 AS DOUBLE) * CAST({n} + 1 AS DOUBLE))
+                   / (CAST(1 AS DOUBLE)
+                      - CAST({tie} AS DOUBLE)
+                        / (CAST({n} AS DOUBLE) * CAST({n} AS DOUBLE)
+                           * CAST({n} AS DOUBLE) - CAST({n} AS DOUBLE)))
+              END AS h_stat
+  FROM s
+)
+SELECT r.grp AS event_type, r.n_i, r.r2_i,
+       CAST(r.r2_i AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(r.n_i AS DOUBLE))
+         AS mean_rank,
+       h.h_stat
+FROM r CROSS JOIN h
+"""
+
+
+def _kw_oracle() -> str:
+    pool = _kw_pool(duck_declared, "g")
+    n = "(SELECT SUM(c) FROM g)"
+    tie = "(SELECT SUM(c * c * c - c) FROM pool)"
+    # single-statement oracle: fold g and pool in as CTEs, totals as
+    # scalar subqueries (DuckDB evaluates them once per reference
+    # against its row cache)
+    tail = _kw_tail("g", "pool", n, tie)
+    assert tail.startswith("\nWITH ")
+    return (
+        f"WITH g AS ({_KW_G}),\npool AS ({pool}),\n"
+        + tail[len("\nWITH ") :]
+    )
+
+
+staged_sql_query(
+    "stat_kruskal_wallis",
+    ops=(
+        ("view", "kw_g", _KW_G),
+        ("view", "kw_pool", _kw_pool(spark_declared, "kw_g")),
+        ("scalar", "KWN", "SELECT CAST(SUM(c) AS BIGINT) FROM kw_pool"),
+        (
+            "scalar",
+            "KWTIE",
+            "SELECT CAST(SUM(c * c * c - c) AS BIGINT) FROM kw_pool",
+        ),
+    ),
+    final=_kw_tail("kw_g", "kw_pool", "{KWN}", "{KWTIE}"),
+    oracle=_kw_oracle(),
+    category="stats",
+    doc=(
+        "Kruskal-Wallis H across event_type segments: exact midrank "
+        "machinery (2·midrank and doubled rank sums as BIGINTs via "
+        "the pooled two-stage prefix sum), per-group (R_i)²/n_i "
+        "contributions floor-quantized before the order-free sum, "
+        "tie-corrected H as one fixed IEEE chain with integer-space "
+        "degenerate guards (empty/all-tied pins H to 0). One staged "
+        "events scan; the k-group one-shot monitor in front of the "
+        "pairwise Mann-Whitney drill-down."
+    ),
+    tables=("events",),
+)
+
+
+# --------------------------------------------------------------------------
 # Mann-Whitney by GROUP (round 10, scouted in r9): the same rank-sum
 # drift test computed independently per event_type — the form a
 # monitoring platform actually runs (one z per segment, not one

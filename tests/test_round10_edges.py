@@ -256,6 +256,7 @@ def _empty_events():
         "events_theilsen_trend",
         "stat_mann_whitney_by_group",
         "events_survival_km",
+        "stat_kruskal_wallis",
     ],
 )
 def test_staged_queries_survive_empty_events(spark, tmp_path, name):
@@ -275,3 +276,79 @@ def test_staged_tclose_single_customer_cross_engine(spark, tmp_path):
     sf = _mk_sf(tmp_path, customer=cust)
     r = check_query("privacy_t_closeness", spark, sf)
     assert r.ok, str(r)
+
+
+# -- stat_kruskal_wallis ------------------------------------------------------
+
+
+def test_kruskal_wallis_matches_python_model(spark):
+    """(n_i, 2R_i, mean_rank, H) equal the brute-force midrank model
+    replaying the query's own quantized-contribution IEEE chain."""
+    import math
+    from collections import Counter
+
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["stat_kruskal_wallis"].fn(spark, SF0001).collect()
+    }
+    ev = pd.read_parquet(f"{SF0001}/events.parquet")
+    ev = ev[ev["value"].notna()]
+    pooled = Counter(ev["value"].tolist())
+    values = sorted(pooled)
+    f_below, mr2 = {}, {}
+    acc = 0
+    for v in values:
+        f_below[v] = acc
+        mr2[v] = 2 * acc + pooled[v] + 1
+        acc += pooled[v]
+    N = acc
+    tie = sum(c**3 - c for c in pooled.values())
+    sq = 0
+    for grp, sub in ev.groupby("event_type"):
+        cnt = Counter(sub["value"].tolist())
+        n_i = sum(cnt.values())
+        r2_i = sum(c * mr2[v] for v, c in cnt.items())
+        row = got[grp]
+        assert (row["n_i"], row["r2_i"]) == (n_i, r2_i), grp
+        assert row["mean_rank"] == float(r2_i) / (2.0 * float(n_i)), grp
+        sq += math.floor((float(r2_i) / 2.0) * (float(r2_i) / 2.0) / float(n_i))
+    if N <= 1 or tie == N**3 - N:
+        h = 0.0
+    else:
+        h = (
+            12.0 * float(sq) / (float(N) * float(N + 1))
+            - 3.0 * float(N + 1)
+        ) / (1.0 - float(tie) / (float(N) ** 3 - float(N)))
+    for row in got.values():
+        assert row["h_stat"] == h
+    # sanity vs the unquantized statistic: the floor quantization must
+    # not move H by more than 12*k/(N(N+1))
+    exact_sq = sum(
+        (sum(c * mr2[v] for v, c in Counter(s["value"].tolist()).items()) / 2.0)
+        ** 2
+        / len(s)
+        for _, s in ev.groupby("event_type")
+    )
+    h_exact = (
+        12.0 * exact_sq / (N * (N + 1)) - 3.0 * (N + 1)
+    ) / (1.0 - tie / (N**3 - N))
+    assert abs(h - h_exact) <= 12.0 * 5 / (N * (N + 1)) + 1e-9
+
+
+def test_kruskal_wallis_degenerate_cross_engine(spark, tmp_path):
+    """All values tied across every group: the integer-space guard
+    pins H to 0 on both engines (the unguarded form divides 0/0)."""
+    sf = _mk_sf(
+        tmp_path,
+        events=_events(
+            [
+                (1, "2024-01-02 00:00:00", 1, "view", 42),
+                (2, "2024-01-03 00:00:00", 2, "click", 42),
+                (3, "2024-01-04 00:00:00", 3, "purchase", 42),
+            ]
+        ),
+    )
+    r = check_query("stat_kruskal_wallis", spark, sf)
+    assert r.ok, str(r)
+    rows = REGISTRY["stat_kruskal_wallis"].fn(spark, sf).collect()
+    assert all(x["h_stat"] == 0.0 for x in rows)
