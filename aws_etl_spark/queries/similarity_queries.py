@@ -602,7 +602,12 @@ def q_kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_oracle(
-    m: int = 2, k: int = 4, n_iter: int = 2, n_queries: int = 5, topk: int = 3
+    m: int = 2,
+    k: int = 8,
+    n_iter: int = 2,
+    n_queries: int = 5,
+    topk: int = 3,
+    recall: bool = False,
 ) -> str:
     """Unrolled per-subspace Lloyd rounds + encode + ADC top-k.
 
@@ -638,6 +643,16 @@ c{r} AS MATERIALIZED (
   ) u ON u.sub = p.sub AND u.cluster = p.cluster AND u.dim = p.dim
 )""")
     parts.append(assign("afinal", f"c{n_iter}"))
+    if recall:
+        tail = _pq_recall_tail(n_queries, topk)
+    else:
+        tail = f"""
+SELECT CAST(qid AS BIGINT) AS query_id,
+       CAST(id AS BIGINT) AS neighbor_id,
+       CAST(adc AS BIGINT) AS adc_dist_q,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {topk}
+"""
     return f"""
 WITH dd AS (SELECT MAX(len(embedding)) AS d FROM embeddings),
 ex AS MATERIALIZED (
@@ -671,12 +686,33 @@ ranked AS (
   SELECT qid, id, adc,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS rn
   FROM adc
+){tail}"""
+
+
+def _pq_recall_tail(n_queries: int, topk: int) -> str:
+    return f""",
+approx_top AS (SELECT qid, id FROM ranked WHERE rn <= {topk}),
+exactd AS MATERIALIZED (
+  SELECT qe.id AS qid, xe.id, SUM((qe.q - xe.q) * (qe.q - xe.q)) AS dist
+  FROM ex qe JOIN ex xe ON xe.dim = qe.dim AND xe.id <> qe.id
+  WHERE qe.id < {n_queries}
+  GROUP BY qe.id, xe.id
+),
+exact_top AS (
+  SELECT qid, id FROM (
+    SELECT qid, id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+    FROM exactd
+  ) WHERE rn <= {topk}
 )
-SELECT CAST(qid AS BIGINT) AS query_id,
-       CAST(id AS BIGINT) AS neighbor_id,
-       CAST(adc AS BIGINT) AS adc_dist_q,
-       CAST(rn AS BIGINT) AS rank
-FROM ranked WHERE rn <= {topk}
+SELECT CAST(e.qid AS BIGINT) AS query_id,
+       CAST(SUM(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST(SUM(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST({topk} AS DOUBLE) AS recall
+FROM exact_top e
+LEFT JOIN approx_top a ON a.qid = e.qid AND a.id = e.id
+GROUP BY e.qid
 """
 
 
@@ -699,7 +735,28 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_spark.similarity.pq import pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_adc_topk(emb, "vec_id", "embedding")
+    return pq_adc_topk(emb, "vec_id", "embedding")[0]
+
+
+@register(
+    "embeddings_pq_recall",
+    oracle=_pq_oracle(recall=True, topk=5),
+    category="similarity",
+    tables=("embeddings",),
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the PQ/ADC ranking against the exact
+    quantized-distance top-5 per eval query — the eval twin that
+    makes embeddings_pq_adc's approximation measurable, completing
+    the harness symmetry with embeddings_ann_recall (LSH) and
+    ann_cosine_topk_ivf's exact twin. Both legs are integer-exact
+    over the same shifted components, so the recall itself
+    hash-matches the oracle; at scale the exact leg runs on the eval
+    sample only."""
+    from aws_etl_spark.similarity.pq import pq_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_recall(emb, "vec_id", "embedding", topk=5)
 
 
 # --------------------------------------------------------------------------

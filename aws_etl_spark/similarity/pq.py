@@ -4,7 +4,7 @@ the third rung of the ANN ladder (LSH → IVF → PQ; Jégou et al., TPAMI
 
 The vector is split into M contiguous subspaces; each subspace gets
 its own small k-means codebook; a database vector is stored as M
-one-byte-ish codes (here M=2, K=4 for the oracle-sized demo — the
+one-byte-ish codes (here M=2, K=8 for the oracle-sized demo — the
 production dials are M=8..16, K=256). Search never decodes: a query
 precomputes its distance to every (subspace, centroid) once — an
 M·K-row table — and a candidate's approximate distance is the SUM of
@@ -54,7 +54,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = 2,
-    k: int = 4,
+    k: int = 8,
     n_iter: int = 2,
     n_queries: int = 5,
     topk: int = 3,
@@ -144,7 +144,7 @@ def pq_adc_topk(
         .agg(F.sum("dq").alias("adc"))
     )
     w = Window.partitionBy("qid").orderBy("adc", "id")
-    return (
+    adc_topk = (
         adc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= topk)
         .select(
@@ -153,4 +153,65 @@ def pq_adc_topk(
             F.col("adc").cast("bigint").alias("adc_dist_q"),
             F.col("rn").cast("bigint").alias("rank"),
         )
+    )
+    return adc_topk, ex
+
+
+def pq_recall(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 2,
+    k: int = 8,
+    n_iter: int = 2,
+    n_queries: int = 5,
+    topk: int = 5,
+) -> DataFrame:
+    """recall@``topk`` of the PQ/ADC ranking against the EXACT
+    quantized-distance top-k per query: (query_id, n_hits, recall).
+
+    The exact leg is the brute-force Σ_dims (q−x)² over the same
+    shifted-integer components — integer-exact, so both the
+    approximate and ground-truth rankings (and therefore the recall
+    itself) hash-match the oracle. At 100 TB the exact leg runs on an
+    eval SAMPLE (n_queries), never the corpus² — the
+    embeddings_ann_recall eval-harness convention.
+    """
+    adc_topk, ex = pq_adc_topk(
+        emb, id_col, vec_col, m=m, k=k, n_iter=n_iter,
+        n_queries=n_queries, topk=topk,
+    )
+    qx = ex.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("qid"), "dim", F.col("q").alias("qq")
+    )
+    exact = (
+        ex.join(F.broadcast(qx), "dim")
+        .filter(F.col("id") != F.col("qid"))
+        .groupBy("qid", "id")
+        .agg(
+            F.sum(
+                (F.col("qq") - F.col("q")) * (F.col("qq") - F.col("q"))
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "id")
+    exact_top = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select(
+            F.col("qid").cast("bigint").alias("query_id"),
+            F.col("id").cast("bigint").alias("neighbor_id"),
+        )
+    )
+    hits = exact_top.join(
+        adc_topk.select("query_id", "neighbor_id", F.lit(1).alias("hit")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+        (
+            F.sum(F.coalesce("hit", F.lit(0))).cast("double")
+            / F.lit(float(topk))
+        ).alias("recall"),
     )

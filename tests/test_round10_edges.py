@@ -121,7 +121,7 @@ def test_mann_whitney_by_group_degenerate_groups_cross_engine(spark, tmp_path):
 # -- embeddings_pq_adc --------------------------------------------------------
 
 
-def _pq_python_model(emb_rows, m=2, k=4, n_iter=2, n_queries=5, topk=3):
+def _pq_python_model(emb_rows, m=2, k=8, n_iter=2, n_queries=5, topk=3):
     """Bit-exact numpy replay of the quantized PQ pipeline (shifted
     1e-6 integer components, integer squared distances, argmin ties to
     the smallest centroid id, integer-mean updates, ADC top-k)."""
@@ -352,3 +352,35 @@ def test_kruskal_wallis_degenerate_cross_engine(spark, tmp_path):
     assert r.ok, str(r)
     rows = REGISTRY["stat_kruskal_wallis"].fn(spark, sf).collect()
     assert all(x["h_stat"] == 0.0 for x in rows)
+
+
+def test_pq_recall_matches_python_model(spark):
+    """embeddings_pq_recall equals the numpy replay: intersection of
+    the ADC top-5 and the exact quantized-distance top-5 per query."""
+    emb = pd.read_parquet(f"{SF0001}/embeddings.parquet")
+    rows = {int(r.vec_id): list(r.embedding) for r in emb.itertuples()}
+    import math
+
+    ids = sorted(rows)
+    q = {
+        i: [int(math.floor(float(v) * 1_000_000)) + 2_000_000 for v in rows[i]]
+        for i in ids
+    }
+    approx = {}
+    for qi, nb, _adc, _rn in _pq_python_model(rows, topk=5):
+        approx.setdefault(qi, set()).add(nb)
+    expected = {}
+    for qi in [i for i in ids if i < 5]:
+        dists = sorted(
+            (sum((q[qi][j] - q[x][j]) ** 2 for j in range(len(q[x]))), x)
+            for x in ids
+            if x != qi
+        )
+        exact5 = {x for _, x in dists[:5]}
+        hits = len(exact5 & approx[qi])
+        expected[qi] = (hits, float(hits) / 5.0)
+    got = {
+        int(r["query_id"]): (int(r["n_hits"]), r["recall"])
+        for r in REGISTRY["embeddings_pq_recall"].fn(spark, SF0001).collect()
+    }
+    assert got == expected
