@@ -622,3 +622,91 @@ def test_markov_stationary_matches_python_replay(spark, seq):
                 new[b] = new.get(b, 0) + (pi[a] * n) // tot[a]
         pi = new
     assert got == pi
+
+
+_kw_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # group id
+        st.integers(min_value=1, max_value=28),  # day of January
+        st.integers(min_value=0, max_value=6),  # value bucket → ties
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_settings
+@given(rows=_kw_rows)
+def test_kruskal_wallis_oracle_matches_python_model(rows, tmp_path_factory):
+    """The stat_kruskal_wallis ORACLE == brute-force midranks + the
+    query's quantized-contribution chain on randomized group/tie
+    shapes (pure DuckDB — the Spark↔oracle equality is hash-checked
+    separately, so this closes the model↔spark↔oracle triangle
+    cheaply). Covers single-group, all-tied, and singleton inputs the
+    corpus never produces."""
+    import datetime as dt
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    tmp = tmp_path_factory.mktemp("kw")
+    ev = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [dt.datetime(2024, 1, d, 3, 0, 0) for _, d, _ in rows],
+            "user_id": [g for g, _, _ in rows],
+            "event_type": [f"g{g}" for g, _, _ in rows],
+            "value": [float(v * 50) for _, _, v in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    ev.to_parquet(str(tmp / "events.parquet"))
+    # run_oracle registers every table view; symlink the rest
+    import os
+
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", str(tmp / f"{t}.parquet")
+        )
+    got = run_oracle(REGISTRY["stat_kruskal_wallis"].oracle, str(tmp))
+    got = {
+        r["event_type"]: r for _, r in got.iterrows()
+    }
+
+    pooled = Counter(float(v * 50) for _, _, v in rows)
+    f_below, mr2, acc = {}, {}, 0
+    for v in sorted(pooled):
+        f_below[v] = acc
+        mr2[v] = 2 * acc + pooled[v] + 1
+        acc += pooled[v]
+    N = acc
+    tie = sum(c**3 - c for c in pooled.values())
+    groups = {}
+    for g, _, v in rows:
+        groups.setdefault(f"g{g}", Counter())[float(v * 50)] += 1
+    sq = 0
+    for grp, cnt in groups.items():
+        n_i = sum(cnt.values())
+        r2_i = sum(c * mr2[v] for v, c in cnt.items())
+        row = got[grp]
+        assert (int(row["n_i"]), int(row["r2_i"])) == (n_i, r2_i), grp
+        assert row["mean_rank"] == float(r2_i) / (2.0 * float(n_i)), grp
+        sq += math.floor(
+            (float(r2_i) / 2.0) * (float(r2_i) / 2.0) / float(n_i)
+        )
+    if N <= 1 or tie == N**3 - N:
+        h = 0.0
+    else:
+        h = (
+            12.0 * float(sq) / (float(N) * float(N + 1)) - 3.0 * float(N + 1)
+        ) / (1.0 - float(tie) / (float(N) ** 3 - float(N)))
+    for row in got.values():
+        assert row["h_stat"] == h
