@@ -823,3 +823,102 @@ sql_query(
     ),
     tables=("documents",),
 )
+
+
+# --------------------------------------------------------------------------
+# Exact ROC AUC (round 10, queued for the r11 window): the standard
+# ranking-quality readout of a scoring model, computed through the
+# rank-sum identity AUC = U / (n_pos * n_neg) where U counts
+# (positive, negative) pairs the score orders correctly plus half the
+# cross-ties — the SAME distributed two-stage prefix sum that powers
+# stat_mann_whitney (per-distinct-score class counts, bucket totals, a
+# bounded bucket-offset window, never a whole-table rank window and
+# never the n_pos x n_neg pair materialization). 2U stays an exact
+# BIGINT; AUC and Gini are single fixed-shape IEEE divisions of exact
+# integers, so the hash matches DuckDB bit-for-bit. Overflow contract:
+# 2U <= 2 * n_pos * n_neg must fit BIGINT — beyond ~2e9 rows per side,
+# shard the score range first (the KS n1*n2 < 2^63 convention).
+# In-corpus scenario: does the event `value` rank purchase events
+# above non-purchase ones.
+# --------------------------------------------------------------------------
+
+
+def _auc_sql(declared) -> str:
+    return f"""
+WITH v AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE value IS NOT NULL
+),
+n AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+  FROM v
+),
+g AS (
+  SELECT v, CAST(FLOOR(v / 50.0) AS BIGINT) AS bucket,
+         CAST(SUM(pos) AS BIGINT) AS c1,
+         CAST(SUM(1 - pos) AS BIGINT) AS c2
+  FROM v GROUP BY v
+),
+bt AS (
+  SELECT bucket, CAST(SUM(c2) AS BIGINT) AS bc2 FROM g GROUP BY bucket
+),
+off AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(bc2) OVER (PARTITION BY __g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o2
+  FROM {declared("bt")}
+),
+c AS (
+  SELECT g.c1, g.c2,
+         o.o2 + SUM(g.c2) OVER (PARTITION BY g.bucket ORDER BY g.v
+              ROWS UNBOUNDED PRECEDING) - g.c2 AS f2_below
+  FROM g JOIN off o ON o.bucket = g.bucket
+),
+u AS (
+  SELECT CAST(SUM(2 * c.c1 * c.f2_below + c.c1 * c.c2) AS BIGINT) AS u2
+  FROM c
+)
+SELECT n.n_pos, n.n_neg, u.u2,
+       -- one-class degenerate decided in exact integer space: AUC is
+       -- undefined, pinned to the chance value 0.5 on both engines
+       CASE WHEN n.n_pos = 0 OR n.n_neg = 0 THEN CAST(0.5 AS DOUBLE)
+            ELSE CAST(u.u2 AS DOUBLE)
+                 / (CAST(2 AS DOUBLE) * CAST(n.n_pos AS DOUBLE)
+                    * CAST(n.n_neg AS DOUBLE))
+       END AS auc,
+       CASE WHEN n.n_pos = 0 OR n.n_neg = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(2 AS DOUBLE)
+                 * (CAST(u.u2 AS DOUBLE)
+                    / (CAST(2 AS DOUBLE) * CAST(n.n_pos AS DOUBLE)
+                       * CAST(n.n_neg AS DOUBLE)))
+                 - CAST(1 AS DOUBLE)
+       END AS gini
+FROM u CROSS JOIN n
+"""
+
+
+def _register_auc() -> None:
+    from aws_etl_spark.queries.sql_seams import duck_declared
+
+    sql_query(
+        "ml_auc_roc",
+        _auc_sql(spark_declared),
+        oracle=_auc_sql(duck_declared),
+        category="ml",
+        doc=(
+            "Exact ROC AUC + Gini of the event value score separating "
+            "purchase from non-purchase events, via the rank-sum "
+            "identity AUC = U/(n_pos*n_neg): 2U stays an exact BIGINT "
+            "through the Mann-Whitney two-stage prefix sum (no rank "
+            "materialization, no pos x neg pair join); AUC/Gini are "
+            "fixed-shape IEEE divisions with the one-class degenerate "
+            "pinned to 0.5/0 in integer space."
+        ),
+        tables=("events",),
+    )
+
+
+_register_auc()

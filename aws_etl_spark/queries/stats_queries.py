@@ -2625,3 +2625,114 @@ sql_query(
     ),
     tables=("events",),
 )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (round 10, queued for the r11 window):
+# the tie-aware monotone-association monitor between two measures —
+# here "do larger line items cost more": l_quantity vs
+# l_extendedprice. Each column's midranks come from its OWN pooled
+# two-stage prefix sum (per-distinct-value counts, bucket totals, a
+# bounded bucket-offset window — the Mann-Whitney/Kruskal machinery),
+# carried as doubled midranks 2·mr = 2·F_below + c + 1 so every rank
+# is an exact BIGINT. Rows reduce to distinct (x, y) PAIRS with
+# counts, and all five moment sums (Σ2rx, Σ2ry, Σ4rxry, Σ4rx²,
+# Σ4ry²) are exact BIGINTs; Pearson-on-ranks is then one DECIMAL
+# cross-moment (n·Sxy − Sx·Sy — up to ~5e23, exact int128/decimal38
+# on both engines, the stat_linear_regression idiom) divided by two
+# correctly-rounded SQRTs. Overflow contract: 4N³ < 2^63 ⇒ N ≲ 1.3e6
+# rows per monitor window — shard first beyond that (the KS
+# convention). Constant-column degenerates pin rho to 0 in exact
+# decimal space.
+# --------------------------------------------------------------------------
+
+
+def _spearman_rank_cte(declared, col: str, src: str, width: str,
+                       pfx: str) -> str:
+    """CTE chain computing (v, mr2) doubled midranks for one column."""
+    return f"""
+{pfx}g AS (
+  SELECT {col} AS v, CAST(FLOOR({col} / {width}) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM {src} GROUP BY {col}
+),
+{pfx}bt AS (
+  SELECT bucket, CAST(SUM(c) AS BIGINT) AS bc FROM {pfx}g GROUP BY bucket
+),
+{pfx}off AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(bc) OVER (PARTITION BY __g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM {declared(pfx + "bt")}
+),
+{pfx}r AS (
+  SELECT g.v,
+         CAST(2 * (o.o + SUM(g.c) OVER (PARTITION BY g.bucket ORDER BY g.v
+                   ROWS UNBOUNDED PRECEDING) - g.c) + g.c + 1
+              AS BIGINT) AS mr2
+  FROM {pfx}g g JOIN {pfx}off o ON o.bucket = g.bucket
+)"""
+
+
+def _spearman_sql(declared) -> str:
+    xr = _spearman_rank_cte(declared, "l_quantity", "base", "50.0", "x")
+    yr = _spearman_rank_cte(declared, "l_extendedprice", "base", "1000.0", "y")
+    return f"""
+WITH base AS (
+  SELECT l_quantity, l_extendedprice FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+pairs AS (
+  SELECT l_quantity AS x, l_extendedprice AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM base GROUP BY l_quantity, l_extendedprice
+),{xr},{yr},
+m AS (
+  SELECT CAST(SUM(p.c) AS BIGINT) AS n,
+         -- sums fit BIGINT but are carried DECIMAL(28,0): the final
+         -- sx*sx cross-moment (~1.3e19 at 600k rows) overflows INT64
+         CAST(SUM(p.c * x.mr2) AS DECIMAL(28,0)) AS sx,
+         CAST(SUM(p.c * y.mr2) AS DECIMAL(28,0)) AS sy,
+         CAST(SUM(CAST(p.c AS DECIMAL(28,0)) * CAST(x.mr2 AS DECIMAL(28,0))
+                  * CAST(y.mr2 AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(p.c AS DECIMAL(28,0)) * CAST(x.mr2 AS DECIMAL(28,0))
+                  * CAST(x.mr2 AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(p.c AS DECIMAL(28,0)) * CAST(y.mr2 AS DECIMAL(28,0))
+                  * CAST(y.mr2 AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS syy
+  FROM pairs p
+  JOIN xr x ON x.v = p.x
+  JOIN yr y ON y.v = p.y
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(sx AS BIGINT) AS sum_2rx,
+       CAST(sy AS BIGINT) AS sum_2ry,
+       CAST(sxy AS BIGINT) AS sum_4rxry,
+       -- constant-column degenerate decided in exact decimal space
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+            THEN CAST(0 AS DOUBLE)
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS spearman_rho
+FROM m
+"""
+
+
+sql_query(
+    "stat_spearman_corr",
+    _spearman_sql(spark_declared),
+    oracle=_spearman_sql(duck_declared),
+    category="stats",
+    doc=(
+        "Spearman rank correlation between l_quantity and "
+        "l_extendedprice: exact doubled midranks per column via the "
+        "pooled two-stage prefix sum, rows reduced to distinct (x,y) "
+        "pair counts, all moment sums exact BIGINTs, and "
+        "Pearson-on-ranks as one DECIMAL(38,0) cross-moment over two "
+        "correctly-rounded SQRTs. Constant-column degenerates pin rho "
+        "to 0 in exact decimal space; 4N^3 < 2^63 contract (shard "
+        "beyond ~1.3e6 rows per window)."
+    ),
+    tables=("lineitem",),
+)
