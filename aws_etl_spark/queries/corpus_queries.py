@@ -605,3 +605,94 @@ sql_query(
     ),
     tables=("documents",),
 )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (round 10, queued for the r11
+# window): the multilingual-LM corpus-balancing rule (alpha = 0.5) —
+# sample source i proportionally to n_i^alpha so small sources are
+# up-weighted relative to their raw share without ever dominating.
+# Everything that crosses an aggregation boundary is exact: weights
+# are floor-quantized sqrt(n) micro-units (one correctly-rounded SQRT
+# of an exact integer per SOURCE, not per row), the per-source target
+# under a fixed document budget is pure integer floor division
+# (T·wq DIV total_q, capped at n_i), and the row-level keep decision
+# is the shared md5 16-bit bucket against an integer threshold
+# (target·65536 DIV n_i) — append-stable like every sampler in this
+# module. Two passes by construction (count, then filter); at 100 TB
+# pass one is a map-side-combined count per source and pass two is a
+# narrow filtered scan — no shuffle of document rows at all.
+# --------------------------------------------------------------------------
+
+_TM_BUDGET = 1000
+
+_TM_COUNTS = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+FROM documents GROUP BY source
+"""
+
+
+def _tm_tail(counts: str, totq: str, bucket, intdiv) -> str:
+    thr = intdiv("t.target * 65536", "t.n_docs")
+    tgt = intdiv(f"{_TM_BUDGET} * wq", totq)
+    return f"""
+WITH t AS (
+  SELECT source, n_docs, wq,
+         LEAST(n_docs, CAST({tgt} AS BIGINT)) AS target
+  FROM {counts}
+),
+k AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM documents d
+  JOIN t ON t.source = d.source
+  WHERE {bucket("CAST(d.doc_id AS VARCHAR)")} < {thr}
+  GROUP BY d.source
+)
+SELECT t.source, t.n_docs, t.wq,
+       CAST(t.wq AS DOUBLE) / CAST({totq} AS DOUBLE) AS share,
+       t.target,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM t LEFT JOIN k ON k.source = t.source
+"""
+
+
+def _register_temperature_mixture() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+    from aws_etl_spark.queries.stats_queries import _spark_bucket
+
+    def spark_bucket(e: str) -> str:
+        return _spark_bucket(e.replace("AS VARCHAR", "AS STRING"))
+
+    duck_tail = _tm_tail(
+        "c", "(SELECT SUM(wq) FROM c)", duckdb_bucket_sql,
+        lambda a, b: f"({a}) // ({b})",
+    )
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "corpus_temperature_mixture",
+        ops=(
+            ("view", "tm_counts", _TM_COUNTS),
+            ("scalar", "TMTOTQ", "SELECT CAST(SUM(wq) AS BIGINT) FROM tm_counts"),
+        ),
+        final=_tm_tail(
+            "tm_counts", "{TMTOTQ}", spark_bucket,
+            lambda a, b: f"({a}) DIV ({b})",
+        ),
+        oracle=f"WITH c AS ({_TM_COUNTS}),\n" + duck_tail[len("\nWITH ") :],
+        category="corpus",
+        doc=(
+            "Temperature-scaled (alpha=0.5) mixture sampling under a "
+            "fixed document budget: per-source weights as floor-"
+            "quantized sqrt(n) micro-units, integer floor-division "
+            "targets capped at source size, and append-stable md5-"
+            "bucket keep decisions against an integer threshold. "
+            "Reports per-source docs, weight, share, target, and the "
+            "actually-kept count. One staged counts pass + one "
+            "filtered scan; no row shuffle."
+        ),
+        tables=("documents",),
+    )
+
+
+_register_temperature_mixture()

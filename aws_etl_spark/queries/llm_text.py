@@ -2295,3 +2295,112 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("precision") + F.col("recall"))
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source Jensen-Shannon divergence from the corpus unigram
+# distribution (round 10, queued for the r11 window): "which source's
+# language is most atypical" — the drift monitor a mixture owner
+# checks before re-weighting (KL is undefined on unseen words; JSD is
+# bounded [0, ln2] and symmetric). Per (source, word): p = c_sw/n_s,
+# q = c_w/n, m = (p+q)/2; the vocabulary-absent tail is folded in
+# CLOSED FORM — sum over words absent from source s of q·ln(q/m) is
+# ln2 · (1 − Q_s) with Q_s = (Σ_{w∈s} c_w)/n kept an exact rational
+# (BIGINT over BIGINT) — so the join stays on PRESENT (source, word)
+# pairs only, never the vocab × sources expansion. Present-pair
+# contributions are fixed IEEE chains over exact integers,
+# nano-quantized (floor ×1e9) before the order-free integer sum (the
+# lnratio idiom; error < |vocab|·1e-9, far under any re-weighting
+# threshold). One staged token-count scan; everything after is
+# vocab-sized.
+# --------------------------------------------------------------------------
+
+_JSD_TOK = """
+SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+FROM (
+  SELECT source, UNNEST(STRING_SPLIT(TRIM(LOWER(text)), ' ')) AS w
+  FROM documents
+) t
+WHERE w <> ''
+GROUP BY source, w
+"""
+
+_JSD_TOK_SPARK = """
+SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+FROM (
+  SELECT source, EXPLODE(SPLIT(TRIM(LOWER(text)), ' ')) AS w
+  FROM documents
+) t
+WHERE w <> ''
+GROUP BY source, w
+"""
+
+
+def _jsd_tail(tok: str, n_expr: str) -> str:
+    # p = c_sw/n_s, q = c_w/N, m = (p+q)/2 — each a fixed-shape IEEE
+    # chain over exact BIGINTs, identical on both engines
+    p = "(CAST(t.c_sw AS DOUBLE) / CAST(s.n_s AS DOUBLE))"
+    q = f"(CAST(g.c_w AS DOUBLE) / CAST({n_expr} AS DOUBLE))"
+    contrib = (
+        f"{p} * LN({p} / (({p} + {q}) / CAST(2 AS DOUBLE)))"
+        f" + {q} * LN({q} / (({p} + {q}) / CAST(2 AS DOUBLE)))"
+    )
+    return f"""
+WITH g AS (
+  SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM {tok} GROUP BY w
+),
+s AS (
+  SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s,
+         CAST(COUNT(*) AS BIGINT) AS vocab_s
+  FROM {tok} GROUP BY source
+),
+c AS (
+  SELECT t.source,
+         CAST(SUM(CAST(FLOOR(({contrib}) * 1000000000) AS BIGINT))
+              AS BIGINT) AS qsum,
+         CAST(SUM(g.c_w) AS BIGINT) AS cw_mass
+  FROM {tok} t
+  JOIN g ON g.w = t.w
+  JOIN s ON s.source = t.source
+  GROUP BY t.source
+)
+SELECT s.source, s.n_s, s.vocab_s,
+       (CAST(c.qsum AS DOUBLE) / CAST(1000000000 AS DOUBLE)
+        + LN(CAST(2 AS DOUBLE))
+          * (CAST(1 AS DOUBLE)
+             - CAST(c.cw_mass AS DOUBLE) / CAST({n_expr} AS DOUBLE)))
+       / CAST(2 AS DOUBLE) AS jsd
+FROM s JOIN c ON c.source = s.source
+"""
+
+
+def _register_jsd() -> None:
+    duck_tail = _jsd_tail("tok", "(SELECT SUM(c_sw) FROM tok)")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "text_jsd_by_source",
+        ops=(
+            ("view", "jsd_tok", _JSD_TOK_SPARK),
+            (
+                "scalar",
+                "JSDN",
+                "SELECT CAST(SUM(c_sw) AS BIGINT) FROM jsd_tok",
+            ),
+        ),
+        final=_jsd_tail("jsd_tok", "{JSDN}"),
+        oracle=f"WITH tok AS ({_JSD_TOK}),\n" + duck_tail[len("\nWITH ") :],
+        category="text",
+        doc=(
+            "Per-source Jensen-Shannon divergence from the corpus "
+            "unigram distribution: present-pair p/q/m contributions "
+            "as fixed IEEE chains over exact token counts, nano-"
+            "quantized before the order-free sum, and the absent-"
+            "vocabulary tail folded in closed form (ln2 * (1 - Q_s) "
+            "with Q_s an exact rational) so the plan never expands "
+            "vocab x sources. One staged token-count scan."
+        ),
+        tables=("documents",),
+    )
+
+
+_register_jsd()

@@ -810,3 +810,113 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pi").alias("pi_micro"),
         (F.col("pi").cast("double") / F.lit(1000000).cast("double")).alias("pi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lag-k autocorrelation of the daily event-volume series (round 10,
+# queued for the r11 window): the seasonality/persistence readout a
+# volume monitor runs next to CUSUM (level shifts) and the seasonal
+# decomposition (known-period means) — "how strongly does today
+# predict k days out, and at which k does the weekly cycle show".
+# Deviations are multiplied through by the day count (the CUSUM
+# idiom: e_t = days*x_t - total, never a fractional mean), so lag
+# products and both sums are exact BIGINTs; pairing is an integer
+# epoch-day equi-join (d2.dn = d1.dn + lag), which stays correct
+# across calendar gaps rather than silently shifting like a LEAD
+# over observed rows would. acf_k is one IEEE division of exact
+# integers. Overflow contract: (days * max_x)^2 * days < 2^63 —
+# beyond ~3e5 days*x, pre-scale the counts. The corpus spine is ≤31
+# days; at 100 TB the grouped daily count reduces the corpus first
+# and everything after is calendar-bounded.
+# --------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+def _acf_daily_sql(epoch_expr: str, intdiv) -> str:
+    dn = intdiv(f"CAST(FLOOR({epoch_expr}) AS BIGINT)", "86400")
+    return f"""
+SELECT CAST({dn} AS BIGINT) AS dn,
+       CAST(COUNT(*) AS BIGINT) AS x
+FROM events
+GROUP BY 1
+"""
+
+
+def _acf_tail(daily: str) -> str:
+    lags = " UNION ALL ".join(
+        f"SELECT {k} AS lag" for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH tot AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS days
+  FROM {daily}
+),
+e AS (
+  SELECT d.dn, d.x * t.days - t.total AS e_q
+  FROM {daily} d CROSS JOIN tot t
+),
+den AS (
+  SELECT CAST(SUM(e_q * e_q) AS BIGINT) AS den_q FROM e
+),
+lags AS ({lags}),
+num AS (
+  SELECT l.lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(a.e_q * b.e_q) AS BIGINT) AS num_q
+  FROM lags l
+  JOIN e a ON 1 = 1
+  JOIN e b ON b.dn = a.dn + l.lag
+  GROUP BY l.lag
+)
+SELECT n.lag, n.n_pairs, n.num_q, d.den_q,
+       -- constant-series degenerate decided in exact integer space
+       CASE WHEN d.den_q = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(n.num_q AS DOUBLE) / CAST(d.den_q AS DOUBLE)
+       END AS acf
+FROM num n CROSS JOIN den d
+ORDER BY n.lag
+"""
+
+
+def _register_acf() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+
+    duck_daily = _acf_daily_sql(
+        "epoch(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+        lambda a, b: f"({a}) // ({b})",
+    )
+    duck_tail = _acf_tail("daily")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "events_acf_daily",
+        ops=(
+            (
+                "view",
+                "acf_daily",
+                _acf_daily_sql(
+                    "unix_timestamp(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+                    lambda a, b: f"({a}) DIV ({b})",
+                ),
+            ),
+        ),
+        final=_acf_tail("acf_daily"),
+        oracle=(
+            f"WITH daily AS ({duck_daily}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="timeseries",
+        doc=(
+            "Lag 1..7 autocorrelation of daily event volume: exact "
+            "integer deviations via the CUSUM multiply-through idiom "
+            "(days*x - total), calendar-correct pairing by integer "
+            "epoch-day equi-join, numerator/denominator exact BIGINTs "
+            "and acf as one IEEE division; constant-series degenerate "
+            "pinned to 0 in integer space. One grouped count reduces "
+            "the corpus; all later stages are calendar-bounded."
+        ),
+        tables=("events",),
+    )
+
+
+_register_acf()
