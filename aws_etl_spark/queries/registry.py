@@ -399,7 +399,9 @@ _DRIVER_ORDER = (
     # ---- end of the 50-query round-10 window ----
     # Round-11 block-1 queue (window-budget rule): the round-10 NEW
     # names (stat_mann_whitney_by_group, embeddings_pq_adc,
-    # stat_kruskal_wallis, embeddings_pq_recall) and the
+    # stat_kruskal_wallis, embeddings_pq_recall, and the late batch:
+    # ml_auc_roc, stat_spearman_corr, events_acf_daily,
+    # corpus_temperature_mixture, text_jsd_by_source) and the
     # round-10 CHANGED names not already in this window
     # (sketch_kmv_audience, stat_psi_equidepth, ml_feature_binning_woe,
     # stat_chi_square, text_heaps_law, stat_mad_robust, stat_ks_drift,

@@ -2636,14 +2636,16 @@ sql_query(
 # bounded bucket-offset window — the Mann-Whitney/Kruskal machinery),
 # carried as doubled midranks 2·mr = 2·F_below + c + 1 so every rank
 # is an exact BIGINT. Rows reduce to distinct (x, y) PAIRS with
-# counts, and all five moment sums (Σ2rx, Σ2ry, Σ4rxry, Σ4rx²,
-# Σ4ry²) are exact BIGINTs; Pearson-on-ranks is then one DECIMAL
-# cross-moment (n·Sxy − Sx·Sy — up to ~5e23, exact int128/decimal38
-# on both engines, the stat_linear_regression idiom) divided by two
-# correctly-rounded SQRTs. Overflow contract: 4N³ < 2^63 ⇒ N ≲ 1.3e6
-# rows per monitor window — shard first beyond that (the KS
-# convention). Constant-column degenerates pin rho to 0 in exact
-# decimal space.
+# counts, and every second-order moment (Σ4rxry, Σ4rx², Σ4ry² —
+# ~4N³, past BIGINT at ~1.3e6 rows) lives entirely in DECIMAL(38,0)
+# (exact int128 on both engines, the stat_linear_regression idiom);
+# Pearson-on-ranks is the n·Sxy − Sx·Sy cross-moment divided by two
+# correctly-rounded SQRTs. Overflow contract: n·4N³ < 1e38 ⇒
+# N ≲ 2e9 rows per monitor window — shard first beyond that. The
+# second-order moments are deliberately NOT output columns (a BIGINT
+# rendering would overflow silently at ~1.3e6 rows — caught by the
+# 10× study at 6M rows). Constant-column degenerates pin rho to 0 in
+# exact decimal space.
 # --------------------------------------------------------------------------
 
 
@@ -2705,9 +2707,11 @@ m AS (
   JOIN yr y ON y.v = p.y
 )
 SELECT CAST(n AS BIGINT) AS n,
+       -- rank sums n(n+1) stay in BIGINT range to ~3e9 rows; the
+       -- cross-moment sxy (~4N^3) would NOT, so it is never emitted
+       -- as BIGINT — it lives only inside the DECIMAL(38,0) algebra
        CAST(sx AS BIGINT) AS sum_2rx,
        CAST(sy AS BIGINT) AS sum_2ry,
-       CAST(sxy AS BIGINT) AS sum_4rxry,
        -- constant-column degenerate decided in exact decimal space
        CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
             THEN CAST(0 AS DOUBLE)
@@ -2728,11 +2732,12 @@ sql_query(
         "Spearman rank correlation between l_quantity and "
         "l_extendedprice: exact doubled midranks per column via the "
         "pooled two-stage prefix sum, rows reduced to distinct (x,y) "
-        "pair counts, all moment sums exact BIGINTs, and "
-        "Pearson-on-ranks as one DECIMAL(38,0) cross-moment over two "
-        "correctly-rounded SQRTs. Constant-column degenerates pin rho "
-        "to 0 in exact decimal space; 4N^3 < 2^63 contract (shard "
-        "beyond ~1.3e6 rows per window)."
+        "pair counts, second-order moments kept entirely in "
+        "DECIMAL(38,0) (never a BIGINT rendering — it would overflow "
+        "silently at ~1.3e6 rows), and Pearson-on-ranks as one "
+        "decimal cross-moment over two correctly-rounded SQRTs. "
+        "Constant-column degenerates pin rho to 0 in exact decimal "
+        "space; n*4N^3 < 1e38 contract (shard beyond ~2e9 rows)."
     ),
     tables=("lineitem",),
 )
