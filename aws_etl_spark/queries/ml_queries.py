@@ -922,3 +922,108 @@ def _register_auc() -> None:
 
 
 _register_auc()
+
+
+# --------------------------------------------------------------------------
+# Cumulative gains / lift at score deciles (round 10, queued for the
+# r11 window): the targeting readout next to ml_auc_roc — AUC says
+# whether the score ranks positives up, the gains table says what a
+# campaign gets by acting on the top k/10 of it. Decile assignment is
+# EXACT and tie-stable without any global row sort: per distinct
+# score, the two-stage prefix sum gives f_below (rows strictly
+# below), so rows-above = N − f_below − c and decile = (10 ·
+# rows_above) DIV N — every row of a tied score lands in the decile
+# of the tie's best rank, identically on both engines. Per-decile
+# and cumulative counts stay BIGINTs (the cum window runs on the ≤10
+# row decile spine through the declared seam); gain = cum_pos/P and
+# lift = cum_pos·N/(cum_n·P) are single IEEE divisions of exact
+# integers. Zero-positive corpora pin gain/lift to 0 in integer
+# space.
+# --------------------------------------------------------------------------
+
+
+def _lift_sql(declared, intdiv) -> str:
+    dec = intdiv("10 * (n.total - g.f_below - g.c)", "n.total")
+    return f"""
+WITH v AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE value IS NOT NULL
+),
+n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(pos) AS BIGINT) AS p
+  FROM v
+),
+g0 AS (
+  SELECT v, CAST(FLOOR(v / 50.0) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(pos) AS BIGINT) AS cp
+  FROM v GROUP BY v
+),
+bt AS (
+  SELECT bucket, CAST(SUM(c) AS BIGINT) AS bc FROM g0 GROUP BY bucket
+),
+off AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(bc) OVER (PARTITION BY __g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM {declared("bt")}
+),
+g AS (
+  SELECT g0.v, g0.c, g0.cp,
+         o.o + SUM(g0.c) OVER (PARTITION BY g0.bucket ORDER BY g0.v
+              ROWS UNBOUNDED PRECEDING) - g0.c AS f_below
+  FROM g0 JOIN off o ON o.bucket = g0.bucket
+),
+d AS (
+  SELECT CAST({dec} AS BIGINT) AS decile,
+         CAST(SUM(g.c) AS BIGINT) AS n_rows,
+         CAST(SUM(g.cp) AS BIGINT) AS n_pos
+  FROM g CROSS JOIN n
+  GROUP BY CAST({dec} AS BIGINT)
+),
+cum AS (
+  SELECT decile, n_rows, n_pos,
+         CAST(SUM(n_rows) OVER (PARTITION BY __g ORDER BY decile
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         CAST(SUM(n_pos) OVER (PARTITION BY __g ORDER BY decile
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+  FROM {declared("d")}
+)
+SELECT c.decile, c.n_rows, c.n_pos, c.cum_n, c.cum_pos,
+       CASE WHEN n.p = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(c.cum_pos AS DOUBLE) / CAST(n.p AS DOUBLE)
+       END AS gain,
+       CASE WHEN n.p = 0 OR c.cum_n = 0 THEN CAST(0 AS DOUBLE)
+            ELSE (CAST(c.cum_pos AS DOUBLE) * CAST(n.total AS DOUBLE))
+                 / (CAST(c.cum_n AS DOUBLE) * CAST(n.p AS DOUBLE))
+       END AS lift
+FROM cum c CROSS JOIN n
+ORDER BY c.decile
+"""
+
+
+def _register_lift() -> None:
+    from aws_etl_spark.queries.sql_seams import duck_declared
+
+    sql_query(
+        "ml_lift_gains",
+        _lift_sql(spark_declared, lambda a, b: f"({a}) DIV ({b})"),
+        oracle=_lift_sql(duck_declared, lambda a, b: f"({a}) // ({b})"),
+        category="ml",
+        doc=(
+            "Cumulative gains and lift at score deciles (value score, "
+            "purchase positives): tie-stable exact decile assignment "
+            "from the two-stage prefix sum — decile = 10*(rows above) "
+            "DIV N, no global row sort — BIGINT per-decile and "
+            "cumulative counts over the bounded decile spine, gain "
+            "and lift as single IEEE divisions; zero-positive corpus "
+            "pinned to 0 in integer space."
+        ),
+        tables=("events",),
+    )
+
+
+_register_lift()

@@ -2741,3 +2741,88 @@ sql_query(
     ),
     tables=("lineitem",),
 )
+
+
+# --------------------------------------------------------------------------
+# Cohen's d effect size (round 10, queued for the r11 window): the
+# magnitude companion to the z/H drift tests — a drift can be
+# significant (huge n) yet trivially small; d = (mean1 − mean2) /
+# pooled_sd is what decides if anyone should care. Same
+# first-vs-second half-month split as stat_mann_whitney, one row per
+# event_type. Values quantize to exact micro-units per row (FLOOR(
+# value·1e6), the stat_linear_regression idiom); per-side moments
+# n, Σy, Σy² are exact DECIMAL(38,0), the zero-variance degenerate is
+# decided in exact decimal space (n1·ss1 = s1² and n2·ss2 = s2²), and
+# d is one fixed IEEE chain over the exact moments. The 1e6 scale
+# cancels between numerator and denominator, so d is unit-free as
+# written. Contract: Σy² ≲ 1e38 ⇒ ~1e14 rows per group at y ≤ 1e9
+# micro-units.
+# --------------------------------------------------------------------------
+
+_COHENS_D_SQL = """
+WITH q AS (
+  SELECT event_type,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS y,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END
+           AS in1
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT event_type,
+         CAST(SUM(in1) AS BIGINT) AS n1,
+         CAST(SUM(1 - in1) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN in1 = 1 THEN CAST(y AS DECIMAL(28,0))
+                       ELSE CAST(0 AS DECIMAL(28,0)) END)
+              AS DECIMAL(28,0)) AS s1,
+         CAST(SUM(CASE WHEN in1 = 0 THEN CAST(y AS DECIMAL(28,0))
+                       ELSE CAST(0 AS DECIMAL(28,0)) END)
+              AS DECIMAL(28,0)) AS s2,
+         CAST(SUM(CASE WHEN in1 = 1
+                       THEN CAST(y AS DECIMAL(28,0)) * CAST(y AS DECIMAL(28,0))
+                       ELSE CAST(0 AS DECIMAL(28,0)) END)
+              AS DECIMAL(38,0)) AS ss1,
+         CAST(SUM(CASE WHEN in1 = 0
+                       THEN CAST(y AS DECIMAL(28,0)) * CAST(y AS DECIMAL(28,0))
+                       ELSE CAST(0 AS DECIMAL(28,0)) END)
+              AS DECIMAL(38,0)) AS ss2
+  FROM q GROUP BY event_type
+)
+SELECT event_type, n1, n2,
+       CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / CAST(1000000 AS DOUBLE)
+         AS mean1,
+       CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / CAST(1000000 AS DOUBLE)
+         AS mean2,
+       -- degenerate guards in exact decimal space: a side missing or
+       -- too small (n1+n2 < 3), or both sides constant, pin d to 0
+       CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 3
+                 OR (n1 * ss1 - s1 * s1 = 0 AND n2 * ss2 - s2 * s2 = 0)
+            THEN CAST(0 AS DOUBLE)
+            ELSE (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                 / SQRT(
+                     (CAST(ss1 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                        / CAST(n1 AS DOUBLE)
+                      + CAST(ss2 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        / CAST(n2 AS DOUBLE))
+                     / CAST(n1 + n2 - 2 AS DOUBLE)
+                   )
+       END AS cohens_d
+FROM m
+"""
+
+sql_query(
+    "stat_cohens_d",
+    _COHENS_D_SQL,
+    category="stats",
+    doc=(
+        "Cohen's d effect size per event_type between the first and "
+        "second half of the event month: per-row micro-unit "
+        "quantization, exact DECIMAL(38,0) moments, pooled-SD d as "
+        "one fixed IEEE chain; missing-side / tiny-n / both-constant "
+        "degenerates pinned to 0 in exact decimal space. The "
+        "magnitude readout beside the Mann-Whitney significance z."
+    ),
+    tables=("events",),
+)

@@ -920,3 +920,167 @@ def _register_acf() -> None:
 
 
 _register_acf()
+
+
+# --------------------------------------------------------------------------
+# Conditional entropy of the event-type chain (round 10, queued for
+# the r11 window): H(next | current) in nats — "how predictable is
+# the next user action given the current one", the single-number
+# journey-predictability monitor next to the transition matrix (the
+# full P_ij) and the stationary distribution (the long-run mix).
+# Machinery is the text_word_entropy identity applied per row of the
+# chain: H_s = ln(n_s) − (Σ_d n_sd·ln n_sd)/n_s, with every
+# n·ln(n) term floor-quantized to micro-units BEFORE the order-free
+# integer sum; the corpus-level H(dst|src) = Σ_s (n_s/N)·H_s folds
+# the same way from two integer sums, so no double is ever summed in
+# partition order. One staged events scan (the window pairs + count
+# agg); everything after is (event types)² ≤ 25 rows.
+# --------------------------------------------------------------------------
+
+_ER_COUNTS = """
+SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+  FROM events
+) p
+WHERE dst IS NOT NULL
+GROUP BY src, dst
+"""
+
+_ER_Q = "CAST(FLOOR({x} * LN(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+
+def _entropy_rate_tail(counts: str) -> str:
+    qn = _ER_Q.format(x="n")
+    qns = _ER_Q.format(x="n_s")
+    return f"""
+WITH s AS (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS n_s,
+         CAST(SUM({qn}) AS BIGINT) AS q2
+  FROM {counts} GROUP BY src
+),
+t AS (
+  SELECT CAST(SUM(n_s) AS BIGINT) AS total,
+         CAST(SUM({qns}) AS BIGINT) AS q1,
+         CAST(SUM(q2) AS BIGINT) AS q2all
+  FROM s
+)
+SELECT s.src, s.n_s,
+       CAST(s.n_s AS DOUBLE) / CAST(t.total AS DOUBLE) AS p_src,
+       LN(CAST(s.n_s AS DOUBLE))
+         - (CAST(s.q2 AS DOUBLE) / CAST(1000000 AS DOUBLE))
+           / CAST(s.n_s AS DOUBLE) AS h_next,
+       (CAST(t.q1 - t.q2all AS DOUBLE) / CAST(1000000 AS DOUBLE))
+         / CAST(t.total AS DOUBLE) AS h_cond
+FROM s CROSS JOIN t
+"""
+
+
+def _register_entropy_rate() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+
+    duck_tail = _entropy_rate_tail("counts")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "events_entropy_rate",
+        ops=(("view", "er_counts", _ER_COUNTS),),
+        final=_entropy_rate_tail("er_counts"),
+        oracle=(
+            f"WITH counts AS ({_ER_COUNTS}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="timeseries",
+        doc=(
+            "Conditional entropy of the event-type chain, H(next | "
+            "current) in nats: per-source next-event entropy via the "
+            "word-entropy identity with micro-quantized n*ln(n) terms "
+            "(order-free integer sums), and the corpus-level "
+            "H(dst|src) folded from the same two integer sums. One "
+            "staged events scan; all downstream stages are "
+            "(types)^2-bounded."
+        ),
+        tables=("events",),
+    )
+
+
+_register_entropy_rate()
+
+
+# --------------------------------------------------------------------------
+# Burstiness coefficient of inter-event gaps (round 10, queued for
+# the r11 window): Goh-Barabási B = (σ−μ)/(σ+μ) over the per-user
+# inter-event gap distribution, one row per event_type — periodic
+# traffic → −1, Poisson → 0, bursty → +1; the single-number
+# complement to the gap histogram. Gaps are exact integer seconds
+# (LEAD within (user, type)); with n·Σg² and (Σg)² carried in
+# DECIMAL(38,0), the n in σ = √(n·Σg²−(Σg)²)/n and μ = Σg/n cancels:
+# B = (√(nΣg²−Sg²) − Sg)/(√(nΣg²−Sg²) + Sg) — ONE correctly-rounded
+# SQRT and one division over exact decimals. Degenerate guards in
+# exact decimal space: n ≤ 1, or zero variance with zero mean, pin
+# B to 0. Contract: n·Σg² < 1e38 (gaps in seconds ⇒ fine past 1e15
+# rows per type).
+# --------------------------------------------------------------------------
+
+_BURST_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(nxt - sec AS BIGINT) AS gap
+  FROM (
+    SELECT event_type,
+           {SEC} AS sec,
+           LEAD({SEC}) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+    FROM events
+  ) p
+  WHERE nxt IS NOT NULL
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(gap AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS sg,
+         CAST(SUM(CAST(gap AS DECIMAL(28,0)) * CAST(gap AS DECIMAL(28,0)))
+              AS DECIMAL(38,0)) AS ssq
+  FROM g GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(sg AS BIGINT) AS sum_gap_sec,
+       CASE WHEN n <= 1 OR (n * ssq - sg * sg = 0 AND sg = 0)
+            THEN CAST(0 AS DOUBLE)
+            ELSE (SQRT(CAST(n * ssq - sg * sg AS DOUBLE))
+                  - CAST(sg AS DOUBLE))
+                 / (SQRT(CAST(n * ssq - sg * sg AS DOUBLE))
+                    + CAST(sg AS DOUBLE))
+       END AS burstiness
+FROM m
+"""
+
+
+def _register_burstiness() -> None:
+    from aws_etl_spark.queries.registry import sql_query
+
+    sql_query(
+        "events_burstiness",
+        _BURST_SQL.replace(
+            "{SEC}", "unix_timestamp(CAST(ts AS TIMESTAMP))"
+        ),
+        oracle=_BURST_SQL.replace(
+            "{SEC}", "CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)"
+        ),
+        category="timeseries",
+        doc=(
+            "Goh-Barabasi burstiness B = (sigma-mu)/(sigma+mu) of "
+            "per-user inter-event gaps, one row per event_type: exact "
+            "integer gap seconds, DECIMAL(38,0) moments, the shared n "
+            "cancelled so B is one correctly-rounded SQRT and one "
+            "division; n<=1 and zero-variance-zero-mean degenerates "
+            "pinned to 0 in exact decimal space. Linear: one "
+            "(user,type)-partitioned window + one moment agg."
+        ),
+        tables=("events",),
+    )
+
+
+_register_burstiness()

@@ -407,3 +407,216 @@ def test_jsd_empty_corpus_yields_empty(spark, tmp_path):
     r = check_query("text_jsd_by_source", spark, sf)
     assert r.ok, str(r)
     assert REGISTRY["text_jsd_by_source"].fn(spark, sf).count() == 0
+
+
+# -- events_entropy_rate ------------------------------------------------------
+
+
+def test_entropy_rate_matches_python_model(spark):
+    """h_next per source and the corpus H(dst|src) equal the python
+    chain replay within the micro-quantization bound."""
+    from collections import defaultdict
+
+    got = {
+        r["src"]: r
+        for r in REGISTRY["events_entropy_rate"].fn(spark, SF0001).collect()
+    }
+    ev = pd.read_parquet(f"{SF0001}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    cnt: dict = defaultdict(int)
+    for _, grp in ev.groupby("user_id"):
+        ts = grp["event_type"].tolist()
+        for a, b in zip(ts, ts[1:]):
+            cnt[(a, b)] += 1
+    ns: dict = defaultdict(int)
+    for (a, _), n in cnt.items():
+        ns[a] += n
+    total = sum(cnt.values())
+    h_cond = sum((n / total) * math.log(ns[a] / n) for (a, _), n in cnt.items())
+    pairs = len(cnt)
+    for src in ns:
+        h = sum(
+            (n / ns[src]) * math.log(ns[src] / n)
+            for (a, _), n in cnt.items()
+            if a == src
+        )
+        assert abs(got[src]["h_next"] - h) <= pairs * 1e-6, src
+        assert got[src]["n_s"] == ns[src]
+        assert abs(got[src]["h_cond"] - h_cond) <= pairs * 1e-6
+
+
+def test_entropy_rate_deterministic_chain_is_zero(spark, tmp_path):
+    """A fully deterministic chain (view → click → view → …) has
+    h_cond exactly 0 (the two quantized integer sums cancel term by
+    term) and h_next within one quantization unit of 0 (ln(n_s) is
+    unquantized against the floored sum)."""
+    rows = []
+    for i in range(12):
+        rows.append(
+            (i, f"2024-01-02 00:{i:02d}:00", 1, ("view", "click")[i % 2], 1)
+        )
+    sf = _mk_sf(tmp_path, events=_events(rows))
+    r = check_query("events_entropy_rate", spark, sf)
+    assert r.ok, str(r)
+    out = REGISTRY["events_entropy_rate"].fn(spark, sf).collect()
+    assert out and all(
+        0.0 <= x["h_next"] <= 1e-6 and x["h_cond"] == 0.0 for x in out
+    )
+
+
+# -- events_burstiness --------------------------------------------------------
+
+
+def test_burstiness_matches_python_model(spark):
+    """B per event_type equals (σ−μ)/(σ+μ) of the python gap replay
+    (population σ) on the real sf0.001 corpus."""
+    from collections import defaultdict
+
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["events_burstiness"].fn(spark, SF0001).collect()
+    }
+    ev = pd.read_parquet(f"{SF0001}/events.parquet")
+    gaps: dict = defaultdict(list)
+    for (_, et), grp in ev.groupby(["user_id", "event_type"]):
+        t = (
+            (pd.to_datetime(grp.sort_values(["ts", "event_id"])["ts"])
+             - pd.Timestamp(0)).dt.total_seconds().astype(int).tolist()
+        )
+        gaps[et].extend(b - a for a, b in zip(t, t[1:]))
+    for et, g in gaps.items():
+        a = np.array(g, dtype=float)
+        mu, sd = a.mean(), a.std()
+        b = 0.0 if len(a) <= 1 else (sd - mu) / (sd + mu)
+        assert got[et]["n"] == len(a)
+        assert abs(got[et]["burstiness"] - b) < 1e-12, et
+
+
+def test_burstiness_periodic_and_single_gap(spark, tmp_path):
+    """Perfectly periodic gaps give B = −1 exactly (σ = 0, the SQRT
+    of an exact decimal 0); a single gap hits the n ≤ 1 guard."""
+    rows = [(i, f"2024-01-02 {i:02d}:00:00", 1, "view", 1) for i in range(6)]
+    rows += [(10, "2024-01-02 00:00:00", 2, "click", 1),
+             (11, "2024-01-02 05:00:00", 2, "click", 1)]
+    sf = _mk_sf(tmp_path, events=_events(rows))
+    r = check_query("events_burstiness", spark, sf)
+    assert r.ok, str(r)
+    got = {
+        x["event_type"]: x
+        for x in REGISTRY["events_burstiness"].fn(spark, sf).collect()
+    }
+    assert got["view"]["burstiness"] == -1.0
+    assert got["click"]["n"] == 1 and got["click"]["burstiness"] == 0.0
+
+
+# -- stat_cohens_d ------------------------------------------------------------
+
+
+def test_cohens_d_matches_python_model(spark):
+    """d per event_type equals the pooled-SD python replay over the
+    micro-quantized values on the real sf0.001 corpus."""
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["stat_cohens_d"].fn(spark, SF0001).collect()
+    }
+    ev = pd.read_parquet(f"{SF0001}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["y"] = np.floor(ev["value"].astype(float) * 1e6)
+    cut = pd.Timestamp("2024-01-16")
+    for et, sub in ev.groupby("event_type"):
+        a = sub.loc[pd.to_datetime(sub["ts"]) < cut, "y"].to_numpy()
+        b = sub.loc[pd.to_datetime(sub["ts"]) >= cut, "y"].to_numpy()
+        sp = math.sqrt(
+            (a.var(ddof=0) * len(a) + b.var(ddof=0) * len(b))
+            / (len(a) + len(b) - 2)
+        )
+        d = (a.mean() - b.mean()) / sp
+        assert got[et]["n1"] == len(a) and got[et]["n2"] == len(b)
+        assert abs(got[et]["cohens_d"] - d) < 1e-9, et
+
+
+def test_cohens_d_degenerate_guards_cross_engine(spark, tmp_path):
+    """One type with an empty second half, one with both sides
+    constant: d pinned to 0 in decimal space; a shifted type reads a
+    real d. Hash-matched."""
+    rows = [
+        (1, "2024-01-02", 1, "click", 10),
+        (2, "2024-01-03", 1, "click", 20),  # n2 = 0
+        (3, "2024-01-02", 2, "view", 5),
+        (4, "2024-01-20", 2, "view", 5),
+        (5, "2024-01-03", 2, "view", 5),
+        (6, "2024-01-21", 2, "view", 5),  # both sides constant
+        (7, "2024-01-02", 3, "purchase", 10),
+        (8, "2024-01-03", 3, "purchase", 20),
+        (9, "2024-01-20", 3, "purchase", 30),
+        (10, "2024-01-21", 3, "purchase", 40),
+    ]
+    sf = _mk_sf(tmp_path, events=_events(rows))
+    r = check_query("stat_cohens_d", spark, sf)
+    assert r.ok, str(r)
+    got = {
+        x["event_type"]: x
+        for x in REGISTRY["stat_cohens_d"].fn(spark, sf).collect()
+    }
+    assert got["click"]["cohens_d"] == 0.0
+    assert got["view"]["cohens_d"] == 0.0
+    assert got["purchase"]["cohens_d"] != 0.0
+
+
+# -- ml_lift_gains ------------------------------------------------------------
+
+
+def test_lift_gains_matches_python_model(spark):
+    """Every decile's exact counts and the gain/lift doubles equal a
+    python replay of the rows-above decile rule on sf0.001."""
+    got = {
+        r["decile"]: r
+        for r in REGISTRY["ml_lift_gains"].fn(spark, SF0001).collect()
+    }
+    ev = pd.read_parquet(f"{SF0001}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["pos"] = (ev["event_type"] == "purchase").astype(int)
+    n_total, p_total = len(ev), int(ev["pos"].sum())
+    vals = (
+        ev.groupby("value")
+        .agg(c=("pos", "size"), cp=("pos", "sum"))
+        .reset_index()
+        .sort_values("value")
+    )
+    vals["fb"] = vals["c"].cumsum() - vals["c"]
+    vals["dec"] = (10 * (n_total - vals["fb"] - vals["c"])) // n_total
+    agg = vals.groupby("dec").agg(n=("c", "sum"), p=("cp", "sum"))
+    agg["cn"] = agg["n"].cumsum()
+    agg["cp2"] = agg["p"].cumsum()
+    for dec, exp in agg.iterrows():
+        row = got[dec]
+        assert (row["n_rows"], row["n_pos"], row["cum_n"], row["cum_pos"]) == (
+            exp["n"], exp["p"], exp["cn"], exp["cp2"],
+        ), dec
+        assert row["gain"] == float(exp["cp2"]) / float(p_total)
+        assert row["lift"] == (float(exp["cp2"]) * float(n_total)) / (
+            float(exp["cn"]) * float(p_total)
+        )
+
+
+def test_lift_gains_perfect_model_and_zero_positives(spark, tmp_path):
+    """Positives all scoring at the top: decile 0 captures every
+    positive (gain 1.0, lift N/cum_n). A corpus with no positives
+    pins gain/lift to 0 everywhere."""
+    rows = [(i, "2024-01-02", i, "purchase", 1000 + i) for i in range(5)]
+    rows += [(100 + i, "2024-01-02", i, "view", i) for i in range(45)]
+    sf = _mk_sf(tmp_path, events=_events(rows))
+    r = check_query("ml_lift_gains", spark, sf)
+    assert r.ok, str(r)
+    got = {
+        x["decile"]: x for x in REGISTRY["ml_lift_gains"].fn(spark, sf).collect()
+    }
+    assert got[0]["cum_pos"] == 5 and got[0]["gain"] == 1.0
+    assert got[0]["lift"] == 50.0 / got[0]["cum_n"] * 1.0
+    neg = [(i, "2024-01-02", i, "view", i) for i in range(20)]
+    sf2 = _mk_sf(tmp_path / "b", events=_events(neg))
+    r2 = check_query("ml_lift_gains", spark, sf2)
+    assert r2.ok, str(r2)
+    out = REGISTRY["ml_lift_gains"].fn(spark, sf2).collect()
+    assert all(x["gain"] == 0.0 and x["lift"] == 0.0 for x in out)
