@@ -843,26 +843,29 @@ sql_query(
 # --------------------------------------------------------------------------
 
 
-def _auc_sql(declared) -> str:
-    return f"""
-WITH v AS (
+# one scan: per-distinct-score class counts (shared by AUC and the
+# lift/gains table; each stages its own checkpointed copy)
+_SCORE_CLASS_G = """
+SELECT v, CAST(FLOOR(v / 50.0) AS BIGINT) AS bucket,
+       CAST(SUM(pos) AS BIGINT) AS c1,
+       CAST(SUM(1 - pos) AS BIGINT) AS c2
+FROM (
   SELECT value AS v,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
   FROM events WHERE value IS NOT NULL
-),
-n AS (
-  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
-         CAST(SUM(1 - pos) AS BIGINT) AS n_neg
-  FROM v
-),
-g AS (
-  SELECT v, CAST(FLOOR(v / 50.0) AS BIGINT) AS bucket,
-         CAST(SUM(pos) AS BIGINT) AS c1,
-         CAST(SUM(1 - pos) AS BIGINT) AS c2
-  FROM v GROUP BY v
+) v GROUP BY v
+"""
+
+
+def _auc_tail(g: str, declared) -> str:
+    return f"""
+WITH n AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n_pos,
+         CAST(SUM(c2) AS BIGINT) AS n_neg
+  FROM {g}
 ),
 bt AS (
-  SELECT bucket, CAST(SUM(c2) AS BIGINT) AS bc2 FROM g GROUP BY bucket
+  SELECT bucket, CAST(SUM(c2) AS BIGINT) AS bc2 FROM {g} GROUP BY bucket
 ),
 off AS (
   SELECT bucket,
@@ -875,7 +878,7 @@ c AS (
   SELECT g.c1, g.c2,
          o.o2 + SUM(g.c2) OVER (PARTITION BY g.bucket ORDER BY g.v
               ROWS UNBOUNDED PRECEDING) - g.c2 AS f2_below
-  FROM g JOIN off o ON o.bucket = g.bucket
+  FROM {g} g JOIN off o ON o.bucket = g.bucket
 ),
 u AS (
   SELECT CAST(SUM(2 * c.c1 * c.f2_below + c.c1 * c.c2) AS BIGINT) AS u2
@@ -903,10 +906,15 @@ FROM u CROSS JOIN n
 def _register_auc() -> None:
     from aws_etl_spark.queries.sql_seams import duck_declared
 
-    sql_query(
+    duck_tail = _auc_tail("g", duck_declared)
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
         "ml_auc_roc",
-        _auc_sql(spark_declared),
-        oracle=_auc_sql(duck_declared),
+        ops=(("view", "auc_g", _SCORE_CLASS_G),),
+        final=_auc_tail("auc_g", spark_declared),
+        oracle=(
+            f"WITH g AS ({_SCORE_CLASS_G}),\n" + duck_tail[len("\nWITH ") :]
+        ),
         category="ml",
         doc=(
             "Exact ROC AUC + Gini of the event value score separating "
@@ -915,7 +923,7 @@ def _register_auc() -> None:
             "through the Mann-Whitney two-stage prefix sum (no rank "
             "materialization, no pos x neg pair join); AUC/Gini are "
             "fixed-shape IEEE divisions with the one-class degenerate "
-            "pinned to 0.5/0 in integer space."
+            "pinned to 0.5/0 in integer space. One staged events scan."
         ),
         tables=("events",),
     )
@@ -945,21 +953,14 @@ _register_auc()
 def _lift_sql(declared, intdiv) -> str:
     dec = intdiv("10 * (n.total - g.f_below - g.c)", "n.total")
     return f"""
-WITH v AS (
-  SELECT value AS v,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-  FROM events WHERE value IS NOT NULL
-),
-n AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS total,
-         CAST(SUM(pos) AS BIGINT) AS p
-  FROM v
+WITH n AS (
+  SELECT CAST(SUM(c1 + c2) AS BIGINT) AS total,
+         CAST(SUM(c1) AS BIGINT) AS p
+  FROM {{G}}
 ),
 g0 AS (
-  SELECT v, CAST(FLOOR(v / 50.0) AS BIGINT) AS bucket,
-         CAST(COUNT(*) AS BIGINT) AS c,
-         CAST(SUM(pos) AS BIGINT) AS cp
-  FROM v GROUP BY v
+  SELECT v, bucket, CAST(c1 + c2 AS BIGINT) AS c, c1 AS cp
+  FROM {{G}}
 ),
 bt AS (
   SELECT bucket, CAST(SUM(c) AS BIGINT) AS bc FROM g0 GROUP BY bucket
@@ -1008,10 +1009,19 @@ ORDER BY c.decile
 def _register_lift() -> None:
     from aws_etl_spark.queries.sql_seams import duck_declared
 
-    sql_query(
+    duck_tail = _lift_sql(
+        duck_declared, lambda a, b: f"({a}) // ({b})"
+    ).replace("{G}", "sg")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
         "ml_lift_gains",
-        _lift_sql(spark_declared, lambda a, b: f"({a}) DIV ({b})"),
-        oracle=_lift_sql(duck_declared, lambda a, b: f"({a}) // ({b})"),
+        ops=(("view", "lift_g", _SCORE_CLASS_G),),
+        final=_lift_sql(
+            spark_declared, lambda a, b: f"({a}) DIV ({b})"
+        ).replace("{G}", "lift_g"),
+        oracle=(
+            f"WITH sg AS ({_SCORE_CLASS_G}),\n" + duck_tail[len("\nWITH ") :]
+        ),
         category="ml",
         doc=(
             "Cumulative gains and lift at score deciles (value score, "
@@ -1020,7 +1030,9 @@ def _register_lift() -> None:
             "DIV N, no global row sort — BIGINT per-decile and "
             "cumulative counts over the bounded decile spine, gain "
             "and lift as single IEEE divisions; zero-positive corpus "
-            "pinned to 0 in integer space."
+            "pinned to 0 in integer space. One staged events scan "
+            "(the same per-distinct-score class table ml_auc_roc "
+            "stages)."
         ),
         tables=("events",),
     )

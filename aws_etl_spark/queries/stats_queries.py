@@ -2651,11 +2651,13 @@ sql_query(
 
 def _spearman_rank_cte(declared, col: str, src: str, width: str,
                        pfx: str) -> str:
-    """CTE chain computing (v, mr2) doubled midranks for one column."""
+    """CTE chain computing (v, mr2) doubled midranks for one column,
+    aggregated from the distinct-pair counts table (so the base scan
+    happens once, in the staged pairs view)."""
     return f"""
 {pfx}g AS (
   SELECT {col} AS v, CAST(FLOOR({col} / {width}) AS BIGINT) AS bucket,
-         CAST(COUNT(*) AS BIGINT) AS c
+         CAST(SUM(c) AS BIGINT) AS c
   FROM {src} GROUP BY {col}
 ),
 {pfx}bt AS (
@@ -2677,19 +2679,20 @@ def _spearman_rank_cte(declared, col: str, src: str, width: str,
 )"""
 
 
-def _spearman_sql(declared) -> str:
-    xr = _spearman_rank_cte(declared, "l_quantity", "base", "50.0", "x")
-    yr = _spearman_rank_cte(declared, "l_extendedprice", "base", "1000.0", "y")
+_SPEARMAN_PAIRS = """
+SELECT l_quantity AS x, l_extendedprice AS y,
+       CAST(COUNT(*) AS BIGINT) AS c
+FROM lineitem
+WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+GROUP BY l_quantity, l_extendedprice
+"""
+
+
+def _spearman_tail(pairs: str, declared) -> str:
+    xr = _spearman_rank_cte(declared, "x", pairs, "50.0", "x")
+    yr = _spearman_rank_cte(declared, "y", pairs, "1000.0", "y")
     return f"""
-WITH base AS (
-  SELECT l_quantity, l_extendedprice FROM lineitem
-  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-),
-pairs AS (
-  SELECT l_quantity AS x, l_extendedprice AS y,
-         CAST(COUNT(*) AS BIGINT) AS c
-  FROM base GROUP BY l_quantity, l_extendedprice
-),{xr},{yr},
+WITH {xr[1:]},{yr},
 m AS (
   SELECT CAST(SUM(p.c) AS BIGINT) AS n,
          -- sums fit BIGINT but are carried DECIMAL(28,0): the final
@@ -2702,7 +2705,7 @@ m AS (
                   * CAST(x.mr2 AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS sxx,
          CAST(SUM(CAST(p.c AS DECIMAL(28,0)) * CAST(y.mr2 AS DECIMAL(28,0))
                   * CAST(y.mr2 AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS syy
-  FROM pairs p
+  FROM {pairs} p
   JOIN xr x ON x.v = p.x
   JOIN yr y ON y.v = p.y
 )
@@ -2723,10 +2726,17 @@ FROM m
 """
 
 
-sql_query(
+def _spearman_oracle() -> str:
+    tail = _spearman_tail("pr", duck_declared)
+    assert tail.startswith("\nWITH ")
+    return f"WITH pr AS ({_SPEARMAN_PAIRS}),\n" + tail[len("\nWITH ") :]
+
+
+staged_sql_query(
     "stat_spearman_corr",
-    _spearman_sql(spark_declared),
-    oracle=_spearman_sql(duck_declared),
+    ops=(("view", "sp_pairs", _SPEARMAN_PAIRS),),
+    final=_spearman_tail("sp_pairs", spark_declared),
+    oracle=_spearman_oracle(),
     category="stats",
     doc=(
         "Spearman rank correlation between l_quantity and "
@@ -2737,7 +2747,9 @@ sql_query(
         "silently at ~1.3e6 rows), and Pearson-on-ranks as one "
         "decimal cross-moment over two correctly-rounded SQRTs. "
         "Constant-column degenerates pin rho to 0 in exact decimal "
-        "space; n*4N^3 < 1e38 contract (shard beyond ~2e9 rows)."
+        "space; n*4N^3 < 1e38 contract (shard beyond ~2e9 rows). One "
+        "staged lineitem scan (the distinct-pair table); both rank "
+        "spines derive from it."
     ),
     tables=("lineitem",),
 )

@@ -676,6 +676,15 @@ _RESCAN_FAMILY_BOUNDS = {
     # referential integrity: each CHILD scans once per branch; the
     # small parents (nation) legitimately appear in several branches
     "quality_referential_integrity": (3, 8),
+    # round-10 late batch (staged from the start; the pre-staging
+    # drafts measured events x3-4 / lineitem x5)
+    "ml_auc_roc": (2, 6),
+    "ml_lift_gains": (2, 8),
+    "stat_spearman_corr": (2, 11),
+    "events_acf_daily": (2, 7),
+    "text_jsd_by_source": (2, 5),
+    "events_entropy_rate": (2, 3),
+    "corpus_temperature_mixture": (2, 3),
 }
 
 
