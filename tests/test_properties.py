@@ -710,3 +710,144 @@ def test_kruskal_wallis_oracle_matches_python_model(rows, tmp_path_factory):
         ) / (1.0 - float(tie) / (float(N) ** 3 - float(N)))
     for row in got.values():
         assert row["h_stat"] == h
+
+
+_auc_rows = st.lists(
+    st.tuples(
+        st.booleans(),  # positive (purchase)?
+        st.integers(min_value=0, max_value=5),  # value bucket → ties
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_settings
+@given(rows=_auc_rows)
+def test_auc_roc_oracle_matches_brute_force(rows, tmp_path_factory):
+    """The ml_auc_roc ORACLE == brute-force pair counting (ties worth
+    half) on randomized class/tie shapes, including one-class inputs
+    the corpus never produces (pure DuckDB — the Spark↔oracle
+    equality is hash-checked separately)."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    tmp = tmp_path_factory.mktemp("auc")
+    ev = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [dt.datetime(2024, 1, 5, 3, 0, 0)] * len(rows),
+            "user_id": [1] * len(rows),
+            "event_type": ["purchase" if p else "view" for p, _ in rows],
+            "value": [float(v * 25) for _, v in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    ev.to_parquet(str(tmp / "events.parquet"))
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", str(tmp / f"{t}.parquet")
+        )
+    got = run_oracle(REGISTRY["ml_auc_roc"].oracle, str(tmp)).iloc[0]
+
+    pos = sorted(float(v * 25) for p, v in rows if p)
+    neg = sorted(float(v * 25) for p, v in rows if not p)
+    u2 = sum(
+        2 * sum(1 for n in neg if n < p) + sum(1 for n in neg if n == p)
+        for p in pos
+    )
+    assert (int(got["n_pos"]), int(got["n_neg"]), int(got["u2"])) == (
+        len(pos), len(neg), u2,
+    )
+    if not pos or not neg:
+        assert got["auc"] == 0.5 and got["gini"] == 0.0
+    else:
+        auc = float(u2) / (2.0 * float(len(pos)) * float(len(neg)))
+        assert got["auc"] == auc
+        assert got["gini"] == 2.0 * auc - 1.0
+
+
+_sp_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # x bucket → heavy ties
+        st.integers(min_value=0, max_value=6),  # y bucket
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_settings
+@given(rows=_sp_rows)
+def test_spearman_oracle_matches_midrank_model(rows, tmp_path_factory):
+    """The stat_spearman_corr ORACLE == Pearson on python midranks,
+    replaying the query's exact IEEE chain (integer moments → two
+    SQRTs → one division) on randomized tie shapes incl. constant
+    columns and single rows."""
+    import math
+    import os
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    tmp = tmp_path_factory.mktemp("sp")
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet").head(
+        len(rows)
+    ).copy()
+    # hypothesis may ask for more rows than the base has — tile it
+    while len(li) < len(rows):
+        li = pd.concat([li, li]).head(len(rows)).copy()
+    li["l_quantity"] = [float(x * 10 + 1) for x, _ in rows]
+    li["l_extendedprice"] = [float(y * 500 + 1000) for _, y in rows]
+    li.to_parquet(str(tmp / "lineitem.parquet"))
+    for t in (
+        "region nation customer supplier part orders events "
+        "documents embeddings"
+    ).split():
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", str(tmp / f"{t}.parquet")
+        )
+    got = run_oracle(REGISTRY["stat_spearman_corr"].oracle, str(tmp)).iloc[0]
+
+    def mr2_map(vals):
+        from collections import Counter
+
+        cnt = Counter(vals)
+        acc, out = 0, {}
+        for v in sorted(cnt):
+            out[v] = 2 * acc + cnt[v] + 1
+            acc += cnt[v]
+        return out
+
+    xs = [float(x * 10 + 1) for x, _ in rows]
+    ys = [float(y * 500 + 1000) for _, y in rows]
+    mx, my = mr2_map(xs), mr2_map(ys)
+    n = len(rows)
+    sx = sum(mx[v] for v in xs)
+    sy = sum(my[v] for v in ys)
+    sxy = sum(mx[a] * my[b] for a, b in zip(xs, ys))
+    sxx = sum(mx[v] ** 2 for v in xs)
+    syy = sum(my[v] ** 2 for v in ys)
+    assert (int(got["n"]), int(got["sum_2rx"]), int(got["sum_2ry"])) == (
+        n, sx, sy,
+    )
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    if dx == 0 or dy == 0:
+        assert got["spearman_rho"] == 0.0
+    else:
+        rho = float(n * sxy - sx * sy) / (
+            math.sqrt(float(dx)) * math.sqrt(float(dy))
+        )
+        assert got["spearman_rho"] == rho
