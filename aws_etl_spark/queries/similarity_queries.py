@@ -1451,3 +1451,89 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k-center greedy diversity sampling (round 10, queued for the r11
+# window): farthest-point coreset selection (Gonzalez 1985) — the
+# data-curation primitive that picks k examples COVERING the
+# embedding space instead of k random ones oversampling dense
+# regions. Fully hash-provable: quantized integer distances, argmax
+# tiebroken on smallest id, integer LEAST for the running
+# min-distance; the oracle unrolls the k rounds as MATERIALIZED CTEs
+# (the kmeans/markov convention). When the corpus has fewer than k
+# points the trace repeats the seed with dist 0 — identically on
+# both engines (all-zero argmax ties resolve to the smallest id).
+# --------------------------------------------------------------------------
+
+_KCENTER_K = 6
+
+
+def _kcenter_oracle(k: int) -> str:
+    dist = (
+        "SELECT e.id, SUM((e.q - c.q) * (e.q - c.q)) AS d\n"
+        "    FROM ex e JOIN ex c ON c.dim = e.dim AND c.id = ({center})\n"
+        "    GROUP BY e.id"
+    )
+    parts = [
+        f"""
+m1 AS MATERIALIZED (
+  {dist.format(center="SELECT MIN(id) FROM ex")}
+)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT id, d FROM m{r - 1} ORDER BY d DESC, id ASC LIMIT 1
+)""")
+        if r < k:
+            parts.append(f"""
+m{r} AS MATERIALIZED (
+  SELECT m.id, LEAST(m.d, x.d) AS d
+  FROM m{r - 1} m JOIN (
+    {dist.format(center=f"SELECT id FROM p{r}")}
+  ) x ON x.id = m.id
+)""")
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS sel_order,"
+        " CAST((SELECT MIN(id) FROM ex) AS BIGINT) AS vec_id,"
+        " CAST(0 AS BIGINT) AS dist_q"
+        " WHERE (SELECT COUNT(*) FROM ex) > 0"
+    ]
+    for r in range(2, k + 1):
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT),"
+            f" CAST((SELECT id FROM p{r}) AS BIGINT),"
+            f" CAST((SELECT d FROM p{r}) AS BIGINT)"
+            " WHERE (SELECT COUNT(*) FROM ex) > 0"
+        )
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+           + 2000000 AS q
+  FROM embeddings
+),{",".join(parts)}
+{" UNION ALL ".join(selects)}
+ORDER BY sel_order
+"""
+
+
+@register(
+    "embeddings_kcenter_diverse",
+    oracle=_kcenter_oracle(_KCENTER_K),
+    category="similarity",
+    tables=("embeddings",),
+)
+def q_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy diversity sampling (k=6): farthest-point
+    coreset selection with exact quantized integer distances —
+    returns the selection trace (order, id, distance-to-selected at
+    pick time). Per round: one broadcast of the new center's d
+    components, one grouped distance agg, one integer LEAST merge —
+    linear per round, no pairwise blow-up; only the 1-row argmax is
+    collected (bounded driver work, the markov/IVF-seed convention)."""
+    from aws_etl_spark.similarity.kcenter import kcenter_greedy_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_greedy_quantized(emb, k=_KCENTER_K)

@@ -620,3 +620,127 @@ def test_lift_gains_perfect_model_and_zero_positives(spark, tmp_path):
     assert r2.ok, str(r2)
     out = REGISTRY["ml_lift_gains"].fn(spark, sf2).collect()
     assert all(x["gain"] == 0.0 and x["lift"] == 0.0 for x in out)
+
+
+# -- embeddings_kcenter_diverse ----------------------------------------------
+
+
+class _PaFrame:
+    """Minimal to_parquet shim so _mk_sf can write a pyarrow table
+    (needed for an EMPTY embeddings frame — pandas would type the
+    empty list column as DOUBLE instead of list<float>)."""
+
+    def __init__(self, table):
+        self.table = table
+
+    def to_parquet(self, path):
+        import pyarrow.parquet as pq
+
+        pq.write_table(self.table, path)
+
+
+def _emb_frame(vecs, ids=None):
+    import pyarrow as pa
+
+    ids = ids if ids is not None else list(range(len(vecs)))
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    table = pa.Table.from_pydict(
+        {
+            "vec_id": ids,
+            "embedding": [list(map(float, v)) for v in vecs],
+            "label": [0] * len(vecs),
+        },
+        schema=schema,
+    )
+    return _PaFrame(table)
+
+
+def _kcenter_python(vecs, ids, k):
+    import math as _m
+
+    q = [
+        [(_m.floor(float(x) * 1e6) + 2_000_000) for x in v] for v in vecs
+    ]
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    first = order[0]
+
+    def dist(a, b):
+        return sum((x - y) ** 2 for x, y in zip(q[a], q[b]))
+
+    mind = {i: dist(i, first) for i in range(len(ids))}
+    trace = [(1, ids[first], 0)]
+    for r in range(2, k + 1):
+        best = max(range(len(ids)), key=lambda i: (mind[i], -ids[i]))
+        trace.append((r, ids[best], mind[best]))
+        for i in range(len(ids)):
+            mind[i] = min(mind[i], dist(i, best))
+    return trace
+
+
+def test_kcenter_matches_python_greedy(spark):
+    """The full selection trace (order, id, pick-time distance)
+    equals the python farthest-point replay on the real sf0.001
+    embeddings."""
+    got = [
+        (r["sel_order"], r["vec_id"], r["dist_q"])
+        for r in REGISTRY["embeddings_kcenter_diverse"].fn(spark, SF0001).collect()
+    ]
+    emb = pd.read_parquet(f"{SF0001}/embeddings.parquet")
+    ref = _kcenter_python(
+        [list(v) for v in emb["embedding"]], emb["vec_id"].tolist(), 6
+    )
+    assert sorted(got) == ref
+
+
+def test_kcenter_covers_spread_corners(spark, tmp_path):
+    """Four well-separated cluster corners + dense filler near one
+    corner: greedy must visit all four corners within the first four
+    picks (the whole point of diversity sampling), cross-engine
+    hash-matched."""
+    corners = [
+        [0.0] * 4, [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+    ]
+    filler = [[0.01 * i, 0.0, 0.0, 0.0] for i in range(1, 9)]
+    emb = _emb_frame(corners + filler)
+    sf = _mk_sf(tmp_path, embeddings=emb)
+    r = check_query("embeddings_kcenter_diverse", spark, sf)
+    assert r.ok, str(r)
+    got = [
+        x["vec_id"]
+        for x in REGISTRY["embeddings_kcenter_diverse"].fn(spark, sf).collect()
+    ]
+    assert set(got[:4]) == {0, 1, 2, 3}
+
+
+def test_kcenter_tiny_corpus_repeats_seed(spark, tmp_path):
+    """Fewer points than k: once every point is selected the running
+    min-distances are all 0 and the argmax tie resolves to the seed —
+    deterministically on both engines."""
+    emb = _emb_frame([[0.0, 0.0], [1.0, 1.0]], ids=[7, 3])
+    sf = _mk_sf(tmp_path, embeddings=emb)
+    r = check_query("embeddings_kcenter_diverse", spark, sf)
+    assert r.ok, str(r)
+    got = [
+        (x["sel_order"], x["vec_id"], x["dist_q"])
+        for x in REGISTRY["embeddings_kcenter_diverse"].fn(spark, sf).collect()
+    ]
+    assert got[0] == (1, 3, 0)
+    assert got[1][1] == 7 and got[1][2] > 0
+    assert all(t[1] == 3 and t[2] == 0 for t in got[2:])
+
+
+def test_kcenter_empty_corpus_yields_empty(spark, tmp_path):
+    """Empty embeddings: 0 rows on both engines (the oracle's COUNT
+    guard and the Spark seed-None branch)."""
+    emb = _emb_frame([])
+    sf = _mk_sf(tmp_path, embeddings=emb)
+    r = check_query("embeddings_kcenter_diverse", spark, sf)
+    assert r.ok, str(r)
+    assert REGISTRY["embeddings_kcenter_diverse"].fn(spark, sf).count() == 0
