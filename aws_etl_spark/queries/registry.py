@@ -403,7 +403,8 @@ _DRIVER_ORDER = (
     # ml_auc_roc, stat_spearman_corr, events_acf_daily,
     # corpus_temperature_mixture, text_jsd_by_source,
     # events_entropy_rate, events_burstiness, stat_cohens_d,
-    # ml_lift_gains, embeddings_kcenter_diverse) and the
+    # ml_lift_gains, embeddings_kcenter_diverse, stat_anova_f,
+    # stat_benford_digits, stat_gini_spend) and the
     # round-10 CHANGED names not already in this window
     # (sketch_kmv_audience, stat_psi_equidepth, ml_feature_binning_woe,
     # stat_chi_square, text_heaps_law, stat_mad_robust, stat_ks_drift,

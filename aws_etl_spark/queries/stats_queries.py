@@ -2838,3 +2838,251 @@ sql_query(
     ),
     tables=("events",),
 )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA F (round 10, queued for the r11 window): the
+# parametric mean-shift counterpart of Kruskal-Wallis — "do the
+# segment MEANS differ", sensitive where KW's ranks saturate. Values
+# quantize to exact integer cents per row; per-group moments n_i,
+# Σy, Σy² are exact DECIMAL(38,0). The cross-group sums Σ s_i²/n_i
+# and S²/N are each one fixed IEEE chain per GROUP, milli-quantized
+# (floor ×1000) before the order-free integer sum — the lnratio
+# idiom, so no double is ever folded in partition order; the
+# quantization shifts F by < 1e-12 relative at any realistic SS.
+# F = (SSB/(k−1))/(SSW/(N−k)) finishes as one IEEE chain with the
+# degenerate guards (k ≤ 1, N ≤ k, SSW ≤ 0) decided on the
+# quantized integers.
+# --------------------------------------------------------------------------
+
+_ANOVA_M = """
+SELECT event_type AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_i,
+       CAST(SUM(CAST(y AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS s_i,
+       CAST(SUM(CAST(y AS DECIMAL(28,0)) * CAST(y AS DECIMAL(28,0)))
+            AS DECIMAL(38,0)) AS ss_i
+FROM (
+  SELECT event_type,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+) q GROUP BY event_type
+"""
+
+
+def _anova_tail(m: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_i) AS BIGINT) AS n,
+         CAST(SUM(s_i) AS DECIMAL(28,0)) AS s,
+         CAST(SUM(ss_i * 1000) AS DECIMAL(38,0)) AS ssq_milli,
+         CAST(SUM(CAST(FLOOR(CAST(s_i * s_i AS DOUBLE)
+                             / CAST(n_i AS DOUBLE) * 1000) AS BIGINT))
+              AS BIGINT) AS bq_milli
+  FROM {m}
+),
+f AS (
+  SELECT k, n,
+         bq_milli - CAST(FLOOR(CAST(s * s AS DOUBLE)
+                               / CAST(n AS DOUBLE) * 1000) AS BIGINT)
+           AS ssb_milli,
+         CAST(ssq_milli AS BIGINT) - bq_milli AS ssw_milli
+  FROM t
+)
+SELECT m.grp AS event_type, m.n_i,
+       CAST(m.s_i AS DOUBLE) / CAST(m.n_i AS DOUBLE)
+         / CAST(100 AS DOUBLE) AS group_mean,
+       CASE WHEN f.k <= 1 OR f.n <= f.k OR f.ssw_milli <= 0
+            THEN CAST(0 AS DOUBLE)
+            ELSE (CAST(f.ssb_milli AS DOUBLE) / CAST(f.k - 1 AS DOUBLE))
+                 / (CAST(f.ssw_milli AS DOUBLE) / CAST(f.n - f.k AS DOUBLE))
+       END AS f_stat
+FROM {m} m CROSS JOIN f
+"""
+
+
+def _register_anova() -> None:
+    duck_tail = _anova_tail("m")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "stat_anova_f",
+        ops=(("view", "anova_m", _ANOVA_M),),
+        final=_anova_tail("anova_m"),
+        oracle=f"WITH m AS ({_ANOVA_M}),\n" + duck_tail[len("\nWITH ") :],
+        category="stats",
+        doc=(
+            "One-way ANOVA F across event_type segments: exact integer "
+            "cents per row, DECIMAL(38,0) per-group moments, the two "
+            "between-group terms milli-quantized per group before "
+            "order-free integer sums, F one fixed IEEE chain with "
+            "degenerate guards on the quantized integers. One staged "
+            "events scan; the parametric mean-shift monitor beside "
+            "Kruskal-Wallis."
+        ),
+        tables=("events",),
+    )
+
+
+_register_anova()
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (round 10, queued for the r11 window):
+# the classic fabricated-data / unit-mixing detector — organic
+# multiplicative amounts follow P(d) = log10(1 + 1/d); a flat or
+# spiky first-digit histogram flags synthetic or truncated feeds.
+# Digit extraction is EXACT and portable: the amount becomes integer
+# cents and the first character of its decimal rendering is the
+# first significant digit (scaling by 100 never changes the leading
+# digit) — no LOG10/POWER boundary hazards (log10(1000.0) can read
+# 2.999… and mis-bin every power of ten). The chi-square statistic's
+# per-digit terms are fixed IEEE chains micro-quantized before the
+# order-free sum over the 9-digit spine.
+# --------------------------------------------------------------------------
+
+
+def _benford_sql(strtype: str) -> str:
+    digits = " UNION ALL ".join(f"SELECT {d} AS digit" for d in range(1, 10))
+    p = "(LN(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(s.digit AS DOUBLE)) / LN(CAST(10 AS DOUBLE)))"
+    term = (
+        f"(CAST(COALESCE(c.n, 0) AS DOUBLE) - CAST(t.total AS DOUBLE) * {p})"
+        f" * (CAST(COALESCE(c.n, 0) AS DOUBLE) - CAST(t.total AS DOUBLE) * {p})"
+        f" / (CAST(t.total AS DOUBLE) * {p})"
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100)
+                             AS BIGINT) AS {strtype}), 1, 1) AS BIGINT)
+           AS digit
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+),
+c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+s AS ({digits}),
+terms AS (
+  SELECT s.digit,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+         {p} AS benford_p,
+         CAST(FLOOR(({term}) * 1000000) AS BIGINT) AS term_q
+  FROM s LEFT JOIN c ON c.digit = s.digit CROSS JOIN t
+),
+chi AS (SELECT CAST(SUM(term_q) AS BIGINT) AS chi_q FROM terms)
+SELECT terms.digit, terms.n,
+       CAST(terms.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS obs_share,
+       terms.benford_p,
+       CAST(chi.chi_q AS DOUBLE) / CAST(1000000 AS DOUBLE) AS chi2_stat
+FROM terms CROSS JOIN t CROSS JOIN chi
+ORDER BY terms.digit
+"""
+
+
+sql_query(
+    "stat_benford_digits",
+    _benford_sql("STRING"),
+    oracle=_benford_sql("VARCHAR"),
+    category="stats",
+    doc=(
+        "Benford first-digit audit of order amounts: exact digit "
+        "extraction via the integer-cents decimal rendering (no "
+        "LOG10 boundary hazard), per-digit observed vs log10(1+1/d) "
+        "expectation, chi-square terms micro-quantized before the "
+        "order-free 9-digit sum. One grouped count reduces the "
+        "corpus; everything after is 9 rows."
+    ),
+    tables=("orders",),
+)
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of customer spend (round 10, queued for the r11
+# window): revenue-concentration in one number — G = Σᵢⱼ|xᵢ−xⱼ| /
+# (2n²μ), the "how top-heavy is the customer base" monitor. The
+# pairwise form never materializes: over sorted values Σᵢ(2i−n−1)x₍ᵢ₎
+# equals the numerator, and a tied block of value v spanning ranks
+# f+1..f+c contributes exactly v·c·(2f+c−n) — so the two-stage
+# prefix sum (per-distinct-value counts + bucket offsets) yields the
+# numerator as one exact DECIMAL sum. G = num/(n·Σx) is one IEEE
+# division of exact decimals; empty/zero-mass inputs pin G to 0 in
+# decimal space. Spend is exact integer cents summed per customer.
+# --------------------------------------------------------------------------
+
+_GINI_T = """
+SELECT o_custkey,
+       CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+            AS BIGINT) AS x
+FROM orders WHERE o_totalprice IS NOT NULL
+GROUP BY o_custkey
+"""
+
+
+def _gini_tail(t: str, declared) -> str:
+    return f"""
+WITH g AS (
+  SELECT x AS v, CAST(FLOOR(x / 10000000.0) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM {t} GROUP BY x
+),
+bt AS (
+  SELECT bucket, CAST(SUM(c) AS BIGINT) AS bc FROM g GROUP BY bucket
+),
+off AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(bc) OVER (PARTITION BY __g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM {declared("bt")}
+),
+r AS (
+  SELECT g.v, g.c,
+         o.o + SUM(g.c) OVER (PARTITION BY g.bucket ORDER BY g.v
+              ROWS UNBOUNDED PRECEDING) - g.c AS f_below
+  FROM g g JOIN off o ON o.bucket = g.bucket
+),
+n AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(28,0)) * CAST(c AS DECIMAL(28,0)))
+              AS DECIMAL(38,0)) AS s
+  FROM g
+),
+m AS (
+  SELECT CAST(SUM(CAST(r.v AS DECIMAL(28,0)) * CAST(r.c AS DECIMAL(28,0))
+                  * (2 * CAST(r.f_below AS DECIMAL(28,0))
+                     + CAST(r.c AS DECIMAL(28,0))
+                     - CAST(n.n AS DECIMAL(28,0))))
+              AS DECIMAL(38,0)) AS num
+  FROM r CROSS JOIN n
+)
+SELECT n.n AS n_customers,
+       CAST(n.s AS DOUBLE) / CAST(n.n AS DOUBLE) / CAST(100 AS DOUBLE)
+         AS mean_spend,
+       CASE WHEN n.n = 0 OR n.s = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(m.num AS DOUBLE)
+                 / (CAST(n.n AS DOUBLE) * CAST(n.s AS DOUBLE))
+       END AS gini
+FROM m CROSS JOIN n
+"""
+
+
+def _register_gini() -> None:
+    duck_tail = _gini_tail("t", duck_declared)
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "stat_gini_spend",
+        ops=(("view", "gini_t", _GINI_T),),
+        final=_gini_tail("gini_t", spark_declared),
+        oracle=f"WITH t AS ({_GINI_T}),\n" + duck_tail[len("\nWITH ") :],
+        category="stats",
+        doc=(
+            "Gini coefficient of per-customer spend: the pairwise "
+            "|x_i - x_j| numerator folded to one exact DECIMAL sum "
+            "via the sorted-prefix identity (tied blocks contribute "
+            "v*c*(2f+c-n)), ranks from the two-stage prefix sum, "
+            "G one IEEE division; empty/zero-mass pinned to 0 in "
+            "decimal space. One staged orders scan into per-customer "
+            "integer cents."
+        ),
+        tables=("orders",),
+    )
+
+
+_register_gini()

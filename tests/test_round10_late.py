@@ -744,3 +744,131 @@ def test_kcenter_empty_corpus_yields_empty(spark, tmp_path):
     r = check_query("embeddings_kcenter_diverse", spark, sf)
     assert r.ok, str(r)
     assert REGISTRY["embeddings_kcenter_diverse"].fn(spark, sf).count() == 0
+
+
+# -- stat_anova_f -------------------------------------------------------------
+
+
+def test_anova_f_matches_python_model(spark):
+    """F equals the textbook SSB/SSW replay over integer cents within
+    the milli-quantization bound on the real sf0.001 corpus."""
+    rows = REGISTRY["stat_anova_f"].fn(spark, SF0001).collect()
+    ev = pd.read_parquet(f"{SF0001}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["y"] = np.floor(ev["value"].astype(float) * 100)
+    groups = [g["y"].to_numpy() for _, g in ev.groupby("event_type")]
+    n_total = sum(len(g) for g in groups)
+    k = len(groups)
+    gm = sum(g.sum() for g in groups) / n_total
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f_ref = (ssb / (k - 1)) / (ssw / (n_total - k))
+    for r in rows:
+        assert abs(r["f_stat"] - f_ref) / f_ref < 1e-9
+
+
+def test_anova_f_single_group_and_constant_values(spark, tmp_path):
+    """k = 1 hits the k <= 1 guard; all-constant values hit the
+    SSW <= 0 guard — F pinned to 0 on both engines."""
+    sf = _mk_sf(
+        tmp_path,
+        events=_events(
+            [(i, "2024-01-02", i, "view", 10 + i) for i in range(6)]
+        ),
+    )
+    r = check_query("stat_anova_f", spark, sf)
+    assert r.ok, str(r)
+    assert all(
+        x["f_stat"] == 0.0
+        for x in REGISTRY["stat_anova_f"].fn(spark, sf).collect()
+    )
+    sf2 = _mk_sf(
+        tmp_path / "b",
+        events=_events(
+            [(i, "2024-01-02", i, ("view", "click")[i % 2], 5) for i in range(6)]
+        ),
+    )
+    r2 = check_query("stat_anova_f", spark, sf2)
+    assert r2.ok, str(r2)
+    assert all(
+        x["f_stat"] == 0.0
+        for x in REGISTRY["stat_anova_f"].fn(spark, sf2).collect()
+    )
+
+
+# -- stat_benford_digits ------------------------------------------------------
+
+
+def test_benford_matches_python_model(spark):
+    """Per-digit counts exact; chi2 equals the python replay within
+    the micro-quantization bound (9 digits x 1e-6)."""
+    rows = REGISTRY["stat_benford_digits"].fn(spark, SF0001).collect()
+    od = pd.read_parquet(f"{SF0001}/orders.parquet")
+    cents = np.floor(od["o_totalprice"].astype(float) * 100).astype(np.int64)
+    digs = pd.Series([int(str(c)[0]) for c in cents]).value_counts().to_dict()
+    total = sum(digs.values())
+    chi = sum(
+        (digs.get(d, 0) - total * math.log10(1 + 1 / d)) ** 2
+        / (total * math.log10(1 + 1 / d))
+        for d in range(1, 10)
+    )
+    assert len(rows) == 9
+    for r in rows:
+        assert r["n"] == digs.get(r["digit"], 0)
+        assert abs(r["chi2_stat"] - chi) <= 9e-6 + 1e-9
+
+
+def test_benford_power_of_ten_boundary(spark, tmp_path):
+    """Amounts exactly at powers of ten must bin to digit 1 — the
+    hazard the string extraction exists to avoid (log10(1000.0) can
+    read 2.999…); plus a geometric series that Benford-conforms."""
+    od = pd.read_parquet(f"{SF0001}/orders.parquet").head(30).copy()
+    od["o_totalprice"] = [10.0, 100.0, 1000.0, 10000.0, 100000.0] * 6
+    sf = _mk_sf(tmp_path, orders=od)
+    r = check_query("stat_benford_digits", spark, sf)
+    assert r.ok, str(r)
+    rows = {
+        x["digit"]: x
+        for x in REGISTRY["stat_benford_digits"].fn(spark, sf).collect()
+    }
+    assert rows[1]["n"] == 30
+    assert all(rows[d]["n"] == 0 for d in range(2, 10))
+
+
+# -- stat_gini_spend ----------------------------------------------------------
+
+
+def test_gini_matches_python_exactly(spark):
+    """G equals the sorted-prefix replay to the bit (the numerator is
+    one exact decimal sum) on the real sf0.001 corpus."""
+    row = REGISTRY["stat_gini_spend"].fn(spark, SF0001).collect()[0]
+    od = pd.read_parquet(f"{SF0001}/orders.parquet")
+    spend = od.groupby("o_custkey")["o_totalprice"].apply(
+        lambda s: int(np.floor(s.astype(float) * 100).sum())
+    )
+    x = np.sort(spend.to_numpy())
+    n = len(x)
+    gini = float(np.sum((2 * np.arange(1, n + 1) - n - 1) * x)) / (
+        float(n) * float(x.sum())
+    )
+    assert row["n_customers"] == n
+    assert row["gini"] == gini
+
+
+def test_gini_equal_and_concentrated_spend(spark, tmp_path):
+    """All-equal spend gives G = 0 exactly; one customer holding all
+    the spend gives the discrete maximum (n-1)/n."""
+    od = pd.read_parquet(f"{SF0001}/orders.parquet").head(10).copy()
+    od["o_custkey"] = list(range(10))
+    od["o_totalprice"] = 500.0
+    sf = _mk_sf(tmp_path, orders=od)
+    r = check_query("stat_gini_spend", spark, sf)
+    assert r.ok, str(r)
+    row = REGISTRY["stat_gini_spend"].fn(spark, sf).collect()[0]
+    assert row["gini"] == 0.0
+    od["o_totalprice"] = [1000.0] + [0.0] * 9
+    sf2 = _mk_sf(tmp_path / "b", orders=od)
+    r2 = check_query("stat_gini_spend", spark, sf2)
+    assert r2.ok, str(r2)
+    row2 = REGISTRY["stat_gini_spend"].fn(spark, sf2).collect()[0]
+    assert row2["gini"] == 0.9
