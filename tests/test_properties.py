@@ -851,3 +851,53 @@ def test_spearman_oracle_matches_midrank_model(rows, tmp_path_factory):
             math.sqrt(float(dx)) * math.sqrt(float(dy))
         )
         assert got["spearman_rho"] == rho
+
+
+_gini_rows = st.lists(
+    st.integers(min_value=0, max_value=9),  # spend bucket → ties + zeros
+    min_size=1,
+    max_size=30,
+)
+
+
+@_settings
+@given(spends=_gini_rows)
+def test_gini_oracle_matches_pairwise_brute_force(spends, tmp_path_factory):
+    """The stat_gini_spend ORACLE == the O(n²) definition
+    G = ΣᵢΣⱼ|xᵢ−xⱼ|/(2n²μ) on randomized tie/zero shapes — proving the
+    sorted-prefix tied-block identity, not just the implementation."""
+    import os
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    tmp = tmp_path_factory.mktemp("gini")
+    od = pd.read_parquet("/root/testdata/sf0.001/orders.parquet").head(
+        len(spends)
+    ).copy()
+    while len(od) < len(spends):
+        od = pd.concat([od, od]).head(len(spends)).copy()
+    od["o_custkey"] = range(len(spends))
+    od["o_totalprice"] = [float(s * 137) for s in spends]
+    od.to_parquet(str(tmp / "orders.parquet"))
+    for t in (
+        "region nation customer supplier part lineitem events "
+        "documents embeddings"
+    ).split():
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", str(tmp / f"{t}.parquet")
+        )
+    got = run_oracle(REGISTRY["stat_gini_spend"].oracle, str(tmp)).iloc[0]
+
+    x = [s * 13700 for s in spends]  # exact cents
+    n = len(x)
+    total = sum(x)
+    assert int(got["n_customers"]) == n
+    if total == 0:
+        assert got["gini"] == 0.0
+    else:
+        num = sum(abs(a - b) for a in x for b in x)  # = 2 * prefix identity
+        assert got["gini"] == float(num // 2) / (float(n) * float(total))
