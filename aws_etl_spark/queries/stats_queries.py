@@ -3086,3 +3086,80 @@ def _register_gini() -> None:
 
 
 _register_gini()
+
+
+# --------------------------------------------------------------------------
+# A/B power analysis / minimum detectable effect (round 10, queued
+# for the r11 window): the question an experimenter asks BEFORE
+# launching — "at this traffic and variance, what lift could the
+# test even see?" MDE = (z_{α/2} + z_{power}) · σ · sqrt(2/n) per
+# arm, plus the dual (required n per arm for a target absolute
+# effect). The normal quantiles are pinned double literals
+# (two-sided α = 0.05 → 1.9599639845400545, power = 0.8 →
+# 0.8416212335729143) — no inverse-CDF dialect dependence; σ comes
+# from the exact DECIMAL(38,0) moments (population variance as one
+# fixed IEEE chain over exact integers, the cohens_d discipline);
+# n per arm assumes an even split of the segment's traffic.
+# Degenerates (n < 2 per arm, zero variance) pin MDE/required-n to 0
+# in exact decimal space.
+# --------------------------------------------------------------------------
+
+_Z_SUM = "(CAST(1.9599639845400545 AS DOUBLE) + CAST(0.8416212335729143 AS DOUBLE))"
+_MDE_TARGET_CENTS = 500  # detect a 5-currency-unit mean shift
+
+def _power_sql(intdiv) -> str:
+    half = intdiv("n", "2")
+    return f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(y AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS s,
+         CAST(SUM(CAST(y AS DECIMAL(28,0)) * CAST(y AS DECIMAL(28,0)))
+              AS DECIMAL(38,0)) AS ss
+  FROM (
+    SELECT event_type,
+           CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT) AS y
+    FROM events WHERE value IS NOT NULL
+  ) q GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / CAST(100 AS DOUBLE)
+         AS mean_value,
+       -- per-arm traffic under an even split
+       CAST({half} AS BIGINT) AS n_per_arm,
+       CASE WHEN n < 4 OR n * ss - s * s = 0 THEN CAST(0 AS DOUBLE)
+            ELSE {_Z_SUM}
+                 * SQRT(CAST(n * ss - s * s AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 * SQRT(CAST(2 AS DOUBLE) / CAST({half} AS DOUBLE))
+                 / CAST(100 AS DOUBLE)
+       END AS mde_abs,
+       CASE WHEN n < 2 OR n * ss - s * s = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CEIL(
+                   CAST(2 AS DOUBLE)
+                   * ({_Z_SUM} * {_Z_SUM})
+                   * (CAST(n * ss - s * s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   / (CAST({_MDE_TARGET_CENTS} AS DOUBLE)
+                      * CAST({_MDE_TARGET_CENTS} AS DOUBLE))
+                 )
+       END AS n_per_arm_for_5
+FROM m
+"""
+
+sql_query(
+    "stat_power_mde",
+    _power_sql(lambda a, b: f"({a}) DIV ({b})"),
+    oracle=_power_sql(lambda a, b: f"({a}) // ({b})"),
+    category="stats",
+    doc=(
+        "A/B power analysis per event_type: minimum detectable "
+        "absolute effect at the segment's traffic (even split, "
+        "alpha=0.05 two-sided, power=0.8 — normal quantiles as "
+        "pinned double literals) and the dual required-n-per-arm for "
+        "a 5-unit mean shift. Population sigma from exact "
+        "DECIMAL(38,0) moments; tiny-n and zero-variance degenerates "
+        "pinned to 0 in exact decimal space. One grouped moment agg."
+    ),
+    tables=("events",),
+)

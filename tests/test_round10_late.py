@@ -872,3 +872,50 @@ def test_gini_equal_and_concentrated_spend(spark, tmp_path):
     assert r2.ok, str(r2)
     row2 = REGISTRY["stat_gini_spend"].fn(spark, sf2).collect()[0]
     assert row2["gini"] == 0.9
+
+
+# -- stat_power_mde -----------------------------------------------------------
+
+
+def test_power_mde_matches_python_model(spark):
+    """MDE and required-n equal the closed-form replay with the
+    pinned normal quantiles on the real sf0.001 corpus."""
+    rows = REGISTRY["stat_power_mde"].fn(spark, SF0001).collect()
+    ev = pd.read_parquet(f"{SF0001}/events.parquet")
+    ev = ev[ev["value"].notna()].copy()
+    ev["y"] = np.floor(ev["value"].astype(float) * 100)
+    zsum = 1.9599639845400545 + 0.8416212335729143
+    for r in rows:
+        g = ev.loc[ev["event_type"] == r["event_type"], "y"].to_numpy()
+        n, half = len(g), len(g) // 2
+        sd = g.std(ddof=0)
+        assert r["n"] == n and r["n_per_arm"] == half
+        mde = zsum * sd * math.sqrt(2 / half) / 100
+        req = math.ceil(2 * zsum**2 * sd**2 / 500**2)
+        assert abs(r["mde_abs"] - mde) < 1e-9
+        assert r["n_per_arm_for_5"] == req
+
+
+def test_power_mde_degenerate_guards(spark, tmp_path):
+    """Zero-variance and tiny-n segments pin MDE/required-n to 0 on
+    both engines (decided in exact decimal space)."""
+    rows = [
+        (1, "2024-01-02", 1, "view", 5),
+        (2, "2024-01-03", 1, "view", 5),
+        (3, "2024-01-04", 2, "view", 5),
+        (4, "2024-01-05", 2, "view", 5),  # zero variance, n = 4
+        (5, "2024-01-02", 3, "click", 1),
+        (6, "2024-01-03", 3, "click", 9),
+        (7, "2024-01-04", 3, "click", 5),  # n = 3 < 4 → mde guard
+    ]
+    sf = _mk_sf(tmp_path, events=_events(rows))
+    r = check_query("stat_power_mde", spark, sf)
+    assert r.ok, str(r)
+    got = {
+        x["event_type"]: x
+        for x in REGISTRY["stat_power_mde"].fn(spark, sf).collect()
+    }
+    assert got["view"]["mde_abs"] == 0.0
+    assert got["view"]["n_per_arm_for_5"] == 0.0
+    assert got["click"]["mde_abs"] == 0.0
+    assert got["click"]["n_per_arm_for_5"] > 0  # n >= 2 and variance > 0
