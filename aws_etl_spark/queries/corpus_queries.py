@@ -696,3 +696,123 @@ def _register_temperature_mixture() -> None:
 
 
 _register_temperature_mixture()
+
+
+# --------------------------------------------------------------------------
+# Train/eval split-leakage audit (round 10, queued for the r11
+# window): near-duplicate pairs that STRADDLE the train/val/test
+# split — the leakage `dedup_decontaminate` (exact n-gram overlap vs
+# an eval set) cannot see and a per-doc split cannot prevent. The
+# pair discovery is the oracled exact 3-gram Jaccard machinery
+# (ngram_jaccard_pairs — pair-cache-served, bucketed, never
+# all-pairs); each pair's two splits come row-locally from the md5
+# bucket (the corpus_split_assign rule), canonicalized by PIPELINE
+# order (train < val < test). Per split-pair: the pair count and the
+# distinct "redundant" docs — across splits that is the doc in the
+# LATER split (the contaminated eval doc); within a split it is the
+# larger id (min-id survivorship). Everything after the pair table
+# is group-by-3 arithmetic; jaccard never re-enters.
+# --------------------------------------------------------------------------
+
+
+def _split_idx_case(bucket_sql: str) -> str:
+    """split index by pipeline order (train=0, val=1, test=2) from a
+    16-bit bucket expression — mirrors _SPLIT_FRACTIONS (80/10/10)."""
+    return (
+        f"CASE WHEN {bucket_sql} < 52428 THEN 0 "
+        f"WHEN {bucket_sql} < 58982 THEN 1 ELSE 2 END"
+    )
+
+
+_SPLIT_NAME = "CASE {i} WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END"
+
+
+def _leakage_tail(pairs: str, bucket_of) -> str:
+    ia = _split_idx_case(bucket_of("CAST(id_a AS VARCHAR)"))
+    ib = _split_idx_case(bucket_of("CAST(id_b AS VARCHAR)"))
+    return f"""
+WITH p AS (
+  SELECT id_a, id_b,
+         CAST({ia} AS BIGINT) AS sa,
+         CAST({ib} AS BIGINT) AS sb
+  FROM {pairs}
+),
+c AS (
+  SELECT LEAST(sa, sb) AS lo, GREATEST(sa, sb) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COUNT(DISTINCT CASE
+                WHEN sa = sb THEN GREATEST(id_a, id_b)
+                WHEN sa < sb THEN id_b ELSE id_a END) AS BIGINT)
+           AS n_redundant_docs
+  FROM p GROUP BY LEAST(sa, sb), GREATEST(sa, sb)
+)
+SELECT {_SPLIT_NAME.format(i="lo")} AS split_lo,
+       {_SPLIT_NAME.format(i="hi")} AS split_hi,
+       n_pairs, n_redundant_docs,
+       CAST(CASE WHEN lo = hi THEN 0 ELSE 1 END AS BIGINT) AS is_leak
+FROM c
+"""
+
+
+def _register_split_leakage() -> None:
+    from aws_etl_spark.ops.corpus import duckdb_bucket_sql
+    from aws_etl_spark.queries.registry import register
+
+    jaccard_pairs_cte = """
+WITH sh AS (
+  SELECT doc_id AS doc,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(string_split(trim(text), ' ')) - 2, 0) + 1),
+             i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' ')
+           )
+         ) AS shingles
+  FROM documents
+),
+e AS (SELECT doc, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+jp AS (
+  SELECT a.doc AS id_a, b.doc AS id_b
+  FROM e a JOIN e b ON a.s = b.s AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+  HAVING COUNT(*) * 1.0
+           / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.5
+)"""
+    tail = _leakage_tail("jp", duckdb_bucket_sql)
+    assert tail.startswith("\nWITH ")
+    oracle = jaccard_pairs_cte + ",\n" + tail[len("\nWITH ") :]
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_etl_spark.dedup import ngram_jaccard_pairs
+        from aws_etl_spark.queries.stats_queries import _spark_bucket
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+        pairs.select("id_a", "id_b").createOrReplaceTempView(
+            "leakage_pairs"
+        )
+
+        def spark_bucket(e: str) -> str:
+            return _spark_bucket(e.replace("AS VARCHAR", "AS STRING"))
+
+        return spark.sql(_leakage_tail("leakage_pairs", spark_bucket))
+
+    fn.__name__ = "q_corpus_split_leakage"
+    register(
+        "corpus_split_leakage",
+        oracle=oracle,
+        category="corpus",
+        doc=(
+            "Train/val/test split-leakage audit: exact 3-gram Jaccard "
+            "near-dup pairs (the oracled pair machinery, pair-cache "
+            "served) classified by the md5-bucket split of BOTH ends "
+            "— per split-pair the pair count and the distinct "
+            "redundant docs (the later-split doc across splits, the "
+            "larger id within one), with cross-split rows flagged. "
+            "The near-dup leakage a per-doc split cannot prevent and "
+            "exact decontamination cannot see."
+        ),
+        tables=("documents",),
+    )(fn)
+
+
+_register_split_leakage()

@@ -404,7 +404,8 @@ _DRIVER_ORDER = (
     # corpus_temperature_mixture, text_jsd_by_source,
     # events_entropy_rate, events_burstiness, stat_cohens_d,
     # ml_lift_gains, embeddings_kcenter_diverse, stat_anova_f,
-    # stat_benford_digits, stat_gini_spend, stat_power_mde) and the
+    # stat_benford_digits, stat_gini_spend, stat_power_mde,
+    # corpus_split_leakage, events_seasonal_anomaly) and the
     # round-10 CHANGED names not already in this window
     # (sketch_kmv_audience, stat_psi_equidepth, ml_feature_binning_woe,
     # stat_chi_square, text_heaps_law, stat_mad_robust, stat_ks_drift,

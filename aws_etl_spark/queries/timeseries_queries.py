@@ -1084,3 +1084,185 @@ def _register_burstiness() -> None:
 
 
 _register_burstiness()
+
+
+# --------------------------------------------------------------------------
+# Seasonality-adjusted volume anomaly (round 10, queued for the r11
+# window): flag days whose residual from the day-of-week seasonal
+# mean is an outlier by the robust MAD rule — the monitor composition
+# of events_seasonal_decompose (what is normal for a Tuesday) and
+# stat_mad_robust (what is an outlier), catching the Tuesday that
+# looks normal against the whole month but is wildly off FOR A
+# TUESDAY. Residuals come from the decomposition's exact integer
+# pair ((x·cnt_dow − sum_dow)/cnt_dow) micro-quantized once; the
+# median and the MAD are exact order statistics over the ≤31-day
+# spine carried as DOUBLED sums of the two middle elements (the
+# Theil-Sen even-count idiom), so the flag decision 4·|2r−med2| >
+# 7·mad2 is a pure integer comparison (k = 3.5 MADs). One staged
+# daily-count scan; everything after is calendar-bounded.
+# --------------------------------------------------------------------------
+
+_SA_DAILY = """
+SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+       CAST(COUNT(*) AS BIGINT) AS x
+FROM events
+GROUP BY DATE_TRUNC('day', CAST(ts AS TIMESTAMP))
+"""
+
+
+def _sa_tail(daily: str, dow_expr: str, declared, intdiv) -> str:
+    p1 = intdiv("n.n + 1", "2")
+    p2 = intdiv("n.n", "2") + " + 1"
+    return f"""
+WITH d2 AS (
+  SELECT day, x, CAST({dow_expr} AS BIGINT) AS dow FROM {daily}
+),
+dw AS (
+  SELECT dow, CAST(SUM(x) AS BIGINT) AS sum_dow,
+         CAST(COUNT(*) AS BIGINT) AS cnt_dow
+  FROM d2 GROUP BY dow
+),
+r AS (
+  SELECT d2.day, d2.x, d2.dow,
+         CAST(FLOOR(CAST(d2.x * w.cnt_dow - w.sum_dow AS DOUBLE)
+                    / CAST(w.cnt_dow AS DOUBLE) * 1000000) AS BIGINT) AS r_q
+  FROM d2 JOIN dw w ON w.dow = d2.dow
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+rk AS (
+  SELECT day, x, dow, r_q,
+         ROW_NUMBER() OVER (PARTITION BY __g ORDER BY r_q, day) AS rn
+  FROM {declared("r")}
+),
+med AS (
+  SELECT CAST(SUM(CASE WHEN rk.rn = {p1} THEN rk.r_q ELSE 0 END)
+              + SUM(CASE WHEN rk.rn = {p2} THEN rk.r_q ELSE 0 END)
+              AS BIGINT) AS med2
+  FROM rk CROSS JOIN n
+),
+dev AS (
+  SELECT rk.day, rk.x, rk.dow, rk.r_q,
+         ABS(2 * rk.r_q - m.med2) AS d_q
+  FROM rk CROSS JOIN med m
+),
+drk AS (
+  SELECT day, x, dow, r_q, d_q,
+         ROW_NUMBER() OVER (PARTITION BY __g ORDER BY d_q, day) AS rn
+  FROM {declared("dev")}
+),
+mad AS (
+  SELECT CAST(SUM(CASE WHEN drk.rn = {p1} THEN drk.d_q ELSE 0 END)
+              + SUM(CASE WHEN drk.rn = {p2} THEN drk.d_q ELSE 0 END)
+              AS BIGINT) AS mad2
+  FROM drk CROSS JOIN n
+)
+SELECT d.day, d.x, d.dow, d.r_q, d.d_q, m2.med2, md.mad2,
+       -- |r - med| > 3.5 * MAD decided in integer space; an all-equal
+       -- residual month (mad2 = 0) flags nothing
+       CAST(CASE WHEN md.mad2 > 0 AND 4 * d.d_q > 7 * md.mad2
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM dev d CROSS JOIN med m2 CROSS JOIN mad md
+ORDER BY d.day
+"""
+
+
+def _sa_resid_view(daily: str, dow_expr: str) -> str:
+    """Spark stage: the micro-quantized residual table (no windows)."""
+    return f"""
+SELECT d2.day, d2.x, d2.dow,
+       CAST(FLOOR(CAST(d2.x * w.cnt_dow - w.sum_dow AS DOUBLE)
+                  / CAST(w.cnt_dow AS DOUBLE) * 1000000) AS BIGINT) AS r_q
+FROM (SELECT day, x, CAST({dow_expr} AS BIGINT) AS dow FROM {daily}) d2
+JOIN (
+  SELECT dow, CAST(SUM(x) AS BIGINT) AS sum_dow,
+         CAST(COUNT(*) AS BIGINT) AS cnt_dow
+  FROM (SELECT day, x, CAST({dow_expr} AS BIGINT) AS dow FROM {daily}) dd
+  GROUP BY dow
+) w ON w.dow = d2.dow
+"""
+
+
+def _sa_doubled_pick(expr: str, order: str, src: str, n: str,
+                     declared, intdiv) -> str:
+    """Scalar stage: sum of the two middle elements of ``expr`` over
+    ``src`` ordered by ``order`` — the doubled order-statistic
+    median, with positions derived from the ``n`` literal."""
+    p1 = intdiv(f"({n}) + 1", "2")
+    p2 = intdiv(f"({n})", "2") + " + 1"
+    return f"""
+SELECT CAST(SUM(CASE WHEN rn = {p1} THEN v ELSE 0 END)
+            + SUM(CASE WHEN rn = {p2} THEN v ELSE 0 END) AS BIGINT)
+FROM (
+  SELECT {expr} AS v,
+         ROW_NUMBER() OVER (PARTITION BY __g ORDER BY {order}) AS rn
+  FROM {declared(src)}
+) t
+"""
+
+
+def _register_seasonal_anomaly() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+    from aws_etl_spark.queries.sql_seams import duck_declared, spark_declared
+
+    duck_tail = _sa_tail(
+        "daily", "isodow(CAST(day AS DATE))", duck_declared,
+        lambda a, b: f"({a}) // ({b})",
+    )
+    assert duck_tail.startswith("\nWITH ")
+    sdiv = lambda a, b: f"({a}) DIV ({b})"  # noqa: E731
+    staged_sql_query(
+        "events_seasonal_anomaly",
+        ops=(
+            ("view", "sa_daily", _SA_DAILY),
+            (
+                "view",
+                "sa_r",
+                _sa_resid_view("sa_daily", "weekday(CAST(day AS DATE)) + 1"),
+            ),
+            ("scalar", "SAN", "SELECT CAST(COUNT(*) AS BIGINT) FROM sa_r"),
+            (
+                "scalar",
+                "SAMED2",
+                _sa_doubled_pick(
+                    "r_q", "r_q, day", "sa_r", "{SAN}", spark_declared, sdiv
+                ),
+            ),
+            (
+                "scalar",
+                "SAMAD2",
+                _sa_doubled_pick(
+                    "ABS(2 * r_q - {SAMED2})",
+                    "ABS(2 * r_q - {SAMED2}), day",
+                    "sa_r", "{SAN}", spark_declared, sdiv,
+                ),
+            ),
+        ),
+        final="""
+SELECT day, x, dow, r_q,
+       ABS(2 * r_q - {SAMED2}) AS d_q,
+       {SAMED2} AS med2, {SAMAD2} AS mad2,
+       -- |r - med| > 3.5 * MAD decided in integer space; an all-equal
+       -- residual month (mad2 = 0) flags nothing
+       CAST(CASE WHEN {SAMAD2} > 0
+                      AND 4 * ABS(2 * r_q - {SAMED2}) > 7 * {SAMAD2}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM sa_r
+ORDER BY day
+""",
+        oracle=f"WITH daily AS ({_SA_DAILY}),\n" + duck_tail[len("\nWITH ") :],
+        category="timeseries",
+        doc=(
+            "Seasonality-adjusted anomaly flags on daily volume: "
+            "exact day-of-week residuals (the decomposition's integer "
+            "pair, micro-quantized once), median and MAD as exact "
+            "doubled order statistics over the calendar spine (staged "
+            "scalars, so the spine windows run once each instead of "
+            "once per CTE consumer), and the 3.5-MAD flag decided in "
+            "pure integer space (4|2r-med2| > 7 mad2); a zero-MAD "
+            "month flags nothing. One staged daily-count scan."
+        ),
+        tables=("events",),
+    )
+
+
+_register_seasonal_anomaly()

@@ -685,6 +685,7 @@ _RESCAN_FAMILY_BOUNDS = {
     "text_jsd_by_source": (2, 5),
     "events_entropy_rate": (2, 3),
     "corpus_temperature_mixture": (2, 3),
+    "events_seasonal_anomaly": (2, 2),
 }
 
 

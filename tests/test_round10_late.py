@@ -919,3 +919,160 @@ def test_power_mde_degenerate_guards(spark, tmp_path):
     assert got["view"]["n_per_arm_for_5"] == 0.0
     assert got["click"]["mde_abs"] == 0.0
     assert got["click"]["n_per_arm_for_5"] > 0  # n >= 2 and variance > 0
+
+
+# -- corpus_split_leakage -----------------------------------------------------
+
+
+def test_split_leakage_thresholds_match_split_assign():
+    """The hardcoded split-index boundaries must equal the cumulative
+    80/10/10 bucket thresholds corpus_split_assign uses."""
+    from aws_etl_spark.ops.corpus import N_BUCKETS
+    from aws_etl_spark.queries.corpus_queries import (
+        _SPLIT_FRACTIONS,
+        _split_idx_case,
+    )
+
+    case = _split_idx_case("B")
+    cum = 0.0
+    bounds = []
+    for name in list(_SPLIT_FRACTIONS)[:-1]:
+        cum += _SPLIT_FRACTIONS[name]
+        bounds.append(int(cum * N_BUCKETS))
+    assert f"B < {bounds[0]}" in case and f"B < {bounds[1]}" in case
+
+
+def test_split_leakage_crafted_cross_split_pair(spark, tmp_path):
+    """Two near-identical docs whose ids hash into different splits
+    must surface as exactly one cross-split (is_leak=1) pair with the
+    later-split doc counted as redundant; hash-matched."""
+    import hashlib
+
+    def split_of(doc_id: int) -> int:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+        return 0 if b < 52428 else (1 if b < 58982 else 2)
+
+    train_id = next(i for i in range(1000) if split_of(i) == 0)
+    test_id = next(i for i in range(1000) if split_of(i) == 2)
+    near_dup = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(
+        [near_dup, near_dup + " iota", "totally different words here now"],
+        ["s"] * 3,
+    )
+    docs["doc_id"] = pd.array(
+        [train_id, test_id, 999999], dtype="int64"
+    )
+    sf = _mk_sf(tmp_path, documents=docs)
+    r = check_query("corpus_split_leakage", spark, sf)
+    assert r.ok, str(r)
+    rows = REGISTRY["corpus_split_leakage"].fn(spark, sf).collect()
+    leaks = [x for x in rows if x["is_leak"] == 1]
+    assert len(leaks) == 1
+    assert (leaks[0]["split_lo"], leaks[0]["split_hi"]) == ("train", "test")
+    assert leaks[0]["n_pairs"] == 1 and leaks[0]["n_redundant_docs"] == 1
+
+
+def test_split_leakage_within_split_counts_survivorship(spark, tmp_path):
+    """Two near-dups in the SAME split: one within-split row,
+    is_leak=0, redundant = the larger id only."""
+    import hashlib
+
+    def split_of(doc_id: int) -> int:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+        return 0 if b < 52428 else (1 if b < 58982 else 2)
+
+    ids = [i for i in range(2000) if split_of(i) == 0][:2]
+    near_dup = "one two three four five six seven eight"
+    docs = _docs([near_dup, near_dup + " nine"], ["s"] * 2)
+    docs["doc_id"] = pd.array(ids, dtype="int64")
+    sf = _mk_sf(tmp_path, documents=docs)
+    r = check_query("corpus_split_leakage", spark, sf)
+    assert r.ok, str(r)
+    rows = REGISTRY["corpus_split_leakage"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0]["is_leak"] == 0 and rows[0]["n_redundant_docs"] == 1
+
+
+# -- events_seasonal_anomaly --------------------------------------------------
+
+
+def test_seasonal_anomaly_matches_python_model(spark):
+    """Residuals, doubled median/MAD, and flags equal the python
+    replay on the real sf0.001 corpus."""
+    rows = REGISTRY["events_seasonal_anomaly"].fn(spark, SF0001).collect()
+    ev = pd.read_parquet(f"{SF0001}/events.parquet")
+    days = pd.to_datetime(ev["ts"]).dt.floor("D")
+    cnt = days.value_counts().sort_index()
+    dow = {d: d.isoweekday() for d in cnt.index}
+    from collections import defaultdict
+
+    sums, cnts = defaultdict(int), defaultdict(int)
+    for d, x in cnt.items():
+        sums[dow[d]] += x
+        cnts[dow[d]] += 1
+    r_q = {
+        d: math.floor((x * cnts[dow[d]] - sums[dow[d]]) / cnts[dow[d]] * 1e6)
+        for d, x in cnt.items()
+    }
+    vals = sorted(r_q.values())
+    n = len(vals)
+    med2 = vals[(n + 1) // 2 - 1] + vals[n // 2]
+    d_q = {d: abs(2 * v - med2) for d, v in r_q.items()}
+    dvals = sorted(d_q.values())
+    mad2 = dvals[(n + 1) // 2 - 1] + dvals[n // 2]
+    got = {pd.Timestamp(x["day"]): x for x in rows}
+    for d in cnt.index:
+        g = got[d]
+        assert (g["r_q"], g["d_q"], g["med2"], g["mad2"]) == (
+            r_q[d], d_q[d], med2, mad2,
+        ), d
+        assert g["is_anomaly"] == int(mad2 > 0 and 4 * d_q[d] > 7 * mad2)
+
+
+def test_seasonal_anomaly_flags_the_wild_tuesday(spark, tmp_path):
+    """Four noisy weeks + one Tuesday at ~10x its weekday level: the
+    spiked day flags with the maximal deviation, and every flagged
+    day is a Tuesday (the spike drags the non-robust per-dow MEAN, so
+    its siblings legitimately exceed the tight MAD — the documented
+    mean-based decomposition behavior). A perfectly periodic month
+    (zero residuals everywhere) flags nothing via the zero-MAD
+    guard."""
+    def month(spike: bool):
+        rows, eid = [], 0
+        for week in range(4):
+            for dow in range(7):
+                day = 1 + week * 7 + dow
+                n = 3 + dow + (week % 2)  # ±0.5 noise around the level
+                if spike and week == 2 and dow == 1:
+                    n = 40
+                for i in range(n):
+                    eid += 1
+                    rows.append(
+                        (eid, f"2024-01-{day:02d} 08:00:00", i, "view", 1)
+                    )
+        return rows
+
+    sf = _mk_sf(tmp_path, events=_events(month(True)))
+    r = check_query("events_seasonal_anomaly", spark, sf)
+    assert r.ok, str(r)
+    out = REGISTRY["events_seasonal_anomaly"].fn(spark, sf).collect()
+    flagged = {str(x["day"])[:10] for x in out if x["is_anomaly"] == 1}
+    assert "2024-01-16" in flagged
+    assert all(pd.Timestamp(d).isoweekday() == 2 for d in flagged)
+    spike_dq = max(x["d_q"] for x in out)
+    assert next(
+        x for x in out if str(x["day"])[:10] == "2024-01-16"
+    )["d_q"] == spike_dq
+    # perfectly periodic month: constant per-dow counts → residuals 0
+    rows2, eid = [], 0
+    for week in range(4):
+        for dow in range(7):
+            day = 1 + week * 7 + dow
+            for i in range(3 + dow):
+                eid += 1
+                rows2.append((eid, f"2024-01-{day:02d} 08:00:00", i, "view", 1))
+    sf2 = _mk_sf(tmp_path / "b", events=_events(rows2))
+    r2c = check_query("events_seasonal_anomaly", spark, sf2)
+    assert r2c.ok, str(r2c)
+    out2 = REGISTRY["events_seasonal_anomaly"].fn(spark, sf2).collect()
+    assert all(x["is_anomaly"] == 0 for x in out2)
