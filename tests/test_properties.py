@@ -901,3 +901,224 @@ def test_gini_oracle_matches_pairwise_brute_force(spends, tmp_path_factory):
     else:
         num = sum(abs(a - b) for a in x for b in x)  # = 2 * prefix identity
         assert got["gini"] == float(num // 2) / (float(n) * float(total))
+
+
+_acf_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=28),  # day of January
+        st.integers(min_value=1, max_value=5),  # events that day
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@_settings
+@given(rows=_acf_rows)
+def test_acf_daily_oracle_matches_python_model(rows, tmp_path_factory):
+    """The events_acf_daily ORACLE == the multiply-through estimator
+    replayed in python on randomized sparse calendars (gaps, single
+    days, constant series)."""
+    import datetime as dt
+    import os
+    from collections import Counter
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    tmp = tmp_path_factory.mktemp("acf")
+    ev_rows = []
+    eid = 0
+    for day, n in rows:
+        for i in range(n):
+            eid += 1
+            ev_rows.append((eid, dt.datetime(2024, 1, day, 8, 0, 0), i))
+    ev = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in ev_rows],
+            "ts": [r[1] for r in ev_rows],
+            "user_id": [r[2] for r in ev_rows],
+            "event_type": ["view"] * len(ev_rows),
+            "value": [1.0] * len(ev_rows),
+            "props": ["{}"] * len(ev_rows),
+        }
+    )
+    ev.to_parquet(str(tmp / "events.parquet"))
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", str(tmp / f"{t}.parquet")
+        )
+    got = {
+        int(r["lag"]): r
+        for _, r in run_oracle(
+            REGISTRY["events_acf_daily"].oracle, str(tmp)
+        ).iterrows()
+    }
+
+    cnt = Counter(d for d, n in rows for _ in range(n))
+    by_day = Counter()
+    for d, n in rows:
+        by_day[d] += n
+    days, total = len(by_day), sum(by_day.values())
+    e = {d: x * days - total for d, x in by_day.items()}
+    den = sum(v * v for v in e.values())
+    for lag in range(1, 8):
+        pairs = [(d, d + lag) for d in e if d + lag in e]
+        if not pairs:
+            # a lag with no calendar pair yields NO row (inner join on
+            # dn + lag) — identically on both engines
+            assert lag not in got
+            continue
+        num = sum(e[a] * e[b] for a, b in pairs)
+        row = got[lag]
+        assert (int(row["n_pairs"]), int(row["num_q"]), int(row["den_q"])) == (
+            len(pairs), num, den,
+        )
+        assert row["acf"] == (0.0 if den == 0 else float(num) / float(den))
+
+
+_burst_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.integers(min_value=0, max_value=100),  # minute offset → ties
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@_settings
+@given(rows=_burst_rows)
+def test_burstiness_oracle_matches_python_model(rows, tmp_path_factory):
+    """The events_burstiness ORACLE == (σ−μ)/(σ+μ) over per-user gap
+    replays on randomized schedules (duplicate timestamps, single
+    events, n=1 gap shapes)."""
+    import datetime as dt
+    import math
+    import os
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    tmp = tmp_path_factory.mktemp("burst")
+    ev = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [
+                dt.datetime(2024, 1, 5, 0, 0, 0) + dt.timedelta(minutes=m)
+                for _, m in rows
+            ],
+            "user_id": [u for u, _ in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    ev.to_parquet(str(tmp / "events.parquet"))
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", str(tmp / f"{t}.parquet")
+        )
+    out = run_oracle(REGISTRY["events_burstiness"].oracle, str(tmp))
+
+    # python replay: gaps per user in (ts, event_id) order
+    gaps = []
+    byu: dict = {}
+    for eid, (u, m) in enumerate(rows):
+        byu.setdefault(u, []).append((m * 60, eid))
+    for u, lst in byu.items():
+        lst.sort()
+        gaps.extend(b[0] - a[0] for a, b in zip(lst, lst[1:]))
+    if not gaps:
+        assert len(out) == 0
+        return
+    row = out.iloc[0]
+    n = len(gaps)
+    sg, ssq = sum(gaps), sum(g * g for g in gaps)
+    assert int(row["n"]) == n and int(row["sum_gap_sec"]) == sg
+    if n <= 1 or (n * ssq - sg * sg == 0 and sg == 0):
+        assert row["burstiness"] == 0.0
+    else:
+        root = math.sqrt(float(n * ssq - sg * sg))
+        assert row["burstiness"] == (root - float(sg)) / (root + float(sg))
+
+
+_anova_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # group
+        st.integers(min_value=0, max_value=6),  # value bucket
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@_settings
+@given(rows=_anova_rows)
+def test_anova_f_oracle_matches_python_model(rows, tmp_path_factory):
+    """The stat_anova_f ORACLE == the quantized SSB/SSW chain replayed
+    in python on randomized group/tie shapes (single groups, constant
+    values, singleton groups)."""
+    import datetime as dt
+    import math
+    import os
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    tmp = tmp_path_factory.mktemp("anova")
+    ev = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [dt.datetime(2024, 1, 5, 3, 0, 0)] * len(rows),
+            "user_id": [1] * len(rows),
+            "event_type": [f"g{g}" for g, _ in rows],
+            "value": [float(v * 7) + 0.25 for _, v in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    ev.to_parquet(str(tmp / "events.parquet"))
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        os.symlink(
+            f"/root/testdata/sf0.001/{t}.parquet", str(tmp / f"{t}.parquet")
+        )
+    out = run_oracle(REGISTRY["stat_anova_f"].oracle, str(tmp))
+
+    groups: dict = {}
+    for g, v in rows:
+        y = math.floor((v * 7 + 0.25) * 100)
+        groups.setdefault(f"g{g}", []).append(y)
+    k = len(groups)
+    n = sum(len(g) for g in groups.values())
+    s = sum(sum(g) for g in groups.values())
+    ssq_milli = sum(y * y for g in groups.values() for y in g) * 1000
+    bq_milli = sum(
+        math.floor(float(sum(g)) * float(sum(g)) / float(len(g)) * 1000)
+        for g in groups.values()
+    )
+    ssb = bq_milli - math.floor(float(s) * float(s) / float(n) * 1000)
+    ssw = ssq_milli - bq_milli
+    if k <= 1 or n <= k or ssw <= 0:
+        f_ref = 0.0
+    else:
+        f_ref = (float(ssb) / float(k - 1)) / (float(ssw) / float(n - k))
+    for _, row in out.iterrows():
+        assert row["f_stat"] == f_ref
