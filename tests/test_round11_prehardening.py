@@ -223,3 +223,170 @@ def test_shuffle_deterministic_single_doc(spark, tmp_path):
     assert r.ok, str(r)
     row = REGISTRY["corpus_shuffle_deterministic"].fn(spark, sf).collect()
     assert len(row) == 1 and row[0]["pos_in_shard"] == 1
+
+
+# -- batch 2: edge-hunting differentials over never-edge-tested names --------
+
+
+def _events_frame(rows):
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    ev["props"] = "{}"
+    return ev
+
+
+def test_gapfill_interpolate_single_observation_series(spark, tmp_path):
+    """One observation per series: no interior gaps, edge fill only
+    — every fill_kind branch except 'interpolated'."""
+    ev = _events_frame(
+        [
+            (1, "2024-01-05 10:30:00", 1, "view", 10),
+            (2, "2024-01-05 14:30:00", 2, "click", 20),
+        ]
+    )
+    sf = _mk_sf(tmp_path, events=ev)
+    r = check_query("events_gapfill_interpolate", spark, sf)
+    assert r.ok, str(r)
+    r2 = check_query("events_gapfill_locf", spark, sf)
+    assert r2.ok, str(r2)
+
+
+def test_time_weighted_avg_single_event_streams(spark, tmp_path):
+    """Single-event users: zero-length holding intervals."""
+    ev = _events_frame(
+        [
+            (1, "2024-01-05 10:00:00", 1, "view", 10),
+            (2, "2024-01-06 10:00:00", 2, "view", 99),
+        ]
+    )
+    sf = _mk_sf(tmp_path, events=ev)
+    r = check_query("events_time_weighted_avg", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_ohlc_same_timestamp_ticks(spark, tmp_path):
+    """All ticks in a bar at the SAME timestamp: open/close resolve
+    purely by the event_id tiebreak."""
+    ev = _events_frame(
+        [
+            (3, "2024-01-05 10:00:00", 1, "view", 30),
+            (1, "2024-01-05 10:00:00", 1, "view", 10),
+            (2, "2024-01-05 10:00:00", 1, "view", 20),
+        ]
+    )
+    sf = _mk_sf(tmp_path, events=ev)
+    r = check_query("events_ohlc_bars", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_dau_mau_single_day(spark, tmp_path):
+    """A one-day corpus: MAU == DAU, stickiness exactly 1."""
+    ev = _events_frame(
+        [(i, "2024-01-05 10:00:00", i % 3, "view", 1) for i in range(9)]
+    )
+    sf = _mk_sf(tmp_path, events=ev)
+    r = check_query("events_dau_mau", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_cohort_retention_single_visit_users(spark, tmp_path):
+    """Every user active exactly once: retention beyond period 0 is
+    all zeros."""
+    ev = _events_frame(
+        [(i, f"2024-01-{2+i:02d} 10:00:00", i, "view", 1) for i in range(5)]
+    )
+    sf = _mk_sf(tmp_path, events=ev)
+    r = check_query("events_cohort_retention", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_histogram_single_distinct_value(spark, tmp_path):
+    """A single distinct value: the histogram degenerates to one
+    bucket (bin-width-zero hazards)."""
+    od = pd.read_parquet(f"{SF0001}/orders.parquet").copy()
+    od["o_totalprice"] = 777.0
+    sf = _mk_sf(tmp_path, orders=od)
+    r = check_query("func_histogram", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_dictionary_encoding_all_unique_and_all_same(spark, tmp_path):
+    """No repetition (dictionary as big as the column) and total
+    repetition (one dictionary entry)."""
+    docs = _docs([f"unique text {i}" for i in range(12)])
+    sf = _mk_sf(tmp_path, documents=docs)
+    r = check_query("dictionary_encoding", spark, sf)
+    assert r.ok, str(r)
+    docs2 = _docs(["same text"] * 12)
+    sf2 = _mk_sf(tmp_path / "b", documents=docs2)
+    r2 = check_query("dictionary_encoding", spark, sf2)
+    assert r2.ok, str(r2)
+
+
+def test_reservoir_smaller_corpus_than_reservoir(spark, tmp_path):
+    """Fewer rows than the reservoir size: everything is kept."""
+    od = pd.read_parquet(f"{SF0001}/orders.parquet").head(3)
+    sf = _mk_sf(tmp_path, orders=od)
+    r = check_query("sample_reservoir_deterministic", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_mmr_rerank_fewer_candidates_than_k(spark, tmp_path):
+    """Candidate pool smaller than the rerank k: the greedy loop
+    exhausts the pool."""
+    emb = pd.read_parquet(f"{SF0001}/embeddings.parquet").head(4)
+    sf = _mk_sf(tmp_path, embeddings=emb)
+    r = check_query("similarity_mmr_rerank", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_tpch_q6_empty_qualifying_set(spark, tmp_path):
+    """Filters matching zero rows: the forecast-revenue aggregate on
+    an empty set (NULL-vs-0 disagreement hazard)."""
+    li = pd.read_parquet(f"{SF0001}/lineitem.parquet").copy()
+    li["l_discount"] = 0.9  # outside every BETWEEN band
+    sf = _mk_sf(tmp_path, lineitem=li)
+    r = check_query("tpch_q6_forecast_revenue", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_table_profile_constant_and_null_heavy_columns(spark, tmp_path):
+    """A constant column and a 50%-NULL column through the profiler."""
+    od = pd.read_parquet(f"{SF0001}/orders.parquet").copy()
+    od["o_orderstatus"] = "O"
+    od.loc[od.index[::2], "o_totalprice"] = None
+    sf = _mk_sf(tmp_path, orders=od)
+    r = check_query("table_profile", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_normalize_unicode_exotic_input(spark, tmp_path):
+    """Combining marks, full-width forms, and emoji through the
+    normalizer (the corpus is plain ASCII)."""
+    docs = _docs(
+        [
+            "café and café differ pre-NFC",
+            "ＨＥＬＬＯ full width",
+            "emoji \U0001f600 stays",
+            "",
+        ]
+    )
+    sf = _mk_sf(tmp_path, documents=docs)
+    r = check_query("text_normalize_unicode", spark, sf)
+    assert r.ok, str(r)
+
+
+def test_date_parse_malformed_inputs(spark, tmp_path):
+    """Malformed date strings must parse to NULL on both engines (the
+    reference's lenient contract), never raise."""
+    od = pd.read_parquet(f"{SF0001}/orders.parquet").head(8).copy()
+    if "o_orderdate" in od.columns and od["o_orderdate"].dtype == object:
+        od["o_orderdate"] = [
+            "2/30/2024", "13/1/2024", "not-a-date", "", "1/5/2024",
+            "12/31/2023", "0/0/0000", "99/99/9999",
+        ]
+    sf = _mk_sf(tmp_path, orders=od)
+    r = check_query("func_date_parse", spark, sf)
+    assert r.ok, str(r)
