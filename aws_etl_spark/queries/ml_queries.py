@@ -1039,3 +1039,108 @@ def _register_lift() -> None:
 
 
 _register_lift()
+
+
+# --------------------------------------------------------------------------
+# Exact average precision / PR-AUC (round 11, queued for the r12
+# window): the class-imbalance-honest companion to ml_auc_roc — ROC
+# AUC stays optimistic when negatives dominate (a fraud model at
+# 1:10000 can post AUC 0.99 and still be useless at any actionable
+# threshold); average precision weights each threshold by the
+# positives it recovers, which is what a triage queue experiences.
+# AP = Σ_t (ΔRecall_t · Precision_t) over distinct score thresholds
+# descending = (1/P) · Σ_t c1_t · TP_t / PP_t, where per distinct
+# score t: c1_t positives sit exactly at t, TP_t = P − pos_below(t),
+# PP_t = N − all_below(t). Both prefix counts come from the SAME
+# two-stage prefix sum that powers ml_auc_roc (per-distinct-score
+# class counts → bucket totals → bounded bucket-offset window —
+# never a global rank window, never a pair join). Each term is one
+# fixed-shape IEEE chain nano-quantized (FLOOR ×1e9) before the
+# order-free BIGINT sum, the lnratio idiom; quantization error is
+# < n_distinct/1e9 absolute and identical on both engines. Overflow
+# contract: Σ terms ≤ P, so ap_q = P·1e9 must fit BIGINT ⇒ P ≤ 9e9
+# positives. One-class degenerates pin in integer space: P = 0 → AP
+# 0; the all-positive corpus correctly reads AP = 1 (every PP = TP).
+# --------------------------------------------------------------------------
+
+
+def _pr_auc_tail(g: str, declared) -> str:
+    term = (
+        "CAST(c.c1 AS DOUBLE)"
+        " * (CAST(n.p - c.f1_below AS DOUBLE)"
+        "    / CAST(n.total - c.f_below AS DOUBLE))"
+        " * CAST(1000000000 AS DOUBLE)"
+    )
+    return f"""
+WITH n AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS p,
+         CAST(SUM(c1 + c2) AS BIGINT) AS total
+  FROM {g}
+),
+bt AS (
+  SELECT bucket,
+         CAST(SUM(c1) AS BIGINT) AS bc1,
+         CAST(SUM(c1 + c2) AS BIGINT) AS bc
+  FROM {g} GROUP BY bucket
+),
+off AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(bc1) OVER (PARTITION BY __g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o1,
+         CAST(COALESCE(SUM(bc) OVER (PARTITION BY __g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM {declared("bt")}
+),
+c AS (
+  SELECT g.c1,
+         o.o1 + SUM(g.c1) OVER (PARTITION BY g.bucket ORDER BY g.v
+              ROWS UNBOUNDED PRECEDING) - g.c1 AS f1_below,
+         o.o + SUM(g.c1 + g.c2) OVER (PARTITION BY g.bucket ORDER BY g.v
+              ROWS UNBOUNDED PRECEDING) - (g.c1 + g.c2) AS f_below
+  FROM {g} g JOIN off o ON o.bucket = g.bucket
+),
+t AS (
+  SELECT CAST(SUM(CAST(FLOOR({term}) AS BIGINT)) AS BIGINT) AS ap_q,
+         CAST(COUNT(*) AS BIGINT) AS n_thresholds
+  FROM c CROSS JOIN n
+)
+SELECT n.p AS n_pos, n.total - n.p AS n_neg, t.n_thresholds,
+       CASE WHEN n.p = 0 THEN CAST(0 AS DOUBLE)
+            ELSE (CAST(t.ap_q AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+                 / CAST(n.p AS DOUBLE)
+       END AS avg_precision
+FROM t CROSS JOIN n
+"""
+
+
+def _register_pr_auc() -> None:
+    from aws_etl_spark.queries.sql_seams import duck_declared
+
+    duck_tail = _pr_auc_tail("g", duck_declared)
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "ml_pr_auc",
+        ops=(("view", "prauc_g", _SCORE_CLASS_G),),
+        final=_pr_auc_tail("prauc_g", spark_declared),
+        oracle=(
+            f"WITH g AS ({_SCORE_CLASS_G}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="ml",
+        doc=(
+            "Exact average precision (step-interpolated PR-AUC) of the "
+            "event value score separating purchase from non-purchase "
+            "events: AP = (1/P) sum over distinct thresholds of "
+            "c1*TP/PP, with TP/PP from the Mann-Whitney two-stage "
+            "prefix sum (no rank materialization, no pair join), each "
+            "term nano-quantized before the order-free BIGINT sum. "
+            "One staged events scan (the same per-distinct-score "
+            "class table ml_auc_roc stages); P=0 pinned to 0 in "
+            "integer space."
+        ),
+        tables=("events",),
+    )
+
+
+_register_pr_auc()

@@ -425,16 +425,17 @@ _DRIVER_ORDER = (
     "q1_pricing_summary",
     "curated_denormalization",
     # ---- end of the 50-query round-11 window ----
-    # Round-12 block-3 queue (window-budget rule): the 19 remaining
-    # r5-vintage names (agg_cube, agg_distinct_counts,
-    # agg_filter_clause, agg_group_by_all, agg_grouping_sets,
-    # ann_cosine_topk_lsh, ann_cosine_topk_lsh_exact,
-    # events_asof_join, graph_reachability_recursive, join_anti,
-    # join_composite_key, join_full_outer, join_fuzzy_blocked,
-    # join_inner_multiway, join_range_overlap, join_semi,
-    # text_bpe_encode, text_bpe_merges, text_bpe_vocab), then the
-    # r6-vintage tier. Round-11 additions (if any) lead block 1
-    # first, per the standing rule.
+    # Round-12 block-1 queue (window-budget rule): the round-11 NEW
+    # names — ml_pr_auc, stat_cramers_v, stat_grubbs_outlier,
+    # stat_ljung_box — lead block 1 first, per the standing rule.
+    # Round-12 block-3 queue: the 19 remaining r5-vintage names
+    # (agg_cube, agg_distinct_counts, agg_filter_clause,
+    # agg_group_by_all, agg_grouping_sets, ann_cosine_topk_lsh,
+    # ann_cosine_topk_lsh_exact, events_asof_join,
+    # graph_reachability_recursive, join_anti, join_composite_key,
+    # join_full_outer, join_fuzzy_blocked, join_inner_multiway,
+    # join_range_overlap, join_semi, text_bpe_encode,
+    # text_bpe_merges, text_bpe_vocab), then the r6-vintage tier.
 )
 
 assert len(set(_DRIVER_ORDER)) == len(_DRIVER_ORDER), (

@@ -25,6 +25,18 @@ two distributed writes (executor-parallel parquet; per-partition JDBC
 connections — the serving sink carries the per-group aggregate, which
 is the set-based COPY shape, not a 100 TB row-wise insert). The audit
 never executes its plans at all — it is pure planning + text mining.
+
+Single-JVM contract (round-11 local-cluster census): the EMBEDDED
+Derby URL (``jdbc:derby:/path``) is this environment's stand-in for
+the reference's network warehouse, and embedded Derby is
+single-process by design — under ``local-cluster[2,4,*]`` the JDBC
+write task runs in a separate executor JVM that cannot boot the
+driver-locked database directory ("Failed to start database"). On
+any real cluster the identical ``write_jdbc`` call with a NETWORK
+JDBC URL (Postgres/Redshift/derbyclient) is the correct shape —
+every executor opens its own client connection, which is Spark's
+normal JDBC write model. The environment ships no derbyclient jar,
+so the network variant is env-gated; see SCALING.md round-11.
 """
 
 from __future__ import annotations

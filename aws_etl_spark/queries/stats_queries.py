@@ -3232,3 +3232,171 @@ sql_query(
     ),
     tables=("events",),
 )
+
+
+# --------------------------------------------------------------------------
+# Cramér's V — categorical association strength (round 11, queued for
+# the r12 window): the chi-square monitors in this corpus test
+# SIGNIFICANCE of a single categorical against a reference; V answers
+# the different question "how strongly are two categoricals
+# associated" on a 0–1 scale that is comparable across table sizes —
+# the standard readout for feature-redundancy screens (drop one of
+# two features with V ≈ 1) and segment×calendar interaction audits.
+# Here: event_type × ISO day-of-week. The contingency cells are ONE
+# staged events scan; every margin, the grand total, and the level
+# counts derive from the checkpointed (≤ types×7)-row cell table.
+# chi² runs over the FULL r×c spine (margin cross join) so
+# structurally-zero cells contribute their (0−e)²/e mass — dropping
+# them understates chi² — with each cell term one fixed IEEE chain
+# micro-quantized (FLOOR ×1e6) before the order-free BIGINT sum.
+# V = sqrt(chi²/(n·min(r−1,c−1))); r≤1 or c≤1 pins V to 0 in integer
+# space. ISO dow: weekday()+1 on Spark / isodow() on DuckDB (the
+# dayofweek() trap). Overflow contract: chi² ≤ n·min(r−1,c−1)
+# mathematically, so chi_q ≤ n·6·1e6 — BIGINT-safe to n ~ 1.5e12.
+# --------------------------------------------------------------------------
+
+_CRAMERS_CELLS = """
+SELECT event_type AS grp, {dow} AS dow,
+       CAST(COUNT(*) AS BIGINT) AS o
+FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+GROUP BY event_type, {dow}
+"""
+
+
+def _cramers_tail(cells: str) -> str:
+    e = (
+        "(CAST(sp_r.rm AS DOUBLE) * CAST(sp_c.cm AS DOUBLE)"
+        " / CAST(n.n AS DOUBLE))"
+    )
+    term = (
+        f"(CAST(COALESCE(c.o, 0) AS DOUBLE) - {e})"
+        f" * (CAST(COALESCE(c.o, 0) AS DOUBLE) - {e}) / {e}"
+    )
+    return f"""
+WITH r AS (
+  SELECT grp, CAST(SUM(o) AS BIGINT) AS rm FROM {cells} GROUP BY grp
+),
+cl AS (
+  SELECT dow, CAST(SUM(o) AS BIGINT) AS cm FROM {cells} GROUP BY dow
+),
+n AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT grp) AS BIGINT) AS nr,
+         CAST(COUNT(DISTINCT dow) AS BIGINT) AS nc
+  FROM {cells}
+),
+t AS (
+  SELECT CAST(SUM(CAST(FLOOR(({term}) * 1000000) AS BIGINT)) AS BIGINT)
+           AS chi_q
+  FROM r sp_r CROSS JOIN cl sp_c CROSS JOIN n
+  LEFT JOIN {cells} c ON c.grp = sp_r.grp AND c.dow = sp_c.dow
+)
+SELECT n.n AS n_events, n.nr AS n_types, n.nc AS n_dows,
+       CAST(t.chi_q AS DOUBLE) / CAST(1000000 AS DOUBLE) AS chi2_stat,
+       CASE WHEN n.nr <= 1 OR n.nc <= 1 OR n.n = 0 THEN CAST(0 AS DOUBLE)
+            ELSE SQRT((CAST(t.chi_q AS DOUBLE) / CAST(1000000 AS DOUBLE))
+                      / (CAST(n.n AS DOUBLE)
+                         * CAST(LEAST(n.nr - 1, n.nc - 1) AS DOUBLE)))
+       END AS cramers_v
+FROM t CROSS JOIN n
+"""
+
+
+def _register_cramers() -> None:
+    tail = _cramers_tail("{CELLS}")
+    spark_cells = _CRAMERS_CELLS.format(dow="(WEEKDAY(ts) + 1)")
+    duck_cells = _CRAMERS_CELLS.format(dow="ISODOW(ts)")
+    duck_tail = tail.replace("{CELLS}", "cells")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "stat_cramers_v",
+        ops=(("view", "cramers_cells", spark_cells),),
+        final=tail.replace("{CELLS}", "cramers_cells"),
+        oracle=(
+            f"WITH cells AS ({duck_cells}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="stats",
+        doc=(
+            "Cramér's V association between event_type and ISO "
+            "day-of-week: contingency cells from one staged events "
+            "scan, chi-square over the full margin cross-join spine "
+            "(structural zeros included), per-cell terms "
+            "micro-quantized before the order-free BIGINT sum, "
+            "V = sqrt(chi2/(n*min(r-1,c-1))) with single-level "
+            "degenerates pinned to 0 in integer space."
+        ),
+        tables=("events",),
+    )
+
+
+_register_cramers()
+
+
+# --------------------------------------------------------------------------
+# Grubbs extreme-outlier statistic (round 11, queued for the r12
+# window): the single-most-extreme-value test — G = max|x − x̄|/s —
+# the classic feed-corruption tripwire next to the distributional
+# monitors (MAD flags bulk contamination, Grubbs flags the one
+# fat-fingered amount). Runs on order amounts in exact integer
+# cents: n, Σx, Σx², MIN, MAX are one scan of exact BIGINT/DECIMAL
+# aggregates; max deviation = GREATEST(n·max − S, S − n·min) decided
+# ENTIRELY in DECIMAL(38,0) (never a float comparison — the r10
+# ADVICE lesson), and the reported outlier side follows the same
+# decimal comparison. G finishes as one fixed IEEE chain
+# (max_dev/n) / sqrt((ss − s²/n)/(n−1)). Degenerates in integer
+# space: n < 3 or min = max pin G to 0 with a NULL outlier. Contract:
+# Σx² < 1e38 (≈1e22 rows at 1e7 cents); n·|x| < 1e38 likewise.
+# --------------------------------------------------------------------------
+
+_GRUBBS_SQL = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(y AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS s,
+         CAST(SUM(CAST(y AS DECIMAL(28,0)) * CAST(y AS DECIMAL(28,0)))
+              AS DECIMAL(38,0)) AS ss,
+         CAST(MIN(y) AS BIGINT) AS mn,
+         CAST(MAX(y) AS BIGINT) AS mx
+  FROM (
+    SELECT CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS y
+    FROM orders WHERE o_totalprice IS NOT NULL
+  ) q
+),
+d AS (
+  SELECT n, s, ss, mn, mx,
+         -- the two candidate deviations, exact decimal
+         CAST(n AS DECIMAL(38,0)) * CAST(mx AS DECIMAL(38,0))
+           - CAST(s AS DECIMAL(38,0)) AS dev_hi,
+         CAST(s AS DECIMAL(38,0))
+           - CAST(n AS DECIMAL(38,0)) * CAST(mn AS DECIMAL(38,0)) AS dev_lo
+  FROM m
+)
+SELECT n AS n_orders,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / CAST(100 AS DOUBLE)
+         AS mean_price,
+       CASE WHEN n < 3 OR mn = mx THEN CAST(NULL AS BIGINT)
+            WHEN dev_hi >= dev_lo THEN mx ELSE mn END AS outlier_cents,
+       CASE WHEN n < 3 OR mn = mx THEN CAST(0 AS DOUBLE)
+            ELSE (CAST(GREATEST(dev_hi, dev_lo) AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+                 / SQRT((CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        / CAST(n - 1 AS DOUBLE))
+       END AS g_stat
+FROM d
+"""
+
+sql_query(
+    "stat_grubbs_outlier",
+    _GRUBBS_SQL,
+    category="stats",
+    doc=(
+        "Grubbs extreme-outlier statistic over order amounts: exact "
+        "integer-cents moments in one scan, max deviation and the "
+        "outlier side decided in DECIMAL(38,0) space "
+        "(GREATEST(n*max-S, S-n*min)), G as one fixed IEEE chain; "
+        "n<3 / constant-column degenerates pinned to 0 with a NULL "
+        "outlier."
+    ),
+    tables=("orders",),
+)

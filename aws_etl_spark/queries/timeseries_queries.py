@@ -1266,3 +1266,110 @@ ORDER BY day
 
 
 _register_seasonal_anomaly()
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box portmanteau test statistic (round 11, queued for the r12
+# window): the "is there ANY autocorrelation left" readout on top of
+# events_acf_daily — a monitor reads 7 acf values and still has to
+# decide; Q = n(n+2) Σ_{k=1..h} ρ̂_k²/(n−k) folds them into the one
+# number compared against χ²_h. Same staged daily-count view and the
+# same exact machinery: ρ_k's numerator/denominator are exact
+# BIGINTs via the multiply-through deviations and the epoch-day
+# equi-join. Each lag term ρ_k²/(n−k) is one fixed IEEE chain
+# pico-quantized (FLOOR ×1e12; terms ≤ 1, the spine is ≤ h rows)
+# before the order-free sum, then Q = n(n+2)·Σ/1e12 as one final
+# chain. Lags with no pairs (n ≤ k) or a zero denominator contribute
+# exactly 0 via the integer-space guard; the LEFT JOIN keeps the lag
+# spine complete so h is constant. Overflow contract inherits
+# events_acf_daily's (days·max_x)²·days < 2^63.
+# --------------------------------------------------------------------------
+
+
+def _ljung_box_tail(daily: str) -> str:
+    lags = " UNION ALL ".join(
+        f"SELECT {k} AS lag" for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    rho = "(CAST(n.num_q AS DOUBLE) / CAST(d.den_q AS DOUBLE))"
+    term = f"{rho} * {rho} / CAST(t.days - l.lag AS DOUBLE)"
+    return f"""
+WITH tot AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS days
+  FROM {daily}
+),
+e AS (
+  SELECT d.dn, d.x * t.days - t.total AS e_q
+  FROM {daily} d CROSS JOIN tot t
+),
+den AS (
+  SELECT CAST(SUM(e_q * e_q) AS BIGINT) AS den_q FROM e
+),
+lags AS ({lags}),
+num AS (
+  SELECT l.lag, CAST(SUM(a.e_q * b.e_q) AS BIGINT) AS num_q
+  FROM lags l
+  JOIN e a ON 1 = 1
+  JOIN e b ON b.dn = a.dn + l.lag
+  GROUP BY l.lag
+),
+terms AS (
+  SELECT l.lag,
+         CASE WHEN d.den_q = 0 OR n.num_q IS NULL OR t.days <= l.lag
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR(({term}) * 1000000000000) AS BIGINT)
+         END AS term_q
+  FROM lags l
+  LEFT JOIN num n ON n.lag = l.lag
+  CROSS JOIN den d CROSS JOIN tot t
+),
+q AS (SELECT CAST(SUM(term_q) AS BIGINT) AS sum_q FROM terms)
+SELECT t.days AS n_days,
+       CAST({_ACF_MAX_LAG} AS BIGINT) AS h,
+       CAST(t.days AS DOUBLE) * CAST(t.days + 2 AS DOUBLE)
+         * (CAST(q.sum_q AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+         AS q_stat
+FROM q CROSS JOIN tot t
+"""
+
+
+def _register_ljung_box() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+
+    duck_daily = _acf_daily_sql(
+        "epoch(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+        lambda a, b: f"({a}) // ({b})",
+    )
+    duck_tail = _ljung_box_tail("daily")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "stat_ljung_box",
+        ops=(
+            (
+                "view",
+                "lb_daily",
+                _acf_daily_sql(
+                    "unix_timestamp(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+                    lambda a, b: f"({a}) DIV ({b})",
+                ),
+            ),
+        ),
+        final=_ljung_box_tail("lb_daily"),
+        oracle=(
+            f"WITH daily AS ({duck_daily}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="stats",
+        doc=(
+            "Ljung-Box Q over lags 1..7 of daily event volume: exact "
+            "BIGINT acf numerators/denominators from the staged daily "
+            "view (multiply-through deviations, epoch-day equi-join), "
+            "per-lag terms rho^2/(n-k) pico-quantized before the "
+            "order-free sum over the complete lag spine, missing-pair "
+            "and zero-variance lags contributing exactly 0 in integer "
+            "space, Q = n(n+2)*sum as one final IEEE chain."
+        ),
+        tables=("events",),
+    )
+
+
+_register_ljung_box()

@@ -691,6 +691,12 @@ _RESCAN_FAMILY_BOUNDS = {
     # stage job), plus anova pinned alongside its stats siblings
     "stat_benford_digits": (1, 3),
     "stat_anova_f": (1, 2),
+    # round-11 additions (staged from the start; measured 0 parquet /
+    # 6, 6, 9 shuffles and orders x1 / 1 shuffle respectively)
+    "ml_pr_auc": (1, 7),
+    "stat_cramers_v": (1, 7),
+    "stat_ljung_box": (1, 10),
+    "stat_grubbs_outlier": (1, 2),
 }
 
 
