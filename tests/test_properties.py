@@ -1122,3 +1122,272 @@ def test_anova_f_oracle_matches_python_model(rows, tmp_path_factory):
         f_ref = (float(ssb) / float(k - 1)) / (float(ssw) / float(n - k))
     for _, row in out.iterrows():
         assert row["f_stat"] == f_ref
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions: oracle-vs-brute-force property models (pure
+# DuckDB — the Spark<->oracle equality is hash-checked separately, so
+# these close the model<->spark<->oracle triangle cheaply).
+# ---------------------------------------------------------------------------
+
+
+def _scratch_sf(tmp_path_factory, name, **frames):
+    import os
+
+    tmp = tmp_path_factory.mktemp(name)
+    for t, df in frames.items():
+        df.to_parquet(str(tmp / f"{t}.parquet"))
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        if t not in frames:
+            os.symlink(
+                f"/root/testdata/sf0.001/{t}.parquet", str(tmp / f"{t}.parquet")
+            )
+    return str(tmp)
+
+
+def _ev_frame(rows):
+    """rows: (day, type_id, value_bucket) tuples -> events frame."""
+    import datetime as dt
+
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [dt.datetime(2024, 1, d, 3, 0, 0) for d, _, _ in rows],
+            "user_id": [i for i in range(len(rows))],
+            "event_type": [
+                "purchase" if g == 0 else f"g{g}" for _, g, _ in rows
+            ],
+            "value": [float(v * 25) for _, _, v in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+
+
+_prauc_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=28),
+        st.integers(min_value=0, max_value=2),  # type 0 = positive
+        st.integers(min_value=0, max_value=5),  # score bucket → ties
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_settings
+@given(rows=_prauc_rows)
+def test_pr_auc_oracle_matches_step_ap(rows, tmp_path_factory):
+    """The ml_pr_auc ORACLE == the textbook step average precision
+    (thresholds descending, ties grouped), within the stated
+    nano-quantization error n_thresholds/1e9/P. Covers all-positive,
+    all-negative, and heavy-tie inputs."""
+    from collections import Counter
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "prauc", events=_ev_frame(rows))
+    got = run_oracle(REGISTRY["ml_pr_auc"].oracle, sf).iloc[0]
+
+    by_score = Counter()
+    pos_by_score = Counter()
+    for _, g, v in rows:
+        s = float(v * 25)
+        by_score[s] += 1
+        pos_by_score[s] += g == 0
+    p = sum(pos_by_score.values())
+    n = sum(by_score.values())
+    assert int(got["n_pos"]) == p and int(got["n_neg"]) == n - p
+    assert int(got["n_thresholds"]) == len(by_score)
+    if p == 0:
+        assert got["avg_precision"] == 0.0
+        return
+    tp = pp = 0
+    ap = 0.0
+    for s in sorted(by_score, reverse=True):
+        tp += pos_by_score[s]
+        pp += by_score[s]
+        ap += (pos_by_score[s] / p) * (tp / pp)
+    assert abs(got["avg_precision"] - ap) <= len(by_score) / 1e9 / p + 1e-15
+
+
+_cramers_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=28),
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_settings
+@given(rows=_cramers_rows)
+def test_cramers_v_oracle_matches_contingency(rows, tmp_path_factory):
+    """The stat_cramers_v ORACLE == the direct chi-square contingency
+    computation (structural zeros included), within the micro-
+    quantization error cells/1e6. Covers r=1, c=1, and sparse
+    tables."""
+    import datetime as dt
+    import math
+    from collections import Counter
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "cram", events=_ev_frame(rows))
+    got = run_oracle(REGISTRY["stat_cramers_v"].oracle, sf).iloc[0]
+
+    cells = Counter()
+    for d, g, _ in rows:
+        dow = dt.date(2024, 1, d).isoweekday()
+        t = "purchase" if g == 0 else f"g{g}"
+        cells[(t, dow)] += 1
+    n = sum(cells.values())
+    types = sorted({t for t, _ in cells})
+    dows = sorted({d for _, d in cells})
+    rm = {t: sum(v for (tt, _), v in cells.items() if tt == t) for t in types}
+    cm = {d: sum(v for (_, dd), v in cells.items() if dd == d) for d in dows}
+    chi = sum(
+        (cells.get((t, d), 0) - rm[t] * cm[d] / n) ** 2 / (rm[t] * cm[d] / n)
+        for t in types
+        for d in dows
+    )
+    n_cells = len(types) * len(dows)
+    assert int(got["n_events"]) == n
+    assert (int(got["n_types"]), int(got["n_dows"])) == (len(types), len(dows))
+    assert abs(got["chi2_stat"] - chi) <= n_cells / 1e6 + 1e-12
+    if len(types) <= 1 or len(dows) <= 1:
+        assert got["cramers_v"] == 0.0
+    else:
+        v = math.sqrt(chi / (n * min(len(types) - 1, len(dows) - 1)))
+        assert abs(got["cramers_v"] - v) <= 1e-3
+
+
+_grubbs_rows = st.lists(
+    st.integers(min_value=-10000, max_value=10000),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_settings
+@given(cents=_grubbs_rows)
+def test_grubbs_oracle_matches_definition(cents, tmp_path_factory):
+    """The stat_grubbs_outlier ORACLE == G = max|x-mean|/std(ddof=1)
+    on randomized integer-cent columns, and the reported outlier is
+    the correct extreme. Covers constant, n<3, and negative-side
+    extremes."""
+    import math
+    import statistics
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(len(cents)),
+            "o_custkey": [i % 5 for i in range(len(cents))],
+            "o_orderstatus": ["F"] * len(cents),
+            "o_totalprice": [c / 100.0 for c in cents],
+            "o_orderdate": pd.to_datetime(["1997-01-15"] * len(cents)),
+            "o_orderpriority": ["3-MEDIUM"] * len(cents),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "grubbs", orders=orders)
+    got = run_oracle(REGISTRY["stat_grubbs_outlier"].oracle, sf).iloc[0]
+
+    # replicate the cents quantization (c/100.0*100 can floor to c-1)
+    ys = [math.floor((c / 100.0) * 100) for c in cents]
+    n = len(ys)
+    assert int(got["n_orders"]) == n
+    if n < 3 or min(ys) == max(ys):
+        assert got["g_stat"] == 0.0
+        assert got["outlier_cents"] is None or (
+            isinstance(got["outlier_cents"], float)
+            and math.isnan(got["outlier_cents"])
+        )
+        return
+    mean = statistics.fmean(ys)
+    sd = statistics.stdev(ys)
+    g = max(abs(x - mean) for x in ys) / sd
+    assert abs(got["g_stat"] - g) <= 1e-9 * max(1.0, g)
+    dev_hi, dev_lo = n * max(ys) - sum(ys), sum(ys) - n * min(ys)
+    assert int(got["outlier_cents"]) == (max(ys) if dev_hi >= dev_lo else min(ys))
+
+
+_lb_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=28),
+        st.integers(min_value=1, max_value=4),  # events that day
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@_settings
+@given(days=_lb_rows)
+def test_ljung_box_oracle_matches_definition(days, tmp_path_factory):
+    """The stat_ljung_box ORACLE == Q = n(n+2) sum rho_k^2/(n-k) with
+    the standard acf estimator (the multiply-through deviations
+    cancel exactly in the ratio), within the pico-quantization error.
+    Covers constant series, single-day, and gapped calendars."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    counts = {}
+    for d, k in days:
+        counts[d] = counts.get(d, 0) + k
+    rows = []
+    rid = 0
+    for d, k in sorted(counts.items()):
+        for _ in range(k):
+            rows.append((rid, dt.datetime(2024, 1, d, 3, 0, 0)))
+            rid += 1
+    ev = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "lb", events=ev)
+    got = run_oracle(REGISTRY["stat_ljung_box"].oracle, sf).iloc[0]
+
+    dn = sorted(counts)
+    n_days = len(dn)
+    total = sum(counts.values())
+    e = {d: counts[d] * n_days - total for d in dn}
+    den = sum(v * v for v in e.values())
+    q = 0.0
+    for lag in range(1, 8):
+        num = sum(e[d] * e[d + lag] for d in dn if d + lag in e)
+        pairs = sum(1 for d in dn if d + lag in e)
+        if den == 0 or pairs == 0 or n_days <= lag:
+            continue
+        rho = num / den
+        q += rho * rho / (n_days - lag)
+    q *= n_days * (n_days + 2)
+    assert int(got["n_days"]) == n_days
+    tol = 7 / 1e12 * n_days * (n_days + 2) + 1e-12
+    assert abs(got["q_stat"] - q) <= tol
