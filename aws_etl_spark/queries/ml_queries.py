@@ -1144,3 +1144,206 @@ def _register_pr_auc() -> None:
 
 
 _register_pr_auc()
+
+
+# --------------------------------------------------------------------------
+# Binary confusion matrix + Matthews correlation (round 11 late batch,
+# queued for the r12 window): the thresholded-classifier readout the
+# score-curve evals (ROC AUC, PR-AUC, lift) deliberately avoid — once
+# a model SHIPS a cutoff, the monitor reads TP/FP/FN/TN and the four
+# derived rates. The synthetic predictor follows the annotator-kappa
+# construction (a degenerate independent score would pin MCC ~ 0):
+# prediction = label flipped with a 15 % salted-md5 coin, so the
+# confusion matrix is a fixed, non-trivial function of the corpus.
+# All four cells are exact BIGINTs from one scan; precision / recall /
+# F1 = 2TP/(2TP+FP+FN) / MCC are each one fixed IEEE chain over the
+# exact cells (the MCC numerator TP*TN-FP*FN in DECIMAL(38,0) — never
+# BIGINT, which overflows at n ~ 3e9 — and the denominator as four
+# independent SQRTs multiplied, one canonical order). Any zero margin
+# pins MCC to 0 in integer space (the mathematical limit).
+# Scale: one map-side-combined aggregation, constant output.
+# --------------------------------------------------------------------------
+
+
+def _mcc_sql(coin: str) -> str:
+    return f"""
+WITH lab AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         CASE WHEN {coin} < 9830 THEN 1 ELSE 0 END AS flip
+  FROM orders
+),
+p AS (SELECT y, ABS(y - flip) AS yhat FROM lab),
+cm AS (
+  SELECT
+    CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM p
+)
+SELECT tp, fp, fn, tn,
+       CASE WHEN tp + fp = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+       END AS precision_,
+       CASE WHEN tp + fn = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+       END AS recall_,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+       END AS f1,
+       CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0 OR tn + fn = 0
+            THEN CAST(0 AS DOUBLE)
+            ELSE CAST(CAST(tp AS DECIMAL(38,0)) * CAST(tn AS DECIMAL(38,0))
+                      - CAST(fp AS DECIMAL(38,0)) * CAST(fn AS DECIMAL(38,0))
+                      AS DOUBLE)
+                 / (SQRT(CAST(tp + fp AS DOUBLE)) * SQRT(CAST(tp + fn AS DOUBLE))
+                    * SQRT(CAST(tn + fp AS DOUBLE)) * SQRT(CAST(tn + fn AS DOUBLE)))
+       END AS mcc
+FROM cm
+"""
+
+
+_SPARK_MCC_COIN = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT('mcc#', CAST(o_orderkey AS STRING))),"
+    " 1, 4), 16, 10) AS BIGINT)"
+)
+_DUCK_MCC_COIN = _duck_coin("'mcc#' || CAST(o_orderkey AS VARCHAR)")
+
+
+sql_query(
+    "ml_mcc_confusion",
+    _mcc_sql(_SPARK_MCC_COIN),
+    oracle=_mcc_sql(_DUCK_MCC_COIN),
+    category="ml",
+    doc=(
+        "Binary confusion matrix of the 15%-flipped urgent-priority "
+        "predictor: exact BIGINT TP/FP/FN/TN in one scan, precision / "
+        "recall / F1 = 2TP/(2TP+FP+FN) / Matthews correlation each as "
+        "one fixed IEEE chain (MCC numerator in DECIMAL(38,0), "
+        "denominator as four independent SQRTs), zero margins pinning "
+        "MCC to 0 in integer space."
+    ),
+    tables=("orders",),
+)
+
+
+# --------------------------------------------------------------------------
+# Brier score + Murphy decomposition (round 11 late batch, queued for
+# the r12 window): ECE reads the calibration GAP per bin; the Brier
+# score is the proper scoring rule that also prices SHARPNESS, and its
+# Murphy decomposition (reliability - resolution + uncertainty over
+# the binned forecasts) attributes the loss. Same md5-coin forecast
+# and exact integer decile bins as ml_calibration_ece. The score
+# itself is EXACT: (coin - 65536*y) is an integer on the 1/65536 grid,
+# so the Brier numerator sum((coin-65536y)^2) is an exact
+# DECIMAL(38,0) (BIGINT clears at ~2e9 rows) collected as a staged
+# scalar in its own single-column pass; the bin rollup is one more
+# staged scan, and the three decomposition terms run over the 10-row
+# bin table: per-bin chains nano-quantized (FLOOR x1e9) before the
+# order-free BIGINT sums. Degenerates: an empty table yields the
+# typed-NULL staged scalar and a 0-row output on both engines.
+# Contract: sum((coin-65536y)^2) <= n*65535^2 < 1e38 at any real n.
+# --------------------------------------------------------------------------
+
+
+def _brier_scored(coin: str) -> str:
+    return f"""
+SELECT {coin} AS coin,
+       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END AS y
+FROM orders
+"""
+
+
+def _brier_bins(coin: str, intdiv) -> str:
+    return f"""
+SELECT {intdiv("coin * 10", "65536")} AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_k,
+       CAST(SUM(y) AS BIGINT) AS pos_k,
+       CAST(SUM(coin) AS BIGINT) AS sc_k
+FROM ({_brier_scored(coin)}) s GROUP BY {intdiv("coin * 10", "65536")}
+"""
+
+
+def _brier_bq(coin: str) -> str:
+    # the whole Brier score as ONE fixed IEEE chain over the exact
+    # DECIMAL numerator (sum of integers on the 1/65536 grid) — a
+    # double, so it rides the registry's repr-round-trip scalar
+    # substitution exactly; the oracle runs the identical text.
+    return f"""
+SELECT CAST(SUM(CAST(coin - 65536 * y AS DECIMAL(19,0))
+                * CAST(coin - 65536 * y AS DECIMAL(19,0)))
+            AS DOUBLE)
+       / (CAST(COUNT(*) AS DOUBLE) * CAST(65536 AS DOUBLE)
+          * CAST(65536 AS DOUBLE)) AS bq
+FROM ({_brier_scored(coin)}) s
+"""
+
+
+def _brier_tail(bins: str, bq: str) -> str:
+    pbar = "(CAST(b.sc_k AS DOUBLE) / (CAST(b.n_k AS DOUBLE) * CAST(65536 AS DOUBLE)))"
+    ybar_k = "(CAST(b.pos_k AS DOUBLE) / CAST(b.n_k AS DOUBLE))"
+    ybar = "(CAST(t.pos AS DOUBLE) / CAST(t.n AS DOUBLE))"
+    rel = f"CAST(b.n_k AS DOUBLE) * ({pbar} - {ybar_k}) * ({pbar} - {ybar_k})"
+    res = f"CAST(b.n_k AS DOUBLE) * ({ybar_k} - {ybar}) * ({ybar_k} - {ybar})"
+    return f"""
+WITH t AS (
+  SELECT CAST(COALESCE(SUM(n_k), 0) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(pos_k), 0) AS BIGINT) AS pos
+  FROM {bins}
+),
+q AS (
+  SELECT CAST(SUM(CAST(FLOOR(({rel}) * 1000000000) AS BIGINT)) AS BIGINT)
+           AS rel_q,
+         CAST(SUM(CAST(FLOOR(({res}) * 1000000000) AS BIGINT)) AS BIGINT)
+           AS res_q
+  FROM {bins} b CROSS JOIN t
+)
+SELECT t.n AS n_orders, t.pos AS n_pos,
+       {bq} AS brier,
+       (CAST(q.rel_q AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+         / CAST(t.n AS DOUBLE) AS reliability,
+       (CAST(q.res_q AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+         / CAST(t.n AS DOUBLE) AS resolution,
+       {"(CAST(t.pos AS DOUBLE) / CAST(t.n AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(t.pos AS DOUBLE) / CAST(t.n AS DOUBLE))"}
+         AS uncertainty
+FROM t CROSS JOIN q
+WHERE t.n > 0
+"""
+
+
+def _register_brier() -> None:
+    duck_tail = _brier_tail("bins", "bq.bq")
+    assert duck_tail.startswith("\nWITH ")
+    spark_bins = _brier_bins(_SPARK_CAL_COIN, lambda a, b: f"({a}) DIV ({b})")
+    duck_bins = _brier_bins(_DUCK_CAL_COIN, lambda a, b: f"({a}) // ({b})")
+    staged_sql_query(
+        "ml_brier_decomposition",
+        ops=(
+            ("view", "brier_bins", spark_bins),
+            ("scalar", "BRIER_BQ", _brier_bq(_SPARK_CAL_COIN)),
+        ),
+        final=_brier_tail("brier_bins", "{BRIER_BQ}"),
+        oracle=(
+            f"WITH bins AS ({duck_bins}),\n"
+            f"bq AS ({_brier_bq(_DUCK_CAL_COIN)}),\n"
+            + duck_tail[len("\nWITH ") :].replace(
+                "FROM t CROSS JOIN q", "FROM t CROSS JOIN q CROSS JOIN bq"
+            )
+        ),
+        category="ml",
+        doc=(
+            "Brier score with the Murphy decomposition over the "
+            "md5-coin forecast vs the urgent-priority label: the score "
+            "numerator is the exact integer sum((coin-65536y)^2) on "
+            "the 1/65536 grid (staged scalar), reliability and "
+            "resolution run over the 10-row staged decile-bin table "
+            "with per-bin chains nano-quantized before order-free "
+            "sums, uncertainty = ybar(1-ybar) as one IEEE chain."
+        ),
+        tables=("orders",),
+    )
+
+
+_register_brier()

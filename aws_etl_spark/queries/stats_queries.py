@@ -3400,3 +3400,203 @@ sql_query(
     ),
     tables=("orders",),
 )
+
+
+# --------------------------------------------------------------------------
+# Jarque-Bera normality statistic (round 11 late batch, queued for the
+# r12 window): the moment-based "is this column even roughly normal"
+# tripwire — the monitors above test location shifts (ANOVA, MW),
+# spread (Levene-family), and single outliers (Grubbs); JB reads the
+# SHAPE via skewness and excess kurtosis, JB = n/6 (S^2 + K^2/4).
+# Exact two-pass central moments: pass 1 yields n and sum(y) (whole-
+# dollar units), the integer anchor m = S DIV n becomes a 1-row
+# broadcast; pass 2 sums d, d^2, d^3, d^4 with d = y - m as exact
+# DECIMAL(38,0) (per-row promotion through DECIMAL(19,0) squares).
+# The true-mean correction delta = r/n (r = S - n*m = sum(d), an
+# integer in [0, n)) enters only the final fixed IEEE chain:
+# m_k = E[(d - delta)^k] expanded in the exact sums. skew uses
+# c2*SQRT(c2) (not POWER(x,1.5) — SQRT is correctly rounded, POWER is
+# not guaranteed). Degenerates in integer space: n < 2 or min = max
+# pin skew/kurt/JB to 0. The two passes are inherent to exact central
+# moments (the one-pass multiply-through form overflows DECIMAL(38)
+# at n ~ 1e6); pass 1 reads one column — at 100 TB both passes are
+# the same columnar scan cost. Contract: |d| < 3.1e9 per row and
+# sum(d^4) < 1e38 (n < 7.7e14 at the corpus's ~6e5 dollar spread).
+# --------------------------------------------------------------------------
+
+
+def _jb_sql(intdiv) -> str:
+    dd = "CAST(b.y - mm.m0 AS DECIMAL(19,0))"
+    d2 = f"({dd} * {dd})"
+    return f"""
+WITH b AS (
+  SELECT CAST(FLOOR(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS y
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+mm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CASE WHEN COUNT(*) = 0 THEN CAST(0 AS BIGINT)
+              ELSE {intdiv("CAST(SUM(y) AS BIGINT)", "COUNT(*)")}
+         END AS m0
+  FROM b
+),
+d AS (
+  SELECT MAX(mm.n) AS n, MAX(mm.m0) AS m0,
+         MIN(b.y) AS mn, MAX(b.y) AS mx,
+         CAST(SUM(b.y - mm.m0) AS BIGINT) AS r,
+         CAST(SUM({d2}) AS DECIMAL(38,0)) AS sd2,
+         CAST(SUM(CAST({d2} AS DECIMAL(19,0)) * {dd}) AS DECIMAL(38,0))
+           AS sd3,
+         CAST(SUM(CAST({d2} AS DECIMAL(19,0)) * CAST({d2} AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sd4
+  FROM b CROSS JOIN mm
+),
+c AS (
+  SELECT n, mn, mx,
+         CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS del,
+         CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+         CAST(sd3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+         CAST(sd4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4,
+         CAST(m0 AS DOUBLE) + CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS mean_d
+  FROM d WHERE n > 0
+),
+k AS (
+  SELECT n, mn, mx, mean_d,
+         e2 - del * del AS c2,
+         e3 - CAST(3 AS DOUBLE) * del * e2
+            + CAST(2 AS DOUBLE) * del * del * del AS c3,
+         e4 - CAST(4 AS DOUBLE) * del * e3
+            + CAST(6 AS DOUBLE) * del * del * e2
+            - CAST(3 AS DOUBLE) * del * del * del * del AS c4
+  FROM c
+)
+SELECT n AS n_orders, mean_d AS mean_dollars,
+       CASE WHEN n < 2 OR mn = mx THEN CAST(0 AS DOUBLE)
+            ELSE c3 / (c2 * SQRT(c2)) END AS skewness,
+       CASE WHEN n < 2 OR mn = mx THEN CAST(0 AS DOUBLE)
+            ELSE c4 / (c2 * c2) - CAST(3 AS DOUBLE) END AS ex_kurtosis,
+       CASE WHEN n < 2 OR mn = mx THEN CAST(0 AS DOUBLE)
+            ELSE CAST(n AS DOUBLE) / CAST(6 AS DOUBLE)
+                 * ((c3 / (c2 * SQRT(c2))) * (c3 / (c2 * SQRT(c2)))
+                    + (c4 / (c2 * c2) - CAST(3 AS DOUBLE))
+                      * (c4 / (c2 * c2) - CAST(3 AS DOUBLE))
+                      / CAST(4 AS DOUBLE))
+       END AS jb_stat
+FROM k
+"""
+
+
+sql_query(
+    "stat_jarque_bera",
+    _jb_sql(lambda a, b: f"({a}) DIV ({b})"),
+    oracle=_jb_sql(lambda a, b: f"({a}) // ({b})"),
+    category="stats",
+    doc=(
+        "Jarque-Bera normality statistic over whole-dollar order "
+        "amounts: exact two-pass central moments (integer anchor "
+        "m = S DIV n, DECIMAL(38,0) sums of d..d^4), the true-mean "
+        "correction delta = r/n entering only the final fixed IEEE "
+        "chain, skewness via c2*SQRT(c2), JB = n/6 (S^2 + K^2/4); "
+        "n<2 / constant-column degenerates pinned to 0 in integer "
+        "space."
+    ),
+    tables=("orders",),
+)
+
+
+# --------------------------------------------------------------------------
+# Theil's U — uncertainty coefficient (round 11 late batch, queued for
+# the r12 window): Cramér's V above answers "how strongly are two
+# categoricals associated" SYMMETRICALLY; Theil's U(Y|X) is the
+# ASYMMETRIC companion — "what fraction of event_type's entropy does
+# knowing the ISO weekday remove" — the readout feature-selection
+# sweeps want when V ~ 0.1 could mean either direction. Same staged
+# contingency-cell scan as Cramér's V (one events pass; margins and
+# totals derive from the <= types x 7 row cell table). Entropies use
+# the text_word_entropy identity: H(Y) = ln n - sum(rm ln rm)/n and
+# H(Y|X) = sum_cells(c ln(cm/c))/n, each term micro-quantized
+# (FLOOR x1e6) before the order-free BIGINT sum — LN appears only
+# inside per-term chains, never folded in float. U = (H(Y)-H(Y|X))/
+# H(Y); a single-level Y (nr <= 1) pins U to 0 in integer space.
+# --------------------------------------------------------------------------
+
+
+def _theil_tail(cells: str) -> str:
+    y_term = (
+        "CAST(r.rm AS DOUBLE) * LN(CAST(r.rm AS DOUBLE)) "
+        "* CAST(1000000 AS DOUBLE)"
+    )
+    cond_term = (
+        "CAST(c.o AS DOUBLE)"
+        " * LN(CAST(cm.cm AS DOUBLE) / CAST(c.o AS DOUBLE))"
+        " * CAST(1000000 AS DOUBLE)"
+    )
+    return f"""
+WITH r AS (
+  SELECT grp, CAST(SUM(o) AS BIGINT) AS rm FROM {cells} GROUP BY grp
+),
+cm AS (
+  SELECT dow, CAST(SUM(o) AS BIGINT) AS cm FROM {cells} GROUP BY dow
+),
+n AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT grp) AS BIGINT) AS nr,
+         CAST(COUNT(DISTINCT dow) AS BIGINT) AS nc
+  FROM {cells}
+),
+qy AS (
+  SELECT CAST(SUM(CAST(FLOOR({y_term}) AS BIGINT)) AS BIGINT) AS qy FROM r
+),
+qc AS (
+  SELECT CAST(SUM(CAST(FLOOR({cond_term}) AS BIGINT)) AS BIGINT) AS qc
+  FROM {cells} c JOIN cm ON cm.dow = c.dow
+),
+h AS (
+  SELECT n.n, n.nr, n.nc,
+         LN(CAST(n.n AS DOUBLE))
+           - (CAST(qy.qy AS DOUBLE) / CAST(1000000 AS DOUBLE))
+             / CAST(n.n AS DOUBLE) AS h_y,
+         (CAST(qc.qc AS DOUBLE) / CAST(1000000 AS DOUBLE))
+           / CAST(n.n AS DOUBLE) AS h_y_given_x
+  FROM n CROSS JOIN qy CROSS JOIN qc
+  WHERE n.n > 0
+)
+SELECT n AS n_events, nr AS n_types, nc AS n_dows, h_y, h_y_given_x,
+       CASE WHEN nr <= 1 THEN CAST(0 AS DOUBLE)
+            ELSE (h_y - h_y_given_x) / h_y END AS theil_u
+FROM h
+"""
+
+
+def _register_theil_u() -> None:
+    cells_tpl = """
+SELECT event_type AS grp, {dow} AS dow,
+       CAST(COUNT(*) AS BIGINT) AS o
+FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+GROUP BY event_type, {dow}
+"""
+    spark_cells = cells_tpl.format(dow="(WEEKDAY(ts) + 1)")
+    duck_cells = cells_tpl.format(dow="ISODOW(ts)")
+    duck_tail = _theil_tail("cells")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "stat_theil_u",
+        ops=(("view", "theil_cells", spark_cells),),
+        final=_theil_tail("theil_cells"),
+        oracle=(
+            f"WITH cells AS ({duck_cells}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="stats",
+        doc=(
+            "Theil's uncertainty coefficient U(event_type | ISO "
+            "weekday): contingency cells from one staged events scan, "
+            "H(Y) and H(Y|X) via the entropy identity with per-term "
+            "LN chains micro-quantized before order-free BIGINT sums, "
+            "U = (H(Y)-H(Y|X))/H(Y) with the single-level degenerate "
+            "pinned to 0 in integer space."
+        ),
+        tables=("events",),
+    )
+
+
+_register_theil_u()
