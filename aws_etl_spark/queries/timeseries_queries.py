@@ -1373,3 +1373,408 @@ def _register_ljung_box() -> None:
 
 
 _register_ljung_box()
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (round 11 late batch, queued for the r12
+# window): the monitors above read autocorrelation magnitude (ACF,
+# Ljung-Box); the runs test asks the coarser question a health check
+# wants first — "is daily volume even RANDOM around its median, or
+# does it drift/oscillate". Same staged daily-count view. The doubled
+# median (x_lo + x_hi at the two middle order statistics) is exact
+# integer; days at exactly the median are excluded (the standard
+# treatment), signs are integers, runs count via one LAG over the day
+# order, and z = (R - mu)/sigma is one fixed IEEE chain whose
+# degenerate guard (2*n1*n2*(2*n1*n2 - n) <= 0, i.e. one-sided or
+# variance-zero sequences) is decided in exact BIGINT space.
+# Scale: the spine is bounded (one row per day); every window runs on
+# it, never on raw events.
+# --------------------------------------------------------------------------
+
+
+def _runs_tail(daily: str, intdiv) -> str:
+    lo = intdiv("t.nd + 1", "2")
+    hi = intdiv("t.nd + 2", "2")
+    return f"""
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM {daily}),
+r AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, dn) AS rn FROM {daily}
+),
+med AS (
+  SELECT CAST(SUM(CASE WHEN r.rn = {lo} THEN r.x ELSE 0 END)
+              + SUM(CASE WHEN r.rn = {hi} THEN r.x ELSE 0 END) AS BIGINT)
+           AS med2
+  FROM r CROSS JOIN t
+),
+s AS (
+  SELECT d.dn,
+         CASE WHEN 2 * d.x > m.med2 THEN 1 ELSE 0 END AS sgn
+  FROM {daily} d CROSS JOIN med m
+  WHERE 2 * d.x <> m.med2
+),
+runs AS (
+  SELECT sgn,
+         CASE WHEN LAG(sgn) OVER (ORDER BY dn) IS NULL
+                   OR LAG(sgn) OVER (ORDER BY dn) <> sgn
+              THEN 1 ELSE 0 END AS run_start
+  FROM s
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+         CAST(COALESCE(SUM(sgn), 0) AS BIGINT) AS n1,
+         CAST(COUNT(*) - COALESCE(SUM(sgn), 0) AS BIGINT) AS n2,
+         CAST(COALESCE(SUM(run_start), 0) AS BIGINT) AS r
+  FROM runs
+)
+SELECT t.nd AS n_days, a.n_used, a.n1 AS n_above, a.n2 AS n_below,
+       a.r AS n_runs,
+       CASE WHEN 2 * a.n1 * a.n2 * (2 * a.n1 * a.n2 - a.n_used) <= 0
+            THEN CAST(0 AS DOUBLE)
+            ELSE (CAST(a.r AS DOUBLE)
+                  - (CAST(2 * a.n1 * a.n2 AS DOUBLE)
+                     / CAST(a.n_used AS DOUBLE) + CAST(1 AS DOUBLE)))
+                 / SQRT(CAST(2 * a.n1 * a.n2 AS DOUBLE)
+                        * (CAST(2 * a.n1 * a.n2 AS DOUBLE)
+                           - CAST(a.n_used AS DOUBLE))
+                        / (CAST(a.n_used AS DOUBLE)
+                           * CAST(a.n_used AS DOUBLE)
+                           * CAST(a.n_used - 1 AS DOUBLE)))
+       END AS z_stat
+FROM agg a CROSS JOIN t
+"""
+
+
+def _register_runs_test() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+
+    duck_daily = _acf_daily_sql(
+        "epoch(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+        lambda a, b: f"({a}) // ({b})",
+    )
+    duck_tail = _runs_tail("daily", lambda a, b: f"({a}) // ({b})")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "stat_runs_test",
+        ops=(
+            (
+                "view",
+                "rt_daily",
+                _acf_daily_sql(
+                    "unix_timestamp(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+                    lambda a, b: f"({a}) DIV ({b})",
+                ),
+            ),
+        ),
+        final=_runs_tail("rt_daily", lambda a, b: f"({a}) DIV ({b})"),
+        oracle=(
+            f"WITH daily AS ({duck_daily}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="stats",
+        doc=(
+            "Wald-Wolfowitz runs test on daily event volume: exact "
+            "doubled median over the staged daily spine, exact-median "
+            "days excluded, runs counted via one LAG over day order, "
+            "z = (R - mu)/sigma as one fixed IEEE chain with the "
+            "one-sided / zero-variance degenerate decided in exact "
+            "BIGINT space."
+        ),
+        tables=("events",),
+    )
+
+
+_register_runs_test()
+
+
+# --------------------------------------------------------------------------
+# Pettitt changepoint test (round 11 late batch, queued for the r12
+# window): CUSUM above flags mean shifts against a KNOWN baseline
+# segment; Pettitt is the rank-based single-changepoint test with no
+# baseline — "did the daily-volume level shift, and on which day".
+# With doubled midranks r2 = 2*RANK() + ties - 1 (exact integers under
+# ties), the classic identity U_t = 2*W_t - t(n+1) becomes
+# U_t = W2_t - t(n+1) where W2_t is the running sum of r2 — every U_t
+# is an exact BIGINT from one rank window and one prefix-sum window
+# over the bounded daily spine. K = max|U_t| over t < n; the reported
+# change day is the EARLIEST argmax (deterministic under ties). The
+# 5%-significance flag replaces the usual p ~ 2 exp(-6K^2/(n^3+n^2))
+# readout with its exact inversion 6K^2 > -ln(0.025)(n^3+n^2) against
+# a pinned double literal — EXP differs in the last ulp across
+# engines, the comparison of exact integers against one literal chain
+# does not. Scale: both windows run on the daily spine, never on raw
+# events.
+# --------------------------------------------------------------------------
+
+
+def _pettitt_tail(daily: str) -> str:
+    return f"""
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM {daily}),
+rk AS (
+  SELECT dn,
+         CAST(2 * RANK() OVER (ORDER BY x)
+              + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS r2
+  FROM {daily}
+),
+w AS (
+  SELECT dn,
+         CAST(SUM(r2) OVER (ORDER BY dn
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS w2,
+         CAST(ROW_NUMBER() OVER (ORDER BY dn) AS BIGINT) AS tpos
+  FROM rk
+),
+u AS (
+  SELECT w.dn, w.w2 - w.tpos * (t.nd + 1) AS u_t
+  FROM w CROSS JOIN t WHERE w.tpos < t.nd
+),
+k AS (SELECT CAST(MAX(ABS(u_t)) AS BIGINT) AS k_stat FROM u)
+SELECT t.nd AS n_days, k.k_stat,
+       (SELECT MIN(u.dn) FROM u WHERE ABS(u.u_t) = k.k_stat)
+         AS change_dn,
+       CAST(CASE WHEN CAST(6 AS DOUBLE) * CAST(k.k_stat AS DOUBLE)
+                      * CAST(k.k_stat AS DOUBLE)
+                      > CAST('3.6888794541139363' AS DOUBLE)
+                        * (CAST(t.nd AS DOUBLE) * CAST(t.nd AS DOUBLE)
+                           * CAST(t.nd AS DOUBLE)
+                           + CAST(t.nd AS DOUBLE) * CAST(t.nd AS DOUBLE))
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant_05
+FROM t CROSS JOIN k
+WHERE t.nd >= 2
+"""
+
+
+def _register_pettitt() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+
+    duck_daily = _acf_daily_sql(
+        "epoch(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+        lambda a, b: f"({a}) // ({b})",
+    )
+    duck_tail = _pettitt_tail("daily")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "stat_pettitt_change",
+        ops=(
+            (
+                "view",
+                "pt_daily",
+                _acf_daily_sql(
+                    "unix_timestamp(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+                    lambda a, b: f"({a}) DIV ({b})",
+                ),
+            ),
+        ),
+        final=_pettitt_tail("pt_daily"),
+        oracle=(
+            f"WITH daily AS ({duck_daily}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="stats",
+        doc=(
+            "Pettitt rank-based changepoint on daily event volume: "
+            "doubled midranks make U_t = W2_t - t(n+1) an exact BIGINT "
+            "per day, K = max|U_t| with the earliest argmax day, and "
+            "the 5% significance flag decided by the exact inversion "
+            "6K^2 > -ln(0.025)(n^3+n^2) against a pinned literal "
+            "(never a cross-engine EXP). Two windows over the staged "
+            "daily spine."
+        ),
+        tables=("events",),
+    )
+
+
+_register_pettitt()
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b between daily order count and daily revenue (round 11
+# late batch, queued for the r12 window): Spearman above reads the
+# rank correlation of two columns row-by-row; tau-b is the
+# concordance readout analysts quote for SERIES — "do busier days
+# bring more revenue, monotonically" — and its tie corrections matter
+# on integer counts. The pair join runs over the AGGREGATED daily
+# spine (bounded: one row per day — ~n^2/2 comparisons over years of
+# days stays tiny next to any raw-event shuffle; the raw table never
+# self-joins). Concordant/discordant are decided by exact BIGINT
+# comparisons (never a product, which overflows at count*cents
+# scale), tie counts tc(tc-1)/2 stay integers via DIV, and
+# tau_b = (C-D)/(sqrt(n0-tx) sqrt(n0-ty)) is one fixed IEEE chain
+# with the all-tied degenerate pinned to 0 in integer space.
+# --------------------------------------------------------------------------
+
+
+def _kt_daily_sql(epoch_expr: str, intdiv) -> str:
+    dn = intdiv(f"CAST(FLOOR({epoch_expr}) AS BIGINT)", "86400")
+    return f"""
+SELECT CAST({dn} AS BIGINT) AS dn_raw,
+       CAST(COUNT(*) AS BIGINT) AS c,
+       CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+            AS BIGINT) AS v
+FROM orders WHERE o_orderdate IS NOT NULL
+GROUP BY 1
+"""
+
+
+def _kendall_tail(daily: str, intdiv) -> str:
+    half = lambda x: intdiv(x, "2")  # noqa: E731
+    return f"""
+WITH d AS (SELECT CAST(dn_raw AS BIGINT) AS dn, c, v FROM {daily}),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM d),
+p AS (
+  SELECT CAST(SUM(CASE WHEN (a.c > b.c AND a.v > b.v)
+                         OR (a.c < b.c AND a.v < b.v)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+         CAST(SUM(CASE WHEN (a.c > b.c AND a.v < b.v)
+                         OR (a.c < b.c AND a.v > b.v)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS disc
+  FROM d a JOIN d b ON a.dn < b.dn
+),
+tx AS (
+  SELECT CAST(COALESCE(SUM({half("tc * (tc - 1)")}), 0) AS BIGINT) AS tx
+  FROM (SELECT COUNT(*) AS tc FROM d GROUP BY c) g
+),
+ty AS (
+  SELECT CAST(COALESCE(SUM({half("tc * (tc - 1)")}), 0) AS BIGINT) AS ty
+  FROM (SELECT COUNT(*) AS tc FROM d GROUP BY v) g
+),
+n0 AS (SELECT CAST({half("t.nd * (t.nd - 1)")} AS BIGINT) AS n0 FROM t)
+SELECT t.nd AS n_days,
+       COALESCE(p.conc, 0) AS concordant, COALESCE(p.disc, 0) AS discordant,
+       tx.tx AS ties_x, ty.ty AS ties_y,
+       CASE WHEN n0.n0 - tx.tx <= 0 OR n0.n0 - ty.ty <= 0
+            THEN CAST(0 AS DOUBLE)
+            ELSE CAST(COALESCE(p.conc, 0) - COALESCE(p.disc, 0) AS DOUBLE)
+                 / (SQRT(CAST(n0.n0 - tx.tx AS DOUBLE))
+                    * SQRT(CAST(n0.n0 - ty.ty AS DOUBLE)))
+       END AS tau_b
+FROM t CROSS JOIN p CROSS JOIN tx CROSS JOIN ty CROSS JOIN n0
+"""
+
+
+def _register_kendall() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+
+    duck_daily = _kt_daily_sql(
+        "epoch(DATE_TRUNC('day', CAST(o_orderdate AS TIMESTAMP)))",
+        lambda a, b: f"({a}) // ({b})",
+    )
+    duck_tail = _kendall_tail("daily", lambda a, b: f"({a}) // ({b})")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "stat_kendall_tau_daily",
+        ops=(
+            (
+                "view",
+                "kt_daily",
+                _kt_daily_sql(
+                    "unix_timestamp(DATE_TRUNC('day',"
+                    " CAST(o_orderdate AS TIMESTAMP)))",
+                    lambda a, b: f"({a}) DIV ({b})",
+                ),
+            ),
+        ),
+        final=_kendall_tail("kt_daily", lambda a, b: f"({a}) DIV ({b})"),
+        oracle=(
+            f"WITH daily AS ({duck_daily}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="stats",
+        doc=(
+            "Kendall tau-b between daily order count and daily revenue "
+            "cents: pair comparisons over the bounded staged daily "
+            "spine (never the raw table), concordance decided by exact "
+            "BIGINT comparisons (no overflow-prone products), integer "
+            "tie corrections, tau-b as one fixed IEEE chain with "
+            "all-tied margins pinned to 0 in integer space."
+        ),
+        tables=("orders",),
+    )
+
+
+_register_kendall()
+
+
+# --------------------------------------------------------------------------
+# Forecast backtest evaluation (round 11 late batch, queued for the
+# r12 window): the smoothing/decomposition operators above PRODUCE
+# forecasts; this is the eval harness that scores the two standard
+# baselines every forecasting pipeline must beat — naive (yesterday)
+# and seasonal-naive (same weekday last week) — on the daily-volume
+# series. Per-day errors are exact integers off the staged daily
+# spine (both the actual and the forecast are daily counts); MAE and
+# WAPE finish as one IEEE division each over exact BIGINT sums, and
+# sMAPE's per-day term 2|x-f|/(x+f) is nano-quantized before the
+# order-free BIGINT sum (x, f >= 1 on the grouped spine — the
+# denominator cannot be 0). Days whose lagged partner is missing are
+# excluded per model (inner join on the spine), so each model reports
+# its own coverage. Scale: a 2-row model spine joined to the bounded
+# daily view — no raw-event shuffle.
+# --------------------------------------------------------------------------
+
+
+def _forecast_eval_tail(daily: str) -> str:
+    term = (
+        "CAST(2 AS DOUBLE) * CAST(ABS(a.x - b.x) AS DOUBLE)"
+        " / CAST(a.x + b.x AS DOUBLE) * CAST(1000000000 AS DOUBLE)"
+    )
+    return f"""
+WITH m AS (
+  SELECT 1 AS lag_d, 'naive_1' AS model
+  UNION ALL
+  SELECT 7 AS lag_d, 'snaive_7' AS model
+),
+j AS (
+  SELECT m.model, a.dn, a.x, b.x AS f,
+         CAST(ABS(a.x - b.x) AS BIGINT) AS ae,
+         CAST(FLOOR({term}) AS BIGINT) AS smape_q
+  FROM m JOIN {daily} a ON 1 = 1
+  JOIN {daily} b ON b.dn = a.dn - m.lag_d
+)
+SELECT model,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ae) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae,
+       CAST(SUM(ae) AS DOUBLE) / CAST(SUM(x) AS DOUBLE) AS wape,
+       (CAST(SUM(smape_q) AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+         / CAST(COUNT(*) AS DOUBLE) AS smape
+FROM j
+GROUP BY model
+ORDER BY model
+"""
+
+
+def _register_forecast_eval() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+
+    duck_daily = _acf_daily_sql(
+        "epoch(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+        lambda a, b: f"({a}) // ({b})",
+    )
+    duck_tail = _forecast_eval_tail("daily")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "events_forecast_eval",
+        ops=(
+            (
+                "view",
+                "fe_daily",
+                _acf_daily_sql(
+                    "unix_timestamp(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+                    lambda a, b: f"({a}) DIV ({b})",
+                ),
+            ),
+        ),
+        final=_forecast_eval_tail("fe_daily"),
+        oracle=(
+            f"WITH daily AS ({duck_daily}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="timeseries",
+        doc=(
+            "Backtest scores for the naive (lag-1) and seasonal-naive "
+            "(lag-7) daily-volume forecasts: exact integer per-day "
+            "errors off the staged daily spine, MAE/WAPE as one IEEE "
+            "division each over exact BIGINT sums, sMAPE terms "
+            "nano-quantized before the order-free sum, per-model "
+            "coverage from the inner spine join."
+        ),
+        tables=("events",),
+    )
+
+
+_register_forecast_eval()
