@@ -816,3 +816,110 @@ jp AS (
 
 
 _register_split_leakage()
+
+
+# --------------------------------------------------------------------------
+# N-gram contamination audit between splits (round 11 late batch,
+# queued for the r12 window): dedup_decontaminate removes WHOLE-doc
+# eval duplicates and corpus_split_leakage finds NEAR-dup pairs; the
+# standard LLM-eval hygiene check (GPT-3/PaLM-style) is finer still —
+# "what fraction of each eval document's word 5-grams also appear
+# anywhere in the train split". Splits are the corpus's own stable
+# md5-bucket assignment (identical thresholds to corpus_split_assign,
+# so the audit reads the very splits the pipeline ships). One staged
+# scan explodes every doc into (doc_id, split, 5-gram); the train
+# side deduplicates to distinct grams, the eval side LEFT-joins it,
+# and per-doc shares are one IEEE division over exact BIGINT counts
+# with the >= 50 % flag decided in integer space (2c >= n). Docs
+# shorter than 5 words contribute no grams and drop out (documented).
+# Scale: the gram join shuffles on the gram hash — linear in corpus
+# token count; no doc x doc pairing anywhere.
+# --------------------------------------------------------------------------
+
+_CONTAM_TRAIN_LT = 52428  # int(0.8 * 65536) — corpus_split_assign's edge
+_CONTAM_TEST_GE = 58982  # int(0.9 * 65536)
+
+_CONTAM_GRAMS_SPARK = f"""
+SELECT doc_id,
+       CASE WHEN bucket < {_CONTAM_TRAIN_LT} THEN 'train'
+            WHEN bucket >= {_CONTAM_TEST_GE} THEN 'test'
+            ELSE 'val' END AS split,
+       explode(CASE WHEN size(ws) >= 5
+                    THEN transform(sequence(1, size(ws) - 4),
+                                   i -> concat_ws(' ', slice(ws, i, 5)))
+                    ELSE array() END) AS gram
+FROM (
+  SELECT doc_id,
+         CAST(CONV(SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 4), 16, 10)
+              AS INT) AS bucket,
+         split(trim(text), ' ') AS ws
+  FROM documents
+)
+"""
+
+
+def _contam_tail(grams: str) -> str:
+    return f"""
+WITH tr AS (SELECT DISTINCT gram FROM {grams} WHERE split = 'train'),
+ev AS (SELECT doc_id, gram FROM {grams} WHERE split = 'test'),
+j AS (
+  SELECT e.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_contaminated
+  FROM ev e LEFT JOIN tr t ON t.gram = e.gram
+  GROUP BY e.doc_id
+)
+SELECT doc_id, n_grams, n_contaminated,
+       CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE)
+         AS contaminated_share,
+       CAST(CASE WHEN 2 * n_contaminated >= n_grams THEN 1 ELSE 0 END
+            AS BIGINT) AS flag_contaminated
+FROM j
+ORDER BY doc_id
+"""
+
+
+def _register_contamination() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+
+    duck_grams = f"""
+SELECT doc_id,
+       CASE WHEN bucket < {_CONTAM_TRAIN_LT} THEN 'train'
+            WHEN bucket >= {_CONTAM_TEST_GE} THEN 'test'
+            ELSE 'val' END AS split,
+       UNNEST(LIST_TRANSFORM(
+         RANGE(1, GREATEST(LEN(ws) - 4, 0) + 1),
+         i -> ARRAY_TO_STRING(ws[i:i+4], ' ')
+       )) AS gram
+FROM (
+  SELECT doc_id,
+         {duckdb_bucket_sql("CAST(doc_id AS VARCHAR)")} AS bucket,
+         STRING_SPLIT(TRIM(text), ' ') AS ws
+  FROM documents
+)
+"""
+    duck_tail = _contam_tail("grams")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "corpus_ngram_contamination",
+        ops=(("view", "contam_grams", _CONTAM_GRAMS_SPARK),),
+        final=_contam_tail("contam_grams"),
+        oracle=(
+            f"WITH grams AS ({duck_grams}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="corpus",
+        doc=(
+            "Word-5-gram contamination of the test split against the "
+            "train split (the GPT-3-style eval-hygiene audit) on the "
+            "corpus's own stable md5-bucket split assignment: one "
+            "staged gram explosion, distinct train grams LEFT-joined "
+            "to test-gram occurrences, per-doc shares as one IEEE "
+            "division over exact BIGINT counts and the 50% flag "
+            "decided in integer space."
+        ),
+        tables=("documents",),
+    )
+
+
+_register_contamination()

@@ -2404,3 +2404,132 @@ def _register_jsd() -> None:
 
 
 _register_jsd()
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (round 11 late batch, queued for the r12
+# window): TextRank above scores single words by co-occurrence
+# centrality; RAKE (Rose et al.) is the other classic unsupervised
+# extractor — it scores PHRASES: split each document on stopwords
+# into candidate phrases, score each word by degree/frequency over
+# phrase memberships, and score a phrase by the sum of its word
+# scores. Exact integer machinery: phrase ids come from one running
+# stopword-count window over the staged token view, word scores are
+# micro-quantized by pure integer division ((degree*1e6) DIV freq —
+# no float ever), phrase scores are order-free integer sums, and the
+# top-20 readout tiebreaks (score DESC, phrase ASC) for a
+# deterministic LIMIT. The phrase string itself is the SQL-standard
+# ordered aggregation (LISTAGG WITHIN GROUP / STRING_AGG ORDER BY) —
+# deterministic under parallel aggregation. The en stopword list is
+# the module's shared STOPWORDS (embedded verbatim in both texts).
+# Scale: one staged documents scan; the window partitions by doc;
+# word stats and phrase sums are hash aggs on bounded keys.
+# --------------------------------------------------------------------------
+
+
+def _rake_tail(tok: str, listagg, intdiv) -> str:
+    phrase_agg = listagg("m.w", "' '", "m.pos")
+    score = intdiv("ws.degree * 1000000", "ws.freq")
+    return f"""
+WITH g AS (
+  SELECT doc_id, pos, w, stop,
+         SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS grp
+  FROM {tok}
+),
+memb AS (SELECT doc_id, grp, pos, w FROM g WHERE stop = 0),
+ph AS (
+  -- candidate phrases cap at 4 words (the standard RAKE practice);
+  -- without it a low-stopword document scores as ONE giant phrase
+  -- and the "top keywords" readout degenerates to whole documents
+  SELECT doc_id, grp, plen FROM (
+    SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS plen
+    FROM memb GROUP BY doc_id, grp
+  ) p0 WHERE plen <= 4
+),
+ws AS (
+  SELECT m.w, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(p.plen) AS BIGINT) AS degree
+  FROM memb m JOIN ph p ON p.doc_id = m.doc_id AND p.grp = m.grp
+  GROUP BY m.w
+),
+wsq AS (SELECT w, CAST({score} AS BIGINT) AS score_q FROM ws),
+inst AS (
+  -- only capped candidates; every word of a kept phrase is present
+  -- in wsq by construction (its own phrase is kept), so the inner
+  -- join cannot drop members
+  SELECT m.doc_id, m.grp,
+         {phrase_agg} AS phrase,
+         CAST(SUM(s.score_q) AS BIGINT) AS inst_score_q,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM memb m
+  JOIN ph p ON p.doc_id = m.doc_id AND p.grp = m.grp
+  JOIN wsq s ON s.w = m.w
+  GROUP BY m.doc_id, m.grp
+)
+SELECT phrase,
+       CAST(MAX(n_words) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MAX(inst_score_q) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+         AS rake_score
+FROM inst
+GROUP BY phrase
+ORDER BY MAX(inst_score_q) DESC, phrase
+LIMIT 20
+"""
+
+
+def _register_rake() -> None:
+    from aws_etl_spark.text import STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    spark_tok = f"""
+SELECT doc_id, pos + 1 AS pos, col AS w,
+       CASE WHEN col IN ({sw}) THEN 1 ELSE 0 END AS stop
+FROM (SELECT doc_id, posexplode(split(trim(lower(text)), ' '))
+      FROM documents)
+WHERE col <> ''
+"""
+    duck_tok = f"""
+SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w,
+       CASE WHEN unnest(ws) IN ({sw}) THEN 1 ELSE 0 END AS stop
+FROM (SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS ws
+      FROM documents)
+"""
+    duck_tail = _rake_tail(
+        "tok",
+        lambda col, sep, order: f"STRING_AGG({col}, {sep} ORDER BY {order})",
+        lambda a, b: f"({a}) // ({b})",
+    )
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "text_rake_keywords",
+        ops=(("view", "rake_tok", spark_tok),),
+        final=_rake_tail(
+            "rake_tok",
+            lambda col, sep, order: (
+                f"LISTAGG({col}, {sep}) WITHIN GROUP (ORDER BY {order})"
+            ),
+            lambda a, b: f"({a}) DIV ({b})",
+        ),
+        oracle=(
+            f"WITH tok AS (SELECT doc_id, pos, w, stop FROM ({duck_tok}) t"
+            f" WHERE w <> ''),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="text",
+        doc=(
+            "RAKE keyword phrases over the corpus: stopword-delimited "
+            "candidate phrases (capped at 4 words, the standard RAKE "
+            "practice) from one running-count window on the "
+            "staged token view, word scores degree/freq as pure "
+            "integer division (micro-quantized), phrase scores as "
+            "order-free integer sums, ordered LISTAGG/STRING_AGG "
+            "phrase assembly, deterministic top-20 (score DESC, "
+            "phrase ASC)."
+        ),
+        tables=("documents",),
+    )
+
+
+_register_rake()

@@ -1537,3 +1537,117 @@ def q_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kcenter_greedy_quantized(emb, k=_KCENTER_K)
+
+
+# --------------------------------------------------------------------------
+# Simplified silhouette per label (round 11 late batch, queued for the
+# r12 window): label_centroids reads how close class PROTOTYPES are;
+# the silhouette reads the per-VECTOR verdict — "is each embedding
+# closer to its own label's centroid than to the nearest other" — the
+# standard cluster-quality audit (the simplified/centroid variant, the
+# one that scales: a(i) and b(i) are centroid distances, never the
+# O(n^2) pairwise means). Exactness: components quantize to 1e-6
+# integers (the dim-stats idiom); squared centroid distances use the
+# count-scaled identity dist^2 * cnt^2 = sum_d (q6*cnt - S_d)^2 — an
+# exact DECIMAL(38,0) per (vector, label) — so the only IEEE ops are
+# one SQRT/cnt chain per candidate label, the (b-a)/max(a,b) per
+# vector (nano-quantized before the order-free per-label sum), and
+# the final mean division. Degenerates in integer space: a single
+# label (b undefined) or a zero max(a,b) pin s to 0.
+# Scale: the join is vectors x dims x labels — linear in the corpus
+# with a bounded label fan-out; one staged embeddings scan.
+# Contract: (q6*cnt)^2 * dims < 1e38 (cnt to ~1e9 at 64 dims).
+# --------------------------------------------------------------------------
+
+_SIL_Q_SPARK = """
+SELECT vec_id, CAST(label AS BIGINT) AS label, pos + 1 AS dim,
+       CAST(FLOOR(CAST(col AS DOUBLE) * 1000000) AS BIGINT) AS q6
+FROM (SELECT vec_id, label, posexplode(embedding) FROM embeddings)
+"""
+
+_SIL_Q_DUCK = """
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       generate_subscripts(embedding, 1) AS dim,
+       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+         AS q6
+FROM embeddings
+"""
+
+_SIL_C = """
+SELECT label, dim, CAST(SUM(q6) AS BIGINT) AS s,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM {q} GROUP BY label, dim
+"""
+
+
+def _silhouette_tail(q: str, c: str) -> str:
+    diff = "CAST(q.q6 * c.cnt - c.s AS DECIMAL(19,0))"
+    return f"""
+WITH d AS (
+  SELECT q.vec_id, q.label AS own_label, c.label AS cand_label,
+         CAST(MAX(c.cnt) AS BIGINT) AS cnt,
+         CAST(SUM({diff} * {diff}) AS DECIMAL(38,0)) AS num
+  FROM {q} q JOIN {c} c ON c.dim = q.dim
+  GROUP BY q.vec_id, q.label, c.label
+),
+dist AS (
+  SELECT vec_id, own_label, cand_label,
+         SQRT(CAST(num AS DOUBLE)) / CAST(cnt AS DOUBLE) AS dist
+  FROM d
+),
+ab AS (
+  SELECT vec_id, own_label,
+         MAX(CASE WHEN cand_label = own_label THEN dist END) AS a,
+         MIN(CASE WHEN cand_label <> own_label THEN dist END) AS b
+  FROM dist GROUP BY vec_id, own_label
+),
+sq AS (
+  SELECT vec_id, own_label,
+         CASE WHEN b IS NULL OR GREATEST(a, b) = CAST(0 AS DOUBLE)
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR((b - a) / GREATEST(a, b)
+                              * CAST(1000000000 AS DOUBLE)) AS BIGINT)
+         END AS s_q
+  FROM ab
+)
+SELECT own_label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       (CAST(SUM(s_q) AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+         / CAST(COUNT(*) AS DOUBLE) AS mean_silhouette
+FROM sq GROUP BY own_label ORDER BY own_label
+"""
+
+
+def _register_silhouette() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+
+    duck_tail = _silhouette_tail("qv", "cv")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "embeddings_silhouette",
+        ops=(
+            ("view", "sil_q", _SIL_Q_SPARK),
+            ("view", "sil_c", _SIL_C.format(q="sil_q")),
+        ),
+        final=_silhouette_tail("sil_q", "sil_c"),
+        oracle=(
+            f"WITH qv AS ({_SIL_Q_DUCK}),\n"
+            f"cv AS ({_SIL_C.format(q='qv')}),\n"
+            + duck_tail[len("\nWITH ") :]
+        ),
+        category="similarity",
+        doc=(
+            "Simplified (centroid) silhouette per label: 1e-6 "
+            "component quantization, exact DECIMAL(38,0) squared "
+            "centroid distances via the count-scaled identity, one "
+            "SQRT chain per candidate label, per-vector scores "
+            "nano-quantized before order-free per-label means; "
+            "single-label and zero-distance degenerates pinned to 0 "
+            "in integer space. One staged embeddings scan; the join "
+            "fan-out is vectors x dims x labels (bounded labels)."
+        ),
+        tables=("embeddings",),
+    )
+
+
+_register_silhouette()

@@ -3600,3 +3600,118 @@ GROUP BY event_type, {dow}
 
 
 _register_theil_u()
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe / Levene spread test (round 11 late batch, queued for
+# the r12 window): ANOVA F and Kruskal-Wallis above test LOCATION;
+# the Brown-Forsythe W tests whether the segments' SPREADS differ —
+# the variance-homogeneity gate every pooled-variance readout (ANOVA
+# itself, Cohen's d) assumes. W = the one-way ANOVA F applied to
+# z = |y - median(group)|; the median variant (Brown-Forsythe, not
+# Levene's mean) is the robust standard. Exact machinery end-to-end:
+# per-group DOUBLED medians are integer order statistics via one
+# ROW_NUMBER window over the staged cents view, z2 = |2y - med2| is
+# an exact integer per row (doubling cancels inside F), per-group
+# moments are DECIMAL(38,0), and the between/within terms reuse the
+# ANOVA milli-quantization before order-free sums. Degenerates (k <=
+# 1, N <= k, all-|dev| equal) pin W to 0 on the quantized integers.
+# Scale: one staged events scan; the rank window and the moment agg
+# both run partitioned by group. Contract: sum(z2^2)*1000 < 1e38.
+# --------------------------------------------------------------------------
+
+_LEVENE_Y = """
+SELECT event_type AS grp,
+       CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT) AS y
+FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+"""
+
+
+def _levene_tail(y: str, intdiv) -> str:
+    lo = intdiv("cnt + 1", "2")
+    hi = intdiv("cnt + 2", "2")
+    return f"""
+WITH r AS (
+  SELECT grp, y,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY y) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS cnt
+  FROM {y}
+),
+med AS (
+  SELECT grp,
+         CAST(SUM(CASE WHEN rn = {lo} THEN y ELSE 0 END)
+              + SUM(CASE WHEN rn = {hi} THEN y ELSE 0 END) AS BIGINT)
+           AS med2
+  FROM r GROUP BY grp
+),
+z AS (
+  SELECT a.grp, ABS(2 * a.y - m.med2) AS z2
+  FROM {y} a JOIN med m ON m.grp = a.grp
+),
+m AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(CAST(z2 AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS s_i,
+         CAST(SUM(CAST(z2 AS DECIMAL(28,0)) * CAST(z2 AS DECIMAL(28,0)))
+              AS DECIMAL(38,0)) AS ss_i,
+         CAST(MIN(z2) AS BIGINT) AS mn_i, CAST(MAX(z2) AS BIGINT) AS mx_i
+  FROM z GROUP BY grp
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_i) AS BIGINT) AS n,
+         CAST(SUM(s_i) AS DECIMAL(28,0)) AS s,
+         CAST(SUM(ss_i * 1000) AS DECIMAL(38,0)) AS ssq_milli,
+         CAST(SUM(CAST(FLOOR(CAST(s_i * s_i AS DOUBLE)
+                             / CAST(n_i AS DOUBLE) * 1000) AS BIGINT))
+              AS DECIMAL(38,0)) AS bq_milli
+  FROM m
+),
+f AS (
+  SELECT k, n,
+         GREATEST(bq_milli - CAST(FLOOR(CAST(s * s AS DOUBLE)
+                                        / CAST(n AS DOUBLE) * 1000)
+                                  AS DECIMAL(38,0)),
+                  CAST(0 AS DECIMAL(38,0)))
+           AS ssb_milli,
+         ssq_milli - bq_milli AS ssw_milli
+  FROM t
+)
+SELECT m.grp AS event_type, m.n_i,
+       CAST(md.med2 AS DOUBLE) / CAST(200 AS DOUBLE) AS group_median,
+       CAST(m.s_i AS DOUBLE) / CAST(m.n_i AS DOUBLE)
+         / CAST(200 AS DOUBLE) AS mean_absdev,
+       CASE WHEN f.k <= 1 OR f.n <= f.k OR f.ssw_milli <= 0
+            THEN CAST(0 AS DOUBLE)
+            ELSE (CAST(f.ssb_milli AS DOUBLE) / CAST(f.k - 1 AS DOUBLE))
+                 / (CAST(f.ssw_milli AS DOUBLE) / CAST(f.n - f.k AS DOUBLE))
+       END AS w_stat
+FROM m JOIN med md ON md.grp = m.grp CROSS JOIN f
+"""
+
+
+def _register_levene() -> None:
+    duck_tail = _levene_tail("yv", lambda a, b: f"({a}) // ({b})")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "stat_levene_bf",
+        ops=(("view", "levene_y", _LEVENE_Y),),
+        final=_levene_tail("levene_y", lambda a, b: f"({a}) DIV ({b})"),
+        oracle=(
+            f"WITH yv AS ({_LEVENE_Y}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="stats",
+        doc=(
+            "Brown-Forsythe spread test across event_type segments: "
+            "per-group doubled medians as exact integer order "
+            "statistics over the staged cents view, z2 = |2y - med2| "
+            "exact per row, ANOVA-F algebra on z2 with DECIMAL(38,0) "
+            "moments and milli-quantized between/within terms, W as "
+            "one fixed IEEE chain with degenerates pinned to 0 on the "
+            "quantized integers."
+        ),
+        tables=("events",),
+    )
+
+
+_register_levene()
