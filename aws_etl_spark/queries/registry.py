@@ -427,7 +427,12 @@ _DRIVER_ORDER = (
     # ---- end of the 50-query round-11 window ----
     # Round-12 block-1 queue (window-budget rule): the round-11 NEW
     # names — ml_pr_auc, stat_cramers_v, stat_grubbs_outlier,
-    # stat_ljung_box — lead block 1 first, per the standing rule.
+    # stat_ljung_box, then the late batch: ml_mcc_confusion,
+    # ml_brier_decomposition, stat_jarque_bera, stat_theil_u,
+    # stat_runs_test, stat_pettitt_change, stat_kendall_tau_daily,
+    # events_forecast_eval, stat_levene_bf, embeddings_silhouette,
+    # corpus_ngram_contamination, text_rake_keywords — lead block 1
+    # first, per the standing rule (16 forced slots).
     # Round-12 block-3 queue: the 19 remaining r5-vintage names
     # (agg_cube, agg_distinct_counts, agg_filter_clause,
     # agg_group_by_all, agg_grouping_sets, ann_cosine_topk_lsh,

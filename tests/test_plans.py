@@ -697,6 +697,22 @@ _RESCAN_FAMILY_BOUNDS = {
     "stat_cramers_v": (1, 7),
     "stat_ljung_box": (1, 10),
     "stat_grubbs_outlier": (1, 2),
+    # round-11 late batch (census at registration time: worst scan
+    # count 2 — stat_jarque_bera's two passes are inherent to exact
+    # central moments; every staged query shows 0 parquet scans in
+    # the final plan, all shuffles run on bounded spines/bins)
+    "ml_mcc_confusion": (1, 2),
+    "ml_brier_decomposition": (1, 4),
+    "stat_jarque_bera": (2, 3),
+    "stat_theil_u": (1, 7),
+    "stat_runs_test": (1, 5),
+    "stat_pettitt_change": (1, 12),
+    "stat_kendall_tau_daily": (1, 8),
+    "events_forecast_eval": (1, 3),
+    "stat_levene_bf": (1, 5),
+    "embeddings_silhouette": (1, 5),
+    "corpus_ngram_contamination": (1, 4),
+    "text_rake_keywords": (1, 7),
 }
 
 
