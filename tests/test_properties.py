@@ -1391,3 +1391,266 @@ def test_ljung_box_oracle_matches_definition(days, tmp_path_factory):
     assert int(got["n_days"]) == n_days
     tol = 7 / 1e12 * n_days * (n_days + 2) + 1e-12
     assert abs(got["q_stat"] - q) <= tol
+
+
+# ---------------------------------------------------------------------------
+# Round-11 late batch: runs test, Pettitt, Kendall tau-b, Jarque-Bera
+# ---------------------------------------------------------------------------
+
+_rt_days = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=28),
+        st.integers(min_value=1, max_value=5),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@_settings
+@given(days=_rt_days)
+def test_runs_test_oracle_matches_definition(days, tmp_path_factory):
+    """The stat_runs_test ORACLE == the textbook runs count (iterate
+    the above/below sequence) with the standard z. Covers constant
+    series (all excluded), one-sided series, and tied medians."""
+    import datetime as dt
+    import math
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    counts = {}
+    for d, k in days:
+        counts[d] = counts.get(d, 0) + k
+    rows = []
+    rid = 0
+    for d, k in sorted(counts.items()):
+        for _ in range(k):
+            rows.append((rid, dt.datetime(2024, 1, d, 3, 0, 0)))
+            rid += 1
+    ev = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "runs", events=ev)
+    got = run_oracle(REGISTRY["stat_runs_test"].oracle, sf).iloc[0]
+
+    xs = sorted(counts.values())
+    nd = len(xs)
+    med2 = xs[(nd + 1) // 2 - 1] + xs[(nd + 2) // 2 - 1]
+    seq = [
+        1 if 2 * counts[d] > med2 else 0
+        for d in sorted(counts)
+        if 2 * counts[d] != med2
+    ]
+    n_used, n1 = len(seq), sum(seq)
+    n2 = n_used - n1
+    runs = sum(1 for i in range(len(seq)) if i == 0 or seq[i - 1] != seq[i])
+    assert int(got["n_days"]) == nd
+    assert int(got["n_used"]) == n_used
+    assert (int(got["n_above"]), int(got["n_below"])) == (n1, n2)
+    assert int(got["n_runs"]) == runs
+    if 2 * n1 * n2 * (2 * n1 * n2 - n_used) <= 0:
+        assert got["z_stat"] == 0.0
+    else:
+        mu = 2.0 * n1 * n2 / n_used + 1.0
+        var = (
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - n_used)
+            / (float(n_used) ** 2 * (n_used - 1))
+        )
+        assert abs(got["z_stat"] - (runs - mu) / math.sqrt(var)) < 1e-9
+
+
+@_settings
+@given(days=_rt_days)
+def test_pettitt_oracle_matches_brute_force(days, tmp_path_factory):
+    """The stat_pettitt_change ORACLE's K == the DEFINITIONAL
+    U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j) brute force — an
+    independent formulation of the midrank prefix identity the query
+    uses. Exact integer equality, argmax day included."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    counts = {}
+    for d, k in days:
+        counts[d] = counts.get(d, 0) + k
+    if len(counts) < 2:
+        return  # the query emits no row below 2 days
+    rows = []
+    rid = 0
+    for d, k in sorted(counts.items()):
+        for _ in range(k):
+            rows.append((rid, dt.datetime(2024, 1, d, 3, 0, 0)))
+            rid += 1
+    ev = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "pett", events=ev)
+    got = run_oracle(REGISTRY["stat_pettitt_change"].oracle, sf).iloc[0]
+
+    dns = sorted(counts)
+    xs = [counts[d] for d in dns]
+    nd = len(xs)
+    best_k, best_dn = -1, None
+    for t in range(1, nd):
+        u = sum(
+            (xs[i] > xs[j]) - (xs[i] < xs[j])
+            for i in range(t)
+            for j in range(t, nd)
+        )
+        if abs(u) > best_k:
+            best_k, best_dn = abs(u), dns[t - 1]
+    epoch_dn = int(
+        pd.Timestamp(f"2024-01-{best_dn:02d}").timestamp() // 86400
+    )
+    assert int(got["n_days"]) == nd
+    assert int(got["k_stat"]) == best_k
+    assert int(got["change_dn"]) == epoch_dn
+
+
+_kt_days = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=20),  # day
+        st.integers(min_value=1, max_value=4),  # orders that day
+        st.integers(min_value=1, max_value=5),  # price bucket
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_settings
+@given(days=_kt_days)
+def test_kendall_oracle_matches_brute_force(days, tmp_path_factory):
+    """The stat_kendall_tau_daily ORACLE == brute-force tau-b over
+    the daily (count, revenue) aggregates, including tie corrections
+    and the all-tied degenerate."""
+    import math
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    agg = {}
+    for d, k, p in days:
+        c, v = agg.get(d, (0, 0))
+        agg[d] = (c + k, v + k * p * 2500)  # k orders at p*25.00 dollars
+    prices, dates = [], []
+    for d, (c, v) in sorted(agg.items()):
+        per = v // c
+        for i in range(c):
+            # split v into c integer-cent parts summing exactly to v
+            cents = per + (1 if i < v - per * c else 0)
+            prices.append(cents / 100.0)
+            dates.append(f"1997-03-{d:02d}")
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": pd.array(range(1, len(prices) + 1), dtype="int64"),
+            "o_custkey": pd.array([1] * len(prices), dtype="int64"),
+            "o_orderstatus": ["F"] * len(prices),
+            "o_totalprice": pd.array(prices, dtype="float64"),
+            "o_orderdate": pd.to_datetime(dates).astype("datetime64[us]"),
+            "o_orderpriority": ["3-MEDIUM"] * len(prices),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "kend", orders=orders)
+    got = run_oracle(REGISTRY["stat_kendall_tau_daily"].oracle, sf).iloc[0]
+
+    pts = [agg[d] for d in sorted(agg)]
+    nd = len(pts)
+    conc = disc = 0
+    for i in range(nd):
+        for j in range(i + 1, nd):
+            dx = pts[i][0] - pts[j][0]
+            dy = pts[i][1] - pts[j][1]
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+    from collections import Counter
+
+    tx = sum(t * (t - 1) // 2 for t in Counter(c for c, _ in pts).values())
+    ty = sum(t * (t - 1) // 2 for t in Counter(v for _, v in pts).values())
+    n0 = nd * (nd - 1) // 2
+    assert (int(got["concordant"]), int(got["discordant"])) == (conc, disc)
+    assert (int(got["ties_x"]), int(got["ties_y"])) == (tx, ty)
+    if n0 - tx <= 0 or n0 - ty <= 0:
+        assert got["tau_b"] == 0.0
+    else:
+        tau = (conc - disc) / math.sqrt(float(n0 - tx) * float(n0 - ty))
+        assert abs(got["tau_b"] - tau) < 1e-12
+
+
+_jb_prices = st.lists(
+    st.integers(min_value=-500, max_value=5000), min_size=1, max_size=25
+)
+
+
+@_settings
+@given(dollars=_jb_prices)
+def test_jarque_bera_oracle_matches_numpy(dollars, tmp_path_factory):
+    """The stat_jarque_bera ORACLE == numpy's definitional skewness /
+    excess kurtosis / JB on the whole-dollar values (independent
+    float path -> small relative tolerance). Covers negatives,
+    constants, and n=1."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    prices = [float(d) + 0.25 for d in dollars]
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": pd.array(range(1, len(prices) + 1), dtype="int64"),
+            "o_custkey": pd.array([1] * len(prices), dtype="int64"),
+            "o_orderstatus": ["F"] * len(prices),
+            "o_totalprice": pd.array(prices, dtype="float64"),
+            "o_orderdate": pd.to_datetime(
+                ["1997-01-15"] * len(prices)
+            ).astype("datetime64[us]"),
+            "o_orderpriority": ["3-MEDIUM"] * len(prices),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "jb", orders=orders)
+    got = run_oracle(REGISTRY["stat_jarque_bera"].oracle, sf).iloc[0]
+
+    y = np.floor(np.array(prices, dtype=np.float64))
+    n = len(y)
+    if n < 2 or y.min() == y.max():
+        assert got["skewness"] == 0.0
+        assert got["ex_kurtosis"] == 0.0
+        assert got["jb_stat"] == 0.0
+        return
+    c = y - y.mean()
+    m2, m3, m4 = (c**2).mean(), (c**3).mean(), (c**4).mean()
+    skew = m3 / m2**1.5
+    exk = m4 / m2**2 - 3.0
+    jb = n / 6.0 * (skew**2 + exk**2 / 4.0)
+    assert abs(got["skewness"] - skew) < 1e-8 * max(1.0, abs(skew))
+    assert abs(got["ex_kurtosis"] - exk) < 1e-8 * max(1.0, abs(exk))
+    assert abs(got["jb_stat"] - jb) < 1e-7 * max(1.0, abs(jb))
