@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_etl_spark.queries.registry import load_table, register
+from aws_etl_spark.queries.sql_seams import duck_declared, spark_declared
 
 _GAPFILL_ORACLE = """
 WITH hourly AS (
@@ -1392,13 +1393,14 @@ _register_ljung_box()
 # --------------------------------------------------------------------------
 
 
-def _runs_tail(daily: str, intdiv) -> str:
+def _runs_tail(daily: str, intdiv, declared) -> str:
     lo = intdiv("t.nd + 1", "2")
     hi = intdiv("t.nd + 2", "2")
     return f"""
 WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM {daily}),
 r AS (
-  SELECT x, ROW_NUMBER() OVER (ORDER BY x, dn) AS rn FROM {daily}
+  SELECT x, ROW_NUMBER() OVER (PARTITION BY __g ORDER BY x, dn) AS rn
+  FROM {declared(daily)} d0
 ),
 med AS (
   SELECT CAST(SUM(CASE WHEN r.rn = {lo} THEN r.x ELSE 0 END)
@@ -1414,10 +1416,10 @@ s AS (
 ),
 runs AS (
   SELECT sgn,
-         CASE WHEN LAG(sgn) OVER (ORDER BY dn) IS NULL
-                   OR LAG(sgn) OVER (ORDER BY dn) <> sgn
+         CASE WHEN LAG(sgn) OVER (PARTITION BY __g ORDER BY dn) IS NULL
+                   OR LAG(sgn) OVER (PARTITION BY __g ORDER BY dn) <> sgn
               THEN 1 ELSE 0 END AS run_start
-  FROM s
+  FROM {declared("s")} s0
 ),
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
@@ -1451,7 +1453,9 @@ def _register_runs_test() -> None:
         "epoch(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
         lambda a, b: f"({a}) // ({b})",
     )
-    duck_tail = _runs_tail("daily", lambda a, b: f"({a}) // ({b})")
+    duck_tail = _runs_tail(
+        "daily", lambda a, b: f"({a}) // ({b})", duck_declared
+    )
     assert duck_tail.startswith("\nWITH ")
     staged_sql_query(
         "stat_runs_test",
@@ -1465,7 +1469,9 @@ def _register_runs_test() -> None:
                 ),
             ),
         ),
-        final=_runs_tail("rt_daily", lambda a, b: f"({a}) DIV ({b})"),
+        final=_runs_tail(
+            "rt_daily", lambda a, b: f"({a}) DIV ({b})", spark_declared
+        ),
         oracle=(
             f"WITH daily AS ({duck_daily}),\n" + duck_tail[len("\nWITH ") :]
         ),
@@ -1505,22 +1511,23 @@ _register_runs_test()
 # --------------------------------------------------------------------------
 
 
-def _pettitt_tail(daily: str) -> str:
+def _pettitt_tail(daily: str, declared) -> str:
     return f"""
 WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM {daily}),
 rk AS (
   SELECT dn,
-         CAST(2 * RANK() OVER (ORDER BY x)
+         CAST(2 * RANK() OVER (PARTITION BY __g ORDER BY x)
               + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS r2
-  FROM {daily}
+  FROM {declared(daily)} d0
 ),
 w AS (
   SELECT dn,
-         CAST(SUM(r2) OVER (ORDER BY dn
+         CAST(SUM(r2) OVER (PARTITION BY __g ORDER BY dn
                             ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND CURRENT ROW) AS BIGINT) AS w2,
-         CAST(ROW_NUMBER() OVER (ORDER BY dn) AS BIGINT) AS tpos
-  FROM rk
+         CAST(ROW_NUMBER() OVER (PARTITION BY __g ORDER BY dn) AS BIGINT)
+           AS tpos
+  FROM {declared("rk")} r0
 ),
 u AS (
   SELECT w.dn, w.w2 - w.tpos * (t.nd + 1) AS u_t
@@ -1549,7 +1556,7 @@ def _register_pettitt() -> None:
         "epoch(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
         lambda a, b: f"({a}) // ({b})",
     )
-    duck_tail = _pettitt_tail("daily")
+    duck_tail = _pettitt_tail("daily", duck_declared)
     assert duck_tail.startswith("\nWITH ")
     staged_sql_query(
         "stat_pettitt_change",
@@ -1563,7 +1570,7 @@ def _register_pettitt() -> None:
                 ),
             ),
         ),
-        final=_pettitt_tail("pt_daily"),
+        final=_pettitt_tail("pt_daily", spark_declared),
         oracle=(
             f"WITH daily AS ({duck_daily}),\n" + duck_tail[len("\nWITH ") :]
         ),

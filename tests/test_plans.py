@@ -706,7 +706,9 @@ _RESCAN_FAMILY_BOUNDS = {
     "stat_jarque_bera": (2, 3),
     "stat_theil_u": (1, 7),
     "stat_runs_test": (1, 5),
-    "stat_pettitt_change": (1, 12),
+    # pettitt's declared-single-partition seams (REPARTITION(1) on the
+    # bounded daily spine) each add an exchange — all on <= days rows
+    "stat_pettitt_change": (1, 18),
     "stat_kendall_tau_daily": (1, 8),
     "events_forecast_eval": (1, 3),
     "stat_levene_bf": (1, 5),
