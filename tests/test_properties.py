@@ -1654,3 +1654,361 @@ def test_jarque_bera_oracle_matches_numpy(dollars, tmp_path_factory):
     assert abs(got["skewness"] - skew) < 1e-8 * max(1.0, abs(skew))
     assert abs(got["ex_kurtosis"] - exk) < 1e-8 * max(1.0, abs(exk))
     assert abs(got["jb_stat"] - jb) < 1e-7 * max(1.0, abs(jb))
+
+
+# ---------------------------------------------------------------------------
+# Round-11 late batch, second wave: Theil's U, Brown-Forsythe,
+# forecast eval, silhouette, contamination, RAKE
+# ---------------------------------------------------------------------------
+
+_tu_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=14),  # day (2 ISO weeks)
+        st.integers(min_value=0, max_value=3),  # type
+        st.integers(min_value=0, max_value=3),  # unused value bucket
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_settings
+@given(rows=_tu_rows)
+def test_theil_u_oracle_matches_definition(rows, tmp_path_factory):
+    """The stat_theil_u ORACLE == the definitional float entropies
+    H(Y) = -sum p ln p and H(Y|X), within the per-term
+    micro-quantization bound. Covers single-type and single-day."""
+    import math
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "theil", events=_ev_frame(rows))
+    got = run_oracle(REGISTRY["stat_theil_u"].oracle, sf).iloc[0]
+
+    ev = _ev_frame(rows)
+    dow = pd.to_datetime(ev["ts"]).dt.isocalendar().day.astype(int)
+    ct = pd.crosstab(ev["event_type"], dow)
+    n = int(ct.values.sum())
+    py = [int(v) / n for v in ct.sum(axis=1)]
+    h_y = -sum(p * math.log(p) for p in py if p > 0)
+    h_yx = 0.0
+    for dj in ct.columns:
+        cmv = int(ct[dj].sum())
+        for gi in ct.index:
+            c = int(ct.loc[gi, dj])
+            if c > 0:
+                h_yx += (c / n) * math.log(cmv / c)
+    cells = int((ct.values > 0).sum())
+    tol = (cells + len(py)) * 1e-6 / max(n, 1) + 1e-9
+    assert int(got["n_events"]) == n
+    assert abs(got["h_y"] - h_y) <= tol
+    assert abs(got["h_y_given_x"] - h_yx) <= tol
+    if len(py) <= 1:
+        assert got["theil_u"] == 0.0
+    else:
+        assert abs(got["theil_u"] - (h_y - h_yx) / h_y) <= 3 * tol / max(h_y, 1e-9)
+
+
+_lv_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),  # day (irrelevant)
+        st.integers(min_value=0, max_value=2),  # group
+        st.integers(min_value=0, max_value=6),  # value bucket (ties)
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@_settings
+@given(rows=_lv_rows)
+def test_levene_oracle_matches_definition(rows, tmp_path_factory):
+    """The stat_levene_bf ORACLE == the definitional Brown-Forsythe W
+    (one-way F on |y - group median|, float path) within the
+    milli-quantization bound. Doubling cancels: |2y - med2| = 2|y -
+    median|, and the factor 4 cancels between SSB and SSW."""
+    import statistics
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "lev", events=_ev_frame(rows))
+    out = run_oracle(REGISTRY["stat_levene_bf"].oracle, sf)
+
+    ev = _ev_frame(rows)
+    groups = {}
+    for g, sub in ev.groupby("event_type"):
+        groups[g] = [int(v * 100) for v in sub["value"]]
+    # definitional: z = |y - median(group)| (cents), classic one-way F
+    z = {
+        g: [abs(y - statistics.median(ys)) for y in ys]
+        for g, ys in groups.items()
+    }
+    k = len(z)
+    n = sum(len(v) for v in z.values())
+    grand = sum(sum(v) for v in z.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in z.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in z.values()
+    )
+    got_w = {r["event_type"]: r["w_stat"] for _, r in out.iterrows()}
+    if k <= 1 or n <= k or ssw <= 1e-12:
+        assert all(w == 0.0 for w in got_w.values())
+        return
+    w = (ssb / (k - 1)) / (ssw / (n - k))
+    # the query computes on DOUBLED cents with milli-quantization:
+    # absolute SS error <= k+1 milli-units on values scaled by 4
+    tol = max(1e-9, 2e-3 * (1 + w) / max(ssw, 1e-6) * n) + 1e-6 * (1 + w)
+    for g, wg in got_w.items():
+        assert abs(wg - w) <= tol, (g, wg, w)
+
+
+_fe_days = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=21),
+        st.integers(min_value=1, max_value=5),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@_settings
+@given(days=_fe_days)
+def test_forecast_eval_oracle_matches_definition(days, tmp_path_factory):
+    """The events_forecast_eval ORACLE == the direct python backtest
+    (MAE/WAPE exact, sMAPE within the nano-quantization bound),
+    including missing-lag coverage and the no-pairs degenerate."""
+    import datetime as dt
+    import math
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    counts = {}
+    for d, kk in days:
+        counts[d] = counts.get(d, 0) + kk
+    rows = []
+    rid = 0
+    for d, kk in sorted(counts.items()):
+        for _ in range(kk):
+            rows.append((rid, dt.datetime(2024, 1, d, 3, 0, 0)))
+            rid += 1
+    ev = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "fce", events=ev)
+    out = run_oracle(REGISTRY["events_forecast_eval"].oracle, sf)
+    got = {r["model"]: r for _, r in out.iterrows()}
+
+    for model, lag in (("naive_1", 1), ("snaive_7", 7)):
+        pairs = [(counts[d], counts[d - lag]) for d in counts if d - lag in counts]
+        if not pairs:
+            assert model not in got
+            continue
+        n = len(pairs)
+        sae = sum(abs(x - f) for x, f in pairs)
+        sy = sum(x for x, _ in pairs)
+        smape = sum(2 * abs(x - f) / (x + f) for x, f in pairs) / n
+        r = got[model]
+        assert int(r["n_days"]) == n
+        assert r["mae"] == sae / n
+        assert r["wape"] == sae / sy
+        assert abs(r["smape"] - smape) <= (n + 1) * 1e-9 / n + 1e-12
+
+
+_sil_vecs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # label
+        st.integers(min_value=-8, max_value=8),  # x component (/4)
+        st.integers(min_value=-8, max_value=8),  # y component (/4)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@_settings
+@given(vecs=_sil_vecs)
+def test_silhouette_oracle_matches_definition(vecs, tmp_path_factory):
+    """The embeddings_silhouette ORACLE == the definitional simplified
+    silhouette on the quantized components (float centroid means,
+    euclidean distances), within the nano-quantization bound."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    emb = pd.DataFrame(
+        {
+            "vec_id": pd.array(range(1, len(vecs) + 1), dtype="int64"),
+            "embedding": [
+                np.asarray([x / 4.0, y / 4.0], dtype=np.float32)
+                for _, x, y in vecs
+            ],
+            "label": pd.array([lab for lab, _, _ in vecs], dtype="int32"),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "sil", embeddings=emb)
+    out = run_oracle(REGISTRY["embeddings_silhouette"].oracle, sf)
+    got = {int(r["label"]): r for _, r in out.iterrows()}
+
+    q = [
+        [math.floor(x / 4.0 * 1e6), math.floor(y / 4.0 * 1e6)]
+        for _, x, y in vecs
+    ]
+    labs = [lab for lab, _, _ in vecs]
+    cent = {}
+    for lab in set(labs):
+        idx = [i for i, l2 in enumerate(labs) if l2 == lab]
+        cent[lab] = (
+            [sum(q[i][d] for i in idx) / len(idx) for d in range(2)],
+            len(idx),
+        )
+    sums: dict[int, list[float]] = {}
+    for i, lab in enumerate(labs):
+        dists = {
+            cl: math.sqrt(sum((q[i][d] - c[d]) ** 2 for d in range(2)))
+            for cl, (c, _) in cent.items()
+        }
+        a = dists[lab]
+        others = [v for cl, v in dists.items() if cl != lab]
+        s = 0.0 if not others or max(a, min(others)) <= 1e-12 else (
+            (min(others) - a) / max(a, min(others))
+        )
+        sums.setdefault(lab, []).append(s)
+    for lab, ss in sums.items():
+        r = got[lab]
+        assert int(r["n_vecs"]) == len(ss)
+        assert abs(r["mean_silhouette"] - sum(ss) / len(ss)) <= 1e-6
+
+
+_word = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "the", "and", "of", "to"]
+)
+_doc_words = st.lists(_word, min_size=0, max_size=12)
+_corpus = st.lists(_doc_words, min_size=1, max_size=8)
+
+
+@_settings
+@given(docs=_corpus)
+def test_rake_oracle_matches_python_model(docs, tmp_path_factory):
+    """The text_rake_keywords ORACLE == the integer RAKE model
+    (stopword segmentation, 4-word cap, degree*1e6 DIV freq scores,
+    top-20 with the score/phrase tiebreak) — exact equality."""
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round11_late import _rake_replay
+
+    _ensure_loaded()
+    texts = [" ".join(ws) for ws in docs]
+    frame = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(1, len(texts) + 1), dtype="int64"),
+            "text": pd.array(texts, dtype="object"),
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "rake", documents=frame)
+    out = run_oracle(REGISTRY["text_rake_keywords"].oracle, sf)
+    expect = _rake_replay(texts)
+    assert len(out) == len(expect)
+    for (_, r), (phrase, n_words, n_occ, score) in zip(out.iterrows(), expect):
+        assert r["phrase"] == phrase
+        assert int(r["n_words"]) == n_words
+        assert int(r["n_occurrences"]) == n_occ
+        assert r["rake_score"] == score
+
+
+_cont_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=60),  # doc_id (split coin)
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=10
+        ),
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@_settings
+@given(docs=_cont_docs)
+def test_contamination_oracle_matches_set_model(docs, tmp_path_factory):
+    """The corpus_ngram_contamination ORACLE == the set-based python
+    model (md5 split buckets, 5-gram windows, per-occurrence hit
+    counting) — exact equality including the short-doc dropout."""
+    import hashlib
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    texts = {did: " ".join(ws) for did, ws in docs}
+    frame = pd.DataFrame(
+        {
+            "doc_id": pd.array(sorted(texts), dtype="int64"),
+            "text": pd.array([texts[d] for d in sorted(texts)], dtype="object"),
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": pd.array(
+                [len(texts[d]) for d in sorted(texts)], dtype="int64"
+            ),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "cont", documents=frame)
+    out = run_oracle(REGISTRY["corpus_ngram_contamination"].oracle, sf)
+    got = {int(r["doc_id"]): r for _, r in out.iterrows()}
+
+    def split_of(did):
+        b = int(hashlib.md5(str(did).encode()).hexdigest()[:4], 16)
+        return "train" if b < 52428 else ("test" if b >= 58982 else "val")
+
+    grams = {
+        did: [
+            " ".join(ws[i : i + 5]) for i in range(len(ws) - 4)
+        ]
+        for did, ws in ((d, t.split(" ") if t else [""]) for d, t in texts.items())
+    }
+    train = {
+        g for did, gs in grams.items() if split_of(did) == "train" for g in gs
+    }
+    expect = {
+        did: (len(gs), sum(1 for g in gs if g in train))
+        for did, gs in grams.items()
+        if split_of(did) == "test" and gs
+    }
+    assert set(got) == set(expect)
+    for did, (n, hits) in expect.items():
+        r = got[did]
+        assert (int(r["n_grams"]), int(r["n_contaminated"])) == (n, hits)
+        assert r["contaminated_share"] == hits / n
+        assert int(r["flag_contaminated"]) == int(2 * hits >= n)
