@@ -321,3 +321,106 @@ def test_dedup_exact_and_jaccard_uniform_corpus(spark, tmp_path):
     sf2 = _mk_sf(tmp_path / "b", documents=tiny)
     assert check_query("dedup_exact", spark, sf2).ok
     assert check_query("dedup_ngram_jaccard", spark, sf2).ok
+
+
+def _embs(vecs, labels):
+    import numpy as np
+
+    return pd.DataFrame(
+        {
+            "vec_id": pd.array(range(1, len(vecs) + 1), dtype="int64"),
+            "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+            "label": pd.array(labels, dtype="int32"),
+        }
+    )
+
+
+def test_gram_pca_rp_degenerate_vectors(spark, tmp_path):
+    """Zero vectors, a single vector, and all-identical vectors
+    through the Gram matrix, PCA-by-repeated-squaring, and the JL
+    random projection — rank-deficient inputs on both engines."""
+    vecs = [[0.0, 0.0, 0.0, 0.0]] * 2 + [[0.5, -0.25, 0.125, 1.0]] * 3
+    sf = _mk_sf(tmp_path, embeddings=_embs(vecs, [0, 0, 1, 1, 1]))
+    for name in (
+        "embeddings_gram_matrix",
+        "embeddings_pca_power",
+        "embeddings_random_projection",
+    ):
+        r = check_query(name, spark, sf)
+        assert r.ok, f"{name}: {r}"
+    one = _embs([[1.0, 2.0, 3.0, 4.0]], [0])
+    sf2 = _mk_sf(tmp_path / "b", embeddings=one)
+    for name in (
+        "embeddings_gram_matrix",
+        "embeddings_pca_power",
+        "embeddings_random_projection",
+    ):
+        r = check_query(name, spark, sf2)
+        assert r.ok, f"{name}: {r}"
+
+
+def test_ivf_exact_and_semantic_exact_tiny_space(spark, tmp_path):
+    """The pinned-centroid IVF twin and the SemDeDup exact twin on a
+    4-vector space with exact duplicates — probe lists and prune
+    sets must stay deterministic when distances tie at 0. Vectors
+    honor the corpus's 64-dim contract (the IVF centroids are pinned
+    64-dim literals)."""
+
+    def v64(a, b):
+        return [a, b] + [0.0] * 62
+
+    vecs = [v64(1.0, 0.0), v64(1.0, 0.0), v64(0.0, 1.0), v64(0.7071, 0.7071)]
+    sf = _mk_sf(tmp_path, embeddings=_embs(vecs, [0, 0, 1, 1]))
+    for name in ("ann_cosine_topk_ivf_exact", "dedup_semantic_exact"):
+        r = check_query(name, spark, sf)
+        assert r.ok, f"{name}: {r}"
+
+
+def test_dedup_graph_family_uniform_corpus(spark, tmp_path):
+    """All-identical docs: the shingle graph is one clique — CC,
+    containment, and canonical distance must agree on both engines
+    (distance 0/1 rows only); a corpus with NO near-dup pairs yields
+    empty cluster outputs."""
+    same = _docs(["alpha beta gamma delta epsilon zeta"] * 5)
+    sf = _mk_sf(tmp_path, documents=same)
+    for name in (
+        "dedup_clusters_cc",
+        "dedup_containment",
+        "dedup_canonical_distance",
+    ):
+        r = check_query(name, spark, sf)
+        assert r.ok, f"{name}: {r}"
+    distinct = _docs(
+        [
+            "aa bb cc dd ee ff",
+            "gg hh ii jj kk ll",
+            "mm nn oo pp qq rr",
+        ]
+    )
+    sf2 = _mk_sf(tmp_path / "b", documents=distinct)
+    for name in (
+        "dedup_clusters_cc",
+        "dedup_containment",
+        "dedup_canonical_distance",
+    ):
+        r = check_query(name, spark, sf2)
+        assert r.ok, f"{name}: {r}"
+
+
+def test_textrank_single_doc_short_windows(spark, tmp_path):
+    """A one-doc corpus whose length sits at the co-occurrence window
+    edge, plus a doc of one repeated word (self-loops must not
+    appear) — the TextRank graph degenerates gracefully."""
+    docs = _docs(["alpha beta gamma", "word word word word"])
+    sf = _mk_sf(tmp_path, documents=docs)
+    assert check_query("text_textrank_keywords", spark, sf).ok
+
+
+def test_dau_mau_and_locf_single_user_single_day(spark, tmp_path):
+    """DAU/MAU with one user on one day (ratio exactly 1) and LOCF
+    gapfill where the user has a single observation (nothing to
+    carry) — both previously only corpus-exercised."""
+    rows = [(1, "2024-01-15 01:00:00", 7, "view", 3.0)]
+    sf = _mk_sf(tmp_path, events=_events(rows))
+    assert check_query("events_dau_mau", spark, sf).ok
+    assert check_query("events_gapfill_locf", spark, sf).ok
