@@ -2012,3 +2012,119 @@ def test_contamination_oracle_matches_set_model(docs, tmp_path_factory):
         assert (int(r["n_grams"]), int(r["n_contaminated"])) == (n, hits)
         assert r["contaminated_share"] == hits / n
         assert int(r["flag_contaminated"]) == int(2 * hits >= n)
+
+
+_mcc_orders = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4000),  # orderkey (coin seed)
+        st.integers(min_value=0, max_value=4),  # priority bucket
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _mcc_frame(rows):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "o_orderkey": pd.array([k for k, _ in rows], dtype="int64"),
+            "o_custkey": pd.array([1] * len(rows), dtype="int64"),
+            "o_orderstatus": ["F"] * len(rows),
+            "o_totalprice": pd.array([100.0] * len(rows), dtype="float64"),
+            "o_orderdate": pd.to_datetime(["1997-01-15"] * len(rows)).astype(
+                "datetime64[us]"
+            ),
+            "o_orderpriority": [_PRIOS[p] for _, p in rows],
+        }
+    )
+
+
+@_settings
+@given(rows=_mcc_orders)
+def test_mcc_oracle_matches_definition(rows, tmp_path_factory):
+    """The ml_mcc_confusion ORACLE == the textbook MCC/precision/
+    recall/F1 over the replayed confusion cells, including every
+    zero-margin guard (all-positive, all-negative, all-flipped)."""
+    import hashlib
+    import math
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "mcc", orders=_mcc_frame(rows))
+    got = run_oracle(REGISTRY["ml_mcc_confusion"].oracle, sf).iloc[0]
+
+    tp = fp = fn = tn = 0
+    for k, p in rows:
+        y = int(p <= 1)
+        coin = int(hashlib.md5(f"mcc#{k}".encode()).hexdigest()[:4], 16)
+        yhat = abs(y - int(coin < 9830))
+        tp += y and yhat
+        fp += (not y) and yhat
+        fn += y and (not yhat)
+        tn += (not y) and (not yhat)
+    assert (int(got["tp"]), int(got["fp"]), int(got["fn"]), int(got["tn"])) == (
+        tp, fp, fn, tn,
+    )
+    assert got["precision_"] == (tp / (tp + fp) if tp + fp else 0.0)
+    assert got["recall_"] == (tp / (tp + fn) if tp + fn else 0.0)
+    assert got["f1"] == (2 * tp / (2 * tp + fp + fn) if 2 * tp + fp + fn else 0.0)
+    if min(tp + fp, tp + fn, tn + fp, tn + fn) == 0:
+        assert got["mcc"] == 0.0
+    else:
+        mcc = (tp * tn - fp * fn) / (
+            math.sqrt(tp + fp) * math.sqrt(tp + fn)
+            * math.sqrt(tn + fp) * math.sqrt(tn + fn)
+        )
+        assert abs(got["mcc"] - mcc) < 1e-12
+
+
+@_settings
+@given(rows=_mcc_orders)
+def test_brier_oracle_matches_definition(rows, tmp_path_factory):
+    """The ml_brier_decomposition ORACLE: brier == the EXACT integer
+    numerator over 65536^2 n; reliability/resolution == the
+    definitional binned float formulas within the nano-quantization
+    bound; uncertainty == ybar(1-ybar) exactly."""
+    import hashlib
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "brier", orders=_mcc_frame(rows))
+    got = run_oracle(REGISTRY["ml_brier_decomposition"].oracle, sf).iloc[0]
+
+    data = []
+    for k, p in rows:
+        y = int(p <= 1)
+        coin = int(hashlib.md5(f"cal#{k}".encode()).hexdigest()[:4], 16)
+        data.append((coin, y))
+    n = len(data)
+    bq = sum((c - 65536 * y) ** 2 for c, y in data)
+    assert got["brier"] == float(bq) / (float(n) * 65536.0 * 65536.0)
+    pos = sum(y for _, y in data)
+    ybar = pos / n
+    assert abs(got["uncertainty"] - ybar * (1 - ybar)) < 1e-15
+    bins: dict[int, list] = {}
+    for c, y in data:
+        bins.setdefault(c * 10 // 65536, []).append((c, y))
+    rel = sum(
+        len(v)
+        * (sum(c for c, _ in v) / (len(v) * 65536) - sum(y for _, y in v) / len(v))
+        ** 2
+        for v in bins.values()
+    ) / n
+    res = sum(
+        len(v) * (sum(y for _, y in v) / len(v) - ybar) ** 2
+        for v in bins.values()
+    ) / n
+    tol = (len(bins) + 1) * 1e-9 / n + 1e-12
+    assert abs(got["reliability"] - rel) <= tol
+    assert abs(got["resolution"] - res) <= tol
