@@ -830,7 +830,11 @@ _register_split_leakage()
 # scan explodes every doc into (doc_id, split, 5-gram); the train
 # side deduplicates to distinct grams, the eval side LEFT-joins it,
 # and per-doc shares are one IEEE division over exact BIGINT counts
-# with the >= 50 % flag decided in integer space (2c >= n). Docs
+# with the >= 50 % flag decided in integer space (2c >= n). Empty
+# tokens are filtered before gram construction (r11 ADVICE 2 —
+# mirrors the RAKE token view's w <> '' filter), so consecutive
+# spaces/newlines cannot inject empty 'words' into grams and inflate
+# per-doc n_grams on whitespace-irregular corpora. Docs
 # shorter than 5 words contribute no grams and drop out (documented).
 # Scale: the gram join shuffles on the gram hash — linear in corpus
 # token count; no doc x doc pairing anywhere.
@@ -852,7 +856,7 @@ FROM (
   SELECT doc_id,
          CAST(CONV(SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 4), 16, 10)
               AS INT) AS bucket,
-         split(trim(text), ' ') AS ws
+         filter(split(trim(text), ' '), w -> w <> '') AS ws
   FROM documents
 )
 """
@@ -895,7 +899,7 @@ SELECT doc_id,
 FROM (
   SELECT doc_id,
          {duckdb_bucket_sql("CAST(doc_id AS VARCHAR)")} AS bucket,
-         STRING_SPLIT(TRIM(text), ' ') AS ws
+         LIST_FILTER(STRING_SPLIT(TRIM(text), ' '), w -> w <> '') AS ws
   FROM documents
 )
 """
@@ -913,7 +917,8 @@ FROM (
             "Word-5-gram contamination of the test split against the "
             "train split (the GPT-3-style eval-hygiene audit) on the "
             "corpus's own stable md5-bucket split assignment: one "
-            "staged gram explosion, distinct train grams LEFT-joined "
+            "staged gram explosion (empty tokens filtered before "
+            "gram construction), distinct train grams LEFT-joined "
             "to test-gram occurrences, per-doc shares as one IEEE "
             "division over exact BIGINT counts and the 50% flag "
             "decided in integer space."

@@ -2413,7 +2413,11 @@ _register_jsd()
 # extractor — it scores PHRASES: split each document on stopwords
 # into candidate phrases, score each word by degree/frequency over
 # phrase memberships, and score a phrase by the sum of its word
-# scores. Exact integer machinery: phrase ids come from one running
+# scores. Canonical scoring (Rose et al., r11 ADVICE 3): word
+# freq/degree run over ALL candidate phrases; the 4-word cap applies
+# only to the phrase READOUT, so words appearing mostly in long
+# phrases keep their full degree (rake-nltk-compatible semantics).
+# Exact integer machinery: phrase ids come from one running
 # stopword-count window over the staged token view, word scores are
 # micro-quantized by pure integer division ((degree*1e6) DIV freq —
 # no float ever), phrase scores are order-free integer sums, and the
@@ -2439,26 +2443,28 @@ WITH g AS (
   FROM {tok}
 ),
 memb AS (SELECT doc_id, grp, pos, w FROM g WHERE stop = 0),
-ph AS (
-  -- candidate phrases cap at 4 words (the standard RAKE practice);
-  -- without it a low-stopword document scores as ONE giant phrase
-  -- and the "top keywords" readout degenerates to whole documents
-  SELECT doc_id, grp, plen FROM (
-    SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS plen
-    FROM memb GROUP BY doc_id, grp
-  ) p0 WHERE plen <= 4
+p0 AS (
+  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS plen
+  FROM memb GROUP BY doc_id, grp
 ),
+-- the 4-word cap applies ONLY to the phrase READOUT (canonical RAKE,
+-- Rose et al.: word stats run over ALL candidate phrases; the cap
+-- exists so a low-stopword document does not surface as ONE giant
+-- "keyword" — it must not understate the degree of words that also
+-- appear in long phrases)
+ph AS (SELECT doc_id, grp, plen FROM p0 WHERE plen <= 4),
 ws AS (
+  -- word freq/degree over ALL candidate phrases (p0, uncapped)
   SELECT m.w, CAST(COUNT(*) AS BIGINT) AS freq,
          CAST(SUM(p.plen) AS BIGINT) AS degree
-  FROM memb m JOIN ph p ON p.doc_id = m.doc_id AND p.grp = m.grp
+  FROM memb m JOIN p0 p ON p.doc_id = m.doc_id AND p.grp = m.grp
   GROUP BY m.w
 ),
 wsq AS (SELECT w, CAST({score} AS BIGINT) AS score_q FROM ws),
 inst AS (
-  -- only capped candidates; every word of a kept phrase is present
-  -- in wsq by construction (its own phrase is kept), so the inner
-  -- join cannot drop members
+  -- only capped candidates in the readout; every word of a kept
+  -- phrase is present in wsq by construction (wsq covers ALL
+  -- candidate words), so the inner join cannot drop members
   SELECT m.doc_id, m.grp,
          {phrase_agg} AS phrase,
          CAST(SUM(s.score_q) AS BIGINT) AS inst_score_q,
@@ -2520,10 +2526,12 @@ FROM (SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS ws
         category="text",
         doc=(
             "RAKE keyword phrases over the corpus: stopword-delimited "
-            "candidate phrases (capped at 4 words, the standard RAKE "
-            "practice) from one running-count window on the "
-            "staged token view, word scores degree/freq as pure "
-            "integer division (micro-quantized), phrase scores as "
+            "candidate phrases from one running-count window on the "
+            "staged token view, word scores degree/freq over ALL "
+            "candidate phrases as pure "
+            "integer division (micro-quantized, canonical Rose et "
+            "al. scoring — the 4-word cap applies only to the phrase "
+            "readout), phrase scores as "
             "order-free integer sums, ordered LISTAGG/STRING_AGG "
             "phrase assembly, deterministic top-20 (score DESC, "
             "phrase ASC)."

@@ -1061,6 +1061,15 @@ _register_lift()
 # contract: Σ terms ≤ P, so ap_q = P·1e9 must fit BIGINT ⇒ P ≤ 9e9
 # positives. One-class degenerates pin in integer space: P = 0 → AP
 # 0; the all-positive corpus correctly reads AP = 1 (every PP = TP).
+# QUANTIZATION BUDGET (runtime tripwire, r11 verdict item 3): the
+# nano-quantization error on avg_precision itself is
+# < n_thresholds / (1e9 · P) — negligible on the corpus's coarse score
+# grid, but on a CONTINUOUS score with rare positives (n_thresholds
+# ≫ P) it degrades. The stated budget is |error| ≤ 1e-6, i.e.
+# n_thresholds ≤ 1000 · P; the query emits quant_budget_exceeded = 1
+# when the data leaves that regime (decided on exact BIGINTs, hash-
+# identical on both engines) so a corpus change surfaces in the
+# output, not only to a reader of ADVICE.md.
 # --------------------------------------------------------------------------
 
 
@@ -1110,7 +1119,9 @@ SELECT n.p AS n_pos, n.total - n.p AS n_neg, t.n_thresholds,
        CASE WHEN n.p = 0 THEN CAST(0 AS DOUBLE)
             ELSE (CAST(t.ap_q AS DOUBLE) / CAST(1000000000 AS DOUBLE))
                  / CAST(n.p AS DOUBLE)
-       END AS avg_precision
+       END AS avg_precision,
+       CAST(CASE WHEN n.p > 0 AND t.n_thresholds > 1000 * n.p
+                 THEN 1 ELSE 0 END AS BIGINT) AS quant_budget_exceeded
 FROM t CROSS JOIN n
 """
 
@@ -1137,7 +1148,9 @@ def _register_pr_auc() -> None:
             "term nano-quantized before the order-free BIGINT sum. "
             "One staged events scan (the same per-distinct-score "
             "class table ml_auc_roc stages); P=0 pinned to 0 in "
-            "integer space."
+            "integer space. quant_budget_exceeded flags "
+            "n_thresholds > 1000*P, where the nano-quantization "
+            "error bound on AP leaves the stated 1e-6 budget."
         ),
         tables=("events",),
     )

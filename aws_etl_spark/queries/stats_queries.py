@@ -3422,6 +3422,15 @@ sql_query(
 # at n ~ 1e6); pass 1 reads one column — at 100 TB both passes are
 # the same columnar scan cost. Contract: |d| < 3.1e9 per row and
 # sum(d^4) < 1e38 (n < 7.7e14 at the corpus's ~6e5 dollar spread).
+# UNIT CONTRACT (runtime tripwire, r11 verdict item 3): the moments
+# run on WHOLE-DOLLAR quantized values — on a column whose raw spread
+# is below the 1-dollar unit every row floors to the same integer and
+# the query silently degenerates to the constant-column guard while
+# the raw data still has shape. The data announces that regime itself:
+# unit_contract_violated = 1 when n >= 2 and 0 < (raw max - raw min)
+# < 1.0 (an exactly-constant raw column is NOT a violation — the
+# pinned 0 is then the true answer). The raw min/max ride the same
+# pass-2 scan; no extra pass.
 # --------------------------------------------------------------------------
 
 
@@ -3430,7 +3439,8 @@ def _jb_sql(intdiv) -> str:
     d2 = f"({dd} * {dd})"
     return f"""
 WITH b AS (
-  SELECT CAST(FLOOR(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS y
+  SELECT CAST(FLOOR(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS y,
+         CAST(o_totalprice AS DOUBLE) AS yr
   FROM orders WHERE o_totalprice IS NOT NULL
 ),
 mm AS (
@@ -3443,6 +3453,7 @@ mm AS (
 d AS (
   SELECT MAX(mm.n) AS n, MAX(mm.m0) AS m0,
          MIN(b.y) AS mn, MAX(b.y) AS mx,
+         MIN(b.yr) AS rmn, MAX(b.yr) AS rmx,
          CAST(SUM(b.y - mm.m0) AS BIGINT) AS r,
          CAST(SUM({d2}) AS DECIMAL(38,0)) AS sd2,
          CAST(SUM(CAST({d2} AS DECIMAL(19,0)) * {dd}) AS DECIMAL(38,0))
@@ -3452,7 +3463,7 @@ d AS (
   FROM b CROSS JOIN mm
 ),
 c AS (
-  SELECT n, mn, mx,
+  SELECT n, mn, mx, rmn, rmx,
          CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS del,
          CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
          CAST(sd3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
@@ -3461,7 +3472,7 @@ c AS (
   FROM d WHERE n > 0
 ),
 k AS (
-  SELECT n, mn, mx, mean_d,
+  SELECT n, mn, mx, rmn, rmx, mean_d,
          e2 - del * del AS c2,
          e3 - CAST(3 AS DOUBLE) * del * e2
             + CAST(2 AS DOUBLE) * del * del * del AS c3,
@@ -3481,7 +3492,10 @@ SELECT n AS n_orders, mean_d AS mean_dollars,
                     + (c4 / (c2 * c2) - CAST(3 AS DOUBLE))
                       * (c4 / (c2 * c2) - CAST(3 AS DOUBLE))
                       / CAST(4 AS DOUBLE))
-       END AS jb_stat
+       END AS jb_stat,
+       CAST(CASE WHEN n >= 2 AND rmx - rmn > CAST(0 AS DOUBLE)
+                      AND rmx - rmn < CAST(1 AS DOUBLE)
+                 THEN 1 ELSE 0 END AS BIGINT) AS unit_contract_violated
 FROM k
 """
 
@@ -3498,7 +3512,9 @@ sql_query(
         "correction delta = r/n entering only the final fixed IEEE "
         "chain, skewness via c2*SQRT(c2), JB = n/6 (S^2 + K^2/4); "
         "n<2 / constant-column degenerates pinned to 0 in integer "
-        "space."
+        "space. unit_contract_violated flags a raw spread below the "
+        "whole-dollar quantization unit (0 < max-min < 1), where the "
+        "moment passes would silently read the constant-column pin."
     ),
     tables=("orders",),
 )

@@ -835,11 +835,17 @@ _ACF_MAX_LAG = 7
 
 
 def _acf_daily_sql(epoch_expr: str, intdiv) -> str:
+    # ts IS NOT NULL (r11 ADVICE 1): a NULL ts would otherwise yield a
+    # NULL dn day-group whose position under ORDER BY dn differs
+    # across engines (Spark NULLS FIRST vs DuckDB NULLS LAST) — fatal
+    # for the order-sensitive spine consumers (stat_runs_test,
+    # stat_pettitt_change); a daily spine has no NULL day by contract.
     dn = intdiv(f"CAST(FLOOR({epoch_expr}) AS BIGINT)", "86400")
     return f"""
 SELECT CAST({dn} AS BIGINT) AS dn,
        CAST(COUNT(*) AS BIGINT) AS x
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1
 """
 
@@ -1608,6 +1614,13 @@ _register_pettitt()
 # --------------------------------------------------------------------------
 
 
+# The pair join below is licensed only on a calendar-bounded spine;
+# the staged guard fails loudly past this many spine rows (~27x the
+# ten-year daily calendar, still only ~5e9 pair comparisons — the
+# last size where "quadratic on the spine" is defensibly cheap).
+KENDALL_MAX_SPINE_ROWS = 100_000
+
+
 def _kt_daily_sql(epoch_expr: str, intdiv) -> str:
     dn = intdiv(f"CAST(FLOOR({epoch_expr}) AS BIGINT)", "86400")
     return f"""
@@ -1677,6 +1690,14 @@ def _register_kendall() -> None:
                     lambda a, b: f"({a}) DIV ({b})",
                 ),
             ),
+            # fail-loud rail (r11 verdict item 4): the spine^2 pair
+            # join is licensed ONLY on the calendar-bounded daily
+            # spine (~10 years of days ~ 3.7e3 rows, 6.7e6 pairs); a
+            # caller pointing this shape at a high-cardinality key
+            # spine would silently go quadratic — past 1e5 spine rows
+            # (5e9 pairs) the guard raises instead.
+            ("guard", "kt_spine_rows", "SELECT COUNT(*) FROM kt_daily",
+             KENDALL_MAX_SPINE_ROWS),
         ),
         final=_kendall_tail("kt_daily", lambda a, b: f"({a}) DIV ({b})"),
         oracle=(
@@ -1689,7 +1710,9 @@ def _register_kendall() -> None:
             "spine (never the raw table), concordance decided by exact "
             "BIGINT comparisons (no overflow-prone products), integer "
             "tie corrections, tau-b as one fixed IEEE chain with "
-            "all-tied margins pinned to 0 in integer space."
+            "all-tied margins pinned to 0 in integer space. A staged "
+            "guard fails loudly past 100k spine rows — the pair join "
+            "is licensed only on a calendar-bounded spine."
         ),
         tables=("orders",),
     )

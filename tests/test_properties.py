@@ -1205,6 +1205,9 @@ def test_pr_auc_oracle_matches_step_ap(rows, tmp_path_factory):
     n = sum(by_score.values())
     assert int(got["n_pos"]) == p and int(got["n_neg"]) == n - p
     assert int(got["n_thresholds"]) == len(by_score)
+    assert int(got["quant_budget_exceeded"]) == int(
+        p > 0 and len(by_score) > 1000 * p
+    )
     if p == 0:
         assert got["avg_precision"] == 0.0
         return
@@ -1641,6 +1644,8 @@ def test_jarque_bera_oracle_matches_numpy(dollars, tmp_path_factory):
 
     y = np.floor(np.array(prices, dtype=np.float64))
     n = len(y)
+    spread = max(prices) - min(prices)
+    assert int(got["unit_contract_violated"]) == int(n >= 2 and 0 < spread < 1)
     if n < 2 or y.min() == y.max():
         assert got["skewness"] == 0.0
         assert got["ex_kurtosis"] == 0.0
@@ -1996,7 +2001,11 @@ def test_contamination_oracle_matches_set_model(docs, tmp_path_factory):
         did: [
             " ".join(ws[i : i + 5]) for i in range(len(ws) - 4)
         ]
-        for did, ws in ((d, t.split(" ") if t else [""]) for d, t in texts.items())
+        for did, ws in (
+            # empty tokens are filtered before gram construction
+            (d, [w for w in t.split(" ") if w != ""])
+            for d, t in texts.items()
+        )
     }
     train = {
         g for did, gs in grams.items() if split_of(did) == "train" for g in gs

@@ -748,7 +748,7 @@ def test_contamination_matches_python_model(spark):
     docs = pd.read_parquet(f"{SF0001}/documents.parquet")
     grams: dict[int, list[str]] = {}
     for _, row in docs.iterrows():
-        ws = row["text"].strip().split(" ")
+        ws = [w for w in row["text"].strip().split(" ") if w != ""]
         grams[int(row["doc_id"])] = [
             " ".join(ws[i : i + 5]) for i in range(len(ws) - 4)
         ]
@@ -799,7 +799,7 @@ _EN_STOPS = {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"}
 
 
 def _rake_replay(texts):
-    membs = []  # (phrase_key, words)
+    all_phrases = []  # canonical RAKE: word stats over ALL candidates
     for text in texts:
         toks = [w for w in text.strip().lower().split(" ") if w != ""]
         phrase: list[str] = []
@@ -813,16 +813,18 @@ def _rake_replay(texts):
                 phrase.append(w)
         if phrase:
             phrases.append(phrase)
-        membs.extend(p for p in phrases if len(p) <= 4)
+        all_phrases.extend(phrases)
     freq: dict[str, int] = {}
     degree: dict[str, int] = {}
-    for p in membs:
+    for p in all_phrases:
         for w in p:
             freq[w] = freq.get(w, 0) + 1
             degree[w] = degree.get(w, 0) + len(p)
     score_q = {w: _tdiv(degree[w] * 1000000, freq[w]) for w in freq}
     agg: dict[str, list] = {}
-    for p in membs:
+    for p in all_phrases:
+        if len(p) > 4:  # the cap applies only to the readout
+            continue
         key = " ".join(p)
         sc = sum(score_q[w] for w in p)
         if key not in agg:
