@@ -928,3 +928,53 @@ FROM (
 
 
 _register_contamination()
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of document lengths (round 12, queued for the r13
+# window): corpus_health_report reads length QUANTILES; the Gini of
+# the length distribution is the single-number concentration readout
+# a mixture planner watches — a corpus whose token mass concentrates
+# in a few huge documents packs, shuffles, and caps differently from
+# an even one, and a drift in length-Gini between snapshots flags a
+# source change before any mean moves. Machinery is stat_gini_spend's
+# sorted-prefix identity VERBATIM (imported tail): per-distinct-
+# length counts off one staged documents scan, tied blocks contribute
+# v*c*(2f+c-n) through the two-stage prefix sum (bucket offsets +
+# within-bucket window — never a global rank), G one IEEE division of
+# exact decimals, empty/zero-mass pinned to 0 in decimal space.
+# --------------------------------------------------------------------------
+
+
+def _register_doclen_gini() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+    from aws_etl_spark.queries.sql_seams import duck_declared, spark_declared
+    from aws_etl_spark.queries.stats_queries import _gini_tail
+
+    dl_t = """
+SELECT CAST(n_chars AS BIGINT) AS x
+FROM documents WHERE n_chars IS NOT NULL
+"""
+    kw = dict(n_label="n_docs", mean_div="", mean_label="mean_chars")
+    duck_tail = _gini_tail("t", duck_declared, **kw)
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "corpus_doclen_gini",
+        ops=(("view", "dlg_t", dl_t),),
+        final=_gini_tail("dlg_t", spark_declared, **kw),
+        oracle=f"WITH t AS ({dl_t}),\n" + duck_tail[len("\nWITH ") :],
+        category="corpus",
+        doc=(
+            "Gini coefficient of document lengths (n_chars): the "
+            "stat_gini_spend sorted-prefix identity over one staged "
+            "documents scan — tied length blocks contribute "
+            "v*c*(2f+c-n) via the two-stage prefix sum, G one IEEE "
+            "division of exact decimals, empty/zero-mass corpora "
+            "pinned to 0 in decimal space. The length-concentration "
+            "drift monitor beside corpus_health_report's quantiles."
+        ),
+        tables=("documents",),
+    )
+
+
+_register_doclen_gini()

@@ -2541,3 +2541,188 @@ FROM (SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS ws
 
 
 _register_rake()
+
+
+# --------------------------------------------------------------------------
+# MSTTR-50 lexical diversity (round 12, queued for the r13 window):
+# raw type-token ratio collapses as corpora grow (Heaps' law — the
+# text_heaps_law query measures exactly that), so corpus dashboards
+# report the Mean Segmental TTR: split each document into consecutive
+# 50-token segments, take each FULL segment's type/token ratio, and
+# average over segments — length-invariant, so it compares sources
+# and snapshots fairly. Fully exact: tokens come from the RAKE
+# tokenization (lower/trim/split, empty tokens filtered), segment id
+# is pure integer division of the token position, only exactly-50-
+# token segments survive (the standard MSTTR truncation — a partial
+# tail segment would bias TTR upward), the per-segment distinct count
+# is an integer, and msttr = sum(distinct)/(50 * n_segments) is ONE
+# IEEE division of exact BIGINTs — no quantization anywhere. The
+# global TTR rides along for the Heaps-collapse contrast. Scale: one
+# token explode (linear in corpus tokens), one (doc, segment) hash
+# agg, one constant-width rollup; no windows, no pairing.
+# --------------------------------------------------------------------------
+
+_MSTTR_SEG = 50
+
+
+def _msttr_tail(tok: str, intdiv) -> str:
+    seg = intdiv("(pos - 1)", str(_MSTTR_SEG))
+    return f"""
+WITH segs AS (
+  SELECT doc_id, {seg} AS seg,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+  FROM {tok}
+  GROUP BY doc_id, {seg}
+),
+full_segs AS (
+  SELECT doc_id, n_types FROM segs WHERE n_tok = {_MSTTR_SEG}
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+  FROM {tok}
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_covered,
+         CAST(COALESCE(SUM(n_types), 0) AS BIGINT) AS types_sum
+  FROM full_segs
+)
+SELECT s.n_segments, s.n_docs_covered, g.n_tokens,
+       CASE WHEN g.n_tokens = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(g.n_types AS DOUBLE) / CAST(g.n_tokens AS DOUBLE)
+       END AS global_ttr,
+       CASE WHEN s.n_segments = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(s.types_sum AS DOUBLE)
+                 / (CAST({_MSTTR_SEG} AS DOUBLE)
+                    * CAST(s.n_segments AS DOUBLE))
+       END AS msttr_{_MSTTR_SEG}
+FROM s CROSS JOIN g
+"""
+
+
+def _register_msttr() -> None:
+    # Both engines must number the FILTERED token sequence: DuckDB
+    # filters the list before generate_subscripts; Spark re-numbers
+    # with the doc-partitioned ROW_NUMBER in _MSTTR_SPARK_TOK.
+    duck_tok = """
+SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+FROM (SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT(TRIM(LOWER(text)), ' '),
+                         x -> x <> '') AS ws
+      FROM documents)
+"""
+    duck_tail = _msttr_tail("tok", lambda a, b: f"({a}) // ({b})")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "text_msttr",
+        ops=(("view", "msttr_tok", _MSTTR_SPARK_TOK),),
+        final=_msttr_tail("msttr_tok", lambda a, b: f"({a}) DIV ({b})"),
+        oracle=(
+            f"WITH tok AS ({duck_tok}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="text",
+        doc=(
+            "Mean Segmental TTR (MSTTR-50) lexical diversity: RAKE "
+            "tokenization, segment = integer division of the filtered "
+            "token position, only exactly-50-token segments survive "
+            "(standard truncation), msttr = sum(distinct types) / "
+            "(50 * n_segments) as ONE IEEE division of exact BIGINTs; "
+            "the Heaps-collapsing global TTR rides along for "
+            "contrast. One token explode + hash aggs, no pairing."
+        ),
+        tables=("documents",),
+    )
+
+
+# Spark's posexplode numbers BEFORE the empty filter; positions must
+# count only surviving tokens on both engines, so the Spark token view
+# re-numbers with a doc-partitioned ROW_NUMBER over the original
+# position (deterministic: original pos is unique per doc).
+_MSTTR_SPARK_TOK = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos0) AS pos,
+       w
+FROM (
+  SELECT doc_id, pos AS pos0, col AS w
+  FROM (SELECT doc_id, posexplode(split(trim(lower(text)), ' '))
+        FROM documents)
+  WHERE col <> ''
+)
+"""
+
+_register_msttr()
+
+
+# --------------------------------------------------------------------------
+# Hapax legomena profile (round 12, queued for the r13 window): the
+# Zipf-fit and Heaps-law queries read the SHAPE of the frequency
+# curve; the hapax share is its classic single-number tail readout —
+# in natural text roughly 40-60% of the vocabulary occurs exactly
+# once, and a collapsing hapax share is the cheapest OCR-garbage /
+# boilerplate / dedup-failure alarm a corpus dashboard can run.
+# Exact: one token scan -> per-word counts (hash agg, linear), then
+# vocab V, tokens T, hapax H1 (c=1), dis legomena H2 (c=2) as exact
+# BIGINT conditional counts, and the three shares as single IEEE
+# divisions; the empty corpus pins every share to 0 in integer space.
+# --------------------------------------------------------------------------
+
+
+def _hapax_sql(tok: str) -> str:
+    return f"""
+WITH wc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM ({tok}) t GROUP BY w
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS tokens,
+         CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS hapax,
+         CAST(COALESCE(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS dis_legomena
+  FROM wc
+)
+SELECT vocab, tokens, hapax, dis_legomena,
+       CASE WHEN vocab = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE)
+       END AS hapax_vocab_share,
+       CASE WHEN tokens = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(hapax AS DOUBLE) / CAST(tokens AS DOUBLE)
+       END AS hapax_token_share,
+       CASE WHEN vocab = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(dis_legomena AS DOUBLE) / CAST(vocab AS DOUBLE)
+       END AS dis_vocab_share
+FROM a
+"""
+
+
+def _register_hapax() -> None:
+    spark_tok = """
+SELECT col AS w
+FROM (SELECT posexplode(split(trim(lower(text)), ' ')) FROM documents)
+WHERE col <> ''
+"""
+    duck_tok = """
+SELECT unnest(LIST_FILTER(STRING_SPLIT(TRIM(LOWER(text)), ' '),
+              x -> x <> '')) AS w
+FROM documents
+"""
+    sql_query(
+        "text_hapax_ratio",
+        _hapax_sql(spark_tok),
+        oracle=_hapax_sql(duck_tok),
+        category="text",
+        doc=(
+            "Hapax legomena profile of the corpus vocabulary: one "
+            "token scan into per-word counts, vocab / tokens / "
+            "hapax (c=1) / dis legomena (c=2) as exact BIGINTs and "
+            "the shares as single IEEE divisions; empty corpus pins "
+            "every share to 0 in integer space. The frequency-curve "
+            "tail alarm beside text_zipf_fit and text_heaps_law."
+        ),
+        tables=("documents",),
+    )
+
+
+_register_hapax()

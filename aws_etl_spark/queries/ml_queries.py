@@ -1360,3 +1360,190 @@ def _register_brier() -> None:
 
 
 _register_brier()
+
+
+# --------------------------------------------------------------------------
+# Log loss / cross-entropy + skill score (round 12, queued for the r13
+# window): the Brier/Murphy readout above prices squared error; log
+# loss is the likelihood-based proper scoring rule training actually
+# optimizes, and the one that punishes CONFIDENT wrong forecasts
+# hardest — a calibration dashboard reports both. Same md5-coin
+# forecast and urgent-priority label as ml_calibration_ece / the
+# Brier pair, with the forecast placed strictly inside (0,1) on the
+# mid-grid p = (2*coin+1)/131072 (coin 0..65535) so ln never sees 0 —
+# an explicit clamp contract, not an epsilon hack. Per-row term
+# y*ln(p) + (1-y)*ln(1-p) is one fixed IEEE chain micro-quantized
+# (FLOOR x1e6 — FLOOR floors on both engines, negatives included)
+# before the order-free BIGINT sum. The baseline is the
+# constant-prevalence forecast: -(P*ln(P/n) + (n-P)*ln(1-P/n))/n as
+# one fixed IEEE chain over exact integers (one-class corpora pin the
+# missing term to 0 in integer space), and skill = 1 - LL/LL_base.
+# Scale: one map-side-combined scan, constant output. Overflow: each
+# quantized term is >= ln(1/131072)*1e6 ~ -1.2e7, so the sum clears
+# BIGINT to n ~ 7e11 rows.
+# --------------------------------------------------------------------------
+
+
+def _log_loss_sql(coin: str) -> str:
+    p = "((CAST(2 AS DOUBLE) * CAST(coin AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(131072 AS DOUBLE))"
+    term = (
+        f"CASE WHEN y = 1 THEN LN({p}) "
+        f"ELSE LN(CAST(1 AS DOUBLE) - {p}) END"
+    )
+    return f"""
+WITH s AS (
+  SELECT {coin} AS coin,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+q AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(y), 0) AS BIGINT) AS pos,
+         CAST(COALESCE(SUM(CAST(FLOOR(({term}) * 1000000) AS BIGINT)), 0)
+              AS BIGINT) AS ll_q
+  FROM s
+),
+f AS (
+  SELECT n, pos,
+         CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+              ELSE -(CAST(ll_q AS DOUBLE) / CAST(1000000 AS DOUBLE))
+                   / CAST(n AS DOUBLE)
+         END AS log_loss,
+         CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+              ELSE -(
+                (CASE WHEN pos = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE CAST(pos AS DOUBLE)
+                           * LN(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                 END)
+                + (CASE WHEN pos = n THEN CAST(0 AS DOUBLE)
+                        ELSE CAST(n - pos AS DOUBLE)
+                             * LN(CAST(n - pos AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                   END)
+              ) / CAST(n AS DOUBLE)
+         END AS baseline_ll
+  FROM q
+)
+SELECT n AS n_orders, pos AS n_pos, log_loss, baseline_ll,
+       CASE WHEN baseline_ll = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(1 AS DOUBLE) - log_loss / baseline_ll
+       END AS skill_score
+FROM f
+"""
+
+
+sql_query(
+    "ml_log_loss",
+    _log_loss_sql(_SPARK_CAL_COIN),
+    oracle=_log_loss_sql(_DUCK_CAL_COIN),
+    category="ml",
+    doc=(
+        "Log loss (cross-entropy) of the md5-coin forecast vs the "
+        "urgent-priority label on the strict-interior mid-grid "
+        "p = (2*coin+1)/131072: per-row ln terms micro-quantized "
+        "before the order-free BIGINT sum, the constant-prevalence "
+        "baseline as one fixed IEEE chain over exact integers "
+        "(one-class terms pinned in integer space), and the skill "
+        "score 1 - LL/LL_base. One map-side-combined orders scan."
+    ),
+    tables=("orders",),
+)
+
+
+# --------------------------------------------------------------------------
+# Fleiss' kappa — multi-rater agreement (round 12, queued for the r13
+# window): ml_annotator_kappa reads agreement between TWO annotators;
+# real labeling fleets run 3+ raters per item, and Fleiss' kappa is
+# the standard chance-corrected readout there. Three synthetic raters
+# follow the annotator-kappa construction (independent salted-md5
+# coins, each the label flipped w.p. 15% — an independent-rater
+# degenerate would pin kappa ~ 0). Fully exact rational arithmetic:
+# per item, n1 = raters voting 1, and the agreement numerator
+# A = sum_i [n1*(n1-1) + (3-n1)*(2-n1)] is an exact BIGINT; with
+# T1 = sum n1, T0 = 3N - T1, B = T1^2 + T0^2, the identity
+# kappa = (Pbar - Pe)/(1 - Pe) = (3N*A - 2B) / (18N^2 - 2B) makes
+# kappa ONE IEEE division of exact DECIMAL(38,0) integers — no
+# quantization anywhere. The all-one-category degenerate (Pe = 1,
+# denominator 0) pins kappa to 0 in integer space. Scale: one orders
+# scan, three md5 chains per row, map-side combine; B ~ 9N^2 clears
+# DECIMAL(38,0) to N ~ 1e18.
+# --------------------------------------------------------------------------
+
+
+def _fleiss_sql(coin1: str, coin2: str, coin3: str) -> str:
+    vote = "CASE WHEN {c} < 9830 THEN 1 - y ELSE y END"
+    return f"""
+WITH lab AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS y,
+         {coin1} AS c1, {coin2} AS c2, {coin3} AS c3
+  FROM orders
+),
+votes AS (
+  SELECT ({vote.format(c="c1")}) + ({vote.format(c="c2")})
+         + ({vote.format(c="c3")}) AS n1
+  FROM lab
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(n1 * (n1 - 1)
+                           + (3 - n1) * (2 - n1)), 0) AS BIGINT) AS a,
+         CAST(COALESCE(SUM(n1), 0) AS BIGINT) AS t1
+  FROM votes
+),
+k AS (
+  SELECT n, a, t1, 3 * n - t1 AS t0,
+         CAST(t1 AS DECIMAL(19,0)) * CAST(t1 AS DECIMAL(19,0))
+           + CAST(3 * n - t1 AS DECIMAL(19,0))
+             * CAST(3 * n - t1 AS DECIMAL(19,0)) AS b
+  FROM agg
+)
+SELECT n AS n_items, CAST(3 AS BIGINT) AS m_raters,
+       CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(a AS DOUBLE) / (CAST(6 AS DOUBLE) * CAST(n AS DOUBLE))
+       END AS p_bar,
+       CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(b AS DOUBLE)
+                 / (CAST(9 AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(n AS DOUBLE))
+       END AS p_e,
+       CASE WHEN n = 0
+                 OR CAST(18 AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                    * CAST(n AS DECIMAL(19,0)) - 2 * b = 0
+            THEN CAST(0 AS DOUBLE)
+            ELSE CAST(CAST(3 AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                      * CAST(a AS DECIMAL(19,0)) - 2 * b AS DOUBLE)
+                 / CAST(CAST(18 AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                        * CAST(n AS DECIMAL(19,0)) - 2 * b AS DOUBLE)
+       END AS fleiss_kappa
+FROM k
+"""
+
+
+_SPARK_FLEISS_COINS = tuple(
+    "CAST(CONV(SUBSTRING(MD5(CONCAT('fl" + str(j) + "#',"
+    " CAST(o_orderkey AS STRING))), 1, 4), 16, 10) AS BIGINT)"
+    for j in (1, 2, 3)
+)
+_DUCK_FLEISS_COINS = tuple(
+    _duck_coin(f"'fl{j}#' || CAST(o_orderkey AS VARCHAR)") for j in (1, 2, 3)
+)
+
+sql_query(
+    "ml_fleiss_kappa",
+    _fleiss_sql(*_SPARK_FLEISS_COINS),
+    oracle=_fleiss_sql(*_DUCK_FLEISS_COINS),
+    category="ml",
+    doc=(
+        "Fleiss' kappa over three synthetic raters (independent "
+        "15%-flip salted-md5 coins of the urgent-priority label): "
+        "the agreement numerator A and category totals are exact "
+        "BIGINTs from one scan, and kappa = (3N*A - 2B)/(18N^2 - 2B) "
+        "with B = T1^2 + T0^2 is ONE IEEE division of exact "
+        "DECIMAL(38,0) integers — no quantization; the "
+        "all-one-category degenerate (Pe = 1) pins kappa to 0 in "
+        "integer space."
+    ),
+    tables=("orders",),
+)

@@ -449,8 +449,11 @@ _DRIVER_ORDER = (
     "stat_ab_experiment",
     "func_string",
     # ---- end of the 50-query round-12 window ----
-    # Round-13 block-1 queue (window-budget rule): any operator added
-    # during round 12 leads block 1, in the order added.
+    # Round-13 block-1 queue (window-budget rule): the round-12
+    # additions, in the order added — stat_mann_kendall,
+    # stat_durbin_watson, events_dispersion_index, ml_log_loss,
+    # ml_fleiss_kappa, stat_bartlett, stat_friedman_test, text_msttr,
+    # text_hapax_ratio, corpus_doclen_gini (10 forced block-1 slots).
     # Round-13 block-3 queue: the 25 remaining r6-vintage names, in
     # registration order (func_url_parse, text_quality_score, text_lang_id,
     # text_tf_idf, text_textrank_keywords, ann_cosine_topk_ivf_exact,

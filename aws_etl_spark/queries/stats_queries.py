@@ -3084,7 +3084,18 @@ GROUP BY o_custkey
 """
 
 
-def _gini_tail(t: str, declared) -> str:
+def _gini_tail(
+    t: str,
+    declared,
+    n_label: str = "n_customers",
+    mean_div: str = " / CAST(100 AS DOUBLE)",
+    mean_label: str = "mean_spend",
+) -> str:
+    """Sorted-prefix-identity Gini over any staged (x BIGINT) relation.
+
+    Defaults reproduce stat_gini_spend's text byte-for-byte; round 12
+    reuses the identity for corpus_doclen_gini (documents.n_chars,
+    unit divisor, doc labels)."""
     return f"""
 WITH g AS (
   SELECT x AS v, CAST(FLOOR(x / 10000000.0) AS BIGINT) AS bucket,
@@ -3121,9 +3132,9 @@ m AS (
               AS DECIMAL(38,0)) AS num
   FROM r CROSS JOIN n
 )
-SELECT n.n AS n_customers,
-       CAST(n.s AS DOUBLE) / CAST(n.n AS DOUBLE) / CAST(100 AS DOUBLE)
-         AS mean_spend,
+SELECT n.n AS {n_label},
+       CAST(n.s AS DOUBLE) / CAST(n.n AS DOUBLE){mean_div}
+         AS {mean_label},
        CASE WHEN n.n = 0 OR n.s = 0 THEN CAST(0 AS DOUBLE)
             ELSE CAST(m.num AS DOUBLE)
                  / (CAST(n.n AS DOUBLE) * CAST(n.s AS DOUBLE))
@@ -3731,3 +3742,232 @@ def _register_levene() -> None:
 
 
 _register_levene()
+
+
+# --------------------------------------------------------------------------
+# Bartlett's test of equal variances (round 12, queued for the r13
+# window): Brown-Forsythe above is the robust spread test; Bartlett is
+# its classical likelihood-ratio companion — more powerful when the
+# data is near-normal, and the pair (BF agrees / Bartlett disagrees)
+# is itself a non-normality signal. Groups = o_orderpriority, y =
+# whole-dollar units (the jarque_bera quantization — cents-scale
+# second moments overflow every 64-bit quantization path here). Per
+# group the variance numerator num_i = n_i*SS_i - S_i^2 is an exact
+# DECIMAL(38,0) (the anova_f discipline); groups with n_i < 2 carry
+# no degrees of freedom and are excluded (documented). The pooled
+# numerator sum(num_i/n_i) is EXACT integer division per group
+# (Spark DECIMAL DIV -> BIGINT; DuckDB via HUGEINT // — its DECIMAL
+# // returns a lossy DOUBLE, measured in round 12; num_i >= 0 by
+# Cauchy-Schwarz so floor == truncate on both), truncating at one
+# dollar^2 out of >= 1e10 — then summed order-free as DECIMAL. Float
+# enters only as per-group fixed IEEE chains: the (n_i-1)*ln(s_i^2)
+# terms micro-quantized (FLOOR x1e6 BIGINT, |term| <= n*40e6), and
+# the correction's 1/(n_i-1) terms as PURE integer division
+# (1e12 DIV — no float at all). X2 = [(N-k) ln s_p^2 - A] / C
+# finishes as one fixed IEEE chain. Degenerates in integer space:
+# k < 2 included groups, or any included num_i = 0 (ln 0 undefined),
+# pin X2 to 0. Overflow contract: num_i/n_i ~ n_i*Var_dollars <
+# 9.2e18 => n_i per group <= ~3.7e8 at the corpus's ~2.5e10-dollar^2
+# spread (document-and-flag class, same flavor as the ACF bound).
+# --------------------------------------------------------------------------
+
+
+def _bartlett_sql(intdiv, bigdiv) -> str:
+    inv_q = intdiv("1000000000000", "(n_i - 1)")
+    pool_q = bigdiv("num_i", "n_i")
+    s2 = (
+        "CAST(num_i AS DOUBLE)"
+        " / (CAST(n_i AS DOUBLE) * CAST(n_i - 1 AS DOUBLE))"
+    )
+    return f"""
+WITH g AS (
+  SELECT o_orderpriority AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(CAST(y AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS s_i,
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS ss_i
+  FROM (
+    SELECT o_orderpriority,
+           CAST(FLOOR(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS y
+    FROM orders WHERE o_totalprice IS NOT NULL
+  ) q GROUP BY o_orderpriority
+),
+m AS (
+  SELECT grp, n_i,
+         CAST(CAST(n_i AS DECIMAL(19,0)) * ss_i - s_i * s_i
+              AS DECIMAL(38,0)) AS num_i
+  FROM g WHERE n_i >= 2
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(COALESCE(SUM(n_i), 0) AS BIGINT) AS n,
+         CAST(COALESCE(MIN(num_i), 0) AS DECIMAL(38,0)) AS min_num,
+         -- the num_i = 0 guard keeps LN(0) unevaluated (DuckDB
+         -- RAISES where Spark NULLs; the final pin discards a_q then)
+         CAST(COALESCE(SUM(CASE WHEN num_i = 0 THEN CAST(0 AS BIGINT)
+                                ELSE CAST(FLOOR(CAST(n_i - 1 AS DOUBLE)
+                                          * LN({s2}) * 1000000) AS BIGINT)
+                           END), 0)
+              AS BIGINT) AS a_q,
+         CAST(COALESCE(SUM(CAST({pool_q} AS DECIMAL(38,0))), 0)
+              AS DECIMAL(38,0)) AS p_u,
+         CAST(COALESCE(SUM({inv_q}), 0) AS BIGINT) AS h_q
+  FROM m
+)
+SELECT k AS k_groups, n AS n_orders,
+       CASE WHEN k < 2 OR min_num = 0 OR n <= k THEN CAST(0 AS DOUBLE)
+            ELSE CAST(p_u AS DOUBLE) / CAST(n - k AS DOUBLE)
+       END AS pooled_var_dollars2,
+       CASE WHEN k < 2 OR min_num = 0 OR n <= k THEN CAST(0 AS DOUBLE)
+            ELSE (
+              (CAST(n - k AS DOUBLE)
+               * LN(CAST(p_u AS DOUBLE) / CAST(n - k AS DOUBLE))
+               - CAST(a_q AS DOUBLE) / CAST(1000000 AS DOUBLE))
+              / (CAST(1 AS DOUBLE)
+                 + (CAST(h_q AS DOUBLE) / CAST(1000000000000 AS DOUBLE)
+                    - CAST(1 AS DOUBLE) / CAST(n - k AS DOUBLE))
+                   / (CAST(3 AS DOUBLE) * CAST(k - 1 AS DOUBLE)))
+            )
+       END AS bartlett_x2
+FROM agg
+"""
+
+
+sql_query(
+    "stat_bartlett",
+    _bartlett_sql(
+        lambda a, b: f"({a}) DIV ({b})",
+        lambda a, b: f"({a}) DIV ({b})",
+    ),
+    oracle=_bartlett_sql(
+        lambda a, b: f"({a}) // ({b})",
+        lambda a, b: f"CAST({a} AS HUGEINT) // CAST({b} AS HUGEINT)",
+    ),
+    category="stats",
+    doc=(
+        "Bartlett's equal-variance test of whole-dollar order amounts "
+        "across priority groups: exact DECIMAL(38,0) per-group "
+        "variance numerators (n_i < 2 groups excluded), the pooled "
+        "term as exact integer division per group (DECIMAL DIV / "
+        "HUGEINT //), per-group ln chains micro-quantized before "
+        "order-free sums, the correction's 1/(n_i-1) terms as pure "
+        "integer division (1e12 DIV), X2 as one fixed IEEE chain; "
+        "k<2 / zero-variance degenerates pinned to 0 in integer space."
+    ),
+    tables=("orders",),
+)
+
+
+# --------------------------------------------------------------------------
+# Friedman test (round 12, queued for the r13 window): Kruskal-Wallis
+# above compares INDEPENDENT groups; the Friedman test is its
+# blocked companion — "do the event types rank the same way within
+# every ISO weekday" — the k-related-samples monitor for mix-shift
+# across a calendar. Blocks = ISO weekday, treatments = event_type,
+# measurement = the (type x dow) cell count from one staged events
+# scan, on the FULL r x c spine (margin cross join) so a type absent
+# on some weekday measures a true 0 (the cramers_v structural-zeros
+# discipline). Within each block, treatments take exact DOUBLED
+# midranks D = 2*RANK + ties - 1 (integer; the kruskal discipline),
+# computed by dow-PARTITIONED windows on the <= 7k-row cell spine.
+# Conover's tie-corrected statistic is then ONE IEEE division of
+# exact integers: T1 = (k-1) * (sum_j Dj^2 - b^2*k*(k+1)^2)
+# / (b * (sum_cells D^2 - b*k*(k+1)^2)) — multiply-through by b and
+# the doubling cancels exactly (no-ties case reduces to the classic
+# 12/(bk(k+1)) sum Rj^2 - 3b(k+1); verified in the python replay).
+# Degenerates in integer space: k < 2 or the all-tied denominator 0
+# pin the statistic to 0.
+# --------------------------------------------------------------------------
+
+_FRIEDMAN_CELLS = """
+SELECT event_type AS grp, {dow} AS dow,
+       CAST(COUNT(*) AS BIGINT) AS o
+FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+GROUP BY event_type, {dow}
+"""
+
+
+def _friedman_tail(cells: str) -> str:
+    return f"""
+WITH full_c AS (
+  SELECT g.grp, d.dow, CAST(COALESCE(c.o, 0) AS BIGINT) AS o
+  FROM (SELECT DISTINCT grp FROM {cells}) g
+  CROSS JOIN (SELECT DISTINCT dow FROM {cells}) d
+  LEFT JOIN {cells} c ON c.grp = g.grp AND c.dow = d.dow
+),
+rk AS (
+  SELECT grp, dow,
+         2 * RANK() OVER (PARTITION BY dow ORDER BY o)
+           + COUNT(*) OVER (PARTITION BY dow, o) - 1 AS d2
+  FROM full_c
+),
+dims AS (
+  SELECT CAST(COUNT(DISTINCT dow) AS BIGINT) AS b,
+         CAST(COUNT(DISTINCT grp) AS BIGINT) AS k
+  FROM full_c
+),
+tj AS (
+  SELECT grp, CAST(SUM(d2) AS BIGINT) AS dj FROM rk GROUP BY grp
+),
+s AS (
+  SELECT CAST(SUM(CAST(dj AS DECIMAL(19,0)) * CAST(dj AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sum_dj2
+  FROM tj
+),
+s2 AS (
+  SELECT CAST(SUM(CAST(d2 AS DECIMAL(19,0)) * CAST(d2 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS sum_d2
+  FROM rk
+)
+SELECT dims.b AS b_blocks, dims.k AS k_treatments,
+       CASE WHEN dims.k < 2
+                 OR CAST(dims.b AS DECIMAL(19,0))
+                    * (s2.sum_d2 - CAST(dims.b AS DECIMAL(19,0))
+                                   * CAST(dims.k AS DECIMAL(19,0))
+                                   * CAST((dims.k + 1) * (dims.k + 1)
+                                          AS DECIMAL(19,0))) = 0
+            THEN CAST(0 AS DOUBLE)
+            ELSE CAST(CAST(dims.k - 1 AS DECIMAL(19,0))
+                      * (s.sum_dj2
+                         - CAST(dims.b * dims.b AS DECIMAL(19,0))
+                           * CAST(dims.k AS DECIMAL(19,0))
+                           * CAST((dims.k + 1) * (dims.k + 1)
+                                  AS DECIMAL(19,0))) AS DOUBLE)
+                 / CAST(CAST(dims.b AS DECIMAL(19,0))
+                        * (s2.sum_d2 - CAST(dims.b AS DECIMAL(19,0))
+                                       * CAST(dims.k AS DECIMAL(19,0))
+                                       * CAST((dims.k + 1) * (dims.k + 1)
+                                              AS DECIMAL(19,0)))
+                        AS DOUBLE)
+       END AS friedman_chi2
+FROM dims CROSS JOIN s CROSS JOIN s2
+"""
+
+
+def _register_friedman() -> None:
+    spark_cells = _FRIEDMAN_CELLS.format(dow="(WEEKDAY(ts) + 1)")
+    duck_cells = _FRIEDMAN_CELLS.format(dow="ISODOW(ts)")
+    duck_tail = _friedman_tail("cells")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "stat_friedman_test",
+        ops=(("view", "friedman_cells", spark_cells),),
+        final=_friedman_tail("friedman_cells"),
+        oracle=(
+            f"WITH cells AS ({duck_cells}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="stats",
+        doc=(
+            "Friedman blocked rank test of event-type volume across "
+            "ISO weekdays: contingency cells from one staged events "
+            "scan on the full r x c spine (structural zeros), exact "
+            "doubled midranks via dow-partitioned windows on the "
+            "bounded cell spine, Conover's tie-corrected statistic as "
+            "ONE IEEE division of exact DECIMAL integers; k<2 / "
+            "all-tied degenerates pinned to 0 in integer space."
+        ),
+        tables=("events",),
+    )
+
+
+_register_friedman()

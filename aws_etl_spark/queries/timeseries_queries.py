@@ -1808,3 +1808,280 @@ def _register_forecast_eval() -> None:
 
 
 _register_forecast_eval()
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test (round 12, queued for the r13 window): the
+# Pettitt test above LOCATES a changepoint and Theil-Sen fits a slope;
+# MK is the standard non-parametric "is there a monotonic trend at
+# all" gate that precedes both (the WMO-recommended pairing is
+# MK-for-detection + Sen-for-magnitude). S = sum over day pairs of
+# sign(c_j - c_i) is decided by exact BIGINT comparisons over the
+# AGGREGATED daily spine (never the raw table; the same 100k-row
+# staged guard as Kendall licenses the spine^2 pair join). The
+# tie-corrected variance rides integer space as var18 = 18*Var(S) =
+# n(n-1)(2n+5) - sum_t t(t-1)(2t+5); z applies the +-1 continuity
+# correction as one fixed IEEE chain, and the 5% two-sided trend flag
+# is decided by the EXACT inversion (|S|-1)^2 * 180000 >= 38416 *
+# var18 against the pinned 1.96 literal (the Pettitt discipline —
+# never a cross-engine EXP/erf). Degenerates in integer space: n < 2
+# or all-tied (var18 <= 0) or S = 0 pin z to 0 with flag 0.
+# Overflow: S <= n(n-1)/2 = 5e9 at the guard bound, so (|S|-1)^2 and
+# 38416*var18 (~7.7e19) ride DECIMAL(38,0), never BIGINT.
+# --------------------------------------------------------------------------
+
+
+def _mk_tail(daily: str) -> str:
+    return f"""
+WITH d AS (SELECT CAST(dn_raw AS BIGINT) AS dn, c FROM {daily}),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM d),
+p AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN b.c > a.c THEN 1
+                                WHEN b.c < a.c THEN -1 ELSE 0 END), 0)
+              AS BIGINT) AS s
+  FROM d a JOIN d b ON a.dn < b.dn
+),
+tg AS (
+  SELECT CAST(COALESCE(SUM(tc * (tc - 1) * (2 * tc + 5)), 0) AS BIGINT)
+           AS tie18
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tc FROM d GROUP BY c) g
+),
+v AS (
+  SELECT t.nd,
+         CAST(t.nd * (t.nd - 1) * (2 * t.nd + 5) - tg.tie18 AS BIGINT)
+           AS var18
+  FROM t CROSS JOIN tg
+)
+SELECT v.nd AS n_days, p.s AS s_stat, v.var18 AS var_s_x18,
+       CASE WHEN v.var18 <= 0 OR p.s = 0 THEN CAST(0 AS DOUBLE)
+            WHEN p.s > 0 THEN CAST(p.s - 1 AS DOUBLE)
+                 / SQRT(CAST(v.var18 AS DOUBLE) / CAST(18 AS DOUBLE))
+            ELSE CAST(p.s + 1 AS DOUBLE)
+                 / SQRT(CAST(v.var18 AS DOUBLE) / CAST(18 AS DOUBLE))
+       END AS z_stat,
+       CAST(CASE WHEN v.var18 > 0 AND p.s <> 0
+                      AND CAST(ABS(p.s) - 1 AS DECIMAL(19,0))
+                          * CAST(ABS(p.s) - 1 AS DECIMAL(19,0))
+                          * CAST(180000 AS DECIMAL(19,0))
+                          >= CAST(38416 AS DECIMAL(19,0))
+                             * CAST(v.var18 AS DECIMAL(19,0))
+                 THEN 1 ELSE 0 END AS BIGINT) AS trend_5pct
+FROM v CROSS JOIN p
+"""
+
+
+def _register_mann_kendall() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+
+    duck_daily = _kt_daily_sql(
+        "epoch(DATE_TRUNC('day', CAST(o_orderdate AS TIMESTAMP)))",
+        lambda a, b: f"({a}) // ({b})",
+    )
+    duck_tail = _mk_tail("daily")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "stat_mann_kendall",
+        ops=(
+            (
+                "view",
+                "mk_daily",
+                _kt_daily_sql(
+                    "unix_timestamp(DATE_TRUNC('day',"
+                    " CAST(o_orderdate AS TIMESTAMP)))",
+                    lambda a, b: f"({a}) DIV ({b})",
+                ),
+            ),
+            # the same spine^2 license as stat_kendall_tau_daily
+            ("guard", "mk_spine_rows", "SELECT COUNT(*) FROM mk_daily",
+             KENDALL_MAX_SPINE_ROWS),
+        ),
+        final=_mk_tail("mk_daily"),
+        oracle=(
+            f"WITH daily AS ({duck_daily}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="stats",
+        doc=(
+            "Mann-Kendall monotonic-trend test on daily order counts: "
+            "pair signs by exact BIGINT comparisons over the bounded "
+            "staged daily spine (guarded at 100k rows), tie-corrected "
+            "variance in integer space (var18 = 18*Var(S)), z with the "
+            "continuity correction as one fixed IEEE chain, the 5% "
+            "two-sided trend flag decided by the exact inversion "
+            "against the pinned 1.96 literal; n<2 / all-tied / S=0 "
+            "degenerates pinned to 0 in integer space."
+        ),
+        tables=("orders",),
+    )
+
+
+_register_mann_kendall()
+
+
+# --------------------------------------------------------------------------
+# Durbin-Watson statistic (round 12, queued for the r13 window): the
+# ACF above reads correlation at each lag; DW is the single-number
+# lag-1 serial-correlation monitor every regression-residual audit
+# reports (DW ~ 2 means none, toward 0 positive, toward 4 negative).
+# Run on the daily-volume deviations e_t = days*x_t - total (the
+# CUSUM multiply-through idiom — exact BIGINTs, never a fractional
+# mean; same overflow contract as the ACF: (days*max_x)^2 * days <
+# 2^63). Successive differences pair each observed day with the
+# PREVIOUS OBSERVED day in dn order (calendar gaps are treated as
+# adjacent observations — documented; the spine is the observed daily
+# rollup, not a gapfilled calendar), via LAG over the
+# declared-single-partition seam on the bounded spine. num and den
+# are exact DECIMAL(38,0) sums; DW is one IEEE division with the
+# constant-series degenerate pinned to 2.0 (the no-autocorrelation
+# null value) in integer space.
+# --------------------------------------------------------------------------
+
+
+def _dw_tail(daily: str, declared) -> str:
+    return f"""
+WITH tot AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS days
+  FROM {daily}
+),
+e AS (
+  SELECT d.dn, CAST(d.x * t.days - t.total AS DECIMAL(19,0)) AS e_q
+  FROM {daily} d CROSS JOIN tot t
+),
+l AS (
+  SELECT e_q,
+         LAG(e_q) OVER (PARTITION BY __g ORDER BY dn) AS e_prev
+  FROM {declared("e")}
+),
+s AS (
+  SELECT CAST(SUM(e_q * e_q) AS DECIMAL(38,0)) AS den_q,
+         CAST(SUM(CASE WHEN e_prev IS NULL THEN CAST(0 AS DECIMAL(19,0))
+                       ELSE (e_q - e_prev) * (e_q - e_prev)
+                  END) AS DECIMAL(38,0)) AS num_q
+  FROM l
+)
+SELECT t.days AS n_days,
+       CASE WHEN t.days < 2 OR s.den_q = 0 THEN CAST(2 AS DOUBLE)
+            ELSE CAST(s.num_q AS DOUBLE) / CAST(s.den_q AS DOUBLE)
+       END AS dw_stat
+FROM s CROSS JOIN tot t
+"""
+
+
+def _register_durbin_watson() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+    from aws_etl_spark.queries.sql_seams import duck_declared, spark_declared
+
+    duck_daily = _acf_daily_sql(
+        "epoch(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+        lambda a, b: f"({a}) // ({b})",
+    )
+    duck_tail = _dw_tail("daily", duck_declared)
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "stat_durbin_watson",
+        ops=(
+            (
+                "view",
+                "dw_daily",
+                _acf_daily_sql(
+                    "unix_timestamp(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+                    lambda a, b: f"({a}) DIV ({b})",
+                ),
+            ),
+        ),
+        final=_dw_tail("dw_daily", spark_declared),
+        oracle=(
+            f"WITH daily AS ({duck_daily}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="timeseries",
+        doc=(
+            "Durbin-Watson lag-1 serial-correlation statistic of daily "
+            "event volume: exact integer deviations via the CUSUM "
+            "multiply-through idiom off one staged daily scan, "
+            "successive observed-day differences via LAG over the "
+            "declared-partition seam on the bounded spine, num/den as "
+            "exact DECIMAL sums and DW one IEEE division; the "
+            "constant-series degenerate pins to 2.0 (the "
+            "no-autocorrelation null) in integer space."
+        ),
+        tables=("events",),
+    )
+
+
+_register_durbin_watson()
+
+
+# --------------------------------------------------------------------------
+# Dispersion index / Fano factor of daily volume (round 12, queued for
+# the r13 window): the burstiness monitor above reads per-user gap
+# irregularity; the Fano factor Var/Mean of the DAILY COUNT series is
+# the fleet-level overdispersion gate — a Poisson arrival stream reads
+# 1.0, and the "is traffic clumping beyond Poisson" question decides
+# whether rate alerts can use sqrt(n) bands. Fully exact: with the
+# integer identities num = n*sum(x^2) - (sum x)^2 and Var/Mean =
+# num / ((n-1) * total), the statistic is ONE IEEE division of exact
+# DECIMAL(38,0) integers, and the overdispersed flag is the exact
+# integer comparison num > (n-1)*total — no quantization anywhere.
+# Degenerates: n < 2 or total = 0 pin Fano to 0 with flag 0 in
+# integer space. One grouped daily count reduces the corpus; the
+# moment aggregation runs on the calendar-bounded spine.
+# --------------------------------------------------------------------------
+
+
+def _fano_sql(epoch_expr: str, intdiv) -> str:
+    daily = _acf_daily_sql(epoch_expr, intdiv)
+    num = (
+        "CAST(n AS DECIMAL(19,0)) * ss"
+        " - CAST(total AS DECIMAL(19,0)) * CAST(total AS DECIMAL(19,0))"
+    )
+    return f"""
+WITH daily AS ({daily}),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(x), 0) AS BIGINT) AS total,
+         CAST(COALESCE(SUM(CAST(x AS DECIMAL(19,0))
+                           * CAST(x AS DECIMAL(19,0))), 0)
+              AS DECIMAL(38,0)) AS ss
+  FROM daily
+)
+SELECT n AS n_days,
+       CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(total AS DOUBLE) / CAST(n AS DOUBLE)
+       END AS mean_daily,
+       CASE WHEN n < 2 OR total = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST({num} AS DOUBLE)
+                 / (CAST(n - 1 AS DOUBLE) * CAST(total AS DOUBLE))
+       END AS fano_factor,
+       CAST(CASE WHEN n >= 2 AND total > 0
+                      AND {num}
+                          > CAST(n - 1 AS DECIMAL(19,0))
+                            * CAST(total AS DECIMAL(19,0))
+                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+FROM m
+"""
+
+
+from aws_etl_spark.queries.registry import sql_query  # noqa: E402
+
+sql_query(
+    "events_dispersion_index",
+    _fano_sql(
+        "unix_timestamp(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+        lambda a, b: f"({a}) DIV ({b})",
+    ),
+    oracle=_fano_sql(
+        "epoch(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+        lambda a, b: f"({a}) // ({b})",
+    ),
+    category="timeseries",
+    doc=(
+        "Fano factor (dispersion index) of daily event volume: "
+        "Var/Mean as ONE IEEE division of the exact integers "
+        "num = n*sum(x^2) - (sum x)^2 and (n-1)*total, with the "
+        "overdispersed flag decided by the exact integer comparison "
+        "num > (n-1)*total (Poisson reads 1.0); n<2 / empty "
+        "degenerates pinned to 0 in integer space. One grouped daily "
+        "count reduces the corpus."
+    ),
+    tables=("events",),
+)

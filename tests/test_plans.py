@@ -715,6 +715,21 @@ _RESCAN_FAMILY_BOUNDS = {
     "embeddings_silhouette": (1, 5),
     "corpus_ngram_contamination": (1, 4),
     "text_rake_keywords": (1, 7),
+    # round-12 additions (census at registration time: every staged
+    # final plan reads 0 parquet scans, every plain query 1; all
+    # shuffles run on bounded spines/cells — friedman's 11 ride the
+    # <= types x 7 cell spine, doclen-gini's 8 the distinct-length
+    # prefix machinery)
+    "stat_mann_kendall": (1, 5),
+    "stat_durbin_watson": (1, 4),
+    "events_dispersion_index": (1, 3),
+    "ml_log_loss": (1, 2),
+    "ml_fleiss_kappa": (1, 2),
+    "stat_bartlett": (1, 3),
+    "stat_friedman_test": (1, 12),
+    "text_msttr": (1, 7),
+    "text_hapax_ratio": (1, 3),
+    "corpus_doclen_gini": (1, 9),
 }
 
 

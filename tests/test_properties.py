@@ -2137,3 +2137,315 @@ def test_brier_oracle_matches_definition(rows, tmp_path_factory):
     tol = (len(bins) + 1) * 1e-9 / n + 1e-12
     assert abs(got["reliability"] - rel) <= tol
     assert abs(got["resolution"] - res) <= tol
+
+
+# ---------------------------------------------------------------------------
+# Round-12 additions: oracle-vs-model property models (pure DuckDB —
+# the Spark<->oracle equality is hash-checked separately; the replays
+# in tests/test_round12_ops.py declare the exact integer semantics,
+# so these close the model<->spark<->oracle triangle on randomized
+# shapes: empty groups, all-tied series, one-class labels).
+# ---------------------------------------------------------------------------
+
+
+def _orders_frame(rows):
+    """rows: (orderkey, prio_bucket, dollars, day) -> orders frame."""
+    import pandas as pd
+
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return pd.DataFrame(
+        {
+            "o_orderkey": pd.array([r[0] for r in rows], dtype="int64"),
+            "o_custkey": pd.array(
+                [r[0] % 7 for r in rows], dtype="int64"
+            ),
+            "o_orderstatus": ["F"] * len(rows),
+            "o_totalprice": pd.array(
+                [float(r[2]) + 0.25 for r in rows], dtype="float64"
+            ),
+            "o_orderdate": pd.to_datetime(
+                [f"2024-01-{r[3]:02d}" for r in rows]
+            ).astype("datetime64[us]"),
+            "o_orderpriority": [prios[r[1]] for r in rows],
+        }
+    )
+
+
+_r12_orders = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4000),  # orderkey (coin seed)
+        st.integers(min_value=0, max_value=4),  # priority bucket
+        st.integers(min_value=0, max_value=3000),  # dollars
+        st.integers(min_value=1, max_value=14),  # order day
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@_settings
+@given(rows=_r12_orders)
+def test_mann_kendall_oracle_matches_brute_force(rows, tmp_path_factory):
+    """The stat_mann_kendall ORACLE == brute-force pairwise signs +
+    tie-corrected variance + the exact 1.96 inversion, exactly."""
+    from collections import Counter as C
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round12_ops import _mk_replay
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "mk", orders=_orders_frame(rows))
+    got = run_oracle(REGISTRY["stat_mann_kendall"].oracle, sf).iloc[0]
+    n, s, var18, z, flag = _mk_replay(C(r[3] for r in rows))
+    assert (int(got["n_days"]), int(got["s_stat"]), int(got["var_s_x18"])) == (
+        n, s, var18,
+    )
+    assert got["z_stat"] == z
+    assert int(got["trend_5pct"]) == flag
+
+
+@_settings
+@given(rows=_r12_orders)
+def test_fleiss_oracle_matches_float_definition(rows, tmp_path_factory):
+    """The ml_fleiss_kappa ORACLE (exact rational) == the textbook
+    float Fleiss computation within 1e-12 — an independent float path,
+    not the integer identity."""
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round11_late import _coin
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "fleiss", orders=_orders_frame(rows))
+    got = run_oracle(REGISTRY["ml_fleiss_kappa"].oracle, sf).iloc[0]
+    n = len(rows)
+    n1s = []
+    for k, pb, _, _ in rows:
+        y = int(pb in (0, 1))
+        n1s.append(
+            sum(
+                ((1 - y) if _coin(f"fl{j}#{k}") < 9830 else y)
+                for j in (1, 2, 3)
+            )
+        )
+    p_i = [(v * (v - 1) + (3 - v) * (2 - v)) / 6.0 for v in n1s]
+    p_bar = sum(p_i) / n
+    p1 = sum(n1s) / (3.0 * n)
+    p_e = p1 * p1 + (1.0 - p1) * (1.0 - p1)
+    assert abs(got["p_bar"] - p_bar) < 1e-12
+    assert abs(got["p_e"] - p_e) < 1e-12
+    if abs(1.0 - p_e) < 1e-15:
+        assert got["fleiss_kappa"] == 0.0
+    else:
+        assert abs(got["fleiss_kappa"] - (p_bar - p_e) / (1.0 - p_e)) < 1e-9
+
+
+_r12_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=14),  # day
+        st.integers(min_value=0, max_value=3),  # type
+        st.integers(min_value=0, max_value=3),  # value bucket
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_settings
+@given(rows=_r12_events)
+def test_friedman_oracle_matches_replay(rows, tmp_path_factory):
+    """The stat_friedman_test ORACLE == the doubled-midrank Conover
+    replay on randomized (day, type) cells — ties, missing cells, and
+    single-type degenerates included."""
+    from collections import Counter as C
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round12_ops import _friedman_replay
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "fried", events=_ev_frame(rows))
+    got = run_oracle(REGISTRY["stat_friedman_test"].oracle, sf).iloc[0]
+    import datetime as dt
+
+    cells = C(
+        (("purchase" if g == 0 else f"g{g}"),
+         dt.date(2024, 1, d).isoweekday())
+        for d, g, _ in rows
+    )
+    b, k, chi2 = _friedman_replay(dict(cells))
+    assert (int(got["b_blocks"]), int(got["k_treatments"])) == (b, k)
+    assert got["friedman_chi2"] == chi2
+
+
+@_settings
+@given(rows=_r12_events)
+def test_dispersion_oracle_matches_float_variance(rows, tmp_path_factory):
+    """The events_dispersion_index ORACLE (exact integers) == the
+    float sample-variance / mean path within 1e-9 relative — an
+    independent float computation."""
+    from collections import Counter as C
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "disp", events=_ev_frame(rows))
+    got = run_oracle(REGISTRY["events_dispersion_index"].oracle, sf).iloc[0]
+    daily = C(d for d, _, _ in rows)
+    xs = list(daily.values())
+    n = len(xs)
+    assert int(got["n_days"]) == n
+    if n < 2 or sum(xs) == 0:
+        assert got["fano_factor"] == 0.0
+        return
+    mean = sum(xs) / n
+    var = sum((x - mean) ** 2 for x in xs) / (n - 1)
+    fano = var / mean
+    assert abs(got["fano_factor"] - fano) < 1e-9 * max(1.0, fano)
+    assert int(got["overdispersed"]) == int(fano > 1.0 + 1e-12) or abs(
+        fano - 1.0
+    ) < 1e-9
+
+
+@_settings
+@given(rows=_r12_events)
+def test_durbin_watson_oracle_matches_float(rows, tmp_path_factory):
+    """The stat_durbin_watson ORACLE == the float mean-residual DW
+    within 1e-9 relative (the days*x - total multiply-through cancels
+    exactly in the num/den ratio)."""
+    from collections import Counter as C
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "dw", events=_ev_frame(rows))
+    got = run_oracle(REGISTRY["stat_durbin_watson"].oracle, sf).iloc[0]
+    daily = C(d for d, _, _ in rows)
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    n = len(xs)
+    mean = sum(xs) / n
+    e = [x - mean for x in xs]
+    den = sum(v * v for v in e)
+    if n < 2 or den == 0:
+        assert got["dw_stat"] == 2.0
+        return
+    dw = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n)) / den
+    assert abs(got["dw_stat"] - dw) < 1e-9 * max(1.0, dw)
+
+
+@_settings
+@given(rows=_r12_orders)
+def test_log_loss_oracle_within_quantization_bound(rows, tmp_path_factory):
+    """The ml_log_loss ORACLE == the unquantized float model within
+    the stated micro-quantization bound (1e-6 absolute on the mean),
+    and the baseline/skill chain exactly."""
+    import math as m
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round11_late import _coin
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "ll", orders=_orders_frame(rows))
+    got = run_oracle(REGISTRY["ml_log_loss"].oracle, sf).iloc[0]
+    n = len(rows)
+    pos = sum(1 for _, pb, _, _ in rows if pb in (0, 1))
+    ll_float = -sum(
+        (m.log((2.0 * _coin(f"cal#{k}") + 1.0) / 131072.0)
+         if pb in (0, 1)
+         else m.log(1.0 - (2.0 * _coin(f"cal#{k}") + 1.0) / 131072.0))
+        for k, pb, _, _ in rows
+    ) / n
+    assert (int(got["n_orders"]), int(got["n_pos"])) == (n, pos)
+    assert abs(got["log_loss"] - ll_float) <= 1e-6 + 1e-12
+    base = 0.0
+    if pos:
+        base += pos * m.log(pos / n)
+    if pos < n:
+        base += (n - pos) * m.log((n - pos) / n)
+    base = -base / n
+    assert got["baseline_ll"] == base
+
+
+_r12_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        min_size=0,
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@_settings
+@given(docs=_r12_docs)
+def test_msttr_oracle_matches_replay(docs, tmp_path_factory):
+    """The text_msttr ORACLE == the exact segmentation replay —
+    boundary truncation, repeated-type segments, empty docs."""
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round12_ops import _msttr_replay
+
+    _ensure_loaded()
+    texts = [" ".join(ws) for ws in docs]
+    frame = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(1, len(texts) + 1), dtype="int64"),
+            "text": pd.array(texts, dtype="object"),
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "msttr", documents=frame)
+    got = run_oracle(REGISTRY["text_msttr"].oracle, sf).iloc[0]
+    n_seg, n_docs, n_tok, g_ttr, ms = _msttr_replay(texts)
+    assert (int(got["n_segments"]), int(got["n_docs_covered"]),
+            int(got["n_tokens"])) == (n_seg, n_docs, n_tok)
+    assert got["global_ttr"] == g_ttr
+    assert got["msttr_50"] == ms
+
+
+@_settings
+@given(lengths=st.lists(st.integers(min_value=0, max_value=5000),
+                        min_size=1, max_size=25))
+def test_doclen_gini_oracle_matches_pairwise_definition(
+    lengths, tmp_path_factory
+):
+    """The corpus_doclen_gini ORACLE (sorted-prefix identity) == the
+    O(n^2) pairwise definition G = sum|xi-xj| / (2 n^2 mu) within
+    1e-12 — the independent quadratic path the identity replaces."""
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    frame = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(1, len(lengths) + 1), dtype="int64"),
+            "text": pd.array(["x" * min(l, 10) for l in lengths],
+                             dtype="object"),
+            "lang": ["en"] * len(lengths),
+            "source": ["src0"] * len(lengths),
+            "n_chars": pd.array(lengths, dtype="int64"),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "dlg", documents=frame)
+    got = run_oracle(REGISTRY["corpus_doclen_gini"].oracle, sf).iloc[0]
+    n, s = len(lengths), sum(lengths)
+    if n == 0 or s == 0:
+        assert got["gini"] == 0.0
+        return
+    pairwise = sum(
+        abs(a - b) for a in lengths for b in lengths
+    )
+    g = pairwise / (2.0 * n * s)  # 2 n^2 mu = 2 n s
+    assert abs(got["gini"] - g) < 1e-12
