@@ -1547,3 +1547,127 @@ sql_query(
     ),
     tables=("orders",),
 )
+
+
+# --------------------------------------------------------------------------
+# Standardized partial ROC AUC at FPR <= 0.1 (round 12, queued for the
+# r13 window): full ROC AUC averages over operating points a triage
+# system will never run at; the partial AUC over the low-FPR region
+# is the metric that matches a "we can only action 10% of negatives"
+# budget, and McClish standardization maps it back to the familiar
+# 0.5-is-random scale. Rides the SAME staged per-distinct-score class
+# table as ml_auc_roc / ml_pr_auc (two-stage prefix sums — never a
+# global rank, never a pair join). Per distinct score v (descending):
+# the ROC segment spans FPR in [F_above/N, (F_above+f_v)/N] and is a
+# trapezoid of height (P_above + lam*p_v/2)/P where lam clips the
+# segment at the FPR budget (lam = clamp((N/10 - F_above)/f_v, 0, 1));
+# each term is one fixed-shape IEEE chain femto-quantized (FLOOR
+# x1e15) before the order-free BIGINT sum — sum(area) <= 0.1 so the
+# quantized sum <= 1e14, BIGINT-safe, error < n_distinct/1e15 and
+# identical on both engines. pauc_std = 0.5*(1 + (pauc - c^2/2)
+# / (c - c^2/2)), c = 0.1. One-class degenerates (P = 0 or N = 0)
+# pin both outputs to 0 in integer space.
+# --------------------------------------------------------------------------
+
+
+def _pauc_tail(g: str, declared) -> str:
+    lam = (
+        "LEAST(CAST(1 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),"
+        " (CAST(n.total - n.p AS DOUBLE) / CAST(10 AS DOUBLE)"
+        "  - CAST(c.f_above AS DOUBLE)) / CAST(c.c2 AS DOUBLE)))"
+    )
+    area = (
+        f"(({lam}) * CAST(c.c2 AS DOUBLE)"
+        " / CAST(n.total - n.p AS DOUBLE))"
+        " * ((CAST(c.p_above AS DOUBLE)"
+        f"     + ({lam}) * CAST(c.c1 AS DOUBLE) / CAST(2 AS DOUBLE))"
+        "    / CAST(n.p AS DOUBLE))"
+    )
+    return f"""
+WITH n AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS p,
+         CAST(SUM(c1 + c2) AS BIGINT) AS total
+  FROM {g}
+),
+bt AS (
+  SELECT bucket,
+         CAST(SUM(c1) AS BIGINT) AS bc1,
+         CAST(SUM(c1 + c2) AS BIGINT) AS bc
+  FROM {g} GROUP BY bucket
+),
+off AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(bc1) OVER (PARTITION BY __g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o1,
+         CAST(COALESCE(SUM(bc) OVER (PARTITION BY __g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM {declared("bt")}
+),
+c AS (
+  SELECT g.c1, g.c2, n.p, n.total,
+         -- positives strictly ABOVE this score
+         n.p - (o.o1 + SUM(g.c1) OVER (PARTITION BY g.bucket ORDER BY g.v
+              ROWS UNBOUNDED PRECEDING)) AS p_above,
+         -- negatives strictly ABOVE this score
+         (n.total - n.p)
+           - ((o.o + SUM(g.c1 + g.c2) OVER (PARTITION BY g.bucket
+                ORDER BY g.v ROWS UNBOUNDED PRECEDING))
+              - (o.o1 + SUM(g.c1) OVER (PARTITION BY g.bucket ORDER BY g.v
+                   ROWS UNBOUNDED PRECEDING))) AS f_above
+  FROM {g} g JOIN off o ON o.bucket = g.bucket CROSS JOIN n
+),
+t AS (
+  SELECT CAST(SUM(CASE WHEN c.c2 = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(FLOOR(({area})
+                                 * CAST(1000000000000000 AS DOUBLE))
+                            AS BIGINT)
+                  END) AS BIGINT) AS pauc_q,
+         CAST(COUNT(*) AS BIGINT) AS n_thresholds
+  FROM c CROSS JOIN n
+)
+SELECT n.p AS n_pos, n.total - n.p AS n_neg, t.n_thresholds,
+       CASE WHEN n.p = 0 OR n.total - n.p = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(t.pauc_q AS DOUBLE)
+                 / CAST(1000000000000000 AS DOUBLE)
+       END AS pauc_fpr10,
+       CASE WHEN n.p = 0 OR n.total - n.p = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(0.5 AS DOUBLE)
+                 * (CAST(1 AS DOUBLE)
+                    + (CAST(t.pauc_q AS DOUBLE)
+                       / CAST(1000000000000000 AS DOUBLE)
+                       - CAST(0.005 AS DOUBLE))
+                      / CAST(0.095 AS DOUBLE))
+       END AS pauc_std
+FROM t CROSS JOIN n
+"""
+
+
+def _register_pauc() -> None:
+    from aws_etl_spark.queries.sql_seams import duck_declared
+
+    duck_tail = _pauc_tail("g", duck_declared)
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "ml_pauc_fpr10",
+        ops=(("view", "pauc_g", _SCORE_CLASS_G),),
+        final=_pauc_tail("pauc_g", spark_declared),
+        oracle=(
+            f"WITH g AS ({_SCORE_CLASS_G}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="ml",
+        doc=(
+            "Standardized partial ROC AUC at FPR <= 0.1 (McClish) of "
+            "the event value score: trapezoid segments per distinct "
+            "score off the same staged class table as ml_auc_roc, the "
+            "FPR clip as a per-term clamp, each term femto-quantized "
+            "(FLOOR x1e15) before the order-free BIGINT sum, "
+            "pauc_std = 0.5*(1 + (pauc - c^2/2)/(c - c^2/2)); "
+            "one-class degenerates pinned to 0 in integer space."
+        ),
+        tables=("events",),
+    )
+
+
+_register_pauc()

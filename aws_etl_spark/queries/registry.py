@@ -453,7 +453,8 @@ _DRIVER_ORDER = (
     # additions, in the order added — stat_mann_kendall,
     # stat_durbin_watson, events_dispersion_index, ml_log_loss,
     # ml_fleiss_kappa, stat_bartlett, stat_friedman_test, text_msttr,
-    # text_hapax_ratio, corpus_doclen_gini (10 forced block-1 slots).
+    # text_hapax_ratio, corpus_doclen_gini, stat_wilcoxon_signed_rank,
+    # events_pot_tail, ml_pauc_fpr10 (13 forced block-1 slots).
     # Round-13 block-3 queue: the 25 remaining r6-vintage names, in
     # registration order (func_url_parse, text_quality_score, text_lang_id,
     # text_tf_idf, text_textrank_keywords, ann_cosine_topk_ivf_exact,

@@ -2085,3 +2085,211 @@ sql_query(
     ),
     tables=("events",),
 )
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank test of week-over-week daily volume (round 12,
+# queued for the r13 window): the forecast backtest above scores the
+# seasonal-naive lag-7 baseline; this is the PAIRED significance test
+# on the same pairing — "did this week's volume genuinely shift vs
+# the same weekday last week" — the non-parametric twin of a paired
+# t-test, immune to the heavy-tailed daily counts. Pairs d_t =
+# x_t - x_{t-7} come from the staged daily spine's integer equi-join
+# (missing lag partners drop per pair, zero differences drop per the
+# standard Wilcoxon practice — both documented); |d| takes exact
+# DOUBLED midranks D = 2*RANK + ties - 1 via the declared-partition
+# seam on the bounded spine (the friedman/kruskal discipline). With
+# W2 = sum of D over positive d (so W+ = W2/2), num2 = 2*W2 - n(n+1)
+# and var48 = 2n(n+1)(2n+1) - sum_t(t^3 - t) are exact BIGINTs;
+# z = (num2/4)/sqrt(var48/48) is one fixed IEEE chain (no continuity
+# correction — documented), and the 5% two-sided flag is decided by
+# the EXACT inversion: z^2 = (num2^2/16)/(var48/48) = 3*num2^2/var48,
+# so |z| >= 1.96 <=> 3 * num2^2 * 10^4 >= 38416 * var48 (1.96^2 =
+# 38416/10000) — all integers, DECIMAL(38,0) since num2 <= n^2.
+# Degenerates in integer space: n = 0 pairs or var48 <= 0 pin z to 0
+# with flag 0.
+# --------------------------------------------------------------------------
+
+
+def _wilcoxon_tail(daily: str, declared) -> str:
+    return f"""
+WITH d AS (
+  SELECT a.dn, CAST(a.x - b.x AS BIGINT) AS diff
+  FROM {daily} a JOIN {daily} b ON b.dn = a.dn - 7
+  WHERE a.x <> b.x
+),
+r AS (
+  SELECT diff,
+         2 * RANK() OVER (PARTITION BY __g ORDER BY ABS(diff))
+           + COUNT(*) OVER (PARTITION BY __g, ABS(diff)) - 1 AS dr
+  FROM {declared("d")}
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN diff > 0 THEN dr ELSE 0 END), 0)
+              AS BIGINT) AS w2
+  FROM r
+),
+ties AS (
+  SELECT CAST(COALESCE(SUM(tc * tc * tc - tc), 0) AS BIGINT) AS t3
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tc
+        FROM d GROUP BY ABS(diff)) g
+),
+v AS (
+  SELECT t.n, t.w2,
+         CAST(2 * t.n * (t.n + 1) * (2 * t.n + 1) - ties.t3 AS BIGINT)
+           AS var48,
+         CAST(2 * t.w2 - t.n * (t.n + 1) AS BIGINT) AS num2
+  FROM t CROSS JOIN ties
+)
+SELECT n AS n_pairs,
+       CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(w2 AS DOUBLE) / CAST(2 AS DOUBLE)
+       END AS w_plus,
+       CASE WHEN n = 0 OR var48 <= 0 THEN CAST(0 AS DOUBLE)
+            ELSE (CAST(num2 AS DOUBLE) / CAST(4 AS DOUBLE))
+                 / SQRT(CAST(var48 AS DOUBLE) / CAST(48 AS DOUBLE))
+       END AS z_stat,
+       CAST(CASE WHEN n > 0 AND var48 > 0
+                      AND CAST(num2 AS DECIMAL(19,0))
+                          * CAST(num2 AS DECIMAL(19,0))
+                          * CAST(30000 AS DECIMAL(19,0))
+                          >= CAST(38416 AS DECIMAL(19,0))
+                             * CAST(var48 AS DECIMAL(19,0))
+                 THEN 1 ELSE 0 END AS BIGINT) AS shift_5pct
+FROM v
+"""
+
+
+def _register_wilcoxon() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+    from aws_etl_spark.queries.sql_seams import duck_declared, spark_declared
+
+    duck_daily = _acf_daily_sql(
+        "epoch(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+        lambda a, b: f"({a}) // ({b})",
+    )
+    duck_tail = _wilcoxon_tail("daily", duck_declared)
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "stat_wilcoxon_signed_rank",
+        ops=(
+            (
+                "view",
+                "wx_daily",
+                _acf_daily_sql(
+                    "unix_timestamp(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+                    lambda a, b: f"({a}) DIV ({b})",
+                ),
+            ),
+        ),
+        final=_wilcoxon_tail("wx_daily", spark_declared),
+        oracle=(
+            f"WITH daily AS ({duck_daily}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="stats",
+        doc=(
+            "Wilcoxon signed-rank test of week-over-week daily volume "
+            "(lag-7 pairing off the staged daily spine, zero diffs "
+            "dropped): exact doubled midranks of |d| via the "
+            "declared-partition seam, num2/var48 exact BIGINTs, z one "
+            "fixed IEEE chain (no continuity correction), the 5% flag "
+            "by exact inversion (3*num2^2*1e4 >= 38416*var48); no "
+            "pairs / all-tied degenerates pinned to 0 in integer "
+            "space."
+        ),
+        tables=("events",),
+    )
+
+
+_register_wilcoxon()
+
+
+# --------------------------------------------------------------------------
+# Peaks-over-threshold tail profile (round 12, queued for the r13
+# window): the seasonal-anomaly monitor flags per-day outliers; POT
+# is the EVT-style aggregate readout capacity planning wants — "how
+# often does daily volume exceed the P90, and by how much" (the mean
+# excess is the empirical input to a GPD tail fit). The threshold u
+# is the EXACT lower P90 order statistic of the daily counts — rank
+# ceil(0.9 n) via the two-window rank spine (no percentile_cont
+# float interpolation, which differs across engines) — and the
+# exceedance set, mean excess, and max excess are exact integers off
+# the same bounded spine, finished by single IEEE divisions.
+# Degenerates: an empty spine yields the all-zero row; a constant
+# series reads u = x with 0 exceedances (x > u strictly).
+# --------------------------------------------------------------------------
+
+
+def _pot_tail(daily: str, declared, intdiv) -> str:
+    k = f"(({intdiv('9 * n', '10')}) + CASE WHEN (9 * n) % 10 = 0 THEN 0 ELSE 1 END)"
+    return f"""
+WITH rk AS (
+  SELECT x, ROW_NUMBER() OVER (PARTITION BY __g ORDER BY x, dn) AS r
+  FROM {declared(daily)}
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {daily}),
+u AS (
+  SELECT rk.x AS u FROM rk CROSS JOIN nn WHERE rk.r = {k}
+),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exceed,
+         CAST(COALESCE(SUM(d.x - u.u), 0) AS BIGINT) AS sum_excess,
+         CAST(COALESCE(MAX(d.x - u.u), 0) AS BIGINT) AS max_excess
+  FROM {daily} d CROSS JOIN u WHERE d.x > u.u
+)
+SELECT nn.n AS n_days, u.u AS threshold_p90,
+       ex.n_exceed, ex.max_excess,
+       CASE WHEN nn.n = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(ex.n_exceed AS DOUBLE) / CAST(nn.n AS DOUBLE)
+       END AS exceed_rate,
+       CASE WHEN ex.n_exceed = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(ex.sum_excess AS DOUBLE)
+                 / CAST(ex.n_exceed AS DOUBLE)
+       END AS mean_excess
+FROM nn CROSS JOIN u CROSS JOIN ex
+"""
+
+
+def _register_pot() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+    from aws_etl_spark.queries.sql_seams import duck_declared, spark_declared
+
+    duck_daily = _acf_daily_sql(
+        "epoch(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+        lambda a, b: f"({a}) // ({b})",
+    )
+    duck_tail = _pot_tail("daily", duck_declared, lambda a, b: f"({a}) // ({b})")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "events_pot_tail",
+        ops=(
+            (
+                "view",
+                "pot_daily",
+                _acf_daily_sql(
+                    "unix_timestamp(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+                    lambda a, b: f"({a}) DIV ({b})",
+                ),
+            ),
+        ),
+        final=_pot_tail("pot_daily", spark_declared,
+                        lambda a, b: f"({a}) DIV ({b})"),
+        oracle=(
+            f"WITH daily AS ({duck_daily}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="timeseries",
+        doc=(
+            "Peaks-over-threshold tail profile of daily volume: the "
+            "threshold is the EXACT lower P90 order statistic (rank "
+            "ceil(0.9 n) by (x, dn) — no cross-engine percentile "
+            "interpolation), exceedance count / mean excess / max "
+            "excess as exact integers off the bounded staged spine "
+            "with single IEEE divisions; empty spine reads the "
+            "all-zero row, constant series reads 0 exceedances."
+        ),
+        tables=("events",),
+    )
+
+
+_register_pot()

@@ -730,6 +730,12 @@ _RESCAN_FAMILY_BOUNDS = {
     "text_msttr": (1, 7),
     "text_hapax_ratio": (1, 3),
     "corpus_doclen_gini": (1, 9),
+    # round-12 second wave (same registration-time census: all three
+    # staged, 0 parquet scans in the final plan; shuffles on the
+    # bounded daily spine / distinct-score class table)
+    "stat_wilcoxon_signed_rank": (1, 4),
+    "events_pot_tail": (1, 9),
+    "ml_pauc_fpr10": (1, 8),
 }
 
 

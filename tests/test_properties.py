@@ -2449,3 +2449,50 @@ def test_doclen_gini_oracle_matches_pairwise_definition(
     )
     g = pairwise / (2.0 * n * s)  # 2 n^2 mu = 2 n s
     assert abs(got["gini"] - g) < 1e-12
+
+
+@_settings
+@given(rows=_r12_events)
+def test_wilcoxon_oracle_matches_replay(rows, tmp_path_factory):
+    """The stat_wilcoxon_signed_rank ORACLE == the doubled-midrank
+    replay on randomized daily calendars — missing lag-7 partners,
+    zero diffs, and all-tied |d| included."""
+    from collections import Counter as C
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round12_ops import _wilcoxon_replay
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "wx", events=_ev_frame(rows))
+    got = run_oracle(REGISTRY["stat_wilcoxon_signed_rank"].oracle, sf).iloc[0]
+    # _ev_frame puts all rows in 2024-01; epoch-day of 2024-01-d is
+    # 19722 + d (only relative day numbers matter for the lag-7 join,
+    # but keep the absolute mapping honest)
+    n, w_plus, z, flag = _wilcoxon_replay(C(19722 + d for d, _, _ in rows))
+    assert int(got["n_pairs"]) == n
+    assert got["w_plus"] == w_plus
+    assert got["z_stat"] == z
+    assert int(got["shift_5pct"]) == flag
+
+
+@_settings
+@given(rows=_r12_events)
+def test_pauc_oracle_matches_replay(rows, tmp_path_factory):
+    """The ml_pauc_fpr10 ORACLE == the clipped-trapezoid replay with
+    the same femto-quantization — heavy ties, one-class inputs, and
+    tiny negative pools (budget < one tie group) included."""
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round12_ops import _pauc_replay
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "pauc10", events=_ev_frame(rows))
+    got = run_oracle(REGISTRY["ml_pauc_fpr10"].oracle, sf).iloc[0]
+    p, nneg, nt, pauc, std = _pauc_replay(
+        [(float(v * 25), int(g == 0)) for _, g, v in rows]
+    )
+    assert (int(got["n_pos"]), int(got["n_neg"]),
+            int(got["n_thresholds"])) == (p, nneg, nt)
+    assert got["pauc_fpr10"] == pauc
+    assert got["pauc_std"] == std

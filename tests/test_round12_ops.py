@@ -667,3 +667,219 @@ def test_doclen_gini_degenerates(spark, tmp_path):
     sf3 = _mk_sf(tmp_path / "c", documents=empty)
     assert check_query("corpus_doclen_gini", spark, sf3).ok
     assert REGISTRY["corpus_doclen_gini"].fn(spark, sf3).collect()[0].gini == 0.0
+
+
+# ---------------------------------------------------------------------------
+# stat_wilcoxon_signed_rank
+# ---------------------------------------------------------------------------
+
+
+def _wilcoxon_replay(daily: dict[int, int]):
+    diffs = [
+        daily[d] - daily[d - 7]
+        for d in sorted(daily)
+        if d - 7 in daily and daily[d] != daily[d - 7]
+    ]
+    n = len(diffs)
+    if n == 0:
+        return 0, 0.0, 0.0, 0
+    absd = sorted(abs(d) for d in diffs)
+    ties = Counter(absd)
+    d2 = {}
+    for v in ties:
+        f = sum(1 for w in absd if w < v)
+        c = ties[v]
+        d2[v] = 2 * (f + 1) + c - 1
+    w2 = sum(d2[abs(d)] for d in diffs if d > 0)
+    num2 = 2 * w2 - n * (n + 1)
+    var48 = 2 * n * (n + 1) * (2 * n + 1) - sum(
+        t * t * t - t for t in ties.values()
+    )
+    z = (
+        0.0
+        if var48 <= 0
+        else (float(num2) / 4.0) / math.sqrt(float(var48) / 48.0)
+    )
+    flag = int(var48 > 0 and 3 * num2 * num2 * 10000 >= 38416 * var48)
+    return n, w2 / 2.0, z, flag
+
+
+def test_wilcoxon_matches_python_model(spark):
+    row = REGISTRY["stat_wilcoxon_signed_rank"].fn(spark, SF0001).collect()[0]
+    n, w_plus, z, flag = _wilcoxon_replay(_daily_event_counts())
+    assert row.n_pairs == n
+    assert row.w_plus == w_plus
+    assert row.z_stat == z
+    assert row.shift_5pct == flag
+    assert n > 0  # the corpus spine spans > 1 week
+
+
+def test_wilcoxon_shift_and_degenerates(spark, tmp_path):
+    """Week 2 uniformly +5 over week 1 -> every diff positive, W+ is
+    the full rank sum and the 5% flag fires at n = 7... (n = 7 pairs:
+    z = 2.37); identical weeks -> zero diffs all drop, n = 0 pins z;
+    a sub-8-day spine has no pairs."""
+    rows = []
+    eid = 0
+    for d in range(1, 15):
+        base = 3 + (d % 3)
+        count = base + (5 if d > 7 else 0)
+        for k in range(count):
+            rows.append((f"e{eid}", f"2024-06-{d:02d} 01:00:00", "u0",
+                         "view", 1.0))
+            eid += 1
+    sf = _mk_sf(tmp_path, events=_events(rows))
+    assert check_query("stat_wilcoxon_signed_rank", spark, sf).ok
+    row = REGISTRY["stat_wilcoxon_signed_rank"].fn(spark, sf).collect()[0]
+    assert row.n_pairs == 7
+    assert row.w_plus == 7 * 8 / 2 / 2 + 7 * 8 / 4  # all positive: W+ = n(n+1)/2
+    assert row.shift_5pct == 1 and row.z_stat > 1.96
+
+    flat = []
+    for d in range(1, 15):
+        for k in range(4):
+            flat.append((f"f{d}x{k}", f"2024-06-{d:02d} 02:00:00", "u0",
+                         "view", 1.0))
+    sf2 = _mk_sf(tmp_path / "b", events=_events(flat))
+    assert check_query("stat_wilcoxon_signed_rank", spark, sf2).ok
+    row2 = REGISTRY["stat_wilcoxon_signed_rank"].fn(spark, sf2).collect()[0]
+    assert (row2.n_pairs, row2.z_stat, row2.shift_5pct) == (0, 0.0, 0)
+
+    short = [(f"s{d}", f"2024-06-{d:02d} 03:00:00", "u0", "view", 1.0)
+             for d in range(1, 7)]
+    sf3 = _mk_sf(tmp_path / "c", events=_events(short))
+    assert check_query("stat_wilcoxon_signed_rank", spark, sf3).ok
+    assert REGISTRY["stat_wilcoxon_signed_rank"].fn(spark, sf3).collect()[0].n_pairs == 0
+
+
+# ---------------------------------------------------------------------------
+# events_pot_tail
+# ---------------------------------------------------------------------------
+
+
+def _pot_replay(daily: dict[int, int]):
+    xs = sorted((daily[d], d) for d in daily)
+    n = len(xs)
+    if n == 0:
+        return 0, 0, 0, 0, 0.0, 0.0
+    k = (9 * n) // 10 + (0 if (9 * n) % 10 == 0 else 1)
+    u = xs[k - 1][0]
+    exc = [x - u for x, _ in xs if x > u]
+    ne = len(exc)
+    return (
+        n, u, ne, max(exc) if exc else 0,
+        float(ne) / float(n),
+        0.0 if ne == 0 else float(sum(exc)) / float(ne),
+    )
+
+
+def test_pot_matches_python_model(spark):
+    row = REGISTRY["events_pot_tail"].fn(spark, SF0001).collect()[0]
+    n, u, ne, mx, rate, mean_e = _pot_replay(_daily_event_counts())
+    assert (row.n_days, row.threshold_p90, row.n_exceed, row.max_excess) == (
+        n, u, ne, mx,
+    )
+    assert row.exceed_rate == rate
+    assert row.mean_excess == mean_e
+
+
+def test_pot_constant_and_spike(spark, tmp_path):
+    """A constant series reads u = x and 0 exceedances (strict >); one
+    spike day reads exactly that excess; the replay pins the exact
+    ceil-rank threshold on a 10-day spine (k = 9)."""
+    flat = [(f"e{d}x{k}", f"2024-06-{d:02d} 01:00:00", "u0", "view", 1.0)
+            for d in range(1, 11) for k in range(4)]
+    sf = _mk_sf(tmp_path, events=_events(flat))
+    assert check_query("events_pot_tail", spark, sf).ok
+    row = REGISTRY["events_pot_tail"].fn(spark, sf).collect()[0]
+    assert (row.threshold_p90, row.n_exceed, row.mean_excess) == (4, 0, 0.0)
+
+    spike = list(flat)
+    spike += [(f"s{k}", "2024-06-05 02:00:00", "u1", "view", 1.0)
+              for k in range(6)]
+    sf2 = _mk_sf(tmp_path / "b", events=_events(spike))
+    assert check_query("events_pot_tail", spark, sf2).ok
+    row2 = REGISTRY["events_pot_tail"].fn(spark, sf2).collect()[0]
+    n, u, ne, mx, rate, mean_e = _pot_replay(
+        {d: (10 if d == 5 else 4) for d in range(1, 11)}
+    )
+    assert (row2.threshold_p90, row2.n_exceed, row2.max_excess) == (u, ne, mx)
+    assert row2.mean_excess == mean_e
+
+
+# ---------------------------------------------------------------------------
+# ml_pauc_fpr10
+# ---------------------------------------------------------------------------
+
+
+def _pauc_replay(scores):
+    """scores: list of (value, is_pos). Exact trapezoid pAUC at
+    FPR <= 0.1 with the query's femto-quantization."""
+    byv: dict[float, list[int]] = {}
+    for v, pos in scores:
+        c = byv.setdefault(v, [0, 0])
+        c[0] += pos
+        c[1] += 1 - pos
+    p = sum(c1 for c1, _ in byv.values())
+    total = sum(c1 + c2 for c1, c2 in byv.values())
+    nneg = total - p
+    if p == 0 or nneg == 0:
+        return p, nneg, len(byv), 0.0, 0.0
+    pauc_q = 0
+    p_above = f_above = 0
+    for v in sorted(byv, reverse=True):
+        c1, c2 = byv[v]
+        if c2 > 0:
+            lam = min(1.0, max(0.0, (nneg / 10.0 - f_above) / c2))
+            area = (lam * c2 / nneg) * ((p_above + lam * c1 / 2.0) / p)
+            pauc_q += math.floor(area * 1e15)
+        p_above += c1
+        f_above += c2
+    pauc = pauc_q / 1e15
+    std = 0.5 * (1.0 + (pauc - 0.005) / 0.095)
+    return p, nneg, len(byv), pauc, std
+
+
+def test_pauc_matches_python_model(spark):
+    ev = pd.read_parquet(f"{SF0001}/events.parquet")
+    ev = ev.dropna(subset=["value"])
+    scores = [
+        (float(v), int(t == "purchase"))
+        for v, t in zip(ev["value"], ev["event_type"])
+    ]
+    p, nneg, nt, pauc, std = _pauc_replay(scores)
+    row = REGISTRY["ml_pauc_fpr10"].fn(spark, SF0001).collect()[0]
+    assert (row.n_pos, row.n_neg, row.n_thresholds) == (p, nneg, nt)
+    assert row.pauc_fpr10 == pauc
+    assert row.pauc_std == std
+
+
+def test_pauc_perfect_and_random_separation(spark, tmp_path):
+    """A perfect separator reads pauc = c (0.1) and pauc_std = 1.0; a
+    worst-case separator (all positives below) reads ~0; one-class
+    corpora pin 0."""
+    rows = [(f"p{i}", "2024-01-01 01:00:00", f"u{i}", "purchase",
+             1000.0 + i) for i in range(20)]
+    rows += [(f"n{i}", "2024-01-01 02:00:00", f"v{i}", "view", float(i))
+             for i in range(100)]
+    sf = _mk_sf(tmp_path, events=_events(rows))
+    assert check_query("ml_pauc_fpr10", spark, sf).ok
+    row = REGISTRY["ml_pauc_fpr10"].fn(spark, sf).collect()[0]
+    assert abs(row.pauc_fpr10 - 0.1) < 1e-12
+    assert abs(row.pauc_std - 1.0) < 1e-12
+
+    inv = [(f"p{i}", "2024-01-01 01:00:00", f"u{i}", "purchase", float(i))
+           for i in range(20)]
+    inv += [(f"n{i}", "2024-01-01 02:00:00", f"v{i}", "view",
+             1000.0 + i) for i in range(100)]
+    sf2 = _mk_sf(tmp_path / "b", events=_events(inv))
+    assert check_query("ml_pauc_fpr10", spark, sf2).ok
+    row2 = REGISTRY["ml_pauc_fpr10"].fn(spark, sf2).collect()[0]
+    assert row2.pauc_fpr10 == 0.0
+
+    onec = [(f"p{i}", "2024-01-01 01:00:00", f"u{i}", "purchase", float(i))
+            for i in range(5)]
+    sf3 = _mk_sf(tmp_path / "c", events=_events(onec))
+    assert check_query("ml_pauc_fpr10", spark, sf3).ok
+    row3 = REGISTRY["ml_pauc_fpr10"].fn(spark, sf3).collect()[0]
+    assert (row3.pauc_fpr10, row3.pauc_std) == (0.0, 0.0)
