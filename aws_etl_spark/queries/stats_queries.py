@@ -3769,6 +3769,10 @@ _register_levene()
 # pin X2 to 0. Overflow contract: num_i/n_i ~ n_i*Var_dollars <
 # 9.2e18 => n_i per group <= ~3.7e8 at the corpus's ~2.5e10-dollar^2
 # spread (document-and-flag class, same flavor as the ACF bound).
+# UNIT CONTRACT (the jarque_bera tripwire, extended here): any
+# included group whose RAW spread sits strictly inside (0, 1) dollars
+# quantizes to zero variance and silently triggers the num_i = 0 pin
+# — unit_contract_violated = 1 announces that regime in the output.
 # --------------------------------------------------------------------------
 
 
@@ -3785,17 +3789,22 @@ WITH g AS (
          CAST(COUNT(*) AS BIGINT) AS n_i,
          CAST(SUM(CAST(y AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS s_i,
          CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
-              AS DECIMAL(38,0)) AS ss_i
+              AS DECIMAL(38,0)) AS ss_i,
+         MIN(yr) AS rmn_i, MAX(yr) AS rmx_i
   FROM (
     SELECT o_orderpriority,
-           CAST(FLOOR(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS y
+           CAST(FLOOR(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS y,
+           CAST(o_totalprice AS DOUBLE) AS yr
     FROM orders WHERE o_totalprice IS NOT NULL
   ) q GROUP BY o_orderpriority
 ),
 m AS (
   SELECT grp, n_i,
          CAST(CAST(n_i AS DECIMAL(19,0)) * ss_i - s_i * s_i
-              AS DECIMAL(38,0)) AS num_i
+              AS DECIMAL(38,0)) AS num_i,
+         CASE WHEN rmx_i - rmn_i > CAST(0 AS DOUBLE)
+                   AND rmx_i - rmn_i < CAST(1 AS DOUBLE)
+              THEN 1 ELSE 0 END AS unit_viol_i
   FROM g WHERE n_i >= 2
 ),
 agg AS (
@@ -3811,7 +3820,8 @@ agg AS (
               AS BIGINT) AS a_q,
          CAST(COALESCE(SUM(CAST({pool_q} AS DECIMAL(38,0))), 0)
               AS DECIMAL(38,0)) AS p_u,
-         CAST(COALESCE(SUM({inv_q}), 0) AS BIGINT) AS h_q
+         CAST(COALESCE(SUM({inv_q}), 0) AS BIGINT) AS h_q,
+         CAST(COALESCE(MAX(unit_viol_i), 0) AS BIGINT) AS unit_viol
   FROM m
 )
 SELECT k AS k_groups, n AS n_orders,
@@ -3828,7 +3838,8 @@ SELECT k AS k_groups, n AS n_orders,
                     - CAST(1 AS DOUBLE) / CAST(n - k AS DOUBLE))
                    / (CAST(3 AS DOUBLE) * CAST(k - 1 AS DOUBLE)))
             )
-       END AS bartlett_x2
+       END AS bartlett_x2,
+       unit_viol AS unit_contract_violated
 FROM agg
 """
 
@@ -3852,7 +3863,10 @@ sql_query(
         "HUGEINT //), per-group ln chains micro-quantized before "
         "order-free sums, the correction's 1/(n_i-1) terms as pure "
         "integer division (1e12 DIV), X2 as one fixed IEEE chain; "
-        "k<2 / zero-variance degenerates pinned to 0 in integer space."
+        "k<2 / zero-variance degenerates pinned to 0 in integer "
+        "space. unit_contract_violated flags any included group "
+        "whose raw spread sits inside (0,1) dollars, where "
+        "quantization silently reads zero variance."
     ),
     tables=("orders",),
 )

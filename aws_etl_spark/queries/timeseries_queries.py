@@ -2135,14 +2135,15 @@ ties AS (
   FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tc
         FROM d GROUP BY ABS(diff)) g
 ),
+sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_spine FROM {daily}),
 v AS (
-  SELECT t.n, t.w2,
+  SELECT t.n, t.w2, sp.n_spine,
          CAST(2 * t.n * (t.n + 1) * (2 * t.n + 1) - ties.t3 AS BIGINT)
            AS var48,
          CAST(2 * t.w2 - t.n * (t.n + 1) AS BIGINT) AS num2
-  FROM t CROSS JOIN ties
+  FROM t CROSS JOIN ties CROSS JOIN sp
 )
-SELECT n AS n_pairs,
+SELECT n_spine AS n_spine_days, n AS n_pairs,
        CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
             ELSE CAST(w2 AS DOUBLE) / CAST(2 AS DOUBLE)
        END AS w_plus,
@@ -2196,7 +2197,9 @@ def _register_wilcoxon() -> None:
             "fixed IEEE chain (no continuity correction), the 5% flag "
             "by exact inversion (3*num2^2*1e4 >= 38416*var48); no "
             "pairs / all-tied degenerates pinned to 0 in integer "
-            "space."
+            "space. n_spine_days rides along so sparse-calendar "
+            "coverage loss (missing lag partners drop pairs) is "
+            "visible in the output."
         ),
         tables=("events",),
     )
@@ -2216,8 +2219,10 @@ _register_wilcoxon()
 # float interpolation, which differs across engines) — and the
 # exceedance set, mean excess, and max excess are exact integers off
 # the same bounded spine, finished by single IEEE divisions.
-# Degenerates: an empty spine yields the all-zero row; a constant
-# series reads u = x with 0 exceedances (x > u strictly).
+# Degenerates: an EMPTY spine yields an EMPTY result on both engines
+# (the rank-k threshold is undefined — the u leg has no row and the
+# cross join collapses); a constant series reads u = x with 0
+# exceedances (x > u strictly).
 # --------------------------------------------------------------------------
 
 
@@ -2285,8 +2290,9 @@ def _register_pot() -> None:
             "ceil(0.9 n) by (x, dn) — no cross-engine percentile "
             "interpolation), exceedance count / mean excess / max "
             "excess as exact integers off the bounded staged spine "
-            "with single IEEE divisions; empty spine reads the "
-            "all-zero row, constant series reads 0 exceedances."
+            "with single IEEE divisions; an empty spine reads an "
+            "empty result (rank-k threshold undefined), a constant "
+            "series 0 exceedances."
         ),
         tables=("events",),
     )

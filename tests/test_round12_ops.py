@@ -408,6 +408,18 @@ def test_bartlett_degenerates(spark, tmp_path):
     assert check_query("stat_bartlett", spark, sf2).ok
     row2 = REGISTRY["stat_bartlett"].fn(spark, sf2).collect()[0]
     assert row2.bartlett_x2 == 0.0  # zero-variance group -> ln 0 pin
+    # exactly-constant raw group: NOT a unit violation (true zero)
+    assert row2.unit_contract_violated == 0
+
+    # sub-dollar RAW spread: quantizes to zero variance -> the unit
+    # tripwire announces the regime (the jarque_bera flag, extended)
+    sub = _orders([100.1, 100.4, 100.8, 100.9] + [1.0, 2.0, 3.0],
+                  priorities=["1-URGENT"] * 4 + ["3-MEDIUM"] * 3)
+    sf4 = _mk_sf(tmp_path / "d", orders=sub)
+    assert check_query("stat_bartlett", spark, sf4).ok
+    row4 = REGISTRY["stat_bartlett"].fn(spark, sf4).collect()[0]
+    assert row4.bartlett_x2 == 0.0
+    assert row4.unit_contract_violated == 1
 
     one = _orders([7.0, 8.0], priorities=["1-URGENT"] * 2)
     sf3 = _mk_sf(tmp_path / "c", orders=one)
