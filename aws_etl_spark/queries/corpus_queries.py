@@ -978,3 +978,97 @@ FROM documents WHERE n_chars IS NOT NULL
 
 
 _register_doclen_gini()
+
+
+# --------------------------------------------------------------------------
+# Train-split source-balance KL audit (round 12 late batch, queued for
+# the r13 window): the md5-bucket split is doc-random, so the TRAIN
+# split's source mix should match the corpus's — but a skewed-bucket
+# accident or a source of correlated doc_ids would silently shift the
+# training mixture. KL(train source distribution || corpus source
+# distribution) is the single-number drift readout, with a
+# missing-source count for the hard failure (a source with zero train
+# docs). Exact machinery: both distributions are exact integer counts
+# off one documents scan (the split is the corpus's own stable
+# md5-bucket assignment); each source's p*ln(p/q) term is one fixed
+# IEEE chain nano-quantized (FLOOR x1e9 — terms can be negative,
+# FLOOR floors on both engines) before the order-free BIGINT sum;
+# empty train split pins KL to 0 with every source counted missing.
+# --------------------------------------------------------------------------
+
+
+def _split_kl_counts(bucket_expr: str) -> str:
+    return f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+       CAST(SUM(CASE WHEN {bucket_expr} < {_CONTAM_TRAIN_LT}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS m_s
+FROM documents GROUP BY source
+"""
+
+
+def _split_kl_tail(s: str) -> str:
+    term = (
+        "(CAST(m_s AS DOUBLE) / CAST(mt.m AS DOUBLE))"
+        " * LN((CAST(m_s AS DOUBLE) / CAST(mt.m AS DOUBLE))"
+        "      / (CAST(n_s AS DOUBLE) / CAST(nt.n AS DOUBLE)))"
+        " * CAST(1000000000 AS DOUBLE)"
+    )
+    return f"""
+WITH nt AS (SELECT CAST(COALESCE(SUM(n_s), 0) AS BIGINT) AS n FROM {s}),
+mt AS (SELECT CAST(COALESCE(SUM(m_s), 0) AS BIGINT) AS m FROM {s}),
+k AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+         CAST(COALESCE(SUM(CASE WHEN m_s = 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_missing,
+         CAST(COALESCE(SUM(CASE WHEN m_s = 0 THEN CAST(0 AS BIGINT)
+                                ELSE CAST(FLOOR({term}) AS BIGINT)
+                           END), 0) AS BIGINT) AS kl_q
+  FROM {s} CROSS JOIN nt CROSS JOIN mt
+)
+SELECT k.n_sources, k.n_missing AS n_sources_missing_in_train,
+       mt.m AS n_train_docs, nt.n AS n_docs,
+       CASE WHEN mt.m = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(k.kl_q AS DOUBLE) / CAST(1000000000 AS DOUBLE)
+       END AS kl_train_vs_corpus
+FROM k CROSS JOIN nt CROSS JOIN mt
+"""
+
+
+def _register_split_kl() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+
+    spark_bucket = (
+        "CAST(CONV(SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+        " AS INT)"
+    )
+    duck_tail = _split_kl_tail("s")
+    assert duck_tail.startswith("\nWITH ")
+    # the per-source count table is the ONE documents reduction; the
+    # plain-CTE draft re-derived documents x5 (textual expansion 10 —
+    # the registration-time census caught it), the staged form reads
+    # 0 base scans in the final plan
+    staged_sql_query(
+        "corpus_split_balance_kl",
+        ops=(("view", "skl_s", _split_kl_counts(spark_bucket)),),
+        final=_split_kl_tail("skl_s"),
+        oracle=(
+            "WITH s AS ("
+            + _split_kl_counts(duckdb_bucket_sql("CAST(doc_id AS VARCHAR)"))
+            + "),\n"
+            + duck_tail[len("\nWITH ") :]
+        ),
+        category="corpus",
+        doc=(
+            "KL divergence of the train split's source distribution "
+            "vs the whole corpus (the mixture-drift audit on the "
+            "corpus's own stable md5-bucket split): exact integer "
+            "counts from one documents scan, per-source p*ln(p/q) "
+            "terms nano-quantized before the order-free BIGINT sum, "
+            "plus the hard-failure count of sources with zero train "
+            "docs; empty train split pins KL to 0."
+        ),
+        tables=("documents",),
+    )
+
+
+_register_split_kl()

@@ -2726,3 +2726,71 @@ FROM documents
 
 
 _register_hapax()
+
+
+# --------------------------------------------------------------------------
+# Yule's K vocabulary-richness characteristic (round 12 late batch,
+# queued for the r13 window): hapax share reads the frequency curve's
+# TAIL; Yule's K reads its BODY — K = 1e4 * (sum(c^2) - T) / T^2, the
+# classic length-stable repetitiveness constant (natural prose ~
+# 60-200; boilerplate and template spam read far higher). It is the
+# second-moment companion the Zipf fit's slope needs for a complete
+# frequency-shape dashboard, and it is FULLY exact here: one token
+# scan -> per-word counts, M2 = sum(c^2) as exact DECIMAL(38,0)
+# (c <= T, M2 <= T^2 — overflow-safe to T ~ 1e19), K one fixed IEEE
+# chain; the empty corpus pins K to 0 in integer space.
+# --------------------------------------------------------------------------
+
+
+def _yule_sql(tok: str) -> str:
+    return f"""
+WITH wc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM ({tok}) t GROUP BY w
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS tokens,
+         CAST(COALESCE(SUM(CAST(c AS DECIMAL(19,0))
+                           * CAST(c AS DECIMAL(19,0))), 0)
+              AS DECIMAL(38,0)) AS m2
+  FROM wc
+)
+SELECT vocab, tokens,
+       CASE WHEN tokens = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(10000 AS DOUBLE)
+                 * (CAST(m2 AS DOUBLE) - CAST(tokens AS DOUBLE))
+                 / (CAST(tokens AS DOUBLE) * CAST(tokens AS DOUBLE))
+       END AS yule_k
+FROM a
+"""
+
+
+def _register_yule() -> None:
+    spark_tok = """
+SELECT col AS w
+FROM (SELECT posexplode(split(trim(lower(text)), ' ')) FROM documents)
+WHERE col <> ''
+"""
+    duck_tok = """
+SELECT unnest(LIST_FILTER(STRING_SPLIT(TRIM(LOWER(text)), ' '),
+              x -> x <> '')) AS w
+FROM documents
+"""
+    sql_query(
+        "text_yule_k",
+        _yule_sql(spark_tok),
+        oracle=_yule_sql(duck_tok),
+        category="text",
+        doc=(
+            "Yule's K vocabulary-richness characteristic: one token "
+            "scan into per-word counts, K = 1e4*(sum(c^2) - T)/T^2 "
+            "with the second moment exact in DECIMAL(38,0) and K one "
+            "fixed IEEE chain; empty corpus pinned to 0. The "
+            "frequency-body companion to text_hapax_ratio's tail and "
+            "text_zipf_fit's slope."
+        ),
+        tables=("documents",),
+    )
+
+
+_register_yule()

@@ -1671,3 +1671,211 @@ def _register_pauc() -> None:
 
 
 _register_pauc()
+
+
+# --------------------------------------------------------------------------
+# Youden J optimal operating point (round 12 late batch, queued for
+# the r13 window): the curve metrics above (AUC, PR-AUC, pAUC) grade
+# the score; a deployed classifier still needs ONE threshold, and
+# Youden's J = max_t (TPR_t - FPR_t) is the standard
+# prevalence-agnostic pick. Rides the same staged per-distinct-score
+# class table as ml_auc_roc. Per distinct score v (predict positive
+# when score >= v): TP = P - pos_below(v), FP = N - neg_below(v) from
+# the two-stage prefix sums; the selection is decided ENTIRELY in
+# integer space — J's numerator j_num = TP*N - FP*P is an exact
+# BIGINT, the argmax takes the greatest j_num and tie-breaks to the
+# LOWEST threshold (deterministic), and only the final readout
+# divides. Overflow contract: TP*N <= P*N < 9.2e18 => P*N bounded,
+# i.e. ~3e9 x 3e9 balanced classes (document-and-flag class).
+# One-class degenerates (P = 0 or N = 0) pin J to 0 with a NULL
+# threshold in integer space.
+# --------------------------------------------------------------------------
+
+
+def _youden_tail(g: str, declared) -> str:
+    return f"""
+WITH n AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS p,
+         CAST(SUM(c2) AS BIGINT) AS nn
+  FROM {g}
+),
+bt AS (
+  SELECT bucket,
+         CAST(SUM(c1) AS BIGINT) AS bc1,
+         CAST(SUM(c1 + c2) AS BIGINT) AS bc
+  FROM {g} GROUP BY bucket
+),
+off AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(bc1) OVER (PARTITION BY __g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o1,
+         CAST(COALESCE(SUM(bc) OVER (PARTITION BY __g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM {declared("bt")}
+),
+c AS (
+  SELECT g.v,
+         n.p - (o.o1 + SUM(g.c1) OVER (PARTITION BY g.bucket ORDER BY g.v
+              ROWS UNBOUNDED PRECEDING) - g.c1) AS tp,
+         n.nn - ((o.o + SUM(g.c1 + g.c2) OVER (PARTITION BY g.bucket
+                ORDER BY g.v ROWS UNBOUNDED PRECEDING) - (g.c1 + g.c2))
+                 - (o.o1 + SUM(g.c1) OVER (PARTITION BY g.bucket
+                      ORDER BY g.v ROWS UNBOUNDED PRECEDING) - g.c1))
+           AS fp
+  FROM {g} g JOIN off o ON o.bucket = g.bucket CROSS JOIN n
+),
+j AS (
+  SELECT c.v, c.tp, c.fp,
+         CAST(c.tp AS BIGINT) * n.nn - CAST(c.fp AS BIGINT) * n.p AS j_num
+  FROM c CROSS JOIN n
+),
+best AS (
+  SELECT j.v, j.tp, j.fp, j.j_num
+  FROM j
+  WHERE j.j_num = (SELECT MAX(j_num) FROM j)
+  ORDER BY j.v
+  LIMIT 1
+)
+SELECT n.p AS n_pos, n.nn AS n_neg,
+       CASE WHEN n.p = 0 OR n.nn = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE b.v END AS best_threshold,
+       CASE WHEN n.p = 0 OR n.nn = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(b.tp AS DOUBLE) / CAST(n.p AS DOUBLE)
+       END AS tpr_at_best,
+       CASE WHEN n.p = 0 OR n.nn = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(b.fp AS DOUBLE) / CAST(n.nn AS DOUBLE)
+       END AS fpr_at_best,
+       CASE WHEN n.p = 0 OR n.nn = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(b.j_num AS DOUBLE)
+                 / (CAST(n.p AS DOUBLE) * CAST(n.nn AS DOUBLE))
+       END AS youden_j
+FROM n LEFT JOIN best b ON 1 = 1
+"""
+
+
+def _register_youden() -> None:
+    from aws_etl_spark.queries.sql_seams import duck_declared
+
+    duck_tail = _youden_tail("g", duck_declared)
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "ml_youden_threshold",
+        ops=(("view", "yj_g", _SCORE_CLASS_G),),
+        final=_youden_tail("yj_g", spark_declared),
+        oracle=(
+            f"WITH g AS ({_SCORE_CLASS_G}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="ml",
+        doc=(
+            "Youden J optimal threshold of the event value score: "
+            "TP/FP per distinct threshold from the staged class "
+            "table's two-stage prefix sums, the argmax decided on the "
+            "exact BIGINT numerator TP*N - FP*P with a deterministic "
+            "lowest-threshold tiebreak, J/TPR/FPR as final IEEE "
+            "divisions; one-class degenerates pin J to 0 with a NULL "
+            "threshold."
+        ),
+        tables=("events",),
+    )
+
+
+_register_youden()
+
+
+# --------------------------------------------------------------------------
+# Quadratic-weighted Cohen's kappa (round 12 late batch, queued for
+# the r13 window): ml_annotator_kappa scores NOMINAL agreement — on
+# an ORDINAL label (severity, star ratings, priority tiers) it
+# punishes a one-level disagreement as hard as a three-level one.
+# The quadratic-weighted variant is the standard ordinal fix. Rater 1
+# reads the 3-level priority tier (urgent-high=2, medium=1, else 0);
+# rater 2 follows the annotator-kappa construction (salted-md5 coin:
+# 10% shift up, 10% shift down, clamped to the scale). Fully exact
+# rational arithmetic: the observed weighted disagreement
+# O = sum (r1-r2)^2 is an exact BIGINT (<= 4N), the expected one
+# E = sum_ij (i-j)^2 R_i C_j is a fixed 9-product chain over the
+# exact DECIMAL margins, and kappa_w = 1 - N*O/E is ONE IEEE
+# division. The zero-expected-disagreement degenerate (all mass in
+# one level on either margin... precisely: E = 0) pins kappa to 0 in
+# integer space. One scan, map-side combine, constant output.
+# --------------------------------------------------------------------------
+
+
+def _wkappa_sql(coin: str) -> str:
+    r1 = (
+        "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 2 "
+        "WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END"
+    )
+    return f"""
+WITH s AS (
+  SELECT r1,
+         CASE WHEN c < 6554 THEN LEAST(r1 + 1, 2)
+              WHEN c >= 58982 THEN GREATEST(r1 - 1, 0)
+              ELSE r1 END AS r2
+  FROM (SELECT {r1} AS r1, {coin} AS c FROM orders) q
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM((r1 - r2) * (r1 - r2)), 0) AS BIGINT) AS o_w,
+         CAST(SUM(CASE WHEN r1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+         CAST(SUM(CASE WHEN r1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1m,
+         CAST(SUM(CASE WHEN r1 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2m,
+         CAST(SUM(CASE WHEN r2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN r2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1m,
+         CAST(SUM(CASE WHEN r2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2m
+  FROM s
+),
+e AS (
+  SELECT n, o_w,
+         -- sum_ij (i-j)^2 R_i C_j: the 6 nonzero weights of the
+         -- 3x3 grid (w=1: |i-j|=1 pairs; w=4: the 0<->2 corners)
+         CAST(CAST(r0 AS DECIMAL(19,0)) * CAST(c1m AS DECIMAL(19,0))
+              + CAST(r1m AS DECIMAL(19,0)) * CAST(c0 AS DECIMAL(19,0))
+              + CAST(r1m AS DECIMAL(19,0)) * CAST(c2m AS DECIMAL(19,0))
+              + CAST(r2m AS DECIMAL(19,0)) * CAST(c1m AS DECIMAL(19,0))
+              + 4 * CAST(r0 AS DECIMAL(19,0)) * CAST(c2m AS DECIMAL(19,0))
+              + 4 * CAST(r2m AS DECIMAL(19,0)) * CAST(c0 AS DECIMAL(19,0))
+              AS DECIMAL(38,0)) AS e_w
+  FROM a
+)
+SELECT n AS n_items,
+       CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(o_w AS DOUBLE) / CAST(n AS DOUBLE)
+       END AS observed_w_disagreement,
+       CASE WHEN n = 0 OR e_w = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(e_w AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       END AS expected_w_disagreement,
+       CASE WHEN n = 0 OR e_w = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(1 AS DOUBLE)
+                 - CAST(CAST(n AS DECIMAL(19,0))
+                        * CAST(o_w AS DECIMAL(19,0)) AS DOUBLE)
+                   / CAST(e_w AS DOUBLE)
+       END AS weighted_kappa
+FROM e
+"""
+
+
+_SPARK_WK_COIN = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT('wk#', CAST(o_orderkey AS STRING))),"
+    " 1, 4), 16, 10) AS BIGINT)"
+)
+_DUCK_WK_COIN = _duck_coin("'wk#' || CAST(o_orderkey AS VARCHAR)")
+
+sql_query(
+    "ml_weighted_kappa",
+    _wkappa_sql(_SPARK_WK_COIN),
+    oracle=_wkappa_sql(_DUCK_WK_COIN),
+    category="ml",
+    doc=(
+        "Quadratic-weighted Cohen's kappa on the 3-level ordinal "
+        "priority tier (rater 2 = salted-md5 10%-up/10%-down shifts, "
+        "clamped): observed weighted disagreement an exact BIGINT, "
+        "expected one a fixed 9-product chain over exact DECIMAL "
+        "margins, kappa_w = 1 - N*O/E as ONE IEEE division; E = 0 "
+        "degenerates pinned to 0 in integer space."
+    ),
+    tables=("orders",),
+)

@@ -454,7 +454,12 @@ _DRIVER_ORDER = (
     # stat_durbin_watson, events_dispersion_index, ml_log_loss,
     # ml_fleiss_kappa, stat_bartlett, stat_friedman_test, text_msttr,
     # text_hapax_ratio, corpus_doclen_gini, stat_wilcoxon_signed_rank,
-    # events_pot_tail, ml_pauc_fpr10 (13 forced block-1 slots).
+    # events_pot_tail, ml_pauc_fpr10, then the late batch:
+    # ml_youden_threshold, ml_weighted_kappa, events_pacf_daily,
+    # events_seasonal_strength, text_yule_k, corpus_split_balance_kl,
+    # embeddings_participation_ratio (20 forced block-1 slots; with
+    # the 25 r6-vintage block-3 names the r13 window is 45 forced,
+    # ~5 free — additions beyond that queue for r14).
     # Round-13 block-3 queue: the 25 remaining r6-vintage names, in
     # registration order (func_url_parse, text_quality_score, text_lang_id,
     # text_tf_idf, text_textrank_keywords, ann_cosine_topk_ivf_exact,

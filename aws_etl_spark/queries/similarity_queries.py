@@ -1651,3 +1651,139 @@ def _register_silhouette() -> None:
 
 
 _register_silhouette()
+
+
+# --------------------------------------------------------------------------
+# Participation ratio — closed-form effective dimensionality (round 12
+# late batch, queued for the r13 window): the PCA query extracts the
+# DOMINANT direction and the isotropy audit reads the extremes; the
+# participation ratio PR = tr(C)^2 / tr(C^2) is the single-number
+# effective-dimension readout (PR = d for isotropic, -> 1 for rank-1
+# collapse) that needs NO eigensolve at all — both traces are closed
+# forms of the covariance entries. Spark computes the second moments
+# with the partition-folding Gram kernel (the gram_matrix_quantized
+# 100 TB shape: one d x d int64 accumulator per partition, a
+# triangle-row shuffle), per-dimension sums ride one narrow
+# posexplode agg, and n is one counted scalar; covariance cells
+# num_ij = n*P_ij - S_i*S_j are exact BIGINTs (contract:
+# n^2 * q_bar^2 < 9.2e18 => n <= ~3e6 at the unit-norm 1e3
+# quantization; the kernel's own overflow rails cover P_ij). The two
+# traces quantize per cell before order-free sums (FLOOR(c*1e6) for
+# tr, FLOOR(c^2*1e3) with the symmetric x2 multiplier for tr(C^2) —
+# unit-norm rows bound the sums at ~1e15), PR is one IEEE division.
+# The DuckDB oracle is the same quantization over the explode
+# self-join (the embeddings_gram_matrix oracle pattern).
+# --------------------------------------------------------------------------
+
+_PR_ORACLE = """
+WITH e AS (
+  SELECT vec_id, r.i AS i,
+         CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings CROSS JOIN range(1, 1025) r(i)
+  WHERE r.i <= LEN(embedding)
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+s AS (SELECT i, CAST(SUM(q) AS BIGINT) AS s_i FROM e GROUP BY i),
+p AS (
+  SELECT a.i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS pq
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+),
+c AS (
+  SELECT p.i, p.j,
+         CAST(nn.n * p.pq - sa.s_i * sb.s_i AS DOUBLE)
+           / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)) AS cv
+  FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j CROSS JOIN nn
+),
+t AS (
+  SELECT CAST(MAX(j) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN i = j THEN CAST(FLOOR(cv * 1000000) AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS tr_q,
+         CAST(SUM((CASE WHEN i = j THEN 1 ELSE 2 END)
+                  * CAST(FLOOR(cv * cv * 1000) AS BIGINT)) AS BIGINT)
+           AS tr2_q
+  FROM c
+)
+SELECT nn.n AS n_vectors, t.d AS n_dims,
+       CAST(t.tr_q AS DOUBLE) / CAST(1000000 AS DOUBLE)
+         / CAST(1000000 AS DOUBLE) AS trace_cov,
+       CASE WHEN t.tr2_q <= 0 THEN CAST(0 AS DOUBLE)
+            ELSE (CAST(t.tr_q AS DOUBLE) / CAST(1000000 AS DOUBLE))
+                 * (CAST(t.tr_q AS DOUBLE) / CAST(1000000 AS DOUBLE))
+                 / (CAST(t.tr2_q AS DOUBLE) / CAST(1000 AS DOUBLE))
+       END AS participation_ratio
+FROM t CROSS JOIN nn
+"""
+
+
+@register(
+    "embeddings_participation_ratio",
+    oracle=_PR_ORACLE,
+    category="similarity",
+    tables=("embeddings",),
+)
+def q_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation ratio tr(C)^2/tr(C^2) of the embedding covariance
+    — closed-form effective dimensionality, no eigensolve. Second
+    moments from the partition-folding Gram kernel (triangle-row
+    shuffle, the 100 TB shape), dimension sums from one narrow
+    posexplode agg, n one counted scalar; covariance cells exact
+    BIGINTs, traces quantized per cell before order-free sums, PR one
+    IEEE division. Hash-matches the explode-self-join DuckDB oracle
+    because every integer is algebraically identical."""
+    from aws_etl_spark.similarity.gram import gram_matrix_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # bounded driver scalar (the staged-literal idiom)
+    g = gram_matrix_quantized(emb)
+    q = F.floor(F.col("val").cast("double") * F.lit(1000)).cast("long")
+    s = (
+        emb.select(F.posexplode("embedding").alias("pos", "val"))
+        .select((F.col("pos") + 1).cast("long").alias("i"), q.alias("q"))
+        .groupBy("i")
+        .agg(F.sum("q").alias("s_i"))
+    )
+    sa = s.select(F.col("i").alias("i_a"), F.col("s_i").alias("s_a"))
+    sb = s.select(F.col("i").alias("i_b"), F.col("s_i").alias("s_b"))
+    cells = (
+        g.join(F.broadcast(sa), g.i == sa.i_a)
+        .join(F.broadcast(sb), g.j == sb.i_b)
+        .select(
+            "i",
+            "j",
+            (
+                (F.lit(n) * F.col("gram_q") - F.col("s_a") * F.col("s_b"))
+                .cast("double")
+                / F.lit(float(n) * float(n))
+            ).alias("cv"),
+        )
+    )
+    t = cells.agg(
+        F.max("j").cast("long").alias("d"),
+        F.sum(
+            F.when(
+                F.col("i") == F.col("j"),
+                F.floor(F.col("cv") * F.lit(1000000.0)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).cast("long").alias("tr_q"),
+        F.sum(
+            F.when(F.col("i") == F.col("j"), F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("long")
+            * F.floor(F.col("cv") * F.col("cv") * F.lit(1000.0)).cast("long")
+        ).cast("long").alias("tr2_q"),
+    )
+    return t.select(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.col("d").alias("n_dims"),
+        (F.col("tr_q").cast("double") / F.lit(1e6) / F.lit(1e6)).alias(
+            "trace_cov"
+        ),
+        F.when(F.col("tr2_q") <= 0, F.lit(0.0))
+        .otherwise(
+            (F.col("tr_q").cast("double") / F.lit(1e6))
+            * (F.col("tr_q").cast("double") / F.lit(1e6))
+            / (F.col("tr2_q").cast("double") / F.lit(1e3))
+        )
+        .alias("participation_ratio"),
+    )

@@ -2299,3 +2299,236 @@ def _register_pot() -> None:
 
 
 _register_pot()
+
+
+# --------------------------------------------------------------------------
+# Partial autocorrelation, lags 1-3 (round 12 late batch, queued for
+# the r13 window): the ACF above confounds direct and propagated
+# correlation (an AR(1) series shows acf at EVERY lag); the PACF is
+# what an AR-order selection actually reads — pacf_k ~ 0 for k > p
+# identifies the order. Levinson-Durbin unrolled for orders 1..3 as
+# fixed IEEE chains over the three ACF ratios, which are themselves
+# exact-integer quotients off the staged daily spine (the
+# events_acf_daily machinery verbatim: CUSUM multiply-through
+# deviations, calendar-correct integer equi-join pairing,
+# missing-lag-k pairs read r_k = 0 — the ljung_box convention).
+# Degenerates in exact space: a constant series (den_q = 0) pins all
+# three; a zero Levinson denominator (|r1| = 1 etc.) pins that order
+# and deeper to 0.
+# --------------------------------------------------------------------------
+
+
+def _pacf_tail(daily: str) -> str:
+    lags = " UNION ALL ".join(f"SELECT {k} AS lag" for k in (1, 2, 3))
+    return f"""
+WITH tot AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS days
+  FROM {daily}
+),
+e AS (
+  SELECT d.dn, d.x * t.days - t.total AS e_q
+  FROM {daily} d CROSS JOIN tot t
+),
+den AS (SELECT CAST(SUM(e_q * e_q) AS BIGINT) AS den_q FROM e),
+lags AS ({lags}),
+num AS (
+  SELECT l.lag, CAST(COALESCE(SUM(a.e_q * b.e_q), 0) AS BIGINT) AS num_q
+  FROM lags l
+  LEFT JOIN e a ON 1 = 1
+  LEFT JOIN e b ON b.dn = a.dn + l.lag
+  GROUP BY l.lag
+),
+r AS (
+  -- SUM, not MAX: a MAX(CASE ... ELSE 0) pivot silently clobbers a
+  -- NEGATIVE lag sum with the 0 filler (caught by the lag-2 replay)
+  SELECT
+    CAST(SUM(CASE WHEN lag = 1 THEN num_q ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN lag = 2 THEN num_q ELSE 0 END) AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN lag = 3 THEN num_q ELSE 0 END) AS BIGINT) AS n3
+  FROM num
+),
+rv AS (
+  SELECT t.days,
+         CASE WHEN d.den_q = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(r.n1 AS DOUBLE) / CAST(d.den_q AS DOUBLE) END AS r1,
+         CASE WHEN d.den_q = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(r.n2 AS DOUBLE) / CAST(d.den_q AS DOUBLE) END AS r2,
+         CASE WHEN d.den_q = 0 THEN CAST(0 AS DOUBLE)
+              ELSE CAST(r.n3 AS DOUBLE) / CAST(d.den_q AS DOUBLE) END AS r3
+  FROM r CROSS JOIN den d CROSS JOIN tot t
+),
+lv AS (
+  -- Levinson-Durbin order 2: a22 = (r2 - r1^2)/(1 - r1^2),
+  -- a21 = r1 - a22*r1; order-3 denominator 1 - a21*r1 - a22*r2
+  SELECT days, r1, r2, r3,
+         CAST(1 AS DOUBLE) - r1 * r1 AS den2
+  FROM rv
+),
+lv2 AS (
+  SELECT days, r1, r2, r3, den2,
+         CASE WHEN den2 = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+              ELSE (r2 - r1 * r1) / den2 END AS a22
+  FROM lv
+),
+lv3 AS (
+  SELECT days, r1, r2, r3, den2, a22,
+         r1 - a22 * r1 AS a21
+  FROM lv2
+)
+SELECT days AS n_days,
+       r1 AS pacf_1,
+       CASE WHEN den2 = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+            ELSE a22 END AS pacf_2,
+       CASE WHEN den2 = CAST(0 AS DOUBLE)
+                 OR CAST(1 AS DOUBLE) - a21 * r1 - a22 * r2
+                    = CAST(0 AS DOUBLE)
+            THEN CAST(0 AS DOUBLE)
+            ELSE (r3 - a21 * r2 - a22 * r1)
+                 / (CAST(1 AS DOUBLE) - a21 * r1 - a22 * r2)
+       END AS pacf_3
+FROM lv3
+"""
+
+
+def _register_pacf() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+
+    duck_daily = _acf_daily_sql(
+        "epoch(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+        lambda a, b: f"({a}) // ({b})",
+    )
+    duck_tail = _pacf_tail("daily")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "events_pacf_daily",
+        ops=(
+            (
+                "view",
+                "pacf_daily",
+                _acf_daily_sql(
+                    "unix_timestamp(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+                    lambda a, b: f"({a}) DIV ({b})",
+                ),
+            ),
+        ),
+        final=_pacf_tail("pacf_daily"),
+        oracle=(
+            f"WITH daily AS ({duck_daily}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="timeseries",
+        doc=(
+            "Partial autocorrelation of daily volume at lags 1-3: "
+            "Levinson-Durbin unrolled as fixed IEEE chains over the "
+            "three exact-integer ACF ratios (the events_acf_daily "
+            "machinery — CUSUM deviations, calendar-correct integer "
+            "pairing, missing lags read 0); constant-series and "
+            "zero-denominator degenerates pinned to 0 in exact space."
+        ),
+        tables=("events",),
+    )
+
+
+_register_pacf()
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonal strength (round 12 late batch, queued for the
+# r13 window): the decomposition query OUTPUTS the weekly component
+# and the anomaly monitor flags residual outliers; this is the
+# single-number "how much of daily-volume variance does the weekly
+# cycle explain" gate — eta-squared of the ISO weekday factor — that
+# decides whether seasonal-naive baselines and dow-adjusted alerts
+# are worth running at all. The ISO weekday comes from PURE integer
+# arithmetic on the epoch day ((dn + 3) % 7 + 1 — epoch day 0 is a
+# Thursday), eliminating the WEEKDAY/ISODOW dialect seam entirely.
+# The sums-of-squares ride the anova_f milli-quantization: per-dow
+# b_q = FLOOR(1000*S_g^2/n_g) and the grand t_q = FLOOR(1000*S^2/n)
+# quantize the only fractional terms before order-free integer sums;
+# eta2 = GREATEST(SSB,0)/SST is one IEEE division of exact
+# milli-unit integers with SST <= 0 pinned to 0.
+# --------------------------------------------------------------------------
+
+
+def _seasonal_strength_tail(daily: str) -> str:
+    return f"""
+WITH d AS (SELECT dn, ((dn + 3) % 7) + 1 AS dow, x FROM {daily}),
+g AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(x) AS BIGINT) AS s_g
+  FROM d GROUP BY dow
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(x), 0) AS BIGINT) AS s,
+         CAST(COALESCE(SUM(x * x * 1000), 0) AS BIGINT) AS ssq_milli
+  FROM d
+),
+b AS (
+  SELECT CAST(COALESCE(SUM(CAST(FLOOR(CAST(s_g AS DOUBLE)
+                                      * CAST(s_g AS DOUBLE)
+                                      / CAST(n_g AS DOUBLE) * 1000)
+                                AS BIGINT)), 0) AS BIGINT) AS bq_milli,
+         CAST(COUNT(*) AS BIGINT) AS n_dows
+  FROM g
+),
+f AS (
+  SELECT t.n, b.n_dows,
+         GREATEST(b.bq_milli
+                  - CAST(FLOOR(CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+                               / CAST(t.n AS DOUBLE) * 1000) AS BIGINT),
+                  CAST(0 AS BIGINT)) AS ssb_milli,
+         t.ssq_milli
+           - CAST(FLOOR(CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+                        / CAST(t.n AS DOUBLE) * 1000) AS BIGINT) AS sst_milli
+  FROM t CROSS JOIN b
+  WHERE t.n > 0
+)
+SELECT n AS n_days, n_dows,
+       CASE WHEN sst_milli <= 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(ssb_milli AS DOUBLE) / CAST(sst_milli AS DOUBLE)
+       END AS eta2_dow
+FROM f
+"""
+
+
+def _register_seasonal_strength() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+
+    duck_daily = _acf_daily_sql(
+        "epoch(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+        lambda a, b: f"({a}) // ({b})",
+    )
+    duck_tail = _seasonal_strength_tail("daily")
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "events_seasonal_strength",
+        ops=(
+            (
+                "view",
+                "sstr_daily",
+                _acf_daily_sql(
+                    "unix_timestamp(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)))",
+                    lambda a, b: f"({a}) DIV ({b})",
+                ),
+            ),
+        ),
+        final=_seasonal_strength_tail("sstr_daily"),
+        oracle=(
+            f"WITH daily AS ({duck_daily}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="timeseries",
+        doc=(
+            "Day-of-week seasonal strength (eta-squared of the ISO "
+            "weekday factor on daily volume): the weekday from pure "
+            "integer epoch-day arithmetic ((dn+3)%7+1 — no "
+            "WEEKDAY/ISODOW dialect seam), sums-of-squares "
+            "milli-quantized per the anova_f idiom before order-free "
+            "integer sums, eta2 = GREATEST(SSB,0)/SST one IEEE "
+            "division; SST <= 0 pinned to 0."
+        ),
+        tables=("events",),
+    )
+
+
+_register_seasonal_strength()

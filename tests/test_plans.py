@@ -736,6 +736,19 @@ _RESCAN_FAMILY_BOUNDS = {
     "stat_wilcoxon_signed_rank": (1, 4),
     "events_pot_tail": (1, 9),
     "ml_pauc_fpr10": (1, 8),
+    # round-12 late batch (registration-time census: staged plans 0
+    # base scans; the split-balance KL's plain-CTE draft measured
+    # documents x5 / textual 10 and was restaged on the spot).
+    # participation_ratio legitimately reads embeddings x3: the Gram
+    # kernel leg, the per-dimension sum leg, and the n count — three
+    # DIFFERENT reductions of one base (justified in SCALING.md)
+    "ml_youden_threshold": (1, 15),
+    "ml_weighted_kappa": (1, 2),
+    "events_pacf_daily": (1, 8),
+    "events_seasonal_strength": (1, 4),
+    "text_yule_k": (1, 3),
+    "corpus_split_balance_kl": (1, 6),
+    "embeddings_participation_ratio": (3, 5),
 }
 
 

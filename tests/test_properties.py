@@ -2496,3 +2496,182 @@ def test_pauc_oracle_matches_replay(rows, tmp_path_factory):
             int(got["n_thresholds"])) == (p, nneg, nt)
     assert got["pauc_fpr10"] == pauc
     assert got["pauc_std"] == std
+
+
+# ---------------------------------------------------------------------------
+# Round-12 late batch: oracle-vs-replay property models
+# ---------------------------------------------------------------------------
+
+
+@_settings
+@given(rows=_r12_events)
+def test_youden_oracle_matches_brute_force(rows, tmp_path_factory):
+    """The ml_youden_threshold ORACLE == the brute-force argmax with
+    the lowest-threshold tiebreak — ties, one-class, and
+    single-threshold inputs included."""
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round12_late import _youden_replay
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "yj", events=_ev_frame(rows))
+    got = run_oracle(REGISTRY["ml_youden_threshold"].oracle, sf).iloc[0]
+    p, n, thr, tpr, fpr, j = _youden_replay(
+        [(float(v * 25), int(g == 0)) for _, g, v in rows]
+    )
+    assert (int(got["n_pos"]), int(got["n_neg"])) == (p, n)
+    if thr is None:
+        assert got["best_threshold"] is None or got["best_threshold"] != got["best_threshold"]
+        assert got["youden_j"] == 0.0
+    else:
+        assert got["best_threshold"] == thr
+        assert got["tpr_at_best"] == tpr and got["fpr_at_best"] == fpr
+        assert got["youden_j"] == j
+
+
+@_settings
+@given(rows=_r12_orders)
+def test_weighted_kappa_oracle_matches_replay(rows, tmp_path_factory):
+    """The ml_weighted_kappa ORACLE == the exact 3x3 replay."""
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round12_late import _wkappa_replay
+
+    _ensure_loaded()
+    frame = _orders_frame(rows)
+    sf = _scratch_sf(tmp_path_factory, "wk", orders=frame)
+    got = run_oracle(REGISTRY["ml_weighted_kappa"].oracle, sf).iloc[0]
+    n, ow, ew, k = _wkappa_replay(frame)
+    assert int(got["n_items"]) == n
+    assert got["observed_w_disagreement"] == ow
+    assert got["expected_w_disagreement"] == ew
+    assert got["weighted_kappa"] == k
+
+
+@_settings
+@given(rows=_r12_events)
+def test_pacf_oracle_matches_replay(rows, tmp_path_factory):
+    """The events_pacf_daily ORACLE == the Levinson-Durbin replay on
+    randomized sparse calendars — negative lag sums (the MAX-pivot
+    defect this replay caught), missing lags, constants."""
+    from collections import Counter as C
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round12_late import _pacf_replay
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "pacf", events=_ev_frame(rows))
+    got = run_oracle(REGISTRY["events_pacf_daily"].oracle, sf).iloc[0]
+    n, p1, p2, p3 = _pacf_replay(C(19722 + d for d, _, _ in rows))
+    assert int(got["n_days"]) == n
+    assert got["pacf_1"] == p1
+    assert got["pacf_2"] == p2
+    assert got["pacf_3"] == p3
+
+
+@_settings
+@given(rows=_r12_events)
+def test_seasonal_strength_oracle_matches_replay(rows, tmp_path_factory):
+    """The events_seasonal_strength ORACLE == the milli-quantized
+    eta-squared replay (pure integer epoch-day weekday)."""
+    from collections import Counter as C
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round12_late import _seasonal_strength_replay
+
+    _ensure_loaded()
+    sf = _scratch_sf(tmp_path_factory, "sstr", events=_ev_frame(rows))
+    got = run_oracle(REGISTRY["events_seasonal_strength"].oracle, sf).iloc[0]
+    n, n_dows, eta2 = _seasonal_strength_replay(
+        C(19722 + d for d, _, _ in rows)
+    )
+    assert (int(got["n_days"]), int(got["n_dows"])) == (n, n_dows)
+    assert got["eta2_dow"] == eta2
+
+
+_r12_kl_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=600),  # doc_id (split coin)
+        st.integers(min_value=0, max_value=3),  # source id
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@_settings
+@given(docs=_r12_kl_docs)
+def test_split_kl_oracle_matches_replay(docs, tmp_path_factory):
+    """The corpus_split_balance_kl ORACLE == the set-based replay —
+    sources fully outside the train buckets, single-source corpora."""
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round12_late import _split_kl_replay
+
+    _ensure_loaded()
+    frame = pd.DataFrame(
+        {
+            "doc_id": pd.array([d for d, _ in docs], dtype="int64"),
+            "text": ["word " * 3] * len(docs),
+            "lang": ["en"] * len(docs),
+            "source": [f"s{g}" for _, g in docs],
+            "n_chars": pd.array([15] * len(docs), dtype="int64"),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "skl", documents=frame)
+    got = run_oracle(REGISTRY["corpus_split_balance_kl"].oracle, sf).iloc[0]
+    ns, miss, mt, nt, kl = _split_kl_replay(
+        [(d, f"s{g}") for d, g in docs]
+    )
+    assert (int(got["n_sources"]), int(got["n_sources_missing_in_train"])) == (
+        ns, miss,
+    )
+    assert (int(got["n_train_docs"]), int(got["n_docs"])) == (mt, nt)
+    assert got["kl_train_vs_corpus"] == kl
+
+
+@_settings
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_participation_ratio_oracle_matches_numpy(vecs, tmp_path_factory):
+    """The embeddings_participation_ratio ORACLE == the quantized
+    numpy replay on random low-dim vectors (zero-padded to the 64-dim
+    contract) — rank-collapse and zero-vector shapes included."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round12_late import _pr_replay
+
+    _ensure_loaded()
+    full = [[x / 1000.0 for x in v] + [0.0] * 60 for v in vecs]
+    frame = pd.DataFrame(
+        {
+            "vec_id": pd.array(range(1, len(full) + 1), dtype="int64"),
+            "embedding": [np.asarray(v, dtype=np.float32) for v in full],
+            "label": pd.array([0] * len(full), dtype="int32"),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "prr", embeddings=frame)
+    got = run_oracle(
+        REGISTRY["embeddings_participation_ratio"].oracle, sf
+    ).iloc[0]
+    n, d, tr, pr = _pr_replay(np.stack([np.asarray(v, dtype=np.float32) for v in full]).astype(np.float64))
+    assert (int(got["n_vectors"]), int(got["n_dims"])) == (n, d)
+    assert got["trace_cov"] == tr
+    assert got["participation_ratio"] == pr
