@@ -227,6 +227,58 @@ def sql_query(
     )(fn)
 
 
+# Process-scoped cache of checkpointed stage views (round 12 — the
+# ops/pair_cache.py discipline applied to staged_sql_query): key =
+# (session id, substituted SQL text, sf_dir, per-table (size,
+# mtime_ns) stats of every table the query declares). Conservative
+# over-invalidation by design — the key stats EVERY declared table,
+# not only the ones the view text reads. Session identity rides the
+# JVM SparkContext id so a stopped-and-recreated session can never
+# serve another session's checkpointed RDD.
+_STAGE_CACHE: dict = {}
+_STAGE_CACHE_STATS = {"hits": 0, "misses": 0}
+
+
+def _stage_fingerprint(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...], sql: str
+):
+    import os
+
+    stats = []
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            stats.append((t, st.st_size, st.st_mtime_ns))
+        except OSError:
+            stats.append((t, -1, -1))
+    try:
+        session_id = spark.sparkContext.applicationId
+    except Exception:  # stopped context — never cache against it
+        session_id = object()
+    return (session_id, sql, os.path.abspath(sf_dir), tuple(stats))
+
+
+def _staged_view(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...], sql: str
+) -> DataFrame:
+    """Checkpointed stage view, served from the process cache when the
+    (session, sql, input snapshot) fingerprint matches."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_STAGE_CACHE"):
+        return spark.sql(sql).localCheckpoint(eager=True)
+    key = _stage_fingerprint(spark, sf_dir, tables, sql)
+    df = _STAGE_CACHE.get(key)
+    if df is not None:
+        _STAGE_CACHE_STATS["hits"] += 1
+        return df
+    _STAGE_CACHE_STATS["misses"] += 1
+    df = spark.sql(sql).localCheckpoint(eager=True)
+    _STAGE_CACHE[key] = df
+    return df
+
+
 def staged_sql_query(
     name: str,
     *,
@@ -285,6 +337,20 @@ def staged_sql_query(
     those bases. ``oracle`` stays the reference single-statement SQL;
     results are hash-identical because every stage computes the exact
     expressions the inlined CTEs computed.
+
+    **Stage cache (round 12, the pair-cache pattern)**: several
+    queries stage IDENTICAL view texts over the same input — the
+    events daily spine (``_acf_daily_sql``) feeds ten monitors, the
+    orders daily spine two — so checkpointed views are reused
+    process-wide, keyed on (session, substituted SQL text, sf_dir,
+    per-table (size, mtime_ns) stats of every declared input). A
+    rewritten input file misses by fingerprint (this TIGHTENS the
+    eager-stage contract: re-invoking against changed inputs always
+    re-stages), a fresh process starts cold (the driver's per-query
+    isolation is untouched), and ``SPARK_GRAFT_NO_STAGE_CACHE=1``
+    disables reuse entirely. Guards and scalars still execute per
+    call — they are cheap actions on the (possibly cached)
+    materialized view, and a guard must fail loudly on EVERY call.
     """
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,7 +365,7 @@ def staged_sql_query(
         for op in ops:
             kind, key, sql = op[0], op[1], op[2]
             if kind == "view":
-                df = spark.sql(sub(sql)).localCheckpoint(eager=True)
+                df = _staged_view(spark, sf_dir, tables, sub(sql))
                 df.createOrReplaceTempView(key)
             elif kind == "guard":
                 limit = op[3]
