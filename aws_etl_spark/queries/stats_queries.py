@@ -3886,9 +3886,16 @@ sql_query(
 # computed by dow-PARTITIONED windows on the <= 7k-row cell spine.
 # Conover's tie-corrected statistic is then ONE IEEE division of
 # exact integers: T1 = (k-1) * (sum_j Dj^2 - b^2*k*(k+1)^2)
-# / (b * (sum_cells D^2 - b*k*(k+1)^2)) — multiply-through by b and
-# the doubling cancels exactly (no-ties case reduces to the classic
-# 12/(bk(k+1)) sum Rj^2 - 3b(k+1); verified in the python replay).
+# / (sum_cells D^2 - b*k*(k+1)^2) — the doubling scales numerator
+# and denominator by the same factor 4, which cancels exactly (the
+# no-ties case reduces to the classic 12/(bk(k+1)) sum Rj^2
+# - 3b(k+1), since then sum R^2 = bk(k+1)(2k+1)/6 makes the
+# denominator bk(k+1)(k-1)/12; identical-order fixture b=2,k=3
+# yields b(k-1)=4 — pinned non-circularly in the test suite).
+# NOTE (r13 fix): r12 shipped an extra factor b in the divisor,
+# dividing every non-degenerate statistic by b; both engines shared
+# the text so the hash gate could not catch it — the independent
+# fixture in tests/test_round12_ops.py now pins the classic value.
 # Degenerates in integer space: k < 2 or the all-tied denominator 0
 # pin the statistic to 0.
 # --------------------------------------------------------------------------
@@ -3935,11 +3942,10 @@ s2 AS (
 )
 SELECT dims.b AS b_blocks, dims.k AS k_treatments,
        CASE WHEN dims.k < 2
-                 OR CAST(dims.b AS DECIMAL(19,0))
-                    * (s2.sum_d2 - CAST(dims.b AS DECIMAL(19,0))
-                                   * CAST(dims.k AS DECIMAL(19,0))
-                                   * CAST((dims.k + 1) * (dims.k + 1)
-                                          AS DECIMAL(19,0))) = 0
+                 OR s2.sum_d2 - CAST(dims.b AS DECIMAL(19,0))
+                                * CAST(dims.k AS DECIMAL(19,0))
+                                * CAST((dims.k + 1) * (dims.k + 1)
+                                       AS DECIMAL(19,0)) = 0
             THEN CAST(0 AS DOUBLE)
             ELSE CAST(CAST(dims.k - 1 AS DECIMAL(19,0))
                       * (s.sum_dj2
@@ -3947,11 +3953,10 @@ SELECT dims.b AS b_blocks, dims.k AS k_treatments,
                            * CAST(dims.k AS DECIMAL(19,0))
                            * CAST((dims.k + 1) * (dims.k + 1)
                                   AS DECIMAL(19,0))) AS DOUBLE)
-                 / CAST(CAST(dims.b AS DECIMAL(19,0))
-                        * (s2.sum_d2 - CAST(dims.b AS DECIMAL(19,0))
-                                       * CAST(dims.k AS DECIMAL(19,0))
-                                       * CAST((dims.k + 1) * (dims.k + 1)
-                                              AS DECIMAL(19,0)))
+                 / CAST(s2.sum_d2 - CAST(dims.b AS DECIMAL(19,0))
+                                    * CAST(dims.k AS DECIMAL(19,0))
+                                    * CAST((dims.k + 1) * (dims.k + 1)
+                                           AS DECIMAL(19,0))
                         AS DOUBLE)
        END AS friedman_chi2
 FROM dims CROSS JOIN s CROSS JOIN s2

@@ -446,7 +446,7 @@ def _friedman_replay(cells: dict[tuple[str, int], int]):
     dj = {g: sum(d2[(g, d)] for d in dows) for g in grps}
     sum_dj2 = sum(v * v for v in dj.values())
     sum_d2 = sum(v * v for v in d2.values())
-    den = b * (sum_d2 - b * k * (k + 1) * (k + 1))
+    den = sum_d2 - b * k * (k + 1) * (k + 1)
     if k < 2 or den == 0:
         return b, k, 0.0
     num = (k - 1) * (sum_dj2 - b * b * k * (k + 1) * (k + 1))
@@ -469,14 +469,18 @@ def test_friedman_matches_python_model(spark):
 
 def test_friedman_no_ties_reduces_to_classic(spark, tmp_path):
     """With distinct counts in every block, Conover's form must equal
-    the classic 12/(bk(k+1)) sum(Rj^2) - 3b(k+1) — asserted in the
-    replay, then the engine result asserted against the replay; the
-    all-tied table pins 0."""
+    the classic 12/(bk(k+1)) sum(Rj^2) - 3b(k+1). The fixture uses
+    IDENTICAL rank order in both blocks (unequal rank sums), whose
+    statistic is known independently of any replay: perfect agreement
+    with no ties gives chi2 = b(k-1) = 4.0 exactly — this is the
+    non-circular pin that catches the r12 extra-b divisor bug (which
+    read 2.0 here). The all-tied table pins 0."""
     rows = []
     eid = 0
-    # 2 ISO-week days x 3 types, distinct counts per block
+    # 2 ISO-week days x 3 types, SAME rank order in both blocks:
+    # view < click < purchase -> R = (2, 4, 6), sum Rj^2 = 56
     counts = {("view", 1): 1, ("click", 1): 2, ("purchase", 1): 4,
-              ("view", 2): 5, ("click", 2): 2, ("purchase", 2): 1}
+              ("view", 2): 2, ("click", 2): 3, ("purchase", 2): 5}
     base = {1: "2024-07-01", 2: "2024-07-02"}  # Mon, Tue
     for (etype, dow), c in counts.items():
         for _ in range(c):
@@ -487,13 +491,15 @@ def test_friedman_no_ties_reduces_to_classic(spark, tmp_path):
     assert check_query("stat_friedman_test", spark, sf).ok
     row = REGISTRY["stat_friedman_test"].fn(spark, sf).collect()[0]
     b, k, chi2 = _friedman_replay(counts)
-    # classic formula on single (untied) ranks
-    ranks = {"view": 1 + 3, "click": 2 + 2, "purchase": 3 + 1}
+    # classic formula on single (untied) ranks, hand-derived:
+    # 12/24 * 56 - 24 = 4 = b(k-1), the perfect-agreement maximum
+    ranks = {"view": 1 + 1, "click": 2 + 2, "purchase": 3 + 3}
     classic = (12.0 / (b * k * (k + 1))) * sum(
         r * r for r in ranks.values()
     ) - 3 * b * (k + 1)
+    assert classic == 4.0 == b * (k - 1)  # independent pin, no replay
     assert abs(chi2 - classic) < 1e-12
-    assert row.friedman_chi2 == chi2
+    assert row.friedman_chi2 == chi2 == 4.0
 
     flat = []
     for d in (1, 2):
