@@ -15,6 +15,8 @@ needs and every naive implementation gets wrong:
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from aws_etl_spark.ops.corpus import duckdb_bucket_sql
 from aws_etl_spark.queries.registry import register, sql_query, staged_sql_query
 from aws_etl_spark.queries.sql_seams import spark_declared
@@ -1570,10 +1572,45 @@ sql_query(
 # --------------------------------------------------------------------------
 
 
+# The ONE FPR-budget constant. Every budget-dependent literal in the
+# tail derives from it below (r12 verdict item 4: the three coupled
+# literals 10 / 0.005 / 0.095 must satisfy 1/c, c^2/2 and c - c^2/2
+# or the emitted metric silently diverges from the documented one).
+# Fraction + exact decimal rendering keeps the emitted SQL text
+# byte-identical to the certified r12 text for c = 1/10.
+_PAUC_FPR_BUDGET = Fraction(1, 10)
+
+
+def _exact_decimal(f: Fraction) -> str:
+    """Render a Fraction as an exact terminating decimal literal
+    (asserts the denominator is 2^a * 5^b — a non-terminating budget
+    would round differently per engine)."""
+    num, den = f.numerator, f.denominator
+    scale = 0
+    d = den
+    for p in (2, 5):
+        while d % p == 0:
+            d //= p
+    assert d == 1, f"non-terminating decimal for {f}"
+    while (num * 10**scale) % den:
+        scale += 1
+    digits = num * 10**scale // den
+    if scale == 0:
+        return str(digits)
+    s = str(digits).rjust(scale + 1, "0")
+    return f"{s[:-scale]}.{s[-scale:]}"
+
+
 def _pauc_tail(g: str, declared) -> str:
+    c = _PAUC_FPR_BUDGET
+    inv = 1 / c
+    assert inv.denominator == 1, "budget row count N/(1/c) needs integer 1/c"
+    inv_lit = str(inv.numerator)
+    c2half_lit = _exact_decimal(c * c / 2)  # McClish lower bound c^2/2
+    span_lit = _exact_decimal(c - c * c / 2)  # McClish span c - c^2/2
     lam = (
         "LEAST(CAST(1 AS DOUBLE), GREATEST(CAST(0 AS DOUBLE),"
-        " (CAST(n.total - n.p AS DOUBLE) / CAST(10 AS DOUBLE)"
+        f" (CAST(n.total - n.p AS DOUBLE) / CAST({inv_lit} AS DOUBLE)"
         "  - CAST(c.f_above AS DOUBLE)) / CAST(c.c2 AS DOUBLE)))"
     )
     area = (
@@ -1637,8 +1674,8 @@ SELECT n.p AS n_pos, n.total - n.p AS n_neg, t.n_thresholds,
                  * (CAST(1 AS DOUBLE)
                     + (CAST(t.pauc_q AS DOUBLE)
                        / CAST(1000000000000000 AS DOUBLE)
-                       - CAST(0.005 AS DOUBLE))
-                      / CAST(0.095 AS DOUBLE))
+                       - CAST({c2half_lit} AS DOUBLE))
+                      / CAST({span_lit} AS DOUBLE))
        END AS pauc_std
 FROM t CROSS JOIN n
 """

@@ -418,126 +418,98 @@ def staged_sql_query(
 # in insertion order and records CORRECTNESS rows for only the first
 # 50, so this order is rotated every round to maximize EVIDENCE.
 #
-# Round 12's window = the first 50 names, two blocks in order (the
+# Round 13's window = the first 50 names, two blocks in order (the
 # blocks are marked by the inline comments below — trust those, not
-# hand-counted positions). Cumulative driver evidence at round-12
-# start: 296/312 names have driver rows (0 failures ever); the only
-# never-checked names are the 16 round-11 additions, which fill
-# block 1 in full per the window-budget rule. The oldest hash
-# evidence is r5 (19 names), then r6 (39 names). The window-budget
+# hand-counted positions). Cumulative driver evidence at round-13
+# start: 312/332 names have driver rows (0 unresolved failures ever);
+# the only never-checked names are the 20 round-12 additions, which
+# fill block 1 in full per the window-budget rule. The oldest hash
+# evidence is r6 (25 names), then r7 (43 names). The window-budget
 # rule: block 3 keeps a floor of ~10 slots, and an addition that
 # cannot fit the current window queues for the NEXT round's block 1
 # instead of displacing re-confirmations.
-#   * block 1 (16) — the never-driver-checked round-11 additions.
-#     The names CHANGED this round lead: stat_jarque_bera (runtime
-#     tripwire flag: unit_contract_violated when the column's spread
-#     is below the whole-dollar quantization unit — r11 verdict item
-#     3), ml_pr_auc (runtime tripwire flag: quantization budget
-#     n_distinct/positives — same item), corpus_ngram_contamination
-#     (empty-token filter before gram construction — r11 ADVICE 2),
-#     stat_runs_test + stat_pettitt_change (ts IS NOT NULL in
-#     _acf_daily_sql — r11 ADVICE 1), stat_kendall_tau_daily
-#     (spine-size guard, fail-loud past 100k — r11 verdict item 4),
-#     text_rake_keywords (capped-candidate scoring contract
-#     documented — r11 ADVICE 3).
-#   * block 2 (1) — events_acf_daily: its staged daily view comes
-#     from the shared _acf_daily_sql helper, which gained the ts IS
-#     NOT NULL spine filter this round (r11 ADVICE 1); every other
-#     consumer of that helper is an r11 addition already in block 1.
-#   * block 3 (33) — re-confirmation, oldest hash evidence first:
-#     the 19 r5-vintage names (pre-hardened in
-#     tests/test_round12_prehardening.py), then the first 14
-#     r6-vintage names in registration order (pre-hardened in
-#     tests/test_round12_prehardening_r6.py). The 25 remaining
-#     r6-vintage names queue for round 13's block 3 (tail comment).
+#   * block 1 (20) — the never-driver-checked round-12 additions.
+#     The names CHANGED this round lead: stat_friedman_test (r13 fix
+#     of the factor-of-b divisor error — ADVICE high; both engines
+#     shared the wrong text so only the independent fixture caught
+#     it), ml_pauc_fpr10 (the three coupled FPR-budget literals now
+#     derive from one constant — r12 verdict item 4). The rest in
+#     the order added in round 12.
+#   * block 3 (25) — re-confirmation, oldest hash evidence first:
+#     the 25 remaining r6-vintage names in registration order
+#     (pre-hardened in tests/test_round13_prehardening.py).
+#   * ~5 free slots — round-13 additions must be APPENDED to the
+#     tuple below to claim slots 46..50 (a new registration sorts
+#     after ~270 already-confirmed unranked oracled names otherwise);
+#     additions beyond ~5 queue for r14 block 1 in the tail comment.
 # Ranked names sort strictly by their position here — INCLUDING
 # rows-only names. Unranked names sort after all ranked ones, oracled
 # before rows-only, in registration order. _DRIVER_ORDER must contain
 # no duplicates (asserted below — rank = {name: index} silently keeps
 # the LAST index otherwise, which broke the round-10 budget math).
 _DRIVER_ORDER = (
-    # -- block 1: the 16 never-driver-checked round-11 additions
+    # -- block 1: the 20 never-driver-checked round-12 additions
     #    (changed-this-round names lead)
-    "stat_jarque_bera",
-    "ml_pr_auc",
-    "corpus_ngram_contamination",
-    "stat_runs_test",
-    "stat_pettitt_change",
-    "stat_kendall_tau_daily",
-    "text_rake_keywords",
-    "stat_cramers_v",
-    "stat_grubbs_outlier",
-    "stat_ljung_box",
-    "ml_mcc_confusion",
-    "ml_brier_decomposition",
-    "stat_theil_u",
-    "events_forecast_eval",
-    "stat_levene_bf",
-    "embeddings_silhouette",
-    # -- block 2: changed this round without a block-1 slot (shared
-    #    _acf_daily_sql helper gained the ts IS NOT NULL filter)
-    "events_acf_daily",
-    # -- block 3: re-confirmation, oldest evidence first — the 19
-    #    r5-vintage names
-    "agg_cube",
-    "agg_distinct_counts",
-    "agg_filter_clause",
-    "agg_group_by_all",
-    "agg_grouping_sets",
-    "ann_cosine_topk_lsh",
-    "ann_cosine_topk_lsh_exact",
-    "events_asof_join",
-    "graph_reachability_recursive",
-    "join_anti",
-    "join_composite_key",
-    "join_full_outer",
-    "join_fuzzy_blocked",
-    "join_inner_multiway",
-    "join_range_overlap",
-    "join_semi",
-    "text_bpe_encode",
-    "text_bpe_merges",
-    "text_bpe_vocab",
-    # -- block 3 (cont.): the first 15 r6-vintage names in
-    #    registration order
-    "pivot_revenue_by_year",
-    "unpivot_part_metrics",
-    "agg_percentiles",
-    "window_range_frame",
-    "sample_reservoir_deterministic",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_clusters_cc",
-    "dedup_containment",
-    "dedup_canonical_distance",
-    "dedup_semantic_exact",
-    "sample_weighted",
-    "stat_ab_experiment",
-    "func_string",
-    # ---- end of the 50-query round-12 window ----
-    # Round-13 block-1 queue (window-budget rule): the round-12
-    # additions, in the order added — stat_mann_kendall,
-    # stat_durbin_watson, events_dispersion_index, ml_log_loss,
-    # ml_fleiss_kappa, stat_bartlett, stat_friedman_test, text_msttr,
-    # text_hapax_ratio, corpus_doclen_gini, stat_wilcoxon_signed_rank,
-    # events_pot_tail, ml_pauc_fpr10, then the late batch:
-    # ml_youden_threshold, ml_weighted_kappa, events_pacf_daily,
-    # events_seasonal_strength, text_yule_k, corpus_split_balance_kl,
-    # embeddings_participation_ratio (20 forced block-1 slots; with
-    # the 25 r6-vintage block-3 names the r13 window is 45 forced,
-    # ~5 free — additions beyond that queue for r14).
-    # Round-13 block-3 queue: the 25 remaining r6-vintage names, in
-    # registration order (func_url_parse, text_quality_score, text_lang_id,
-    # text_tf_idf, text_textrank_keywords, ann_cosine_topk_ivf_exact,
-    # similarity_mmr_rerank, embeddings_gram_matrix,
-    # embeddings_pca_power, embeddings_random_projection, agg_rollup,
-    # agg_having, set_union_all, set_intersect, set_except,
-    # window_ranking, window_running_sum, window_lag_lead,
-    # serve_reconcile, plan_broadcast_audit, events_tumbling_hourly,
-    # events_sessionization, events_gapfill_locf, events_dau_mau,
-    # events_seasonal_decompose) — 25 forced block-3 slots, leaving
-    # ~25 for additions + changed names. After r13 the oldest
-    # evidence is r7 (43 names), which then tiers into r14.
+    "stat_friedman_test",
+    "ml_pauc_fpr10",
+    "stat_mann_kendall",
+    "stat_durbin_watson",
+    "events_dispersion_index",
+    "ml_log_loss",
+    "ml_fleiss_kappa",
+    "stat_bartlett",
+    "text_msttr",
+    "text_hapax_ratio",
+    "corpus_doclen_gini",
+    "stat_wilcoxon_signed_rank",
+    "events_pot_tail",
+    "ml_youden_threshold",
+    "ml_weighted_kappa",
+    "events_pacf_daily",
+    "events_seasonal_strength",
+    "text_yule_k",
+    "corpus_split_balance_kl",
+    "embeddings_participation_ratio",
+    # -- block 3: re-confirmation, oldest evidence first — the 25
+    #    remaining r6-vintage names in registration order
+    "func_url_parse",
+    "text_quality_score",
+    "text_lang_id",
+    "text_tf_idf",
+    "text_textrank_keywords",
+    "ann_cosine_topk_ivf_exact",
+    "similarity_mmr_rerank",
+    "embeddings_gram_matrix",
+    "embeddings_pca_power",
+    "embeddings_random_projection",
+    "agg_rollup",
+    "agg_having",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "window_ranking",
+    "window_running_sum",
+    "window_lag_lead",
+    "serve_reconcile",
+    "plan_broadcast_audit",
+    "events_tumbling_hourly",
+    "events_sessionization",
+    "events_gapfill_locf",
+    "events_dau_mau",
+    "events_seasonal_decompose",
+    # ---- end of the 45 forced round-13 window slots; round-13
+    #      additions are appended below to claim slots 46..50 ----
+    # Round-14 block-1 queue (window-budget rule): any round-13
+    # addition past slot 50, in the order added (append to this
+    # comment as they are registered).
+    # Round-14 block-3 queue: after r13 the oldest hash evidence is
+    # r7 (43 names — the round-7 vintage: the dup-graph suite,
+    # span dedup, salted join/agg, attribution family, IVM, pHash
+    # near-dup, and the multimodal exact twins; enumerate from
+    # PROGRESS.jsonl r7 entries at rotation time). 43 names exceed
+    # one window's block-3 budget (~25-30 after block 1), so r14
+    # takes the first ~28 in registration order and r15 the rest —
+    # the invariant: no name's evidence ages past ~5 rounds.
 )
 
 assert len(set(_DRIVER_ORDER)) == len(_DRIVER_ORDER), (
