@@ -20,6 +20,7 @@ Determinism contract (driver compares order-insensitive value hashes):
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -228,19 +229,67 @@ def sql_query(
 
 
 # Process-scoped cache of checkpointed stage views (round 12 — the
-# ops/pair_cache.py discipline applied to staged_sql_query): key =
-# (session id, substituted SQL text, sf_dir, per-table (size,
-# mtime_ns) stats of every table the query declares). Conservative
-# over-invalidation by design — the key stats EVERY declared table,
-# not only the ones the view text reads. Session identity rides the
-# JVM SparkContext id so a stopped-and-recreated session can never
-# serve another session's checkpointed RDD.
-_STAGE_CACHE: dict = {}
-_STAGE_CACHE_STATS = {"hits": 0, "misses": 0}
+# ops/pair_cache.py discipline applied to staged_sql_query; round 13
+# hardening closes the r12 advisories in code): key =
+# (session identity, substituted SQL text, upstream-chain texts,
+# sf_dir, per-table (size, mtime_ns) stats of every table the query
+# declares). Conservative over-invalidation by design — the key stats
+# EVERY declared table, not only the ones the view text reads.
+# Session identity is (applicationId, id(spark)): the JVM
+# applicationId alone conflates spark.newSession() siblings, whose
+# createOrReplaceTempView would register in the ORIGINATING session's
+# catalog, not the caller's (r12 ADVICE). The upstream chain folds
+# the substituted SQL of every EARLIER view op in the same query's
+# stage chain into the fingerprint — a staged view that references a
+# prior temp view BY NAME is otherwise cached without its upstream
+# definition, and two queries reusing one view name with different
+# texts but an identical downstream text would share a stale
+# checkpoint (r12 ADVICE medium; no current query does this — the
+# fingerprint now makes the safety structural, not conventional).
+#
+# The cache is a bounded LRU (default 64 entries,
+# SPARK_GRAFT_STAGE_CACHE_CAP overrides): eviction — by capacity or
+# by supersession when the same (session, sql, chain, sf_dir) is
+# re-staged against a changed input snapshot — unpersists the
+# checkpointed RDD's executor blocks immediately (r12 verdict item
+# 3). An evicted DataFrame's lineage is truncated by localCheckpoint,
+# so a consumer that held the final DataFrame of an earlier query
+# past dozens of intervening stagings fails LOUDLY
+# (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) rather than silently reading
+# stale or recomputed data — re-invoke the registered callable. In
+# the driver/bench usage (prompt collects, ~3 dozen distinct stage
+# texts) capacity eviction never fires.
+_STAGE_CACHE: "OrderedDict" = OrderedDict()
+_STAGE_CACHE_STATS = {"hits": 0, "misses": 0, "evictions": 0}
+# (session, sql, chain, sf_dir) -> full cache key, for supersession
+_STAGE_LATEST: dict = {}
+
+
+def _stage_cache_cap() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_STAGE_CACHE_CAP", "64"))
+
+
+def _unpersist_stage(df: DataFrame) -> None:
+    """Free a checkpointed stage's executor blocks NOW. The analyzed
+    plan of a localCheckpoint'ed DataFrame is a LogicalRDD over the
+    persisted internal RDD; unpersisting it is the only handle PySpark
+    exposes to the blocks (df.unpersist() only touches SQL cache).
+    Internal accessor, so fall back to GC + ContextCleaner (which
+    reclaim once all references drop) if the walk ever breaks."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _stage_fingerprint(
-    spark: SparkSession, sf_dir: str, tables: tuple[str, ...], sql: str
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...],
+    sql: str,
+    chain: tuple = (),
 ):
     import os
 
@@ -253,29 +302,50 @@ def _stage_fingerprint(
         except OSError:
             stats.append((t, -1, -1))
     try:
-        session_id = spark.sparkContext.applicationId
+        session_id = (spark.sparkContext.applicationId, id(spark))
     except Exception:  # stopped context — never cache against it
         session_id = object()
-    return (session_id, sql, os.path.abspath(sf_dir), tuple(stats))
+    return (session_id, sql, chain, os.path.abspath(sf_dir), tuple(stats))
 
 
 def _staged_view(
-    spark: SparkSession, sf_dir: str, tables: tuple[str, ...], sql: str
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...],
+    sql: str,
+    chain: tuple = (),
 ) -> DataFrame:
     """Checkpointed stage view, served from the process cache when the
-    (session, sql, input snapshot) fingerprint matches."""
+    (session, sql, upstream chain, input snapshot) fingerprint
+    matches; bounded LRU with eager block eviction."""
     import os
 
     if os.environ.get("SPARK_GRAFT_NO_STAGE_CACHE"):
         return spark.sql(sql).localCheckpoint(eager=True)
-    key = _stage_fingerprint(spark, sf_dir, tables, sql)
+    key = _stage_fingerprint(spark, sf_dir, tables, sql, chain)
     df = _STAGE_CACHE.get(key)
     if df is not None:
         _STAGE_CACHE_STATS["hits"] += 1
+        _STAGE_CACHE.move_to_end(key)
         return df
     _STAGE_CACHE_STATS["misses"] += 1
     df = spark.sql(sql).localCheckpoint(eager=True)
+    base = key[:4]  # (session, sql, chain, sf_dir) — snapshot-free
+    stale = _STAGE_LATEST.get(base)
+    if stale is not None and stale != key:
+        # superseded: same stage against a rewritten input snapshot
+        old = _STAGE_CACHE.pop(stale, None)
+        if old is not None:
+            _STAGE_CACHE_STATS["evictions"] += 1
+            _unpersist_stage(old)
+    _STAGE_LATEST[base] = key
     _STAGE_CACHE[key] = df
+    cap = _stage_cache_cap()
+    while len(_STAGE_CACHE) > cap:
+        old_key, old_df = _STAGE_CACHE.popitem(last=False)
+        _STAGE_LATEST.pop(old_key[:4], None)
+        _STAGE_CACHE_STATS["evictions"] += 1
+        _unpersist_stage(old_df)
     return df
 
 
@@ -342,13 +412,20 @@ def staged_sql_query(
     queries stage IDENTICAL view texts over the same input — the
     events daily spine (``_acf_daily_sql``) feeds ten monitors, the
     orders daily spine two — so checkpointed views are reused
-    process-wide, keyed on (session, substituted SQL text, sf_dir,
-    per-table (size, mtime_ns) stats of every declared input). A
-    rewritten input file misses by fingerprint (this TIGHTENS the
-    eager-stage contract: re-invoking against changed inputs always
-    re-stages), a fresh process starts cold (the driver's per-query
-    isolation is untouched), and ``SPARK_GRAFT_NO_STAGE_CACHE=1``
-    disables reuse entirely. Guards and scalars still execute per
+    process-wide, keyed on (session identity, substituted SQL text,
+    upstream-chain texts, sf_dir, per-table (size, mtime_ns) stats of
+    every declared input). A rewritten input file misses by
+    fingerprint (this TIGHTENS the eager-stage contract: re-invoking
+    against changed inputs always re-stages — and the superseded
+    checkpoint's blocks are freed immediately), a fresh process
+    starts cold (the driver's per-query isolation is untouched), and
+    ``SPARK_GRAFT_NO_STAGE_CACHE=1`` disables reuse entirely. The
+    cache is a bounded LRU (64 entries by default,
+    ``SPARK_GRAFT_STAGE_CACHE_CAP`` overrides); eviction unpersists
+    the checkpointed blocks, so a long-lived multi-corpus session is
+    bounded in executor storage, and a consumer still holding a final
+    DataFrame whose stage was evicted fails loudly rather than
+    reading stale data. Guards and scalars still execute per
     call — they are cheap actions on the (possibly cached)
     materialized view, and a guard must fail loudly on EVERY call.
     """
@@ -356,6 +433,11 @@ def staged_sql_query(
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir, tables)
         subs: dict[str, str] = {}
+        # substituted SQL of every earlier view op in this chain —
+        # folded into each later view's cache fingerprint so a view
+        # referencing an upstream temp view BY NAME can never be
+        # served a checkpoint built over a different upstream text
+        chain: list[tuple[str, str]] = []
 
         def sub(s: str) -> str:
             for k, v in subs.items():
@@ -365,8 +447,12 @@ def staged_sql_query(
         for op in ops:
             kind, key, sql = op[0], op[1], op[2]
             if kind == "view":
-                df = _staged_view(spark, sf_dir, tables, sub(sql))
+                stage_sql = sub(sql)
+                df = _staged_view(
+                    spark, sf_dir, tables, stage_sql, tuple(chain)
+                )
                 df.createOrReplaceTempView(key)
+                chain.append((key, stage_sql))
             elif kind == "guard":
                 limit = op[3]
                 v = spark.sql(sub(sql)).collect()[0][0]
