@@ -2794,3 +2794,85 @@ FROM documents
 
 
 _register_yule()
+
+
+# ---------------------------------------------------------------------------
+# Distinct-n corpus diversity (round 13, window slot 48): the
+# distinct-1 / distinct-2 ratios standard in generation-quality
+# reporting (Li et al. 2016's Dist-n) — share of unique unigrams and
+# unique adjacent bigrams in the corpus token stream. A degenerate,
+# template-heavy, or decode-collapsed corpus shows a collapsing
+# distinct-2 long before perplexity moves. ONE documents scan: the
+# positional token stream (the RAKE idiom) gains its predecessor via
+# doc-partitioned LAG (bigrams never cross documents; empty tokens
+# are dropped BEFORE pairing so adjacency is over the cleaned
+# sequence), then a single aggregate computes both totals and both
+# distinct counts (Spark plans multi-distinct via Expand — still one
+# pass over the token stream). Exact BIGINTs, ratios as single IEEE
+# divisions, empty corpus pinned to 0.
+# ---------------------------------------------------------------------------
+
+
+def _register_distinct_ngrams() -> None:
+    spark_tok = """
+SELECT doc_id, pos, w FROM (
+  SELECT doc_id, pos, col AS w
+  FROM (SELECT doc_id, posexplode(split(trim(lower(text)), ' '))
+        FROM documents)
+) t WHERE w <> ''
+"""
+    duck_tok = """
+SELECT doc_id, pos, w FROM (
+  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+  FROM (SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS ws
+        FROM documents)
+) t WHERE w <> ''
+"""
+
+    def tail(tok: str) -> str:
+        return f"""
+WITH tok AS ({tok}),
+lagged AS (
+  SELECT w,
+         LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tok
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS distinct_unigrams,
+         CAST(COUNT(prev) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(DISTINCT CASE WHEN prev IS NOT NULL
+                                  THEN CONCAT(prev, ' ', w) END)
+              AS BIGINT) AS distinct_bigrams
+  FROM lagged
+)
+SELECT n_tokens, distinct_unigrams, n_bigrams, distinct_bigrams,
+       CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(distinct_unigrams AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE)
+       END AS distinct_1,
+       CASE WHEN n_bigrams = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(distinct_bigrams AS DOUBLE)
+                 / CAST(n_bigrams AS DOUBLE)
+       END AS distinct_2
+FROM a
+"""
+
+    sql_query(
+        "text_distinct_ngrams",
+        tail(spark_tok),
+        oracle=tail(duck_tok),
+        category="text",
+        doc=(
+            "Dist-1/Dist-2 corpus diversity: unique-unigram and "
+            "unique-adjacent-bigram shares of the cleaned token "
+            "stream, bigrams via doc-partitioned LAG (never crossing "
+            "documents), both distincts in one aggregate pass; empty "
+            "corpus pinned to 0. The generation-collapse monitor "
+            "beside text_msttr's windowed type-token curve."
+        ),
+        tables=("documents",),
+    )
+
+
+_register_distinct_ngrams()

@@ -1916,3 +1916,105 @@ sql_query(
     ),
     tables=("orders",),
 )
+
+
+# --------------------------------------------------------------------------
+# KS separation of the score distributions (round 13, window slot 46):
+# the Kolmogorov-Smirnov distance between the positive-class and
+# negative-class score CDFs — the classic scorecard discrimination
+# metric reported beside AUC (credit-risk "KS statistic"), and the
+# two-sample shape test stat_ks_drift applies to calendar halves,
+# here applied to label classes. Rides the SAME staged
+# per-distinct-score class table as ml_auc_roc / ml_pr_auc /
+# ml_pauc_fpr10 (one events scan process-wide via the stage cache;
+# two-stage prefix sums — per-bucket totals + declared-window bucket
+# offsets + bucket-partitioned running sums — never a global window,
+# never materialized ranks). Exactness: D = max_v |F1(v) - F0(v)| is
+# computed as max over distinct v of |cum1*N - cum2*P| in
+# DECIMAL(38,0) integer space (P*N-scaled, overflow-safe past BIGINT
+# at ~1e9 x 1e9) with ONE IEEE division at the end; the reported
+# threshold is the SMALLEST score attaining the max (deterministic
+# tiebreak). One-class degenerates (P = 0 or N = 0) pin ks_stat to 0
+# and the threshold to SQL NULL in integer space.
+# --------------------------------------------------------------------------
+
+
+def _ksep_tail(g: str, declared) -> str:
+    return f"""
+WITH n AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS p, CAST(SUM(c2) AS BIGINT) AS q
+  FROM {g}
+),
+bt AS (
+  SELECT bucket,
+         CAST(SUM(c1) AS BIGINT) AS bc1,
+         CAST(SUM(c2) AS BIGINT) AS bc2
+  FROM {g} GROUP BY bucket
+),
+off AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(bc1) OVER (PARTITION BY __g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o1,
+         CAST(COALESCE(SUM(bc2) OVER (PARTITION BY __g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o2
+  FROM {declared("bt")}
+),
+c AS (
+  SELECT g.v,
+         o.o1 + SUM(g.c1) OVER (PARTITION BY g.bucket ORDER BY g.v
+              ROWS UNBOUNDED PRECEDING) AS cum1,
+         o.o2 + SUM(g.c2) OVER (PARTITION BY g.bucket ORDER BY g.v
+              ROWS UNBOUNDED PRECEDING) AS cum2
+  FROM {g} g JOIN off o ON o.bucket = g.bucket
+),
+d AS (
+  SELECT c.v,
+         ABS(CAST(c.cum1 AS DECIMAL(19,0)) * CAST(n.q AS DECIMAL(19,0))
+             - CAST(c.cum2 AS DECIMAL(19,0)) * CAST(n.p AS DECIMAL(19,0)))
+           AS diff
+  FROM c CROSS JOIN n
+),
+mx AS (SELECT MAX(diff) AS m FROM d),
+thr AS (
+  SELECT MIN(d.v) AS t FROM d CROSS JOIN mx WHERE d.diff = mx.m
+)
+SELECT n.p AS n_pos, n.q AS n_neg,
+       CASE WHEN n.p = 0 OR n.q = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(mx.m AS DOUBLE)
+                 / (CAST(n.p AS DOUBLE) * CAST(n.q AS DOUBLE))
+       END AS ks_stat,
+       CASE WHEN n.p = 0 OR n.q = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE thr.t
+       END AS ks_threshold
+FROM n CROSS JOIN mx CROSS JOIN thr
+"""
+
+
+def _register_ks_separation() -> None:
+    from aws_etl_spark.queries.sql_seams import duck_declared
+
+    duck_tail = _ksep_tail("g", duck_declared)
+    assert duck_tail.startswith("\nWITH ")
+    staged_sql_query(
+        "ml_ks_separation",
+        ops=(("view", "ksep_g", _SCORE_CLASS_G),),
+        final=_ksep_tail("ksep_g", spark_declared),
+        oracle=(
+            f"WITH g AS ({_SCORE_CLASS_G}),\n" + duck_tail[len("\nWITH ") :]
+        ),
+        category="ml",
+        doc=(
+            "Kolmogorov-Smirnov separation of the purchase-vs-rest "
+            "score distributions: max CDF gap and its smallest "
+            "attaining threshold off the shared staged class table, "
+            "the gap kept exact in DECIMAL(38,0) integer space "
+            "(cum1*N - cum2*P) with one IEEE division at the end; "
+            "one-class degenerates pinned to 0/NULL."
+        ),
+        tables=("events",),
+    )
+
+
+_register_ks_separation()

@@ -3990,3 +3990,256 @@ def _register_friedman() -> None:
 
 
 _register_friedman()
+
+
+# --------------------------------------------------------------------------
+# MAD robust outlier monitor (round 13, window slot 49): Grubbs above
+# is the textbook mean/stddev outlier test — one genuine extreme
+# inflates its own denominator. The median-absolute-deviation monitor
+# is its breakdown-resistant twin (50% breakdown vs 0%): robust z =
+# |x - median| / (1.4826 * MAD). Exactness: order prices are lifted
+# to HALF-CENT integers (DECIMAL(18,2) * 200 -> even BIGINTs), so
+# every interpolated median — Spark `percentile` == DuckDB
+# PERCENTILE_CONT, the agg_percentiles seam — lands on integers or
+# exact .5 halves, bit-identical across engines (values < 2^53 by
+# orders of magnitude). The medians run as STAGED SCALARS on one
+# checkpointed half-cent column (1 parquet scan total; the oracle's
+# scalar subqueries re-derive them identically), the robust-z chain
+# is one fixed IEEE expression, and the all-identical / MAD = 0
+# degenerate pins outliers and max-z to 0 in integer space.
+# --------------------------------------------------------------------------
+
+
+def _register_mad() -> None:
+    def tail(med_fn) -> str:
+        return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       {{mad_med2}} / CAST(200 AS DOUBLE) AS median_price,
+       {{mad_mad2}} / CAST(200 AS DOUBLE) AS mad_price,
+       CAST(SUM(CASE WHEN {{mad_mad2}} > CAST(0 AS DOUBLE)
+                      AND ABS(CAST(hc AS DOUBLE) - {{mad_med2}})
+                          > CAST(3 AS DOUBLE) * CAST(1.4826 AS DOUBLE)
+                            * {{mad_mad2}}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_3s,
+       CASE WHEN {{mad_mad2}} = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+            ELSE MAX(ABS(CAST(hc AS DOUBLE) - {{mad_med2}}))
+                 / (CAST(1.4826 AS DOUBLE) * {{mad_mad2}})
+       END AS max_robust_z
+FROM mad_hc
+"""
+
+    spark_med = "percentile({col}, 0.5)"
+    staged_sql_query(
+        "stat_mad_robust_z",
+        ops=(
+            (
+                "view",
+                "mad_hc",
+                "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 200"
+                " AS BIGINT) AS hc FROM orders",
+            ),
+            (
+                "scalar",
+                "mad_med2",
+                "SELECT " + spark_med.format(col="hc") + " FROM mad_hc",
+            ),
+            (
+                "scalar",
+                "mad_mad2",
+                "SELECT "
+                + spark_med.format(
+                    col="ABS(CAST(hc AS DOUBLE) - {mad_med2})"
+                )
+                + " FROM mad_hc",
+            ),
+        ),
+        final=tail(spark_med),
+        oracle="""
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 200 AS BIGINT) AS hc
+  FROM orders
+),
+m AS (
+  SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY hc) AS med2 FROM c
+),
+md AS (
+  SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (
+           ORDER BY ABS(CAST(hc AS DOUBLE) - m.med2)) AS mad2
+  FROM c CROSS JOIN m
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       m.med2 / CAST(200 AS DOUBLE) AS median_price,
+       md.mad2 / CAST(200 AS DOUBLE) AS mad_price,
+       CAST(SUM(CASE WHEN md.mad2 > CAST(0 AS DOUBLE)
+                      AND ABS(CAST(c.hc AS DOUBLE) - m.med2)
+                          > CAST(3 AS DOUBLE) * CAST(1.4826 AS DOUBLE)
+                            * md.mad2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_3s,
+       CASE WHEN md.mad2 = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+            ELSE MAX(ABS(CAST(c.hc AS DOUBLE) - m.med2))
+                 / (CAST(1.4826 AS DOUBLE) * md.mad2)
+       END AS max_robust_z
+FROM c CROSS JOIN m CROSS JOIN md
+GROUP BY m.med2, md.mad2
+""",
+        category="stats",
+        doc=(
+            "Median-absolute-deviation robust outlier monitor on order "
+            "prices: half-cent integer lift makes both interpolated "
+            "medians exact across engines (the agg_percentiles seam), "
+            "medians as staged scalars over one checkpointed column, "
+            "robust z = |x - med| / (1.4826 * MAD) as a fixed IEEE "
+            "chain; MAD = 0 pins outliers and max-z to 0."
+        ),
+        tables=("orders",),
+    )
+
+
+_register_mad()
+
+
+# --------------------------------------------------------------------------
+# Mergeable bottom-k quantile sketch (round 13, window slot 50): the
+# one sketch family the registry lacked — a rank/quantile sketch
+# beside the cardinality (KMV/HLL), frequency (count-min,
+# Misra-Gries), and membership (Bloom) families. Design: keep the k
+# rows whose md5(key) hashes are smallest (k = 256). That set is a
+# uniform-by-hash sample whose empirical quantiles estimate the
+# population's, it is DETERMINISTIC (same data -> same sketch, no
+# RNG, hash-provable against DuckDB like sketch_kmv_audience), and it
+# is MERGEABLE by construction: bottom-k(A union B) =
+# bottom-k(bottom-k(A) union bottom-k(B)) — the KMV/Theta-sketch
+# union rule applied to rank queries (tests prove the merge identity
+# on crafted shards; expected rank error is O(1/sqrt(k)) ~ 6% at
+# k=256, surfaced per-quantile in the abs_error column, never
+# silent). Scale shape: the sample is ORDER BY hash LIMIT k — Spark
+# executes TakeOrderedAndProject (per-partition partial top-k + a
+# k-row driver merge, NEVER a global sort; plan-pinned like
+# sort_limit_topk); the exact audit is the distributed
+# PERCENTILE_DISC machinery (distinct-value rollup + per-bucket
+# totals + declared-window bucket offsets + bucket-partitioned
+# running sums — the stat_ks_drift prefix-sum pattern, no global
+# window); the quantile spine (3 rows) broadcasts into both
+# lookups. At 100 TB the audit columns are the expensive part — the
+# sketch itself touches k rows past the scan; drop the audit or run
+# it on a shard when the ground truth is not needed.
+# --------------------------------------------------------------------------
+
+
+def _qsk_tail(declared, sample: str, cdf: str) -> str:
+    return f"""
+WITH ps AS (
+  SELECT CAST(0.5 AS DOUBLE) AS p
+  UNION ALL SELECT CAST(0.9 AS DOUBLE)
+  UNION ALL SELECT CAST(0.99 AS DOUBLE)
+),
+sr AS (
+  SELECT val, okey,
+         ROW_NUMBER() OVER (PARTITION BY __g ORDER BY val, okey) AS r
+  FROM {declared(sample)}
+),
+est AS (
+  SELECT ps.p, MIN(sr.val) AS est_val
+  FROM ps JOIN sr
+    ON sr.r = CAST(CEIL(ps.p * CAST({{qsk_k}} AS DOUBLE)) AS BIGINT)
+  GROUP BY ps.p
+),
+bt AS (
+  SELECT bucket, CAST(SUM(c) AS BIGINT) AS bc
+  FROM {cdf} GROUP BY bucket
+),
+off AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(bc) OVER (PARTITION BY __g ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS oc
+  FROM {declared("bt")}
+),
+cum AS (
+  SELECT g.val,
+         o.oc + SUM(g.c) OVER (PARTITION BY g.bucket ORDER BY g.val
+              ROWS UNBOUNDED PRECEDING) AS cumc
+  FROM {cdf} g JOIN off o ON o.bucket = g.bucket
+),
+ex AS (
+  SELECT ps.p, MIN(cum.val) AS exact_val
+  FROM ps JOIN cum
+    ON cum.cumc >= CAST(CEIL(ps.p * CAST({{qsk_n}} AS DOUBLE)) AS BIGINT)
+  GROUP BY ps.p
+)
+SELECT ps.p AS quantile,
+       CAST({{qsk_n}} AS BIGINT) AS n_rows,
+       CAST({{qsk_k}} AS BIGINT) AS k_sample,
+       CAST(est.est_val AS DOUBLE) AS est_value,
+       CAST(ex.exact_val AS DOUBLE) AS exact_value,
+       ABS(CAST(est.est_val AS DOUBLE) - CAST(ex.exact_val AS DOUBLE))
+         AS abs_error
+FROM ps JOIN est ON est.p = ps.p JOIN ex ON ex.p = ps.p
+"""
+
+
+def _register_quantile_sketch() -> None:
+    from aws_etl_spark.queries.sql_seams import duck_declared, spark_declared
+
+    def sample_sql(hash_fn) -> str:
+        return (
+            "SELECT h, okey, val FROM ("
+            f"SELECT {hash_fn('o_orderkey')} AS h, o_orderkey AS okey, "
+            "CAST(o_totalprice AS DECIMAL(18,2)) AS val FROM orders) s "
+            "ORDER BY h, okey LIMIT 256"
+        )
+
+    cdf_sql = (
+        "SELECT val, CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT)"
+        " AS bucket, CAST(COUNT(*) AS BIGINT) AS c FROM"
+        " (SELECT o_totalprice, CAST(o_totalprice AS DECIMAL(18,2))"
+        " AS val FROM orders) o GROUP BY 1, 2"
+    )
+    duck_tail = _qsk_tail(duck_declared, "smp", "cdf")
+    assert duck_tail.startswith("\nWITH ")
+    oracle = (
+        f"WITH smp AS ({sample_sql(_kmv_duck_hash)}),\n"
+        f"cdf AS ({cdf_sql}),\n"
+        "sc AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM cdf) AS qn,"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM smp) AS qk),\n"
+        + duck_tail[len("\nWITH ") :]
+    )
+    # the oracle reads its scalars from the sc CTE; the engine reads
+    # driver literals — substitute the spellings into the shared text
+    oracle = oracle.replace("{qsk_n}", "(SELECT qn FROM sc)").replace(
+        "{qsk_k}", "(SELECT qk FROM sc)"
+    )
+    staged_sql_query(
+        "sketch_quantile_bottomk",
+        ops=(
+            ("view", "qsk_sample", sample_sql(_kmv_spark_hash)),
+            ("view", "qsk_cdf", cdf_sql),
+            (
+                "scalar",
+                "qsk_n",
+                "SELECT CAST(SUM(c) AS BIGINT) FROM qsk_cdf",
+            ),
+            (
+                "scalar",
+                "qsk_k",
+                "SELECT CAST(COUNT(*) AS BIGINT) FROM qsk_sample",
+            ),
+        ),
+        final=_qsk_tail(spark_declared, "qsk_sample", "qsk_cdf"),
+        oracle=oracle,
+        category="stats",
+        doc=(
+            "Mergeable bottom-k-by-md5 quantile sketch (k=256) of "
+            "order prices with its exact audit: sample quantiles at "
+            "P50/P90/P99 from the k smallest-hash rows "
+            "(TakeOrderedAndProject — per-partition top-k, no global "
+            "sort), exact PERCENTILE_DISC twins from the distributed "
+            "prefix-sum CDF, per-quantile abs_error surfaced. Merge "
+            "rule bottom-k(A u B) = bottom-k(bk(A) u bk(B)) proven in "
+            "tests on crafted shards."
+        ),
+        tables=("orders",),
+    )
+
+
+_register_quantile_sketch()

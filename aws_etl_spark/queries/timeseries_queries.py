@@ -2532,3 +2532,78 @@ def _register_seasonal_strength() -> None:
 
 
 _register_seasonal_strength()
+
+
+# --------------------------------------------------------------------------
+# First-order Markov transition entropy of the event-type stream
+# (round 13, window slot 47): how predictable is the NEXT action
+# given the current one, per current action — the sequence-level
+# mix-shift monitor complementing the marginal-mix monitors
+# (events_dispersion_index watches volume, this watches order).
+# Per-user transitions via LAG over (user_id) partitions ordered by
+# (ts, event_id) — millions of small partitions at scale, never a
+# global window; the transition matrix is k x k <= ~36 cells for the
+# corpus's event-type alphabet. H(next | prev=p) = sum_n (c_pn/c_p)
+# * ln(c_p/c_pn), computed exactly: each ln of a count ratio is one
+# fixed IEEE chain FLOOR-quantized to micro-nats (the surprisal
+# idiom), multiplied by the exact BIGINT count in DECIMAL(38,0)
+# (c * 1.4e7 quantized-nats overflows BIGINT past ~6e11 transitions
+# per cell), summed order-free, ONE IEEE division at the end.
+# Self-loop-only rows (every transition p->p) read ln(1) = 0 exactly.
+# --------------------------------------------------------------------------
+
+_MARKOV_ENTROPY_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+tr AS (
+  SELECT prev, event_type AS nxt
+  FROM (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM e
+  ) s
+  WHERE prev IS NOT NULL
+),
+c AS (
+  SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tr GROUP BY prev, nxt
+),
+cp AS (
+  SELECT prev, CAST(SUM(c) AS BIGINT) AS cp,
+         CAST(COUNT(*) AS BIGINT) AS n_next
+  FROM c GROUP BY prev
+),
+q AS (
+  SELECT c.prev,
+         CAST(SUM(CAST(c.c AS DECIMAL(19,0))
+                  * CAST(CAST(FLOOR(LN(CAST(cp.cp AS DOUBLE)
+                                       / CAST(c.c AS DOUBLE))
+                                    * 1000000) AS BIGINT)
+                         AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS qsum
+  FROM c JOIN cp ON cp.prev = c.prev GROUP BY c.prev
+)
+SELECT cp.prev AS prev_type, cp.cp AS n_out, cp.n_next AS n_next_types,
+       CAST(q.qsum AS DOUBLE)
+         / CAST(cp.cp AS DOUBLE) / CAST(1000000 AS DOUBLE)
+         AS entropy_nats
+FROM cp JOIN q ON q.prev = cp.prev
+"""
+
+sql_query(
+    "events_markov_entropy",
+    _MARKOV_ENTROPY_SQL,
+    category="timeseries",
+    doc=(
+        "Per-source-type conditional entropy of the event-type "
+        "transition stream: per-user LAG transitions (user-partitioned "
+        "windows, no global sort), k x k bounded transition counts, "
+        "H(next|prev) from micro-nat FLOOR-quantized ln ratios "
+        "accumulated in DECIMAL(38,0) with one IEEE division per row; "
+        "deterministic-sequence rows read exactly 0."
+    ),
+    tables=("events",),
+)
