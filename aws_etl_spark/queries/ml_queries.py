@@ -1939,13 +1939,14 @@ sql_query(
 # --------------------------------------------------------------------------
 
 
-def _ksep_tail(g: str, declared) -> str:
+def _ksep_diff(g: str, declared, p: str, q: str) -> str:
+    """Per-distinct-score scaled CDF gap |cum1*N - cum2*P| — staged as
+    its own checkpoint so the max pass and the argmax pass read a
+    materialized table instead of re-deriving the prefix-sum pipeline
+    (the plain-CTE draft measured 19 shuffles from a 3x re-derivation
+    of this chain; staged it runs once)."""
     return f"""
-WITH n AS (
-  SELECT CAST(SUM(c1) AS BIGINT) AS p, CAST(SUM(c2) AS BIGINT) AS q
-  FROM {g}
-),
-bt AS (
+WITH bt AS (
   SELECT bucket,
          CAST(SUM(c1) AS BIGINT) AS bc1,
          CAST(SUM(c2) AS BIGINT) AS bc2
@@ -1968,42 +1969,78 @@ c AS (
          o.o2 + SUM(g.c2) OVER (PARTITION BY g.bucket ORDER BY g.v
               ROWS UNBOUNDED PRECEDING) AS cum2
   FROM {g} g JOIN off o ON o.bucket = g.bucket
-),
-d AS (
-  SELECT c.v,
-         ABS(CAST(c.cum1 AS DECIMAL(19,0)) * CAST(n.q AS DECIMAL(19,0))
-             - CAST(c.cum2 AS DECIMAL(19,0)) * CAST(n.p AS DECIMAL(19,0)))
-           AS diff
-  FROM c CROSS JOIN n
-),
-mx AS (SELECT MAX(diff) AS m FROM d),
-thr AS (
-  SELECT MIN(d.v) AS t FROM d CROSS JOIN mx WHERE d.diff = mx.m
 )
-SELECT n.p AS n_pos, n.q AS n_neg,
-       CASE WHEN n.p = 0 OR n.q = 0 THEN CAST(0 AS DOUBLE)
+SELECT c.v,
+       ABS(CAST(c.cum1 AS DECIMAL(19,0)) * CAST({q} AS DECIMAL(19,0))
+           - CAST(c.cum2 AS DECIMAL(19,0)) * CAST({p} AS DECIMAL(19,0)))
+         AS diff
+FROM c
+"""
+
+
+def _ksep_final(d: str, p: str, q: str) -> str:
+    return f"""
+WITH mx AS (SELECT MAX(diff) AS m FROM {d}),
+thr AS (
+  SELECT MIN(dd.v) AS t FROM {d} dd CROSS JOIN mx WHERE dd.diff = mx.m
+)
+SELECT CAST({p} AS BIGINT) AS n_pos, CAST({q} AS BIGINT) AS n_neg,
+       CASE WHEN {p} = 0 OR {q} = 0 THEN CAST(0 AS DOUBLE)
             ELSE CAST(mx.m AS DOUBLE)
-                 / (CAST(n.p AS DOUBLE) * CAST(n.q AS DOUBLE))
+                 / (CAST({p} AS DOUBLE) * CAST({q} AS DOUBLE))
        END AS ks_stat,
-       CASE WHEN n.p = 0 OR n.q = 0 THEN CAST(NULL AS DOUBLE)
+       CASE WHEN {p} = 0 OR {q} = 0 THEN CAST(NULL AS DOUBLE)
             ELSE thr.t
        END AS ks_threshold
-FROM n CROSS JOIN mx CROSS JOIN thr
+FROM mx CROSS JOIN thr
 """
 
 
 def _register_ks_separation() -> None:
     from aws_etl_spark.queries.sql_seams import duck_declared
 
-    duck_tail = _ksep_tail("g", duck_declared)
-    assert duck_tail.startswith("\nWITH ")
+    # oracle: one DuckDB statement — d's body is the diff chain as a
+    # nested WITH, pulling p/q from the n CTE via CROSS JOIN (the
+    # engine substitutes them as staged-scalar literals instead;
+    # values identical, so the hashes match)
+    duck_diff = _ksep_diff("g", duck_declared, "n.p", "n.q")
+    assert duck_diff.startswith("\nWITH ")
+    assert duck_diff.rstrip().endswith("FROM c")
+    duck_diff = duck_diff.rstrip() + " CROSS JOIN n\n"
+    duck_final = _ksep_final("d", "n.p", "n.q")
+    assert duck_final.startswith("\nWITH ")
+    assert "FROM mx CROSS JOIN thr" in duck_final
+    duck_final = duck_final.replace(
+        "FROM mx CROSS JOIN thr", "FROM n CROSS JOIN mx CROSS JOIN thr"
+    )
+    oracle = (
+        f"WITH g AS ({_SCORE_CLASS_G}),\n"
+        "n AS (SELECT CAST(SUM(c1) AS BIGINT) AS p,"
+        " CAST(SUM(c2) AS BIGINT) AS q FROM g),\n"
+        f"d AS ({duck_diff}),\n" + duck_final[len("\nWITH ") :]
+    )
     staged_sql_query(
         "ml_ks_separation",
-        ops=(("view", "ksep_g", _SCORE_CLASS_G),),
-        final=_ksep_tail("ksep_g", spark_declared),
-        oracle=(
-            f"WITH g AS ({_SCORE_CLASS_G}),\n" + duck_tail[len("\nWITH ") :]
+        ops=(
+            ("view", "ksep_g", _SCORE_CLASS_G),
+            (
+                "scalar",
+                "ksep_p",
+                "SELECT CAST(SUM(c1) AS BIGINT) FROM ksep_g",
+            ),
+            (
+                "scalar",
+                "ksep_q",
+                "SELECT CAST(SUM(c2) AS BIGINT) FROM ksep_g",
+            ),
+            (
+                "view",
+                "ksep_d",
+                _ksep_diff("ksep_g", spark_declared, "{ksep_p}", "{ksep_q}"),
+            ),
         ),
+        final=_ksep_final("ksep_d", "{ksep_p}", "{ksep_q}"),
+        oracle=oracle,
         category="ml",
         doc=(
             "Kolmogorov-Smirnov separation of the purchase-vs-rest "

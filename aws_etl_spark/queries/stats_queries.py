@@ -4068,19 +4068,19 @@ md AS (
   FROM c CROSS JOIN m
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       m.med2 / CAST(200 AS DOUBLE) AS median_price,
-       md.mad2 / CAST(200 AS DOUBLE) AS mad_price,
-       CAST(SUM(CASE WHEN md.mad2 > CAST(0 AS DOUBLE)
-                      AND ABS(CAST(c.hc AS DOUBLE) - m.med2)
+       (SELECT med2 FROM m) / CAST(200 AS DOUBLE) AS median_price,
+       (SELECT mad2 FROM md) / CAST(200 AS DOUBLE) AS mad_price,
+       CAST(SUM(CASE WHEN (SELECT mad2 FROM md) > CAST(0 AS DOUBLE)
+                      AND ABS(CAST(c.hc AS DOUBLE) - (SELECT med2 FROM m))
                           > CAST(3 AS DOUBLE) * CAST(1.4826 AS DOUBLE)
-                            * md.mad2
+                            * (SELECT mad2 FROM md)
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_3s,
-       CASE WHEN md.mad2 = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
-            ELSE MAX(ABS(CAST(c.hc AS DOUBLE) - m.med2))
-                 / (CAST(1.4826 AS DOUBLE) * md.mad2)
+       CASE WHEN (SELECT mad2 FROM md) = CAST(0 AS DOUBLE)
+                 THEN CAST(0 AS DOUBLE)
+            ELSE MAX(ABS(CAST(c.hc AS DOUBLE) - (SELECT med2 FROM m)))
+                 / (CAST(1.4826 AS DOUBLE) * (SELECT mad2 FROM md))
        END AS max_robust_z
-FROM c CROSS JOIN m CROSS JOIN md
-GROUP BY m.med2, md.mad2
+FROM c
 """,
         category="stats",
         doc=(

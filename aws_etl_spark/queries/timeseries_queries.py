@@ -2571,26 +2571,27 @@ c AS (
   SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
   FROM tr GROUP BY prev, nxt
 ),
-cp AS (
-  SELECT prev, CAST(SUM(c) AS BIGINT) AS cp,
-         CAST(COUNT(*) AS BIGINT) AS n_next
-  FROM c GROUP BY prev
-),
-q AS (
-  SELECT c.prev,
-         CAST(SUM(CAST(c.c AS DECIMAL(19,0))
-                  * CAST(CAST(FLOOR(LN(CAST(cp.cp AS DOUBLE)
-                                       / CAST(c.c AS DOUBLE))
-                                    * 1000000) AS BIGINT)
-                         AS DECIMAL(19,0)))
-              AS DECIMAL(38,0)) AS qsum
-  FROM c JOIN cp ON cp.prev = c.prev GROUP BY c.prev
+w AS (
+  -- row totals via prev-partitioned windows on the k x k cell table
+  -- (a join back onto cp would let Catalyst re-derive the whole
+  -- events chain once per consumer — measured events x3 before this
+  -- single-chain form; the window keeps it ONE scan)
+  SELECT prev, c,
+         CAST(SUM(c) OVER (PARTITION BY prev) AS BIGINT) AS cp,
+         CAST(COUNT(*) OVER (PARTITION BY prev) AS BIGINT) AS n_next
+  FROM c
 )
-SELECT cp.prev AS prev_type, cp.cp AS n_out, cp.n_next AS n_next_types,
-       CAST(q.qsum AS DOUBLE)
-         / CAST(cp.cp AS DOUBLE) / CAST(1000000 AS DOUBLE)
+SELECT prev AS prev_type,
+       MAX(cp) AS n_out, MAX(n_next) AS n_next_types,
+       CAST(CAST(SUM(CAST(c AS DECIMAL(19,0))
+                     * CAST(CAST(FLOOR(LN(CAST(cp AS DOUBLE)
+                                          / CAST(c AS DOUBLE))
+                                       * 1000000) AS BIGINT)
+                            AS DECIMAL(19,0)))
+                 AS DECIMAL(38,0)) AS DOUBLE)
+         / CAST(MAX(cp) AS DOUBLE) / CAST(1000000 AS DOUBLE)
          AS entropy_nats
-FROM cp JOIN q ON q.prev = cp.prev
+FROM w GROUP BY prev
 """
 
 sql_query(

@@ -749,6 +749,16 @@ _RESCAN_FAMILY_BOUNDS = {
     "text_yule_k": (1, 3),
     "corpus_split_balance_kl": (1, 6),
     "embeddings_participation_ratio": (3, 5),
+    # round-13 additions (registration-time census: staged plans read
+    # 0 parquet scans; markov's plain-CTE draft measured events x3
+    # and was rewritten onto prev-partitioned windows; ksep's draft
+    # measured 19 shuffles from a 3x diff-chain re-derivation and
+    # gained a staged diff checkpoint)
+    "ml_ks_separation": (1, 4),
+    "events_markov_entropy": (1, 4),
+    "text_distinct_ngrams": (1, 4),
+    "stat_mad_robust_z": (1, 2),
+    "sketch_quantile_bottomk": (1, 6),
 }
 
 

@@ -2675,3 +2675,248 @@ def test_participation_ratio_oracle_matches_numpy(vecs, tmp_path_factory):
     assert (int(got["n_vectors"]), int(got["n_dims"])) == (n, d)
     assert got["trace_cov"] == tr
     assert got["participation_ratio"] == pr
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions: oracle-vs-replay property models
+# ---------------------------------------------------------------------------
+
+_r13_scores = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # value bucket (ties!)
+        st.booleans(),  # is positive
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@_settings
+@given(rows=_r13_scores)
+def test_ksep_oracle_matches_replay(rows, tmp_path_factory):
+    """The ml_ks_separation ORACLE == the exact integer KS replay on
+    randomized tied scores — one-class inputs included."""
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round13_ops import _ksep_replay
+
+    _ensure_loaded()
+    ev = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": pd.to_datetime(["2024-01-05 03:00:00"] * len(rows)),
+            "user_id": [1] * len(rows),
+            "event_type": [
+                "purchase" if pos else "view" for _, pos in rows
+            ],
+            "value": [float(v * 25) for v, _ in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "ksep", events=ev)
+    got = run_oracle(REGISTRY["ml_ks_separation"].oracle, sf).iloc[0]
+    p, n, ks, thr = _ksep_replay(
+        [(float(v * 25), pos) for v, pos in rows]
+    )
+    assert (int(got["n_pos"]), int(got["n_neg"])) == (p, n)
+    assert got["ks_stat"] == ks
+    if p == 0 or n == 0:
+        import math as _m
+
+        assert got["ks_threshold"] is None or _m.isnan(got["ks_threshold"])
+    else:
+        assert got["ks_threshold"] == thr
+
+
+_r13_chain = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.integers(min_value=0, max_value=3),  # type
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_settings
+@given(rows=_r13_chain)
+def test_markov_oracle_matches_replay(rows, tmp_path_factory):
+    """The events_markov_entropy ORACLE == the micro-nat replay on
+    randomized multi-user chains (singleton users contribute no
+    transitions)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round13_ops import _markov_replay
+
+    _ensure_loaded()
+    ev = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [
+                dt.datetime(2024, 1, 3, 1, 0, 0) + dt.timedelta(minutes=i)
+                for i in range(len(rows))
+            ],
+            "user_id": [u for u, _ in rows],
+            "event_type": [f"t{g}" for _, g in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "markov", events=ev)
+    ora = run_oracle(REGISTRY["events_markov_entropy"].oracle, sf)
+    got = {
+        r["prev_type"]: (r["n_out"], r["n_next_types"], r["entropy_nats"])
+        for _, r in ora.iterrows()
+    }
+    model = _markov_replay(
+        [
+            (i, ev["ts"][i], u, f"t{g}")
+            for i, (u, g) in enumerate(rows)
+        ]
+    )
+    assert got == model
+
+
+_r13_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "", "aa"]),
+        min_size=0,
+        max_size=6,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@_settings
+@given(texts=_r13_texts)
+def test_distinct_ngrams_oracle_matches_replay(texts, tmp_path_factory):
+    """The text_distinct_ngrams ORACLE == the cleaned-sequence replay
+    on randomized corpora with empty tokens and repeated words."""
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round13_ops import _distinct_ngrams_replay
+
+    _ensure_loaded()
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["synthetic"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "distn", documents=docs)
+    got = run_oracle(REGISTRY["text_distinct_ngrams"].oracle, sf).iloc[0]
+    n_tok, d1, n_bi, d2 = _distinct_ngrams_replay(texts)
+    assert (int(got["n_tokens"]), int(got["distinct_unigrams"])) == (
+        n_tok, d1,
+    )
+    assert (int(got["n_bigrams"]), int(got["distinct_bigrams"])) == (
+        n_bi, d2,
+    )
+
+
+_r13_prices = st.lists(
+    st.sampled_from([10.0, 10.01, 99.99, 250.5, 250.5, 1000.33, 5.0]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@_settings
+@given(prices=_r13_prices)
+def test_mad_oracle_matches_replay(prices, tmp_path_factory):
+    """The stat_mad_robust_z ORACLE == the interpolated-median replay
+    on randomized tied prices — odd/even counts and MAD=0 shapes."""
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round13_ops import _mad_replay
+
+    _ensure_loaded()
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": pd.array(range(len(prices)), dtype="int64"),
+            "o_custkey": pd.array([1] * len(prices), dtype="int64"),
+            "o_orderstatus": ["O"] * len(prices),
+            "o_totalprice": pd.array(prices, dtype="float64"),
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01"] * len(prices)
+            ).astype("datetime64[us]"),
+            "o_orderpriority": ["1-URGENT"] * len(prices),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "mad", orders=orders)
+    got = run_oracle(REGISTRY["stat_mad_robust_z"].oracle, sf).iloc[0]
+    n, med, mad, outl, mz = _mad_replay(prices)
+    assert int(got["n"]) == n
+    assert got["median_price"] == med
+    assert got["mad_price"] == mad
+    assert int(got["n_outliers_3s"]) == outl
+    assert got["max_robust_z"] == mz
+
+
+_r13_orders = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=10_000),  # orderkey space
+        st.sampled_from([10.0, 55.5, 99.99, 250.5, 1000.33]),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@_settings
+@given(rows=_r13_orders)
+def test_qsk_oracle_matches_replay(rows, tmp_path_factory):
+    """The sketch_quantile_bottomk ORACLE == the md5 bottom-k replay —
+    n < k inputs collapse est == exact with abs_error 0."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round13_ops import _qsk_replay
+
+    _ensure_loaded()
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": pd.array([k for k, _ in rows], dtype="int64"),
+            "o_custkey": pd.array([1] * len(rows), dtype="int64"),
+            "o_orderstatus": ["O"] * len(rows),
+            "o_totalprice": pd.array([p for _, p in rows], dtype="float64"),
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * len(rows)).astype(
+                "datetime64[us]"
+            ),
+            "o_orderpriority": ["1-URGENT"] * len(rows),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "qsk", orders=orders)
+    ora = run_oracle(REGISTRY["sketch_quantile_bottomk"].oracle, sf)
+    dec = [
+        (k, Decimal(repr(p)).quantize(Decimal("0.01"), ROUND_HALF_UP))
+        for k, p in rows
+    ]
+    n, ka, model = _qsk_replay(dec)
+    got = {
+        r["quantile"]: (r["est_value"], r["exact_value"], r["abs_error"])
+        for _, r in ora.iterrows()
+    }
+    assert len(got) == 3
+    for p, vals in model.items():
+        assert got[p] == vals
+        assert int(ora.iloc[0]["n_rows"]) == n
+        assert int(ora.iloc[0]["k_sample"]) == ka
