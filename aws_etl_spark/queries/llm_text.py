@@ -2876,3 +2876,94 @@ FROM a
 
 
 _register_distinct_ngrams()
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition profile (round 13 late batch, queued for the
+# r14 window): the repetition filters of Rae et al. 2021 (Gopher,
+# table A1) — share of the corpus's token mass captured by its single
+# most frequent 2-gram and 3-gram, and the fraction of duplicated
+# n-gram INSTANCES (occurrences beyond each gram's first) — the
+# decode-loop / boilerplate alarm that fires long before perplexity
+# moves. (The corpus has no newlines, so the line-level Gopher rules
+# degrade to doc-level dedup — covered by dedup_exact; the n-gram
+# tier is the meaningful one here.) ONE documents scan: the
+# positional token stream gains 1- and 2-step predecessors via
+# doc-partitioned LAGs (grams never cross documents), per-gram counts
+# roll up per n, and each n's profile is exact BIGINTs with the
+# shares as single IEEE divisions. Empty corpus pins every share 0.
+# ---------------------------------------------------------------------------
+
+
+def _register_repetition_profile() -> None:
+    spark_tok = """
+SELECT doc_id, pos, w FROM (
+  SELECT doc_id, pos, col AS w
+  FROM (SELECT doc_id, posexplode(split(trim(lower(text)), ' '))
+        FROM documents)
+) t WHERE w <> ''
+"""
+    duck_tok = """
+SELECT doc_id, pos, w FROM (
+  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+  FROM (SELECT doc_id, STRING_SPLIT(TRIM(LOWER(text)), ' ') AS ws
+        FROM documents)
+) t WHERE w <> ''
+"""
+
+    def tail(tok: str) -> str:
+        return f"""
+WITH tok AS ({tok}),
+lagged AS (
+  SELECT w,
+         LAG(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+         LAG(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+  FROM tok
+),
+grams AS (
+  SELECT 2 AS n, CONCAT(p1, ' ', w) AS g FROM lagged WHERE p1 IS NOT NULL
+  UNION ALL
+  SELECT 3 AS n, CONCAT(p2, ' ', p1, ' ', w) FROM lagged
+  WHERE p2 IS NOT NULL
+),
+gc AS (
+  SELECT n, g, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY n, g
+),
+prof AS (
+  SELECT n,
+         CAST(SUM(c) AS BIGINT) AS total_grams,
+         CAST(MAX(c) AS BIGINT) AS top_gram_count,
+         CAST(SUM(c - 1) AS BIGINT) AS dup_instances
+  FROM gc GROUP BY n
+)
+SELECT n AS gram_n, total_grams, top_gram_count, dup_instances,
+       CASE WHEN total_grams = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(top_gram_count AS DOUBLE)
+                 / CAST(total_grams AS DOUBLE)
+       END AS top_gram_share,
+       CASE WHEN total_grams = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(dup_instances AS DOUBLE)
+                 / CAST(total_grams AS DOUBLE)
+       END AS dup_instance_share
+FROM prof
+"""
+
+    sql_query(
+        "text_repetition_profile",
+        tail(spark_tok),
+        oracle=tail(duck_tok),
+        category="text",
+        doc=(
+            "Gopher-style n-gram repetition alarms: top-2-gram and "
+            "top-3-gram mass shares plus the duplicated-instance "
+            "fraction per n, grams via doc-partitioned LAGs (never "
+            "crossing documents), exact BIGINT counts, shares as "
+            "single IEEE divisions; empty corpus pinned to 0. The "
+            "decode-collapse complement to text_distinct_ngrams' "
+            "diversity readout."
+        ),
+        tables=("documents",),
+    )
+
+
+_register_repetition_profile()

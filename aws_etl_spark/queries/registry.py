@@ -584,15 +584,19 @@ _DRIVER_ORDER = (
     "events_dau_mau",
     "events_seasonal_decompose",
     # ---- end of the 45 forced round-13 window slots ----
-    # -- free slots 46..50: the round-13 additions, in the order
-    #    added (all five fit, so the r14 block-1 queue is EMPTY —
-    #    any further r13 addition would queue there instead)
+    # -- free slots 46..50: the round-13 mid-round additions, in the
+    #    order added (all five fit)
     "ml_ks_separation",
     "events_markov_entropy",
     "text_distinct_ngrams",
     "stat_mad_robust_z",
     "sketch_quantile_bottomk",
     # ---- end of the 50-query round-13 window ----
+    # Round-14 block-1 queue (window-budget rule): the round-13 LATE
+    # additions, in the order added — events_markov_entropy_chunked
+    # (the skew dial; shares events_markov_entropy's oracle, so its
+    # hash row proves plan-equivalence), text_repetition_profile,
+    # stat_tukey_fences (3 forced block-1 slots).
     # Round-14 block-3 queue: after r13 the oldest hash evidence is
     # r7 (43 names — the round-7 vintage: the dup-graph suite,
     # span dedup, salted join/agg, attribution family, IVM, pHash

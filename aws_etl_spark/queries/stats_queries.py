@@ -4243,3 +4243,89 @@ def _register_quantile_sketch() -> None:
 
 
 _register_quantile_sketch()
+
+
+# --------------------------------------------------------------------------
+# Tukey IQR fences (round 13 late batch, queued for the r14 window):
+# the third classic outlier family beside the mean-based Grubbs test
+# and the median-based MAD monitor — box-plot fences at
+# Q1 - 1.5*IQR / Q3 + 1.5*IQR, the workhorse of data-profiling
+# reports. Exactness rides the stat_mad_robust_z half-cent lift:
+# quartiles of even integers interpolate at exact dyadic quarter
+# points (0.75a + 0.25b and a + (b-a)*0.25 are the same exact
+# rational for integers far below 2^53, so Spark `percentile` and
+# DuckDB PERCENTILE_CONT agree bit-for-bit), IQR and both fences are
+# exact dyadics, and every row comparison is exact. Quartiles run as
+# STAGED SCALARS over the one checkpointed half-cent column; counts
+# are exact BIGINTs; the all-identical degenerate reads IQR = 0 and
+# flags nothing.
+# --------------------------------------------------------------------------
+
+
+def _register_tukey() -> None:
+    staged_sql_query(
+        "stat_tukey_fences",
+        ops=(
+            (
+                "view",
+                "tukey_hc",
+                "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 200"
+                " AS BIGINT) AS hc FROM orders",
+            ),
+            ("scalar", "tukey_q1", "SELECT percentile(hc, 0.25) FROM tukey_hc"),
+            ("scalar", "tukey_q3", "SELECT percentile(hc, 0.75) FROM tukey_hc"),
+        ),
+        final="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       {tukey_q1} / CAST(200 AS DOUBLE) AS q1_price,
+       {tukey_q3} / CAST(200 AS DOUBLE) AS q3_price,
+       ({tukey_q3} - {tukey_q1}) / CAST(200 AS DOUBLE) AS iqr_price,
+       CAST(SUM(CASE WHEN CAST(hc AS DOUBLE)
+                          < {tukey_q1} - CAST(1.5 AS DOUBLE)
+                            * ({tukey_q3} - {tukey_q1})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(SUM(CASE WHEN CAST(hc AS DOUBLE)
+                          > {tukey_q3} + CAST(1.5 AS DOUBLE)
+                            * ({tukey_q3} - {tukey_q1})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+FROM tukey_hc
+""",
+        oracle="""
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 200 AS BIGINT) AS hc
+  FROM orders
+),
+q AS (
+  SELECT PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY hc) AS q1,
+         PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY hc) AS q3
+  FROM c
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       (SELECT q1 FROM q) / CAST(200 AS DOUBLE) AS q1_price,
+       (SELECT q3 FROM q) / CAST(200 AS DOUBLE) AS q3_price,
+       ((SELECT q3 FROM q) - (SELECT q1 FROM q)) / CAST(200 AS DOUBLE)
+         AS iqr_price,
+       CAST(SUM(CASE WHEN CAST(c.hc AS DOUBLE)
+                          < (SELECT q1 FROM q) - CAST(1.5 AS DOUBLE)
+                            * ((SELECT q3 FROM q) - (SELECT q1 FROM q))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(SUM(CASE WHEN CAST(c.hc AS DOUBLE)
+                          > (SELECT q3 FROM q) + CAST(1.5 AS DOUBLE)
+                            * ((SELECT q3 FROM q) - (SELECT q1 FROM q))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+FROM c
+""",
+        category="stats",
+        doc=(
+            "Tukey box-plot fences on order prices: exact dyadic "
+            "quartiles via the half-cent integer lift (the "
+            "agg_percentiles seam), staged-scalar Q1/Q3 over one "
+            "checkpointed column, 1.5*IQR fences and outlier counts "
+            "per side all in exact arithmetic; IQR = 0 degenerates "
+            "flag nothing."
+        ),
+        tables=("orders",),
+    )
+
+
+_register_tukey()

@@ -2608,3 +2608,111 @@ sql_query(
     ),
     tables=("events",),
 )
+
+
+# --------------------------------------------------------------------------
+# Chunked Markov transition entropy (round 13 late batch, queued for
+# the r14 window): the skew probe measured events_markov_entropy at
+# 1.5x under a 30%-hot user — AQE cannot split a WINDOW partition, so
+# one user's whole history serializes on one task. This twin is the
+# documented two-level-decomposition dial MADE REAL: transitions are
+# recovered from (user, epoch-day) CHUNKS — LAG inside each chunk
+# gives the within-day transitions, and consecutive chunks of one
+# user stitch at the boundary (last event of chunk i -> first event
+# of chunk i+1, chunk order via a per-user window over the BOUNDED
+# chunk list, <= days rows per user, never raw events). The
+# transition multiset is IDENTICAL by construction, so the query
+# shares events_markov_entropy's ORACLE verbatim — the driver
+# hash-proves that the skew-immune plan computes the same answer.
+# The hot user's rows now split across as many tasks as active days;
+# chunk granularity (day here) is the dial: hour for hotter keys.
+# --------------------------------------------------------------------------
+
+# the bounded per-user chunk list (one row per (user, active-day)) —
+# STAGED as a checkpoint: the boundary stitch self-joins it, and a
+# plain CTE would let Catalyst re-derive the events chain once per
+# join side (registration census measured events x3; staged: x1)
+_MARKOV_CHUNK_SEQ_SQL = """
+SELECT user_id, first_type, last_type,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+FROM (
+  SELECT user_id,
+         CAST(FLOOR(CAST(ts AS DOUBLE) / 86400) AS BIGINT) AS day,
+         MIN_BY(event_type, (ts, event_id)) AS first_type,
+         MAX_BY(event_type, (ts, event_id)) AS last_type
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+) chunk_ends
+"""
+
+_MARKOV_CHUNKED_SQL = """
+WITH within AS (
+  SELECT prev, event_type AS nxt
+  FROM (
+    SELECT event_type,
+           LAG(event_type) OVER (
+             PARTITION BY user_id,
+                          CAST(FLOOR(CAST(ts AS DOUBLE) / 86400) AS BIGINT)
+             ORDER BY ts, event_id) AS prev
+    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  ) s
+  WHERE prev IS NOT NULL
+),
+boundary AS (
+  SELECT a.last_type AS prev, b.first_type AS nxt
+  FROM mkc_chunk_seq a
+  JOIN mkc_chunk_seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+),
+tr AS (
+  SELECT prev, nxt FROM within
+  UNION ALL
+  SELECT prev, nxt FROM boundary
+),
+c AS (
+  SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tr GROUP BY prev, nxt
+),
+w AS (
+  SELECT prev, c,
+         CAST(SUM(c) OVER (PARTITION BY prev) AS BIGINT) AS cp,
+         CAST(COUNT(*) OVER (PARTITION BY prev) AS BIGINT) AS n_next
+  FROM c
+)
+SELECT prev AS prev_type,
+       MAX(cp) AS n_out, MAX(n_next) AS n_next_types,
+       CAST(CAST(SUM(CAST(c AS DECIMAL(19,0))
+                     * CAST(CAST(FLOOR(LN(CAST(cp AS DOUBLE)
+                                          / CAST(c AS DOUBLE))
+                                       * 1000000) AS BIGINT)
+                            AS DECIMAL(19,0)))
+                 AS DECIMAL(38,0)) AS DOUBLE)
+         / CAST(MAX(cp) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+         AS entropy_nats
+FROM w GROUP BY prev
+"""
+
+def _register_markov_chunked() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+
+    staged_sql_query(
+        "events_markov_entropy_chunked",
+        ops=(("view", "mkc_chunk_seq", _MARKOV_CHUNK_SEQ_SQL),),
+        final=_MARKOV_CHUNKED_SQL,
+        # SAME oracle as events_markov_entropy: the chunked plan must
+        # hash-prove it computes the identical conditional entropies
+        oracle=_MARKOV_ENTROPY_SQL,
+        category="timeseries",
+        doc=(
+            "Skew-immune twin of events_markov_entropy: transitions "
+            "from (user, epoch-day) chunks — within-chunk LAG + "
+            "boundary stitching over the staged bounded per-user "
+            "chunk list — proven hash-identical to the "
+            "single-partition form (shared oracle). The hot user's "
+            "rows split across active days; chunk granularity is the "
+            "skew dial."
+        ),
+        tables=("events",),
+    )
+
+
+_register_markov_chunked()

@@ -759,6 +759,14 @@ _RESCAN_FAMILY_BOUNDS = {
     "text_distinct_ngrams": (1, 4),
     "stat_mad_robust_z": (1, 2),
     "sketch_quantile_bottomk": (1, 6),
+    # round-13 late batch (registration-time census: the chunked
+    # markov's plain-CTE draft measured events x3 through the
+    # chunk-seq self-join and gained a staged chunk list — x1;
+    # repetition's documents x2 is the 2-gram/3-gram UNION over one
+    # token stream, within the residual convention)
+    "events_markov_entropy_chunked": (1, 4),
+    "text_repetition_profile": (2, 5),
+    "stat_tukey_fences": (1, 2),
 }
 
 

@@ -2920,3 +2920,70 @@ def test_qsk_oracle_matches_replay(rows, tmp_path_factory):
         assert got[p] == vals
         assert int(ora.iloc[0]["n_rows"]) == n
         assert int(ora.iloc[0]["k_sample"]) == ka
+
+
+@_settings
+@given(texts=_r13_texts)
+def test_repetition_oracle_matches_replay(texts, tmp_path_factory):
+    """The text_repetition_profile ORACLE == the n-gram Counter
+    replay on randomized corpora (docs shorter than the gram width
+    contribute nothing; an all-short corpus yields 0 rows)."""
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round13_late import _repetition_replay
+
+    _ensure_loaded()
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["synthetic"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "rep", documents=docs)
+    ora = run_oracle(REGISTRY["text_repetition_profile"].oracle, sf)
+    got = {
+        int(r["gram_n"]): (
+            int(r["total_grams"]), int(r["top_gram_count"]),
+            int(r["dup_instances"]), r["top_gram_share"],
+            r["dup_instance_share"],
+        )
+        for _, r in ora.iterrows()
+    }
+    assert got == _repetition_replay(texts)
+
+
+@_settings
+@given(prices=_r13_prices)
+def test_tukey_oracle_matches_replay(prices, tmp_path_factory):
+    """The stat_tukey_fences ORACLE == the dyadic-quartile replay on
+    randomized tied prices."""
+    import pandas as pd
+
+    from aws_etl_spark.oracle import run_oracle
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tests.test_round13_late import _tukey_replay
+
+    _ensure_loaded()
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": pd.array(range(len(prices)), dtype="int64"),
+            "o_custkey": pd.array([1] * len(prices), dtype="int64"),
+            "o_orderstatus": ["O"] * len(prices),
+            "o_totalprice": pd.array(prices, dtype="float64"),
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * len(prices)).astype(
+                "datetime64[us]"
+            ),
+            "o_orderpriority": ["1-URGENT"] * len(prices),
+        }
+    )
+    sf = _scratch_sf(tmp_path_factory, "tukey", orders=orders)
+    got = run_oracle(REGISTRY["stat_tukey_fences"].oracle, sf).iloc[0]
+    n, q1, q3, iqr, lo, hi = _tukey_replay(prices)
+    assert int(got["n"]) == n
+    assert (got["q1_price"], got["q3_price"], got["iqr_price"]) == (q1, q3, iqr)
+    assert (int(got["n_low_outliers"]), int(got["n_high_outliers"])) == (lo, hi)
