@@ -596,7 +596,9 @@ _DRIVER_ORDER = (
     # additions, in the order added — events_markov_entropy_chunked
     # (the skew dial; shares events_markov_entropy's oracle, so its
     # hash row proves plan-equivalence), text_repetition_profile,
-    # stat_tukey_fences (3 forced block-1 slots).
+    # stat_tukey_fences, events_sessionization_chunked (shares
+    # events_sessionization's oracle — same plan-equivalence proof;
+    # 4 forced block-1 slots).
     # Round-14 block-3 queue: after r13 the oldest hash evidence is
     # r7 (43 names — the round-7 vintage: the dup-graph suite,
     # span dedup, salted join/agg, attribution family, IVM, pHash

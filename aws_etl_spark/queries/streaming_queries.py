@@ -614,3 +614,111 @@ def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("double") / F.count("*").over(w)
         ).alias("credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunked sessionization (round 13 late batch, queued for the r14
+# window): the skew probe's SECOND exposed operator —
+# events_sessionization's per-user window serializes a hot user's
+# whole history on one task. Same cure as the chunked Markov twin,
+# harder stitch: sessions can SPAN chunk boundaries (and chain across
+# many chunks), so per-(user, epoch-day)-chunk local sessionization
+# is followed by a prefix-sum RENUMBERING over the bounded per-user
+# chunk list — chunk i connects to chunk i-1 iff its first event is
+# within the gap of chunk i-1's last event; global session id =
+# (sessions in earlier chunks) - (connections up to and including
+# this chunk) + local id, which gives connected fragments the SAME
+# id (inductively, across arbitrary chains); a final
+# (user, global id) rollup merges fragments with MIN/MAX/SUM. The
+# per-chunk-session rollup is STAGED (the summary pass and the
+# renumbering join would otherwise re-derive the events chain).
+# Shares events_sessionization's ORACLE verbatim: the driver
+# hash-proves the splittable plan computes identical sessions.
+# ---------------------------------------------------------------------------
+
+_SESS_CS_SQL = """
+SELECT user_id, day, s,
+       MIN(ts) AS fstart, MAX(ts) AS fend,
+       CAST(COUNT(*) AS BIGINT) AS fn,
+       SUM(CAST(value AS DECIMAL(18,2))) AS fval
+FROM (
+  SELECT user_id, day, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS s
+  FROM (
+    SELECT user_id, event_id, value,
+           CAST(ts AS TIMESTAMP) AS ts,
+           CAST(FLOOR(CAST(ts AS DOUBLE) / 86400) AS BIGINT) AS day,
+           CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                  OR CAST(ts AS TIMESTAMP) >
+                     LAG(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id,
+                   CAST(FLOOR(CAST(ts AS DOUBLE) / 86400) AS BIGINT)
+      ORDER BY CAST(ts AS TIMESTAMP), event_id)
+  ) flags
+) numbered
+GROUP BY user_id, day, s
+"""
+
+_SESS_CHUNKED_FINAL = """
+WITH chunk AS (
+  SELECT user_id, day,
+         CAST(MAX(s) AS BIGINT) AS k,
+         MIN(fstart) AS first_ts, MAX(fend) AS last_ts
+  FROM sess_cs GROUP BY user_id, day
+),
+seq AS (
+  SELECT user_id, day,
+         COALESCE(SUM(k) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix_k,
+         SUM(CASE WHEN LAG(last_ts) OVER (PARTITION BY user_id
+                                          ORDER BY day) IS NOT NULL
+                   AND first_ts <= LAG(last_ts) OVER (PARTITION BY user_id
+                                                      ORDER BY day)
+                       + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS pc_incl
+  FROM chunk
+)
+SELECT cs.user_id,
+       CAST(seq.prefix_k - seq.pc_incl + cs.s AS BIGINT) AS session_seq,
+       MIN(cs.fstart) AS session_start,
+       MAX(cs.fend) AS session_end,
+       CAST(SUM(cs.fn) AS BIGINT) AS n_events,
+       CAST(SUM(cs.fval) AS DOUBLE) AS session_value
+FROM sess_cs cs
+JOIN seq ON seq.user_id = cs.user_id AND seq.day = cs.day
+GROUP BY cs.user_id, seq.prefix_k - seq.pc_incl + cs.s
+"""
+
+
+def _register_sessionization_chunked() -> None:
+    from aws_etl_spark.queries.registry import staged_sql_query
+
+    staged_sql_query(
+        "events_sessionization_chunked",
+        ops=(("view", "sess_cs", _SESS_CS_SQL),),
+        final=_SESS_CHUNKED_FINAL,
+        # SAME oracle as events_sessionization — the hash gate proves
+        # plan equivalence of the skew-splittable form
+        oracle=_SESSION_ORACLE,
+        category="streaming",
+        doc=(
+            "Skew-immune twin of events_sessionization: per-(user, "
+            "epoch-day)-chunk local sessions + a prefix-sum "
+            "renumbering over the staged bounded chunk list (chained "
+            "cross-chunk sessions merge inductively), fragments "
+            "rolled up by global id — proven hash-identical to the "
+            "single-partition form (shared oracle). Chunk "
+            "granularity is the skew dial."
+        ),
+        tables=("events",),
+    )
+
+
+_register_sessionization_chunked()

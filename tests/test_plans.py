@@ -767,6 +767,7 @@ _RESCAN_FAMILY_BOUNDS = {
     "events_markov_entropy_chunked": (1, 4),
     "text_repetition_profile": (2, 5),
     "stat_tukey_fences": (1, 2),
+    "events_sessionization_chunked": (1, 4),
 }
 
 

@@ -195,3 +195,50 @@ def test_tukey_degenerates(spark, tmp_path):
     assert check_query("stat_tukey_fences", spark, sf3).ok
     r3 = REGISTRY["stat_tukey_fences"].fn(spark, sf3).collect()[0]
     assert r3.n == 0 and r3.q1_price is None
+
+
+# ---------------------------------------------------------------------------
+# events_sessionization_chunked — the renumbering stitch must be
+# exactly equivalent, including sessions chained across MANY chunks
+# ---------------------------------------------------------------------------
+
+
+def test_sessionization_chunked_equals_plain_on_corpus(spark):
+    a = _rows_set(REGISTRY["events_sessionization"].fn(spark, SF0001))
+    b = _rows_set(
+        REGISTRY["events_sessionization_chunked"].fn(spark, SF0001)
+    )
+    assert a == b
+
+
+def test_sessionization_chunked_multi_day_chain(spark, tmp_path):
+    """The stitch's hardest case: ONE session spanning three chunk
+    boundaries (events every 20 min across four midnights), beside a
+    session that ends exactly AT a boundary gap and a fresh one after
+    — global ids must renumber inductively across the whole chain."""
+    rows = []
+    # user 1: a 4-day chain — 23:40, 00:00, 00:20 around each of
+    # three midnights, all gaps exactly 20 min < 30
+    import datetime as dt
+
+    t = dt.datetime(2024, 3, 1, 23, 40)
+    for i in range(3 * 8):  # 8 hours of 20-min steps spans midnights
+        rows.append((f"c{i}", t.strftime("%Y-%m-%d %H:%M:%S"), 1,
+                     "view", 1.0))
+        t += dt.timedelta(minutes=20)
+    # user 2: one session ending 23:50, a NEW session at 00:40 next
+    # day (gap 50 min > 30) — the boundary must NOT merge them
+    rows += [
+        ("d0", "2024-03-01 23:30:00", 2, "view", 1.0),
+        ("d1", "2024-03-01 23:50:00", 2, "view", 1.0),
+        ("d2", "2024-03-02 00:40:00", 2, "view", 1.0),
+    ]
+    sf = _mk_sf(tmp_path, events=_events(rows))
+    assert check_query("events_sessionization_chunked", spark, sf).ok
+    a = _rows_set(REGISTRY["events_sessionization"].fn(spark, sf))
+    b = _rows_set(REGISTRY["events_sessionization_chunked"].fn(spark, sf))
+    assert a == b
+    u1 = [r for r in b if r[0] == 1]
+    assert len(u1) == 1 and u1[0][4] == 24  # one chained session
+    u2 = sorted((r for r in b if r[0] == 2), key=lambda r: r[1])
+    assert [r[4] for r in u2] == [2, 1]  # boundary did not merge
