@@ -228,14 +228,20 @@ def label_propagation(
     is truncated each round (localCheckpoint) per iterative-operator
     hygiene.
     """
+    from aws_etl_spark.ops.scale import broadcast_if_bounded
+
     edges = _canonical(pairs, src, dst)
     sym = _symmetrized(edges).localCheckpoint(eager=True)
     labels = sym.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")
-    )
+    ).localCheckpoint(eager=True)
+    # the label table is node-sized and constant-cardinality across
+    # rounds; one count gates a broadcast hint for every round's join
+    # (checkpointed lineage otherwise plans SMJ per round)
+    b = broadcast_if_bounded(labels.count())
     for _ in range(n_rounds):
         votes = (
-            sym.join(labels, sym.v == labels.node)
+            sym.join(b(labels), sym.v == labels.node)
             .groupBy(F.col("u"), F.col("label"))
             .agg(F.count("*").alias("cnt"))
         )
@@ -270,6 +276,8 @@ def k_core_membership(
     iterative shape as star-contraction CC). ``degree`` is the
     original degree; ``in_core`` marks round-``n_rounds`` survivors.
     """
+    from aws_etl_spark.ops.scale import broadcast_if_bounded
+
     edges0 = _canonical(pairs, src, dst).localCheckpoint(eager=True)
     # materialized once: round 1's peel filter AND the final output
     # both read these original degrees (reuse-once hygiene)
@@ -279,6 +287,9 @@ def k_core_membership(
         .agg(F.count("*").alias("deg"))
         .localCheckpoint(eager=True)
     )
+    # every round's keep-list is a subset of the round-0 node set, so
+    # one count decides the broadcast hint for all peel joins
+    b = broadcast_if_bounded(deg0.count())
 
     edges = edges0
     for i in range(n_rounds):
@@ -293,9 +304,9 @@ def k_core_membership(
             deg.filter(F.col("c") >= k).select("u").localCheckpoint(eager=True)
         )
         edges = (
-            edges.join(keep.withColumnRenamed("u", "__ka"), edges.u == F.col("__ka"))
+            edges.join(b(keep.withColumnRenamed("u", "__ka")), edges.u == F.col("__ka"))
             .drop("__ka")
-            .join(keep.withColumnRenamed("u", "__kb"), edges.v == F.col("__kb"))
+            .join(b(keep.withColumnRenamed("u", "__kb")), edges.v == F.col("__kb"))
             .drop("__kb")
             .localCheckpoint(eager=True)
         )
@@ -308,7 +319,7 @@ def k_core_membership(
     )
     return (
         deg0.select(F.col("u").alias("node"), F.col("deg").cast("bigint").alias("degree"))
-        .join(survivors, "node", "left")
+        .join(b(survivors), "node", "left")
         .select(
             "node",
             "degree",

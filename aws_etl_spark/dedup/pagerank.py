@@ -63,7 +63,13 @@ def pagerank(
     that is a small fraction of the corpus, so every iteration's join
     broadcasts the ranks against the (also small) edge list.
     """
+    from aws_etl_spark.ops.scale import broadcast_if_bounded
+
     edges, degrees = _undirected_edges_degrees(pairs, src, dst)
+    # node-sized state read by every iteration: materialize once so
+    # the per-round plans scan an RDD instead of re-deriving the
+    # degree aggregation from the edge list
+    degrees = degrees.localCheckpoint(eager=True)
     n_nodes = degrees.count()
     if n_nodes == 0:
         return edges.select(
@@ -71,13 +77,17 @@ def pagerank(
             F.lit(0.0).alias("rank"),
             F.lit(0).cast("bigint").alias("degree"),
         )
+    # ranks/contribs are node-bounded; checkpointed lineage hides that
+    # from the planner (SMJ per round otherwise — see
+    # broadcast_if_bounded). Row counts of both are <= n_nodes.
+    b = broadcast_if_bounded(n_nodes)
     teleport = (1.0 - damping) / n_nodes
     ranks = degrees.select(
         "u", F.lit(1.0 / n_nodes).alias("rank"), F.col("deg")
     )
     for i in range(n_iter):
         contribs = (
-            edges.join(ranks, "u")
+            edges.join(b(ranks), "u")
             .select(
                 F.col("v").alias("u"),
                 (F.col("rank") / F.col("deg")).alias("c"),
@@ -86,7 +96,7 @@ def pagerank(
             .agg(F.sum("c").alias("contrib"))
         )
         ranks = (
-            degrees.join(contribs, "u", "left")
+            degrees.join(b(contribs), "u", "left")
             .select(
                 "u",
                 (
@@ -125,7 +135,14 @@ def pagerank_quantized(
     """(node, rank_q, degree): integer-unit PageRank, exactly
     reproducible across engines — the oracle-able formulation of the
     float :func:`pagerank` (same plan shape per iteration)."""
+    from aws_etl_spark.ops.scale import broadcast_if_bounded
+
     edges, degrees = _undirected_edges_degrees(pairs, src, dst)
+    # same state-materialization + bounded-broadcast treatment as the
+    # float variant above (identical plan shape is part of the
+    # contract); integer arithmetic is order-independent, so the hint
+    # cannot move the result
+    degrees = degrees.localCheckpoint(eager=True)
     n_nodes = degrees.count()
     if n_nodes == 0:
         return degrees.select(
@@ -133,6 +150,7 @@ def pagerank_quantized(
             F.lit(0).cast("bigint").alias("rank_q"),
             F.lit(0).cast("bigint").alias("degree"),
         )
+    b = broadcast_if_bounded(n_nodes)
     init_q = Q_SCALE // n_nodes
     teleport_q = ((100 - damping_pct) * Q_SCALE) // (100 * n_nodes)
     ranks = degrees.select(
@@ -140,7 +158,7 @@ def pagerank_quantized(
     )
     for i in range(n_iter):
         contribs = (
-            edges.join(ranks, "u")
+            edges.join(b(ranks), "u")
             .select(
                 F.col("v").alias("u"),
                 F.expr("rank_q DIV deg").alias("c"),
@@ -148,7 +166,7 @@ def pagerank_quantized(
             .groupBy("u")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = degrees.join(contribs, "u", "left").select(
+        ranks = degrees.join(b(contribs), "u", "left").select(
             "u",
             (
                 F.lit(teleport_q)

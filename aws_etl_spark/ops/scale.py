@@ -170,3 +170,34 @@ def bloom_pruned_join(
         .drop("might_contain")
     )
     return pruned.join(small, key, how)
+
+
+def broadcast_if_bounded(n_rows: int, cap: int | None = None):
+    """Broadcast-hint applicator for ITERATIVE-STATE joins, gated on a
+    measured row count.
+
+    Iterative graph/linear-algebra loops (pagerank, LPA, k-core) hold
+    node-sized state tables whose lineage is truncated by
+    ``localCheckpoint`` — a LogicalRDD has no size statistics, so
+    Catalyst falls back to SortMergeJoin for every state join even
+    when the state is KBs (verified on this tree: the pagerank
+    iteration planned SMJ + two exchanges per round). The caller
+    already holds a real row count (convergence checks count the
+    state anyway); this turns that measurement into an explicit
+    ``F.broadcast`` hint — guide-style "you know the side is small,
+    say so" — instead of trusting estimates that cannot exist.
+
+    Returns ``F.broadcast`` when ``0 <= n_rows <= cap``, else the
+    identity. ``cap`` defaults to ``$SPARK_GRAFT_STATE_BCAST_ROWS``
+    (2,000,000 — ~50 MB of (long, long, long) state rows framed,
+    well under the executor-memory cost ceiling of a broadcast
+    relation; a 100 TB dup graph whose node state exceeds the cap
+    keeps today's shuffle joins, same results).
+    """
+    import os
+
+    if cap is None:
+        cap = int(os.environ.get("SPARK_GRAFT_STATE_BCAST_ROWS", "2000000"))
+    if 0 <= n_rows <= cap:
+        return F.broadcast
+    return lambda df: df

@@ -888,68 +888,73 @@ def mmr_rerank(
             ).alias("rel"),
         )
     )
-    # localCheckpoint (not cache): each greedy step's plan otherwise
-    # embeds every prior step's plan — lineage grows geometrically in k
-    # and each 1-row stage replays the whole chain (measured 5-6 s for
-    # k=5 at sf0.1; checkpointed: sub-second). Same pattern as
-    # dedup/pagerank.py's iteration truncation.
-    pool = scored.orderBy(F.desc("rel"), "vec_id").limit(pool_n).localCheckpoint()
+    # The relevance cut (the one data-sized pass) stays distributed;
+    # the greedy selection then touches only the pool_n collected rows
+    # — a CONSTANT-bounded working set (P=20 rows x d doubles), so it
+    # runs on the driver (round-13 optimization; the bounded-collect
+    # pattern of the k-means centroid rounds). Replaces k-1
+    # localCheckpoint'd 1-row Spark jobs (measured 2.1-4.2 s of pure
+    # job latency at sf0.1) with microseconds of Python. Bit-parity
+    # with the unrolled-CTE oracle holds because every float op is
+    # replicated exactly: the sequential-fold dot (pair_dot's own
+    # accumulation order), cos = dot/(nrm*nrm), score = 0.7*rel -
+    # 0.3*red as single IEEE ops over collected (exact) doubles, MAX
+    # and the (score DESC, vec_id) tie-break order-independent.
+    from pyspark.sql import types as T
 
-    sel = pool.orderBy(F.desc("rel"), "vec_id").limit(1).select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        "rel",
-        F.lit(None).cast("double").alias("red"),
-        (F.lit(0.7) * F.col("rel")).alias("score"),
-    )
-    sels = [sel]
-    acc = sel.select("vec_id", "embedding", "nrm")
-    for _ in range(2, k + 1):
-        s = acc.select(
-            F.col("vec_id").alias("s_id"),
-            F.col("embedding").alias("s_emb"),
-            F.col("nrm").alias("s_nrm"),
+    pool_rows = scored.orderBy(F.desc("rel"), "vec_id").limit(pool_n).collect()
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    chosen = []  # (step, vec_id, rel, red, score)
+    acc_sel = []  # (vec_id, embedding, nrm)
+    if pool_rows:
+        # step 1: ORDER BY rel DESC, vec_id LIMIT 1
+        first = min(pool_rows, key=lambda r: (-r["rel"], r["vec_id"]))
+        chosen.append(
+            (1, first["vec_id"], first["rel"], None, 0.7 * first["rel"])
         )
-        cand = pool.join(acc.select("vec_id"), "vec_id", "left_anti")
-        paircos = cand.crossJoin(F.broadcast(s)).select(
-            "vec_id",
-            (
-                pair_dot(F.col("embedding"), F.col("s_emb"))
-                / (F.col("nrm") * F.col("s_nrm"))
-            ).alias("c"),
-        )
-        red = paircos.groupBy("vec_id").agg(F.max("c").alias("red"))
-        sel = (
-            pool.join(red, "vec_id")
-            .select(
-                "vec_id",
-                "embedding",
-                "nrm",
-                "rel",
-                "red",
-                (
-                    F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("red")
-                ).alias("score"),
+        acc_sel.append((first["vec_id"], first["embedding"], first["nrm"]))
+    for step in range(2, k + 1):
+        taken = {v for v, _, _ in acc_sel}
+        best = None
+        for r in pool_rows:
+            if r["vec_id"] in taken:
+                continue
+            red = max(
+                fold_dot(r["embedding"], s_emb) / (r["nrm"] * s_nrm)
+                for _, s_emb, s_nrm in acc_sel
             )
-            .orderBy(F.desc("score"), "vec_id")
-            .limit(1)
-            .localCheckpoint()
-        )
-        sels.append(sel)
-        acc = acc.unionAll(sel.select("vec_id", "embedding", "nrm"))
+            score = 0.7 * r["rel"] - 0.3 * red
+            key = (-score, r["vec_id"])
+            if best is None or key < best[0]:
+                best = (key, r, red, score)
+        if best is None:
+            # pool exhausted before k picks — the unrolled plan's
+            # later sel_i CTEs are empty rows, so later steps simply
+            # do not appear
+            break
+        _, r, red, score = best
+        chosen.append((step, r["vec_id"], r["rel"], red, score))
+        acc_sel.append((r["vec_id"], r["embedding"], r["nrm"]))
 
-    out = None
-    for i, s in enumerate(sels, 1):
-        step = s.select(
-            F.lit(i).alias("step"),
-            "vec_id",
-            F.col("rel").alias("relevance"),
-            F.col("red").alias("redundancy"),
-            F.col("score").alias("mmr_score"),
-        )
-        out = step if out is None else out.unionAll(step)
-    return out
+    id_type = emb.schema["vec_id"].dataType
+    return emb.sparkSession.createDataFrame(
+        chosen,
+        T.StructType(
+            [
+                T.StructField("step", T.IntegerType(), False),
+                T.StructField("vec_id", id_type, True),
+                T.StructField("relevance", T.DoubleType(), True),
+                T.StructField("redundancy", T.DoubleType(), True),
+                T.StructField("mmr_score", T.DoubleType(), True),
+            ]
+        ),
+    )
 
 
 @register(
