@@ -584,6 +584,7 @@ sql_query(
         "decimal→double double-rounding guard from q1)."
     ),
     tables=("orders",),
+    widen=("orders",),  # 150k decimal TRY_DIVIDEs ran as ONE scan task
 )
 
 

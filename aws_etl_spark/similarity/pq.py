@@ -49,30 +49,51 @@ def _sub_exploded(
     )
 
 
-def pq_adc_topk(
-    emb: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    m: int = 2,
-    k: int = 8,
-    n_iter: int = 2,
-    n_queries: int = 5,
-    topk: int = 3,
-) -> DataFrame:
-    """Train per-subspace codebooks (``n_iter`` Lloyd rounds), encode
-    every vector, and return the ADC top-``topk`` neighbors for the
-    query set ``id < n_queries``: (query_id, neighbor_id, adc_dist_q,
-    rank) — approximate squared distance as Σ over subspaces of the
-    query's precomputed distance to the neighbor's centroid.
+# process-scoped trained-codebook memo (round-13; same discipline as
+# the spherical-k-means and BPE trainer memos): embeddings_pq_adc and
+# embeddings_pq_recall train byte-identical codebooks (integer-exact
+# Lloyd rounds, s DIV n) over the same exploded components — the
+# second consumer in a process reuses (ex, centroids, codes) instead
+# of re-running the explode + 2 Lloyd rounds + encode. Session
+# identity is part of the key (the cached values are session-owned
+# checkpointed DataFrames); SPARK_GRAFT_NO_PAIR_CACHE disables.
+_PQ_MEMO: dict = {}
 
-    Plan shape: the exploded components checkpoint once; each Lloyd
-    round is one broadcast join of the M·K·(d/M)-row codebook + one
-    (id, sub)-keyed aggregation (the kmeans shape with a composite
-    key); encoding is the final assignment; the ADC join touches only
-    the (id, sub, code) relation against the broadcast M·K distance
-    table — the scan-compressed-codes property that IS product
-    quantization.
-    """
+
+def _pq_trained(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k: int,
+    n_iter: int,
+):
+    """(ex, centroids, codes): exploded shifted components, trained
+    per-subspace codebooks, and the per-(id, sub) code assignment."""
+    import os
+
+    memo_key = None
+    if not os.environ.get("SPARK_GRAFT_NO_PAIR_CACHE"):
+        from aws_etl_spark.ops.pair_cache import _fingerprint
+
+        fp = _fingerprint(
+            "pq_train",
+            emb,
+            {"id": id_col, "vec": vec_col, "m": m, "k": k, "iters": n_iter},
+        )
+        if fp is not None:
+            try:
+                sid = (
+                    emb.sparkSession.sparkContext.applicationId,
+                    id(emb.sparkSession),
+                )
+            except Exception:
+                sid = None
+            if sid is not None:
+                memo_key = (sid, fp)
+                hit = _PQ_MEMO.get(memo_key)
+                if hit is not None:
+                    return hit
     d = emb.select(F.max(F.size(vec_col))).collect()[0][0]
     ex = _sub_exploded(emb, id_col, vec_col, m, d).localCheckpoint(eager=True)
     seeds = emb.select(F.col(id_col).alias("id")).orderBy("id").limit(k)
@@ -127,6 +148,38 @@ def pq_adc_topk(
         )
 
     codes = assign(centroids).select("id", "sub", "cluster")
+    out = (ex, centroids, codes)
+    if memo_key is not None:
+        _PQ_MEMO[memo_key] = out
+    return out
+
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 2,
+    k: int = 8,
+    n_iter: int = 2,
+    n_queries: int = 5,
+    topk: int = 3,
+) -> DataFrame:
+    """Train per-subspace codebooks (``n_iter`` Lloyd rounds), encode
+    every vector, and return the ADC top-``topk`` neighbors for the
+    query set ``id < n_queries``: (query_id, neighbor_id, adc_dist_q,
+    rank) — approximate squared distance as Σ over subspaces of the
+    query's precomputed distance to the neighbor's centroid.
+
+    Plan shape: the exploded components checkpoint once; each Lloyd
+    round is one broadcast join of the M·K·(d/M)-row codebook + one
+    (id, sub)-keyed aggregation (the kmeans shape with a composite
+    key); encoding is the final assignment; the ADC join touches only
+    the (id, sub, code) relation against the broadcast M·K distance
+    table — the scan-compressed-codes property that IS product
+    quantization.
+    """
+    ex, centroids, codes = _pq_trained(emb, id_col, vec_col, m, k, n_iter)
     qdist = (
         ex.filter(F.col("id") < n_queries)
         .join(F.broadcast(centroids), ["sub", "dim"])

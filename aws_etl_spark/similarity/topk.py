@@ -451,6 +451,18 @@ def nearest_centroids_udf(cents: list[tuple[int, list[float]]], n: int):
     return nearest
 
 
+# process-scoped trained-quantizer memo (round-13; the pair-cache
+# discipline applied to k-means TRAINING STATE): ann_cosine_topk_ivf
+# and dedup_semantic train byte-identical quantizers (same corpus,
+# same (k=16, iters=2, seed=42) params) — inside one process the
+# second consumer reuses the first's centroids instead of re-running
+# the sample + Lloyd jobs. Keyed on the pair-cache input fingerprint
+# (canonicalized plan + file list + (size, mtime_ns)), so a changed
+# corpus or different params retrain; a fresh process is cold and
+# bit-identical. SPARK_GRAFT_NO_PAIR_CACHE=1 disables.
+_TRAIN_MEMO: dict = {}
+
+
 def _train_spherical_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -469,8 +481,30 @@ def _train_spherical_centroids(
     touched by the final assignment pass). Each iteration is one
     posexplode + map-side-combined groupBy over sample×dim rows; the
     (n_centroids × dim) sums are collected to the driver — tiny.
-    Empty clusters keep their previous centroid.
+    Empty clusters keep their previous centroid. Served from
+    ``_TRAIN_MEMO`` when the same (corpus, params) trained before in
+    this process.
     """
+    import os
+
+    memo_key = None
+    if not os.environ.get("SPARK_GRAFT_NO_PAIR_CACHE"):
+        from aws_etl_spark.ops.pair_cache import _fingerprint
+
+        memo_key = _fingerprint(
+            "kmeans_train",
+            corpus,
+            {
+                "id": id_col,
+                "vec": vec_col,
+                "k": n_centroids,
+                "iters": n_iters,
+                "seed": seed,
+                "sample": train_sample,
+            },
+        )
+        if memo_key is not None and memo_key in _TRAIN_MEMO:
+            return [(cid, list(cv)) for cid, cv in _TRAIN_MEMO[memo_key]]
     n = corpus.count()
     frac = min(1.0, train_sample / max(n, 1))
     unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col)))
@@ -514,6 +548,8 @@ def _train_spherical_centroids(
             new_cents.append((cid, list(v / nrm) if nrm > 0 else old))
         cents = new_cents
     sample.unpersist()
+    if memo_key is not None:
+        _TRAIN_MEMO[memo_key] = [(cid, list(cv)) for cid, cv in cents]
     return cents
 
 

@@ -231,10 +231,14 @@ def test_shuffle_shards_single_window_shuffle(spark, sf_dir):
     assert "rangepartitioning" not in formatted_plan(df).lower()
 
 
-def test_fuzzy_blocked_join_is_sort_merge_on_block_key(spark, sf_dir):
+def test_fuzzy_blocked_join_is_sort_merge_on_block_key(
+    spark, sf_dir, monkeypatch
+):
     """The linkage self-join must be an equi-join on the blocking key
     — never a CartesianProduct; the levenshtein predicate rides as a
-    post-join filter."""
+    post-join filter. Cache bypassed so the PIPELINE plan is
+    inspected, not a pair-cache parquet read-back."""
+    monkeypatch.setenv("SPARK_GRAFT_NO_PAIR_CACHE", "1")
     df = REGISTRY["join_fuzzy_blocked"].fn(spark, sf_dir)
     facts = plan_facts(df)
     assert all(j != "CartesianProduct" for j in facts.join_strategies), (
