@@ -749,18 +749,27 @@ def q_dedup_canonical_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    from aws_etl_spark.ops.scale import broadcast_if_bounded
+
     state = edges.select("u").distinct().select(
         "u", (F.col("u") * 64).cast("long").alias("enc")
-    )
-    for _ in range(_CANON_ITERS):
+    ).localCheckpoint(eager=True)
+    # node-sized state: one count gates broadcast hints for all 8
+    # rounds (checkpointed lineage otherwise plans SMJ per round),
+    # and the lineage is truncated every SECOND round — with broadcast
+    # state the 2-round lazy span stays shallow, halving the eager
+    # checkpoint jobs (round-13 A/B: 2.18 s original, 2.33 s broadcast
+    # alone, 1.82 s broadcast + 2-round cadence, warm sf0.1)
+    b = broadcast_if_bounded(state.count())
+    for i in range(_CANON_ITERS):
         neigh = (
-            edges.join(state.select(F.col("u").alias("src"), "enc"),
+            edges.join(b(state.select(F.col("u").alias("src"), "enc")),
                        F.col("u") == F.col("src"))
             .groupBy(F.col("v").alias("nu"))
             .agg(F.min(F.col("enc") + 1).alias("nenc"))
         )
         state = (
-            state.join(neigh, state["u"] == neigh["nu"], "left")
+            state.join(b(neigh), state["u"] == neigh["nu"], "left")
             .select(
                 state["u"],
                 F.least(
@@ -768,8 +777,9 @@ def q_dedup_canonical_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("nenc"), state["enc"]),
                 ).alias("enc"),
             )
-            .localCheckpoint(eager=True)
         )
+        if i % 2 == 1 or i == _CANON_ITERS - 1:
+            state = state.localCheckpoint(eager=True)
     return state.select(
         F.col("u").cast("long").alias("doc_id"),
         F.expr("enc DIV 64").cast("long").alias("canonical_id"),

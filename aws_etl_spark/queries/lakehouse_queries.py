@@ -511,7 +511,7 @@ def _commit_sliced_snapshots(
     """
     import json as _json
 
-    stage = root / "__stage"
+    stage = root / "stage.tmp"
     (
         sliced.repartition("__s")
         .write.partitionBy("__s")
@@ -753,12 +753,19 @@ def q_lake_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     upserts = rollup(o.filter("y <= 1996").join(upd_keys, "k")).select(
         "*", F.lit(2).alias("seq"), F.lit("U").alias("op")
     )
-    base.write.mode("overwrite").parquet(str(root / "base"))
-    upserts.write.mode("overwrite").parquet(str(root / "log-0002"))
-
-    live_keys = spark.read.parquet(str(root / "base")).select("k").union(
-        spark.read.parquet(str(root / "log-0002")).select("k")
-    ).distinct()
+    # base + upsert commits land in ONE partitioned write (round-13:
+    # was two sequential writes + two read-backs; commit dirs become
+    # seq=1/seq=2 under one changelog root — same rows, same
+    # read-time merge); the tombstone commit still needs the written
+    # key set, so it stays a second write
+    (
+        base.unionByName(upserts)
+        .write.mode("overwrite")
+        .partitionBy("seq")
+        .parquet(str(root / "changelog"))
+    )
+    written = spark.read.parquet(str(root / "changelog"))
+    live_keys = written.select("k").distinct()
     tombstones = live_keys.filter("k % 97 = 0").select(
         "k",
         F.lit(None).cast("bigint").alias("n_orders"),
@@ -770,10 +777,8 @@ def q_lake_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    scan = (
-        spark.read.parquet(str(root / "base"))
-        .unionByName(spark.read.parquet(str(root / "log-0002")))
-        .unionByName(spark.read.parquet(str(root / "log-0003")))
+    scan = written.unionByName(
+        spark.read.parquet(str(root / "log-0003")), allowMissingColumns=False
     )
     w = Window.partitionBy("k").orderBy(F.col("seq").desc())
     return (

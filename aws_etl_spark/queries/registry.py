@@ -337,11 +337,21 @@ def _staged_view(
 ) -> DataFrame:
     """Checkpointed stage view, served from the process cache when the
     (session, sql, upstream chain, input snapshot) fingerprint
-    matches; bounded LRU with eager block eviction."""
+    matches; bounded LRU with eager block eviction.
+
+    NOTE (round-13 measurement): widening a stage before the
+    checkpoint (round-robin repartition of the aggregate to core
+    count) was tried for the DECIMAL(38)-heavy spearman tail and
+    REGRESSED it ~30% — the extra shuffle + wider downstream exchanges
+    cost more than the tail parallelism bought. Stage views stay at
+    AQE's coalesced width."""
     import os
 
-    if os.environ.get("SPARK_GRAFT_NO_STAGE_CACHE"):
+    def _build() -> DataFrame:
         return spark.sql(sql).localCheckpoint(eager=True)
+
+    if os.environ.get("SPARK_GRAFT_NO_STAGE_CACHE"):
+        return _build()
     key = _stage_fingerprint(spark, sf_dir, tables, sql, chain)
     df = _STAGE_CACHE.get(key)
     if df is not None:
@@ -349,7 +359,7 @@ def _staged_view(
         _STAGE_CACHE.move_to_end(key)
         return df
     _STAGE_CACHE_STATS["misses"] += 1
-    df = spark.sql(sql).localCheckpoint(eager=True)
+    df = _build()
     base = key[:4]  # (session, sql, chain, sf_dir) — snapshot-free
     stale = _STAGE_LATEST.get(base)
     if stale is not None and stale != key:

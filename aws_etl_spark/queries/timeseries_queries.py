@@ -792,6 +792,43 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "event_type string, pi_micro bigint, pi double"
         )
+    import os
+
+    driver_cap = int(
+        os.environ.get("SPARK_GRAFT_MARKOV_DRIVER_STATES", "512")
+    )
+    if n_states <= driver_cap:
+        # Bounded-state fast path (round-13): the iteration state is
+        # one integer per STATE and the transition table ≤ states²
+        # rows — at ≤512 states that is ≤256k tiny rows regardless of
+        # corpus size, so the twelve steps run as exact Python-int
+        # arithmetic on the collected count table (the PCA/MMR
+        # bounded-collect pattern) instead of 12 join+agg Spark jobs.
+        # Bit-identical: (pi*n) DIV tot on non-negative BIGINTs ==
+        # Python //, and the sum per dst is integer. Above the cap
+        # (a corpus with more event types than the dial) the
+        # distributed loop below runs unchanged.
+        rows = counts.collect()
+        tot: dict = {}
+        trans: dict = {}
+        for r in rows:
+            trans.setdefault(r["src"], []).append((r["dst"], r["n"]))
+            tot[r["src"]] = tot.get(r["src"], 0) + r["n"]
+        pi_d = {s: 1000000 // n_states for s in trans}
+        for _ in range(_STATIONARY_STEPS):
+            new: dict = {}
+            for src, edges in trans.items():
+                p = pi_d.get(src)
+                if p is None:
+                    continue
+                t = tot[src]
+                for dst, n in edges:
+                    new[dst] = new.get(dst, 0) + (p * n) // t
+            pi_d = new
+        return spark.createDataFrame(
+            [(s, v, float(v) / 1000000.0) for s, v in pi_d.items()],
+            "event_type string, pi_micro bigint, pi double",
+        )
     pi = states.withColumn(
         "pi", F.lit(1000000 // n_states).cast("bigint")
     )
