@@ -1,0 +1,66 @@
+"""Round-13 bounded-state driver fast paths: forced-path equivalence.
+
+Two iterative operators gained a driver fast path this round (the
+bounded-collect pattern): ``pagerank_quantized`` below the
+``SPARK_GRAFT_PAGERANK_DRIVER_EDGES`` edge dial and
+``events_markov_stationary`` below ``SPARK_GRAFT_MARKOV_DRIVER_STATES``.
+Both paths are exact integer arithmetic, so the outputs must be
+BIT-IDENTICAL, not merely close. These tests force each path via the
+dial (0 disables the fast path) and compare full row sets.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _pairs(spark):
+    # a small multi-component graph with asymmetric degrees so ranks
+    # actually differ per node (two triangles bridged + a pendant)
+    rows = [
+        (1, 2), (2, 3), (1, 3),
+        (3, 4),
+        (4, 5), (5, 6), (4, 6),
+        (6, 7),
+    ]
+    return spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+
+
+def test_pagerank_quantized_driver_matches_distributed(spark, monkeypatch):
+    from aws_etl_spark.dedup.pagerank import pagerank_quantized
+
+    pairs = _pairs(spark)
+    monkeypatch.delenv("SPARK_GRAFT_PAGERANK_DRIVER_EDGES", raising=False)
+    fast = {tuple(r) for r in pagerank_quantized(pairs).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_PAGERANK_DRIVER_EDGES", "0")
+    slow = {tuple(r) for r in pagerank_quantized(pairs).collect()}
+    assert fast == slow
+    assert len(fast) == 7  # every node present exactly once
+
+
+def test_pagerank_quantized_dial_boundary(spark, monkeypatch):
+    """cap == edge count keeps the fast path; cap == edges-1 forces
+    the distributed loop (the gate is <=)."""
+    from aws_etl_spark.dedup.pagerank import pagerank_quantized
+
+    pairs = _pairs(spark)
+    # 8 undirected pairs -> 16 symmetrized edges
+    monkeypatch.setenv("SPARK_GRAFT_PAGERANK_DRIVER_EDGES", "16")
+    at_cap = {tuple(r) for r in pagerank_quantized(pairs).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_PAGERANK_DRIVER_EDGES", "15")
+    above = {tuple(r) for r in pagerank_quantized(pairs).collect()}
+    assert at_cap == above
+
+
+def test_markov_stationary_driver_matches_distributed(spark, monkeypatch):
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    fn = REGISTRY["events_markov_stationary"].fn
+    monkeypatch.delenv("SPARK_GRAFT_MARKOV_DRIVER_STATES", raising=False)
+    fast = {tuple(r) for r in fn(spark, SF_SMOKE).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_MARKOV_DRIVER_STATES", "0")
+    slow = {tuple(r) for r in fn(spark, SF_SMOKE).collect()}
+    assert fast and fast == slow
