@@ -119,19 +119,82 @@ def _capped_shingles(
     with the per-doc set size computed BEFORE the hot-shingle cap, then
     shingles with document frequency > max_df dropped. The df window
     partitions on the shingle value — the same key the downstream
-    self-join shuffles on, so the exchange is reused, not doubled."""
-    exploded = shingle_rows(df, id_col, text_col, k).withColumn(
-        "n_shingles", F.count("*").over(Window.partitionBy("doc"))
-    )
-    if max_df is not None:
-        exploded = (
-            exploded.withColumn(
-                "df_s", F.count("*").over(Window.partitionBy("shingle"))
-            )
-            .filter(F.col("df_s") <= max_df)
-            .drop("df_s")
+    self-join shuffles on, so the exchange is reused, not doubled.
+
+    Round-13 optimization: the relation is identical across every
+    consumer with the same (k, max_df) — the Jaccard, containment and
+    incremental pair generators each re-derived it per query. It is
+    now served from the process-scoped pair cache (parquet
+    materialization keyed on the input fingerprint; a fresh process is
+    cold and bit-identical). The uncached path (env hatch / in-memory
+    inputs) keeps the historical per-consumer ``.cache()`` swap."""
+    from aws_etl_spark.ops.pair_cache import materialized
+
+    def build() -> DataFrame:
+        exploded = shingle_rows(df, id_col, text_col, k).withColumn(
+            "n_shingles", F.count("*").over(Window.partitionBy("doc"))
         )
-    return _cache_swap(cache_key, exploded)
+        if max_df is not None:
+            exploded = (
+                exploded.withColumn(
+                    "df_s", F.count("*").over(Window.partitionBy("shingle"))
+                )
+                .filter(F.col("df_s") <= max_df)
+                .drop("df_s")
+            )
+        return exploded
+
+    params = {"id_col": id_col, "text_col": text_col, "k": k, "max_df": max_df}
+    return materialized(
+        "capped_shingles", df, params, build,
+        fallback=lambda: _cache_swap(cache_key, build()),
+    )
+
+
+def _raw_shingle_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_df: int | None,
+    cache_key: str,
+) -> DataFrame:
+    """Aggregated co-occurrence pair table ``(id_a < id_b, na, nb,
+    n_common)`` over the capped shingle relation — the expensive
+    self-join + aggregation that BOTH the Jaccard and the containment
+    pair generators pay, before either applies its (cheap, row-local)
+    score filter. Materialized once per (k, max_df, input) in the
+    process-scoped pair cache so the second consumer pays a parquet
+    read + filter instead of re-running the join; a fresh process is
+    cold and bit-identical (counts are exact integers — the parquet
+    round-trip changes row order only). The uncached fallback is the
+    historical inline join, so plan-structure tests see the same
+    pipeline as before."""
+    from aws_etl_spark.ops.pair_cache import materialized
+
+    def build() -> DataFrame:
+        exploded = _capped_shingles(df, id_col, text_col, k, max_df, cache_key)
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .groupBy(
+                F.col("a.doc").alias("id_a"),
+                F.col("b.doc").alias("id_b"),
+                F.col("a.n_shingles").alias("na"),
+                F.col("b.n_shingles").alias("nb"),
+            )
+            .agg(F.count("*").alias("n_common"))
+        )
+
+    params = {"id_col": id_col, "text_col": text_col, "k": k, "max_df": max_df}
+    return materialized(
+        "shingle_pairs_raw", df, params, build, fallback=build
+    )
 
 
 def dropped_shingle_count(
@@ -185,22 +248,11 @@ def ngram_jaccard_pairs(
     from aws_etl_spark.ops.pair_cache import materialized
 
     def build() -> DataFrame:
-        exploded = _capped_shingles(
+        raw = _raw_shingle_pairs(
             df, id_col, text_col, k, max_df, "ngram_jaccard_pairs"
         )
-
-        a = exploded.alias("a")
-        b = exploded.alias("b")
         return (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-            .groupBy(
-                F.col("a.doc").alias("id_a"),
-                F.col("b.doc").alias("id_b"),
-                F.col("a.n_shingles").alias("na"),
-                F.col("b.n_shingles").alias("nb"),
-            )
-            .agg(F.count("*").alias("n_common"))
-            .withColumn(
+            raw.withColumn(
                 "jaccard",
                 F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
             )
@@ -305,26 +357,11 @@ def containment_pairs(
     before the self-join — this is the discovery-shaped consumer the
     cap exists for (audit with :func:`dropped_shingle_count`).
     """
-    exploded = _capped_shingles(
+    raw = _raw_shingle_pairs(
         df, id_col, text_col, k, max_df, "containment_pairs"
     )
-
-    a = exploded.alias("a")
-    b = exploded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .groupBy(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            F.col("a.n_shingles").alias("na"),
-            F.col("b.n_shingles").alias("nb"),
-        )
-        .agg(F.count("*").alias("n_common"))
-        .withColumn(
+        raw.withColumn(
             "containment",
             F.col("n_common") / F.least(F.col("na"), F.col("nb")),
         )

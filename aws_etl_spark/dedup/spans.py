@@ -37,6 +37,32 @@ from pyspark.sql import functions as F
 from aws_etl_spark.dedup.jaccard import shingle_rows
 
 
+def _span_occurrences(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame | None:
+    """Per-(doc, span) occurrence counts ``(doc, shingle, occ)`` — the
+    one artifact BOTH span views derive from: the census reads
+    ``(span → count rows, sum occ, min doc)`` and the profile reads
+    the distinct keys. Served from the process-scoped pair cache
+    (round-13 optimization) so the second consumer in a process pays a
+    parquet read instead of re-exploding the corpus; a fresh process
+    is cold and bit-identical (exact integer counts). Returns ``None``
+    when the cache cannot serve (env hatch / in-memory input) — the
+    callers then keep their historical single-consumer pipelines, so
+    the pinned plan shapes are unchanged."""
+    from aws_etl_spark.ops.pair_cache import materialized
+
+    def build() -> DataFrame:
+        return (
+            shingle_rows(docs, id_col, text_col, k=k, distinct=False)
+            .groupBy("doc", "shingle")
+            .agg(F.count("*").cast("bigint").alias("occ"))
+        )
+
+    params = {"id_col": id_col, "text_col": text_col, "k": k}
+    return materialized("span_occ", docs, params, build, fallback=lambda: None)
+
+
 def duplicated_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -52,6 +78,20 @@ def duplicated_spans(
     exemplar. One groupBy(span) — count + count-distinct + min in a
     single aggregate pass.
     """
+    so = _span_occurrences(docs, id_col, text_col, k)
+    if so is not None:
+        # (doc, span) rows are unique after the occurrence grouping,
+        # so count(*) == countDistinct(doc) and sum(occ) == the raw
+        # occurrence count — same integers, one shared artifact
+        return (
+            so.groupBy(F.col("shingle").alias("span"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("occ").cast("bigint").alias("n_occurrences"),
+                F.min("doc").cast("bigint").alias("first_doc"),
+            )
+            .filter(F.col("n_docs") >= min_docs)
+        )
     sh = shingle_rows(docs, id_col, text_col, k=k, distinct=False)
     return (
         sh.groupBy(F.col("shingle").alias("span"))
@@ -83,7 +123,11 @@ def doc_span_profile(
     it is Zipf-distributed and joins back hash-partitioned (no
     broadcast assumption needed).
     """
-    sh = shingle_rows(docs, id_col, text_col, k=k, distinct=True)
+    so = _span_occurrences(docs, id_col, text_col, k)
+    if so is not None:
+        sh = so.select("doc", "shingle")
+    else:
+        sh = shingle_rows(docs, id_col, text_col, k=k, distinct=True)
     span_df = sh.groupBy("shingle").agg(
         F.countDistinct("doc").alias("span_docs")
     )

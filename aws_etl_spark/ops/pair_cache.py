@@ -125,14 +125,22 @@ def materialized(
     df: DataFrame,
     params: dict,
     build: Callable[[], DataFrame],
+    fallback: Callable[[], DataFrame] | None = None,
 ) -> DataFrame:
     """Return ``build()``'s result, materialized once per process for
-    this (tag, params, input) and read back on later calls."""
+    this (tag, params, input) and read back on later calls.
+
+    ``fallback`` (optional) is used INSTEAD of ``build`` when the
+    cache cannot serve — disabled via env, or the input has no stable
+    fingerprint (in-memory relations). It lets a caller keep a
+    different lazy shape for the uncached path (e.g. the historical
+    single-consumer pipeline a plan test pins) while the cached path
+    builds a shareable artifact."""
     if os.environ.get("SPARK_GRAFT_NO_PAIR_CACHE", "") == "1":
-        return build()
+        return (fallback or build)()
     key = _fingerprint(tag, df, params)
     if key is None:
-        return build()
+        return (fallback or build)()
     with _LOCK:
         path = os.path.join(_cache_dir(), key)
     with _key_lock(key):

@@ -19,7 +19,12 @@ from aws_etl_spark.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
-from aws_etl_spark.queries.registry import load_table, register, sql_query
+from aws_etl_spark.queries.registry import (
+    load_table,
+    register,
+    sql_query,
+    staged_sql_query,
+)
 
 _JACCARD_ORACLE = """
 WITH sh AS (
@@ -545,30 +550,34 @@ def q_dedup_span_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_span_profile(docs, "doc_id", "text", k=5)
 
 
-_PAIR_EXPLAIN_SPARK = r"""
-WITH t AS (
-  SELECT doc_id, split(lower(text), '\\s+') AS ws FROM documents
-),
-tok AS (
-  SELECT DISTINCT doc_id, word FROM (
-    SELECT doc_id, explode(
-      -- short-doc guard: docs with < 3 tokens yield no 3-grams
-      -- (matching the oracle's range(1, n-2+1) semantics). The token
-      -- array is hoisted to `ws` so split() runs once per row — the
-      -- r6 filter-lambda guard re-evaluated split() per element
-      -- (higher-order lambdas are interpreted, O(tokens × split)).
-      CASE WHEN size(ws) >= 3
-           THEN transform(sequence(1, size(ws) - 2),
-                          i -> concat_ws(' ', slice(ws, i, 3)))
-           ELSE CAST(array() AS ARRAY<STRING>) END
-    ) AS word
-    FROM t
-  ) WHERE word <> ''
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+# round-13 optimization: the tok relation feeds FOUR consumers (both
+# self-join sides and the two size lookups) — as one WITH chain the
+# census counted documents x4, the worst rescan plan in the registry
+# (enumerated in SCALING.md). Staged, tok is tokenized ONCE into a
+# checkpointed view and every consumer reads the materialized RDD;
+# expressions are unchanged so the hash is identical.
+_PAIR_EXPLAIN_TOK = r"""
+SELECT DISTINCT doc_id, word FROM (
+  SELECT doc_id, explode(
+    -- short-doc guard: docs with < 3 tokens yield no 3-grams
+    -- (matching the oracle's range(1, n-2+1) semantics). The token
+    -- array is hoisted to `ws` so split() runs once per row — the
+    -- r6 filter-lambda guard re-evaluated split() per element
+    -- (higher-order lambdas are interpreted, O(tokens × split)).
+    CASE WHEN size(ws) >= 3
+         THEN transform(sequence(1, size(ws) - 2),
+                        i -> concat_ws(' ', slice(ws, i, 3)))
+         ELSE CAST(array() AS ARRAY<STRING>) END
+  ) AS word
+  FROM (SELECT doc_id, split(lower(text), '\\s+') AS ws FROM documents)
+) WHERE word <> ''
+"""
+
+_PAIR_EXPLAIN_FINAL = """
+WITH sizes AS (SELECT doc_id, COUNT(*) AS n FROM pair_tok GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM tok a JOIN tok b ON b.word = a.word AND b.doc_id > a.doc_id
+  FROM pair_tok a JOIN pair_tok b ON b.word = a.word AND b.doc_id > a.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT i.id_a, i.id_b,
@@ -613,9 +622,10 @@ JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.6
 """
 
-sql_query(
+staged_sql_query(
     "dedup_pair_explain",
-    _PAIR_EXPLAIN_SPARK,
+    ops=(("view", "pair_tok", _PAIR_EXPLAIN_TOK),),
+    final=_PAIR_EXPLAIN_FINAL,
     oracle=_PAIR_EXPLAIN_DUCK,
     category="dedup",
     doc=(

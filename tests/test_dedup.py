@@ -268,7 +268,16 @@ def test_pair_explain_and_novelty_sql_survive_short_docs(spark):
     from aws_etl_spark.oracle import canonical_rows
     from aws_etl_spark.queries.dedup_queries import (
         _PAIR_EXPLAIN_DUCK,
-        _PAIR_EXPLAIN_SPARK,
+        _PAIR_EXPLAIN_FINAL,
+        _PAIR_EXPLAIN_TOK,
+    )
+
+    # the staged registry form, recomposed as the equivalent single
+    # statement (same expressions; the stage split is a plan-shape
+    # optimization, not a semantic change)
+    _PAIR_EXPLAIN_SPARK = (
+        f"WITH pair_tok AS ({_PAIR_EXPLAIN_TOK}),\n"
+        + _PAIR_EXPLAIN_FINAL.lstrip()[len("WITH ") :]
     )
     from aws_etl_spark.queries.llm_text import _NOVELTY_DUCK, _NOVELTY_SPARK
 

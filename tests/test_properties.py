@@ -1582,7 +1582,17 @@ def test_kendall_oracle_matches_brute_force(days, tmp_path_factory):
     sf = _scratch_sf(tmp_path_factory, "kend", orders=orders)
     got = run_oracle(REGISTRY["stat_kendall_tau_daily"].oracle, sf).iloc[0]
 
-    pts = [agg[d] for d in sorted(agg)]
+    # replay the DECLARED cent quantization — both engines read cents
+    # as FLOOR(CAST(price AS DOUBLE) * 100), and FLOOR((c/100.0)*100)
+    # loses a cent for some c (6786/100.0*100 = 6785.999...), so the
+    # replay must quantize the same stored doubles, not assume the
+    # construction-time integers round-trip (hypothesis-found seam)
+    day_cents: dict = {}
+    for p, ds in zip(prices, dates):
+        d = int(ds[-2:])
+        c, v = day_cents.get(d, (0, 0))
+        day_cents[d] = (c + 1, v + math.floor(p * 100))
+    pts = [day_cents[d] for d in sorted(day_cents)]
     nd = len(pts)
     conc = disc = 0
     for i in range(nd):

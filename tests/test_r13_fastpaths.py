@@ -54,6 +54,31 @@ def test_pagerank_quantized_dial_boundary(spark, monkeypatch):
     assert at_cap == above
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_containment",
+        "dedup_ngram_jaccard",
+        "dedup_incremental_index",
+        "dedup_span_census",
+        "dedup_span_doc_profile",
+    ],
+)
+def test_shared_shingle_artifacts_match_uncached(spark, monkeypatch, name):
+    """The pair-cache-served shingle/raw-pair/span-occurrence artifacts
+    (round-13 sharing) must be row-identical to each query's historical
+    uncached pipeline."""
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    fn = REGISTRY[name].fn
+    monkeypatch.delenv("SPARK_GRAFT_NO_PAIR_CACHE", raising=False)
+    cached = {tuple(r) for r in fn(spark, SF_SMOKE).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_NO_PAIR_CACHE", "1")
+    uncached = {tuple(r) for r in fn(spark, SF_SMOKE).collect()}
+    assert cached == uncached and cached
+
+
 def test_markov_stationary_driver_matches_distributed(spark, monkeypatch):
     from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
 
