@@ -873,8 +873,12 @@ def _theilsen_staged_ops():
             FROM theilsen_idx a JOIN theilsen_idx b ON b.t > a.t
             """,
         ),
-        ("scalar", "TSND", "SELECT CAST(COUNT(*) AS BIGINT) FROM theilsen_idx"),
-        ("scalar", "TSNP", "SELECT CAST(COUNT(*) AS BIGINT) FROM theilsen_pairs"),
+        (
+            "scalars",
+            ("TSND", "TSNP"),
+            "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM theilsen_idx),"
+            " (SELECT CAST(COUNT(*) AS BIGINT) FROM theilsen_pairs)",
+        ),
     ), spark_declared
 
 

@@ -447,9 +447,12 @@ staged_sql_query(
             GROUP BY v
             """,
         ),
-        ("scalar", "WOENG", "SELECT CAST(SUM(cg) AS BIGINT) FROM woe_g"),
-        ("scalar", "WOENB", "SELECT CAST(SUM(cb) AS BIGINT) FROM woe_g"),
-        ("scalar", "WOENT", "SELECT CAST(SUM(ct) AS BIGINT) FROM woe_g"),
+        (
+            "scalars",
+            ("WOENG", "WOENB", "WOENT"),
+            "SELECT CAST(SUM(cg) AS BIGINT), CAST(SUM(cb) AS BIGINT),"
+            " CAST(SUM(ct) AS BIGINT) FROM woe_g",
+        ),
         (
             "view",
             "woe_cum",
@@ -2024,14 +2027,10 @@ def _register_ks_separation() -> None:
         ops=(
             ("view", "ksep_g", _SCORE_CLASS_G),
             (
-                "scalar",
-                "ksep_p",
-                "SELECT CAST(SUM(c1) AS BIGINT) FROM ksep_g",
-            ),
-            (
-                "scalar",
-                "ksep_q",
-                "SELECT CAST(SUM(c2) AS BIGINT) FROM ksep_g",
+                "scalars",
+                ("ksep_p", "ksep_q"),
+                "SELECT CAST(SUM(c1) AS BIGINT),"
+                " CAST(SUM(c2) AS BIGINT) FROM ksep_g",
             ),
             (
                 "view",

@@ -379,6 +379,30 @@ def _staged_view(
     return df
 
 
+def _scalar_literal(key: str, v) -> str:
+    """Render one staged-scalar value as a portable SQL literal (the
+    typed-literal contract shared by the "scalar" and "scalars" ops)."""
+    if v is None:
+        # empty-input degenerate: the oracle's scalar subquery yields
+        # SQL NULL there too, so the literal must be a typed NULL, not
+        # the string "None" (crafted empty-table differentials pin
+        # this branch)
+        return "CAST(NULL AS BIGINT)"
+    if isinstance(v, bool):
+        raise TypeError(
+            f"staged scalar {key}: bool is not a portable "
+            "literal; cast to int in the stage SQL"
+        )
+    if isinstance(v, float):
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, int):
+        return f"CAST({v} AS BIGINT)"
+    raise TypeError(
+        f"staged scalar {key}: unsupported literal type "
+        f"{type(v).__name__} (int/float/NULL only)"
+    )
+
+
 def staged_sql_query(
     name: str,
     *,
@@ -418,7 +442,8 @@ def staged_sql_query(
     re-invoke the callable to recompute against changed inputs.
 
     ``ops``: sequence of ``("view", view_name, sql)``,
-    ``("scalar", key, sql)``, or ``("guard", key, sql, max_value)``
+    ``("scalar", key, sql)``, ``("scalars", (k1, k2, ...), sql)``, or
+    ``("guard", key, sql, max_value)``
     evaluated in order. A scalar op runs its (single-row,
     single-column) SQL and substitutes the value for the token
     ``{key}`` in all LATER sql texts including ``final`` —
@@ -430,6 +455,11 @@ def staged_sql_query(
     cost contract depends on a bounded intermediate (e.g. a pair join
     licensed only on a calendar-bounded spine); it substitutes
     nothing and never changes results, so the oracle is unaffected.
+    A "scalars" op (round-13) batches N same-statement scalars into
+    ONE job — the SQL returns a single row whose columns bind to the
+    keys in order, each through the same typed-literal contract; use
+    it whenever consecutive scalars aggregate the same staged view
+    (N driver round-trips + N scans of the view become 1).
 
     At 100 TB the checkpointed stages are the narrow aggregates the
     query shares (group counts, histograms, per-key rollups) — tiny
@@ -462,7 +492,16 @@ def staged_sql_query(
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir, tables)
-        subs: dict[str, str] = {}
+        # {PARA} = the session's default parallelism, substituted at
+        # call time — the scale-adaptive partition count a Spark-side
+        # REPARTITION hint should target (the widen_if_narrow dial for
+        # SQL text; round-13 optimization). Never appears in oracle
+        # texts, so results are unaffected.
+        try:
+            para = spark.sparkContext.defaultParallelism
+        except Exception:
+            para = 8  # Connect sessions: widening is never required
+        subs: dict[str, str] = {"PARA": str(para)}
         # substituted SQL of every earlier view op in this chain —
         # folded into each later view's cache fingerprint so a view
         # referencing an upstream temp view BY NAME can never be
@@ -493,29 +532,22 @@ def staged_sql_query(
                         "this query's cost model is licensed only "
                         "below that bound (see its header comment)"
                     )
+            elif kind == "scalars":
+                # round-13: N same-view scalars batched into ONE
+                # statement/job (key = tuple of names, SQL returns one
+                # row with len(key) columns) — each column passes
+                # through the same typed-literal contract as "scalar"
+                row = spark.sql(sub(sql)).collect()[0]
+                if len(row) != len(key):
+                    raise ValueError(
+                        f"staged scalars {key}: statement returned "
+                        f"{len(row)} columns for {len(key)} names"
+                    )
+                for k2, v in zip(key, row):
+                    subs[k2] = _scalar_literal(k2, v)
             else:
                 v = spark.sql(sub(sql)).collect()[0][0]
-                if v is None:
-                    # empty-input degenerate: the oracle's scalar
-                    # subquery yields SQL NULL there too, so the
-                    # literal must be a typed NULL, not the string
-                    # "None" (crafted empty-table differentials pin
-                    # this branch)
-                    subs[key] = "CAST(NULL AS BIGINT)"
-                elif isinstance(v, bool):
-                    raise TypeError(
-                        f"staged scalar {key}: bool is not a portable "
-                        "literal; cast to int in the stage SQL"
-                    )
-                elif isinstance(v, float):
-                    subs[key] = f"CAST('{v!r}' AS DOUBLE)"
-                elif isinstance(v, int):
-                    subs[key] = f"CAST({v} AS BIGINT)"
-                else:
-                    raise TypeError(
-                        f"staged scalar {key}: unsupported literal type "
-                        f"{type(v).__name__} (int/float/NULL only)"
-                    )
+                subs[key] = _scalar_literal(key, v)
         return spark.sql(sub(final))
 
     fn.__name__ = f"q_{name}"

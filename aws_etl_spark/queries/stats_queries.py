@@ -1095,17 +1095,20 @@ staged_sql_query(
             "SELECT o_orderkey FROM orders WHERE o_custkey IN "
             "(SELECT c_custkey FROM gdpr_del_cust)",
         ),
-        ("scalar", "GDNDELC", "SELECT COUNT(*) FROM gdpr_del_cust"),
-        ("scalar", "GDNC", "SELECT COUNT(*) FROM customer"),
-        ("scalar", "GDNDELO", "SELECT COUNT(*) FROM gdpr_del_orders"),
-        ("scalar", "GDNO", "SELECT COUNT(*) FROM orders"),
+        # round-13: six sequential count jobs batched into one
+        # statement — Spark executes the uncorrelated scalar
+        # subqueries concurrently in the subquery pool
         (
-            "scalar",
-            "GDNDELI",
-            "SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN "
-            "(SELECT o_orderkey FROM gdpr_del_orders)",
+            "scalars",
+            ("GDNDELC", "GDNC", "GDNDELO", "GDNO", "GDNDELI", "GDNL"),
+            "SELECT (SELECT COUNT(*) FROM gdpr_del_cust),"
+            " (SELECT COUNT(*) FROM customer),"
+            " (SELECT COUNT(*) FROM gdpr_del_orders),"
+            " (SELECT COUNT(*) FROM orders),"
+            " (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN"
+            "  (SELECT o_orderkey FROM gdpr_del_orders)),"
+            " (SELECT COUNT(*) FROM lineitem)",
         ),
-        ("scalar", "GDNL", "SELECT COUNT(*) FROM lineitem"),
     ),
     final="""
     SELECT 'customer' AS table_name, {GDNDELC} AS n_delete,
@@ -1512,8 +1515,12 @@ staged_sql_query(
             GROUP BY v
             """,
         ),
-        ("scalar", "KSN1", "SELECT CAST(SUM(c1) AS BIGINT) FROM ks_g"),
-        ("scalar", "KSN2", "SELECT CAST(SUM(c2) AS BIGINT) FROM ks_g"),
+        (
+            "scalars",
+            ("KSN1", "KSN2"),
+            "SELECT CAST(SUM(c1) AS BIGINT), CAST(SUM(c2) AS BIGINT)"
+            " FROM ks_g",
+        ),
     ),
     final=f"""
     WITH bt AS (
@@ -1641,8 +1648,12 @@ staged_sql_query(
             GROUP BY bin
             """,
         ),
-        ("scalar", "PSIDN1", "SELECT CAST(SUM(c1) AS BIGINT) FROM psi_drift_c"),
-        ("scalar", "PSIDN2", "SELECT CAST(SUM(c2) AS BIGINT) FROM psi_drift_c"),
+        (
+            "scalars",
+            ("PSIDN1", "PSIDN2"),
+            "SELECT CAST(SUM(c1) AS BIGINT), CAST(SUM(c2) AS BIGINT)"
+            " FROM psi_drift_c",
+        ),
     ),
     final="""
     WITH bins AS (
@@ -1961,8 +1972,12 @@ staged_sql_query(
             GROUP BY v
             """,
         ),
-        ("scalar", "PSIN1", "SELECT CAST(SUM(c1) AS BIGINT) FROM psi_eq_g"),
-        ("scalar", "PSIN2", "SELECT CAST(SUM(c2) AS BIGINT) FROM psi_eq_g"),
+        (
+            "scalars",
+            ("PSIN1", "PSIN2"),
+            "SELECT CAST(SUM(c1) AS BIGINT), CAST(SUM(c2) AS BIGINT)"
+            " FROM psi_eq_g",
+        ),
         (
             "view",
             "psi_eq_cum",
@@ -2706,26 +2721,40 @@ GROUP BY l_quantity, l_extendedprice
 """
 
 
-def _spearman_tail(pairs: str, declared) -> str:
+def _spearman_tail(pairs: str, declared, widen_hint: str = "") -> str:
     xr = _spearman_rank_cte(declared, "x", pairs, "50.0", "x")
     yr = _spearman_rank_cte(declared, "y", pairs, "1000.0", "y")
+    # The joined (c, mr2x, mr2y) rows pass through an inner block so
+    # the Spark side can widen them (round-13: the staged sp_pairs
+    # checkpoint is ONE partition at local scale, so the DECIMAL(38,0)
+    # moment products — the query's real compute — ran serially; an
+    # explicit REPARTITION({PARA}) is AQE-coalesce-proof and the
+    # partial aggregation then runs cluster-wide). Widening BEFORE the
+    # rank joins instead was measured worse (3.01 vs 2.65 s warm
+    # min-of-3 at sf0.1: the join itself is cheap, and pre-join
+    # round-robin adds a full-width pairs exchange). Same algebra,
+    # same exact integer/decimal sums in any partitioning/order.
     return f"""
 WITH {xr[1:]},{yr},
-m AS (
-  SELECT CAST(SUM(p.c) AS BIGINT) AS n,
-         -- sums fit BIGINT but are carried DECIMAL(28,0): the final
-         -- sx*sx cross-moment (~1.3e19 at 600k rows) overflows INT64
-         CAST(SUM(p.c * x.mr2) AS DECIMAL(28,0)) AS sx,
-         CAST(SUM(p.c * y.mr2) AS DECIMAL(28,0)) AS sy,
-         CAST(SUM(CAST(p.c AS DECIMAL(28,0)) * CAST(x.mr2 AS DECIMAL(28,0))
-                  * CAST(y.mr2 AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS sxy,
-         CAST(SUM(CAST(p.c AS DECIMAL(28,0)) * CAST(x.mr2 AS DECIMAL(28,0))
-                  * CAST(x.mr2 AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS sxx,
-         CAST(SUM(CAST(p.c AS DECIMAL(28,0)) * CAST(y.mr2 AS DECIMAL(28,0))
-                  * CAST(y.mr2 AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS syy
+j AS (
+  SELECT {widen_hint}p.c AS c, x.mr2 AS xm, y.mr2 AS ym
   FROM {pairs} p
   JOIN xr x ON x.v = p.x
   JOIN yr y ON y.v = p.y
+),
+m AS (
+  SELECT CAST(SUM(j.c) AS BIGINT) AS n,
+         -- sums fit BIGINT but are carried DECIMAL(28,0): the final
+         -- sx*sx cross-moment (~1.3e19 at 600k rows) overflows INT64
+         CAST(SUM(j.c * j.xm) AS DECIMAL(28,0)) AS sx,
+         CAST(SUM(j.c * j.ym) AS DECIMAL(28,0)) AS sy,
+         CAST(SUM(CAST(j.c AS DECIMAL(28,0)) * CAST(j.xm AS DECIMAL(28,0))
+                  * CAST(j.ym AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(j.c AS DECIMAL(28,0)) * CAST(j.xm AS DECIMAL(28,0))
+                  * CAST(j.xm AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(j.c AS DECIMAL(28,0)) * CAST(j.ym AS DECIMAL(28,0))
+                  * CAST(j.ym AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS syy
+  FROM j
 )
 SELECT CAST(n AS BIGINT) AS n,
        -- rank sums n(n+1) stay in BIGINT range to ~3e9 rows; the
@@ -2753,7 +2782,10 @@ def _spearman_oracle() -> str:
 staged_sql_query(
     "stat_spearman_corr",
     ops=(("view", "sp_pairs", _SPEARMAN_PAIRS),),
-    final=_spearman_tail("sp_pairs", spark_declared),
+    final=_spearman_tail(
+        "sp_pairs", spark_declared,
+        widen_hint="/*+ REPARTITION({PARA}) */ ",
+    ),
     oracle=_spearman_oracle(),
     category="stats",
     doc=(
@@ -4290,8 +4322,12 @@ def _register_tukey() -> None:
                 "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 200"
                 " AS BIGINT) AS hc FROM orders",
             ),
-            ("scalar", "tukey_q1", "SELECT percentile(hc, 0.25) FROM tukey_hc"),
-            ("scalar", "tukey_q3", "SELECT percentile(hc, 0.75) FROM tukey_hc"),
+            (
+                "scalars",
+                ("tukey_q1", "tukey_q3"),
+                "SELECT percentile(hc, 0.25), percentile(hc, 0.75)"
+                " FROM tukey_hc",
+            ),
         ),
         final="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n,

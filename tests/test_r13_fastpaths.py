@@ -89,3 +89,24 @@ def test_markov_stationary_driver_matches_distributed(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_MARKOV_DRIVER_STATES", "0")
     slow = {tuple(r) for r in fn(spark, SF_SMOKE).collect()}
     assert fast and fast == slow
+
+
+def test_para_token_substituted_and_oracle_free(spark):
+    """``{PARA}`` (round-13 widen token for staged SQL) must be
+    replaced with the session parallelism in the executed Spark text —
+    and must never appear in any oracle text, where no engine would
+    substitute it."""
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    # every oracle text is {PARA}-free
+    assert not any(
+        spec.oracle and "{PARA}" in spec.oracle
+        for spec in REGISTRY.values()
+    )
+    # the one user so far: spearman's widened moment block analyzes
+    # cleanly (an unsubstituted token would be a parse error) and its
+    # plan carries the explicit round-robin exchange
+    df = REGISTRY["stat_spearman_corr"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in plan
