@@ -85,9 +85,12 @@ def connected_components(
 
         labels = [(n, find(n)) for n in parent]
         node_type = edges.schema["u"].dataType
-        return pairs.sparkSession.createDataFrame(
+        from aws_etl_spark.ops.scale import bounded_rows_df
+
+        return bounded_rows_df(
+            pairs.sparkSession,
             labels,
-            schema=T.StructType(
+            T.StructType(
                 [T.StructField("node", node_type), T.StructField("comp", node_type)]
             ),
         )

@@ -201,3 +201,26 @@ def broadcast_if_bounded(n_rows: int, cap: int | None = None):
     if 0 <= n_rows <= cap:
         return F.broadcast
     return lambda df: df
+
+
+def bounded_rows_df(spark, rows, schema, rows_per_slice: int = 200_000):
+    """``createDataFrame`` for a BOUNDED driver-side row list without
+    the default-parallelism fan-out (round-13 optimization).
+
+    ``spark.createDataFrame(list)`` parallelizes the pickled rows over
+    ``defaultParallelism`` slices, so a few-thousand-row label/centroid
+    table becomes 32 Python-worker tasks — measured ~200 ms of
+    worker-spinup run time EACH on a cold process (the
+    ``customers_golden_record`` profile: 32 tasks, 11.8 s run, 1.5 s
+    CPU, zero records on most) for rows that fit one task. Slices here
+    scale with the data instead: one slice per ``rows_per_slice`` rows
+    (cap 16), so a 2M-row state table still fans out, and the common
+    kilobyte-sized result is a single task. Results are identical —
+    every consumer treats these relations as unordered.
+    """
+    n_slices = max(1, min(16, (len(rows) + rows_per_slice - 1) // rows_per_slice))
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=n_slices), schema
+    )

@@ -643,7 +643,10 @@ def q_lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = total // 3 + 1
     plan = compaction_plan(root, version, target)
 
-    mapping = spark.createDataFrame(
+    from aws_etl_spark.ops.scale import bounded_rows_df
+
+    mapping = bounded_rows_df(
+        spark,
         [(f, gid) for f, gid in plan.items()],
         T.StructType(
             [
@@ -662,7 +665,8 @@ def q_lake_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("group_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("group_rows"))
     )
-    n_files = spark.createDataFrame(
+    n_files = bounded_rows_df(
+        spark,
         [
             (gid, sum(1 for g in plan.values() if g == gid))
             for gid in sorted(set(plan.values()))

@@ -279,7 +279,10 @@ def q_plan_broadcast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _strategy_census(spark, sf_dir, hinted=True),
         _strategy_census(spark, sf_dir, hinted=False),
     ]
-    return spark.createDataFrame(
+    from aws_etl_spark.ops.scale import bounded_rows_df
+
+    return bounded_rows_df(
+        spark,
         rows,
         "mode string, broadcast_hash_joins int, sort_merge_joins int, "
         "broadcast_exchanges int, shuffle_exchanges int",

@@ -943,7 +943,10 @@ def mmr_rerank(
         acc_sel.append((r["vec_id"], r["embedding"], r["nrm"]))
 
     id_type = emb.schema["vec_id"].dataType
-    return emb.sparkSession.createDataFrame(
+    from aws_etl_spark.ops.scale import bounded_rows_df
+
+    return bounded_rows_df(
+        emb.sparkSession,
         chosen,
         T.StructType(
             [

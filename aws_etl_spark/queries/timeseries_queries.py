@@ -825,7 +825,10 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for dst, n in edges:
                     new[dst] = new.get(dst, 0) + (p * n) // t
             pi_d = new
-        return spark.createDataFrame(
+        from aws_etl_spark.ops.scale import bounded_rows_df
+
+        return bounded_rows_df(
+            spark,
             [(s, v, float(v) / 1000000.0) for s, v in pi_d.items()],
             "event_type string, pi_micro bigint, pi double",
         )

@@ -129,8 +129,10 @@ def pca_power_component(
         m = norm(m @ m)  # exact: |entries| <= d·SC² ≈ 6.4e13 < 2^63
     w = m.sum(axis=1, dtype=np.int64) * np.int64(V_SCALE)
     v = norm(w)
-    return spark.createDataFrame(
-        [(int(i + 1), int(v[i])) for i in range(d)], out_schema
+    from aws_etl_spark.ops.scale import bounded_rows_df
+
+    return bounded_rows_df(
+        spark, [(int(i + 1), int(v[i])) for i in range(d)], out_schema
     )
 
 

@@ -123,3 +123,25 @@ def test_range_overlap_join_matches_naive(spark):
     from aws_etl_spark.plans import plan_facts
 
     assert "CartesianProduct" not in plan_facts(binned).join_strategies
+
+
+def test_bounded_rows_df_slice_scaling(spark):
+    """bounded_rows_df (round-13) must keep small driver lists to ONE
+    slice (no 32-task Python fan-out), scale slices with row count,
+    and return the same rows as a plain createDataFrame."""
+    from aws_etl_spark.ops.scale import bounded_rows_df
+
+    small = [(i, i * 2) for i in range(100)]
+    df = bounded_rows_df(spark, small, "a bigint, b bigint")
+    assert df.rdd.getNumPartitions() == 1
+    assert sorted(tuple(r) for r in df.collect()) == sorted(small)
+
+    # slices grow with rows (rows_per_slice dial), capped
+    df2 = bounded_rows_df(
+        spark, [(i,) for i in range(1000)], "a bigint", rows_per_slice=100
+    )
+    assert df2.rdd.getNumPartitions() == 10
+    assert df2.count() == 1000
+
+    empty = bounded_rows_df(spark, [], "a bigint, b bigint")
+    assert empty.count() == 0 and empty.columns == ["a", "b"]
