@@ -124,11 +124,19 @@ def _capped_shingles(
     Round-13 optimization: the relation is identical across every
     consumer with the same (k, max_df) — the Jaccard, containment and
     incremental pair generators each re-derived it per query. It is
-    now served from the process-scoped pair cache (parquet
-    materialization keyed on the input fingerprint; a fresh process is
-    cold and bit-identical). The uncached path (env hatch / in-memory
-    inputs) keeps the historical per-consumer ``.cache()`` swap."""
-    from aws_etl_spark.ops.pair_cache import materialized
+    now a row-local filter over the shared UNCAPPED annotated-shingle
+    materialization (:func:`_annotated_shingles` — also the prefix-
+    filter generator's base, so the expensive tokenize + two windows
+    run once per corpus for the WHOLE family). The uncached path (env
+    hatch / in-memory inputs) keeps the historical per-consumer
+    ``.cache()`` swap."""
+    from aws_etl_spark.ops.pair_cache import cache_active
+
+    if cache_active(df):
+        ann = _annotated_shingles(df, id_col, text_col, k)
+        if max_df is not None:
+            ann = ann.filter(F.col("df_s") <= max_df)
+        return ann.drop("df_s")
 
     def build() -> DataFrame:
         exploded = shingle_rows(df, id_col, text_col, k).withColumn(
@@ -144,11 +152,35 @@ def _capped_shingles(
             )
         return exploded
 
-    params = {"id_col": id_col, "text_col": text_col, "k": k, "max_df": max_df}
-    return materialized(
-        "capped_shingles", df, params, build,
-        fallback=lambda: _cache_swap(cache_key, build()),
-    )
+    return _cache_swap(cache_key, build())
+
+
+def _annotated_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Uncapped distinct ``(doc, shingle, n_shingles, df_s)`` — per-doc
+    set size and global document frequency annotated on every shingle
+    occurrence. This is the superset EVERY shingle-family consumer
+    derives from (capped generators filter ``df_s <= max_df``; the
+    prefix filter ranks by ascending ``df_s``), materialized once per
+    (id_col, text_col, k, input) in the process-scoped pair cache.
+    Callers must check ``cache_active`` first — there is no fallback,
+    so uncached consumers keep their historical pinned pipelines."""
+    from aws_etl_spark.ops.pair_cache import materialized
+
+    def build() -> DataFrame:
+        return (
+            shingle_rows(df, id_col, text_col, k)
+            .withColumn(
+                "n_shingles", F.count("*").over(Window.partitionBy("doc"))
+            )
+            .withColumn(
+                "df_s", F.count("*").over(Window.partitionBy("shingle"))
+            )
+        )
+
+    params = {"id_col": id_col, "text_col": text_col, "k": k}
+    return materialized("annotated_shingles", df, params, build)
 
 
 def _raw_shingle_pairs(

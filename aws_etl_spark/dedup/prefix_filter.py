@@ -71,21 +71,47 @@ def prefix_filter_jaccard_pairs(
     # cache); the checkpoint materializes the exploded shingles ONCE
     # and downstream plans read the RDD, the same trade as the staged
     # rescan-family queries.
-    sh = shingle_rows(df, id_col, text_col, k).localCheckpoint(eager=True)
-    # per-doc sizes and global dfs via groupBy (map-side combinable —
-    # a window over the full posting relation would shuffle every row
-    # uncombined); the set-size rank n rides the SAME doc-partition
-    # window pass as the prefix rank, so no extra exchange for it
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_s"))
+    from aws_etl_spark.ops.pair_cache import cache_active
+
     doc_win = Window.partitionBy("doc")
-    ranked = (
-        sh.join(dfreq, "shingle")
-        .withColumn("n", F.count("*").over(doc_win))
-        .withColumn(
+    if cache_active(df):
+        # round-13: the tokenize + size/df annotation is the SAME
+        # relation every shingle-family generator derives — served
+        # from the shared pair-cache materialization instead of a
+        # private checkpoint (n == n_shingles: both count all
+        # uncapped shingles of the doc; df_s identical by definition)
+        from aws_etl_spark.dedup.jaccard import _annotated_shingles
+
+        ann = _annotated_shingles(df, id_col, text_col, k)
+        sh = ann.select("doc", "shingle")
+        sizes = ann.select(
+            "doc", F.col("n_shingles").alias("n")
+        ).distinct()
+        ranked = ann.select(
+            "doc", "shingle", F.col("n_shingles").alias("n"), "df_s"
+        ).withColumn(
             "rnk",
             F.row_number().over(doc_win.orderBy("df_s", "shingle")),
         )
-    )
+    else:
+        sh = shingle_rows(df, id_col, text_col, k).localCheckpoint(
+            eager=True
+        )
+        # per-doc sizes and global dfs via groupBy (map-side
+        # combinable — a window over the full posting relation would
+        # shuffle every row uncombined); the set-size rank n rides
+        # the SAME doc-partition window pass as the prefix rank, so
+        # no extra exchange for it
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_s"))
+        sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+        ranked = (
+            sh.join(dfreq, "shingle")
+            .withColumn("n", F.count("*").over(doc_win))
+            .withColumn(
+                "rnk",
+                F.row_number().over(doc_win.orderBy("df_s", "shingle")),
+            )
+        )
     if max_df is not None:
         # after n (pre-cap set size) is fixed, before prefix ranking
         # consumes the rows; rnk stays consistent because capped
@@ -120,7 +146,6 @@ def prefix_filter_jaccard_pairs(
         .dropDuplicates()
     )
 
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
     inter = (
         cand.join(
             sh.select(F.col("doc").alias("id_a"), "shingle"), "id_a"

@@ -149,3 +149,15 @@ def materialized(
             build().write.mode("overwrite").parquet(tmp)
             os.replace(tmp, path)
     return df.sparkSession.read.parquet(path)
+
+
+def cache_active(df: DataFrame) -> bool:
+    """True when :func:`materialized` would actually serve from the
+    cache for this input (enabled via env AND the input has a stable
+    fingerprint). Round-13: lets a caller pick between a shared-
+    artifact derivation (cached) and its historical single-consumer
+    pipeline (uncached — the shape plan tests pin) without a
+    fallback thunk."""
+    if os.environ.get("SPARK_GRAFT_NO_PAIR_CACHE", "") == "1":
+        return False
+    return _fingerprint("probe", df, {}) is not None
