@@ -228,10 +228,47 @@ def label_propagation(
     is truncated each round (localCheckpoint) per iterative-operator
     hygiene.
     """
+    import os
+
     from aws_etl_spark.ops.scale import broadcast_if_bounded
 
     edges = _canonical(pairs, src, dst)
     sym = _symmetrized(edges).localCheckpoint(eager=True)
+    # Bounded-edge driver fast path (round-13 — the k-core treatment):
+    # synchronous rounds of integer vote counting with the
+    # max(count, -label) tiebreak replay bit-exactly on the collected
+    # symmetric edge list. Above the dial the distributed loop below
+    # runs unchanged.
+    driver_cap = int(
+        os.environ.get("SPARK_GRAFT_LPA_DRIVER_EDGES", "2000000")
+    )
+    if sym.count() <= driver_cap:
+        from aws_etl_spark.ops.scale import bounded_rows_df
+        from pyspark.sql import types as T
+
+        el = [(r["u"], r["v"]) for r in sym.collect()]
+        lab = {u: u for u, _ in el}
+        for _ in range(n_rounds):
+            votes: dict = {}
+            for u, v in el:
+                d = votes.setdefault(u, {})
+                lv = lab[v]
+                d[lv] = d.get(lv, 0) + 1
+            lab = {
+                u: max(d.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+                for u, d in votes.items()
+            }
+        node_type = sym.schema["u"].dataType
+        return bounded_rows_df(
+            pairs.sparkSession,
+            [(n, int(v)) for n, v in lab.items()],
+            T.StructType(
+                [
+                    T.StructField("node", node_type),
+                    T.StructField("label", T.LongType()),
+                ]
+            ),
+        )
     labels = sym.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")
     ).localCheckpoint(eager=True)
@@ -276,9 +313,52 @@ def k_core_membership(
     iterative shape as star-contraction CC). ``degree`` is the
     original degree; ``in_core`` marks round-``n_rounds`` survivors.
     """
+    import os
+
     from aws_etl_spark.ops.scale import broadcast_if_bounded
 
     edges0 = _canonical(pairs, src, dst).localCheckpoint(eager=True)
+    # Bounded-edge driver fast path (round-13 — the pagerank/markov
+    # bounded-collect treatment): peeling is PURE integer counting and
+    # comparison (no division, no floats), so below the edge dial the
+    # n_rounds synchronous peels replay exactly on the collected edge
+    # list instead of ~4 driver-coordinated jobs per round. Above the
+    # dial the distributed loop below runs unchanged. Forced-path
+    # equivalence pinned in tests/test_r13_fastpaths.py.
+    driver_cap = int(
+        os.environ.get("SPARK_GRAFT_KCORE_DRIVER_EDGES", "2000000")
+    )
+    if edges0.count() <= driver_cap:
+        from aws_etl_spark.ops.scale import bounded_rows_df
+        from pyspark.sql import types as T
+
+        edge_l = [(r["u"], r["v"]) for r in edges0.collect()]
+        deg0_d: dict = {}
+        for u, v in edge_l:
+            deg0_d[u] = deg0_d.get(u, 0) + 1
+            deg0_d[v] = deg0_d.get(v, 0) + 1
+        cur = edge_l
+        degs = deg0_d
+        for _ in range(n_rounds):
+            kept = {n for n, c in degs.items() if c >= k}
+            cur = [(u, v) for u, v in cur if u in kept and v in kept]
+            degs = {}
+            for u, v in cur:
+                degs[u] = degs.get(u, 0) + 1
+                degs[v] = degs.get(v, 0) + 1
+        in_core = {n for n, c in degs.items() if c >= k}
+        node_type = edges0.schema["u"].dataType
+        return bounded_rows_df(
+            pairs.sparkSession,
+            [(n, d, n in in_core) for n, d in deg0_d.items()],
+            T.StructType(
+                [
+                    T.StructField("node", node_type),
+                    T.StructField("degree", T.LongType()),
+                    T.StructField("in_core", T.BooleanType()),
+                ]
+            ),
+        )
     # materialized once: round 1's peel filter AND the final output
     # both read these original degrees (reuse-once hygiene)
     deg0 = (

@@ -77,6 +77,58 @@ def pagerank(
             F.lit(0.0).alias("rank"),
             F.lit(0).cast("bigint").alias("degree"),
         )
+    # Bounded-edge driver fast path (round-13, mirroring the quantized
+    # variant's): the float power iteration replays on the collected
+    # edge list. Contrib sums are double additions whose order the
+    # DISTRIBUTED loop already leaves partition-dependent — this
+    # query's declared contract is the 1e-6-relative agreement with an
+    # exact power iteration pinned in tests/test_dedup.py (rows-only,
+    # no hash oracle), and the replay sits far inside it.
+    cap = _driver_edge_cap()
+    if cap > 0 and edges.count() <= cap:
+        import numpy as np
+
+        from aws_etl_spark.ops.scale import bounded_rows_df
+
+        deg_rows = degrees.collect()
+        nodes = [r[0] for r in deg_rows]
+        deg = np.fromiter(
+            (r[1] for r in deg_rows), dtype=np.float64, count=len(nodes)
+        )
+        idx = {u: i for i, u in enumerate(nodes)}
+        e_rows = edges.collect()
+        ui = np.fromiter(
+            (idx[r[0]] for r in e_rows), dtype=np.int64, count=len(e_rows)
+        )
+        vi = np.fromiter(
+            (idx[r[1]] for r in e_rows), dtype=np.int64, count=len(e_rows)
+        )
+        teleport_f = (1.0 - damping) / n_nodes
+        rank = np.full(len(nodes), 1.0 / n_nodes, dtype=np.float64)
+        for _ in range(n_iter):
+            contrib = np.zeros(len(nodes), dtype=np.float64)
+            np.add.at(contrib, vi, rank[ui] / deg[ui])
+            rank = teleport_f + damping * contrib
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("node", edges.schema["u"].dataType, True),
+                StructField("rank", DoubleType(), True),
+                StructField("degree", LongType(), True),
+            ]
+        )
+        return bounded_rows_df(
+            edges.sparkSession,
+            [(u, float(rank[i]), int(deg[i])) for i, u in enumerate(nodes)],
+            schema,
+        )
+
     # ranks/contribs are node-bounded; checkpointed lineage hides that
     # from the planner (SMJ per round otherwise — see
     # broadcast_if_bounded). Row counts of both are <= n_nodes.
@@ -182,7 +234,9 @@ def _pagerank_quantized_driver(
         ]
     )
     out = [(u, int(rank[i]), int(deg[i])) for i, u in enumerate(nodes)]
-    return edges.sparkSession.createDataFrame(out, schema)
+    from aws_etl_spark.ops.scale import bounded_rows_df
+
+    return bounded_rows_df(edges.sparkSession, out, schema)
 
 
 def pagerank_quantized(

@@ -759,6 +759,40 @@ def q_dedup_canonical_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Bounded-edge driver fast path (round-13 — the k-core/pagerank
+    # bounded-collect treatment): the whole loop is integer MIN
+    # propagation on enc = label*64 + dist (synchronous rounds: every
+    # neighborhood min reads the PRE-round state), so below the dial
+    # the 8 rounds replay bit-exactly on the collected directed edge
+    # list (enc DIV 64 == Python // on non-negative ids). Above it
+    # the distributed loop below runs unchanged.
+    import os
+
+    driver_cap = int(
+        os.environ.get("SPARK_GRAFT_CANON_DRIVER_EDGES", "2000000")
+    )
+    if edges.count() <= driver_cap:
+        from aws_etl_spark.ops.scale import bounded_rows_df
+
+        el = [(r["u"], r["v"]) for r in edges.collect()]
+        enc = {u: u * 64 for u, _ in el}
+        for _v in (v for _, v in el):
+            enc.setdefault(_v, _v * 64)
+        for _ in range(_CANON_ITERS):
+            neigh: dict = {}
+            for u, v in el:
+                cand = enc[u] + 1
+                if v not in neigh or cand < neigh[v]:
+                    neigh[v] = cand
+            for v, cand in neigh.items():
+                if cand < enc[v]:
+                    enc[v] = cand
+        return bounded_rows_df(
+            spark,
+            [(int(u), int(e // 64), int(e % 64)) for u, e in enc.items()],
+            "doc_id long, canonical_id long, hops long",
+        )
+
     from aws_etl_spark.ops.scale import broadcast_if_bounded
 
     state = edges.select("u").distinct().select(

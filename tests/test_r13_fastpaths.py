@@ -110,3 +110,90 @@ def test_para_token_substituted_and_oracle_free(spark):
     df = REGISTRY["stat_spearman_corr"].fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Repartition" in plan
+
+
+def test_kcore_driver_matches_distributed(spark, monkeypatch):
+    from aws_etl_spark.dedup.graph_metrics import k_core_membership
+
+    pairs = _pairs(spark)
+    monkeypatch.delenv("SPARK_GRAFT_KCORE_DRIVER_EDGES", raising=False)
+    fast = {tuple(r) for r in k_core_membership(pairs).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_KCORE_DRIVER_EDGES", "0")
+    slow = {tuple(r) for r in k_core_membership(pairs).collect()}
+    assert fast == slow
+    assert len(fast) == 7  # every node of the fixture graph labeled
+
+
+def test_kcenter_driver_matches_distributed(spark, monkeypatch):
+    from aws_etl_spark.similarity.kcenter import kcenter_greedy_quantized
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3) * 0.25, float(i % 5) * 0.5, float(i)])
+         for i in range(1, 12)],
+        "vec_id bigint, embedding array<double>",
+    )
+    monkeypatch.delenv("SPARK_GRAFT_KCENTER_DRIVER_CELLS", raising=False)
+    fast = [tuple(r) for r in kcenter_greedy_quantized(emb, k=4).collect()]
+    monkeypatch.setenv("SPARK_GRAFT_KCENTER_DRIVER_CELLS", "0")
+    slow = [tuple(r) for r in kcenter_greedy_quantized(emb, k=4).collect()]
+    assert sorted(fast) == sorted(slow)
+    assert len(fast) == 4
+
+
+def test_kmeans_driver_matches_distributed(spark, monkeypatch):
+    from aws_etl_spark.similarity.kmeans import kmeans_quantized
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4) * 0.5, float(i % 7) * 0.25, float(i) * 0.125])
+         for i in range(1, 21)],
+        "vec_id bigint, embedding array<double>",
+    )
+    monkeypatch.delenv("SPARK_GRAFT_KMEANS_DRIVER_CELLS", raising=False)
+    fast = {tuple(r) for r in kmeans_quantized(emb, k=4, n_iter=3).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_KMEANS_DRIVER_CELLS", "0")
+    slow = {tuple(r) for r in kmeans_quantized(emb, k=4, n_iter=3).collect()}
+    assert fast == slow
+    assert len(fast) == 20
+
+
+def test_canonical_distance_driver_matches_distributed(spark, monkeypatch):
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    fn = REGISTRY["dedup_canonical_distance"].fn
+    monkeypatch.delenv("SPARK_GRAFT_CANON_DRIVER_EDGES", raising=False)
+    fast = {tuple(r) for r in fn(spark, SF_SMOKE).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_CANON_DRIVER_EDGES", "0")
+    slow = {tuple(r) for r in fn(spark, SF_SMOKE).collect()}
+    assert fast and fast == slow
+
+
+def test_lpa_driver_matches_distributed(spark, monkeypatch):
+    from aws_etl_spark.dedup.graph_metrics import label_propagation
+
+    pairs = _pairs(spark)
+    monkeypatch.delenv("SPARK_GRAFT_LPA_DRIVER_EDGES", raising=False)
+    fast = {tuple(r) for r in label_propagation(pairs).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_LPA_DRIVER_EDGES", "0")
+    slow = {tuple(r) for r in label_propagation(pairs).collect()}
+    assert fast == slow
+    assert len(fast) == 7
+
+
+def test_float_pagerank_driver_within_contract(spark, monkeypatch):
+    """The float-variant driver replay must agree with the distributed
+    loop to the query's declared tolerance (1e-6 relative — the same
+    pin test_pagerank_matches_exact_power_iteration enforces; exact
+    bit-equality is NOT part of this rows-only query's contract, the
+    distributed float sums being partition-order dependent)."""
+    from aws_etl_spark.dedup.pagerank import pagerank
+
+    pairs = _pairs(spark)
+    monkeypatch.delenv("SPARK_GRAFT_PAGERANK_DRIVER_EDGES", raising=False)
+    fast = {r["node"]: (r["rank"], r["degree"]) for r in pagerank(pairs).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_PAGERANK_DRIVER_EDGES", "0")
+    slow = {r["node"]: (r["rank"], r["degree"]) for r in pagerank(pairs).collect()}
+    assert set(fast) == set(slow) and len(fast) == 7
+    for n in fast:
+        assert fast[n][1] == slow[n][1]
+        assert abs(fast[n][0] - slow[n][0]) <= 1e-9 + 1e-6 * abs(slow[n][0])
