@@ -106,13 +106,26 @@ def test_decontaminate_plan_broadcasts_benchmark(spark, sf_dir):
 
 
 def test_pii_and_c4_plans_are_scan_bound(spark, sf_dir):
+    """Pure per-row map pipelines must not SHUFFLE DATA BY KEY — the
+    round-13 widen dial adds exactly one round-robin repartition (the
+    measured map-parallelism fix for the single-row-group local scan;
+    a no-op at production scale where scans are already split), and
+    that must remain the ONLY exchange in the plan."""
+    import re
+
     from aws_etl_spark.plans import formatted_plan
     from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
     for name in ("text_pii_redaction", "text_c4_filter"):
         plan = formatted_plan(REGISTRY[name].fn(spark, sf_dir))
-        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        exchanges = re.findall(r"Exchange (\w+)", plan)
+        assert all(p == "RoundRobinPartitioning" for p in exchanges), (
+            f"{name} shuffles by key:\n{plan}"
+        )
+        assert len(set(exchanges)) <= 1 and len(exchanges) <= 2, (
+            f"{name} has more than the widen exchange:\n{plan}"
+        )
 
 
 def test_packing_single_shuffle_and_quantize_broadcast(spark, sf_dir):
