@@ -165,25 +165,30 @@ def _minhash_near_dup_pairs_build(
                 F.col("bk.bucket").alias("bucket"))
     )
 
-    # bound pathological buckets (boilerplate-heavy corpora) BEFORE the
-    # pair join: row_number cap per bucket = document-frequency cap
-    from pyspark.sql import Window
-
-    capped = banded.withColumn(
-        "__rn",
-        F.row_number().over(
-            Window.partitionBy("band", "bucket").orderBy("doc")
-        ),
-    ).filter(F.col("__rn") <= max_bucket)
-
-    # candidate pairs = capped self-join on the bucket key (codegen'd
-    # hash join; pairs only materialize within colliding buckets)
-    a_side = capped.select("band", "bucket", F.col("doc").alias("id_a"))
-    b_side = capped.select("band", "bucket", F.col("doc").alias("id_b"))
+    # candidate pairs via group-and-expand (round-13 session 5 — the
+    # join_fuzzy_blocked / shingle-kernel restructure): ONE hash
+    # exchange groups each bucket's member set; the pathological-
+    # bucket bound (boilerplate-heavy corpora) is the slice of the
+    # ascending-sorted set — identical retention to the historical
+    # row_number().over(bucket ORDER BY doc) <= max_bucket cap (each
+    # doc appears once per band, so the set IS the bucket) — and
+    # pairs expand in-bucket with id_a < id_b structural. The
+    # previous shape shuffled the banded rows for the window cap,
+    # then self-joined (a second shuffle + the join) for the same
+    # pair set.
     pairs = (
-        a_side.join(b_side, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("doc")), 1, max_bucket
+            ).alias("ks")
+        )
+        .filter(F.size("ks") >= 2)
+        .select(F.posexplode("ks").alias("i", "id_a"), "ks")
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(ks, i + 2, size(ks))")).alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])  # same pair from multiple bands
     )
 

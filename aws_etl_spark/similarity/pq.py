@@ -96,6 +96,29 @@ def _pq_trained(
                     return hit
     d = emb.select(F.max(F.size(vec_col))).collect()[0][0]
     ex = _sub_exploded(emb, id_col, vec_col, m, d).localCheckpoint(eager=True)
+
+    # Bounded-cells driver fast path (round-13 session 5 — the
+    # kmeans_quantized treatment applied to the PQ trainer): every
+    # Lloyd quantity is integer (BIGINT squared-distance sums, argmin
+    # via max(struct(-d, -cluster)), update `s DIV n` on NON-NEGATIVE
+    # quantized components where DIV == Python //), so below the dial
+    # the per-subspace rounds replay bit-exactly on the collected
+    # (id, sub, dim, q) relation — the dict-based replay mirrors the
+    # JOIN semantics exactly (dists over dims present in both the
+    # vector and the centroid; update keys outside the centroid set
+    # dropped by the left join), so ragged dim sets need no fallback.
+    # The exploded relation itself stays a checkpointed DataFrame —
+    # the downstream ADC/recall legs are data-sized and distributed.
+    driver_cap = int(os.environ.get("SPARK_GRAFT_PQ_DRIVER_CELLS", "2000000"))
+    if driver_cap > 0 and ex.count() <= driver_cap:
+        centroids_d, codes_d = _pq_lloyd_driver(
+            emb.sparkSession, ex.collect(), k, n_iter
+        )
+        out = (ex, centroids_d, codes_d)
+        if memo_key is not None:
+            _PQ_MEMO[memo_key] = out
+        return out
+
     seeds = emb.select(F.col(id_col).alias("id")).orderBy("id").limit(k)
     centroids = (
         ex.join(F.broadcast(seeds), "id")
@@ -153,6 +176,79 @@ def _pq_trained(
         _PQ_MEMO[memo_key] = out
     return out
 
+
+
+def _pq_lloyd_driver(spark, rows, k: int, n_iter: int):
+    """Driver replay of the per-subspace quantized Lloyd rounds over
+    the collected (id, sub, dim, q) relation; returns (centroids_df,
+    codes_df) with the distributed schemas. Bit-exact: integer
+    distance sums, (dist, cluster) argmin, `s // n` updates on
+    non-negative components, inner-join dist semantics (dims present
+    in both vector and centroid), left-join update semantics (keys
+    outside the centroid set dropped), empty clusters keeping their
+    previous centroid."""
+    from aws_etl_spark.ops.scale import bounded_rows_df
+
+    by_id_sub: dict = {}  # (id, sub) -> {dim: q}
+    for r in rows:
+        by_id_sub.setdefault((r["id"], r["sub"]), {})[r["dim"]] = r["q"]
+    ids = sorted({i for i, _ in by_id_sub})
+    clusters = ids[: min(k, len(ids))]  # k smallest ids seed
+    # centroids: (sub, cluster, dim) -> c, from the seed vectors' rows
+    cent: dict = {}
+    for c_id in clusters:
+        for (i, sub), dims in by_id_sub.items():
+            if i == c_id:
+                for dim, q in dims.items():
+                    cent[(sub, c_id, dim)] = q
+
+    def assign():
+        codes = {}
+        for (i, sub), dims in by_id_sub.items():
+            best = None
+            for c_id in clusters:
+                dist = 0
+                hit = False
+                for dim, q in dims.items():
+                    c = cent.get((sub, c_id, dim))
+                    if c is not None:
+                        dist += (q - c) * (q - c)
+                        hit = True
+                if not hit:
+                    continue  # no shared dims: the inner join emits nothing
+                key = (dist, c_id)
+                if best is None or key < best:
+                    best = key
+            if best is not None:
+                codes[(i, sub)] = best[1]
+        return codes
+
+    for _ in range(n_iter):
+        asg = assign()
+        sums: dict = {}  # (sub, cluster, dim) -> [s, n]
+        for (i, sub), c_id in asg.items():
+            for dim, q in by_id_sub[(i, sub)].items():
+                sn = sums.setdefault((sub, c_id, dim), [0, 0])
+                sn[0] += q
+                sn[1] += 1
+        for key in cent:
+            sn = sums.get(key)
+            if sn is not None:
+                cent[key] = sn[0] // sn[1]  # s DIV n, non-negative
+    codes = assign()
+    centroids_df = bounded_rows_df(
+        spark,
+        [(int(sub), int(c_id), int(dim), int(c))
+         for (sub, c_id, dim), c in sorted(cent.items())],
+        "sub bigint, cluster bigint, dim int, c bigint",
+    )
+    codes_df = bounded_rows_df(
+        spark,
+        [(int(i), int(sub), int(c_id))
+         for (i, sub), c_id in sorted(codes.items())],
+        "id bigint, sub bigint, cluster bigint",
+    )
+    return centroids_df, codes_df
 
 
 def pq_adc_topk(

@@ -463,6 +463,43 @@ def nearest_centroids_udf(cents: list[tuple[int, list[float]]], n: int):
 _TRAIN_MEMO: dict = {}
 
 
+def _lloyd_driver(
+    rows, n_centroids: int, n_iters: int
+) -> list[tuple[int, list[float]]]:
+    """Driver replay of the spherical Lloyd rounds over collected
+    (sid, u) unit vectors: init = the n_centroids smallest sids (the
+    orderBy(sid).limit(k) rule), assignment = the assign UDF's own
+    per-centroid ``A @ cv`` dots with first-max argmax, update =
+    re-normalized member sum with empty clusters keeping their
+    previous centroid."""
+    if not rows:
+        return []
+    sids = np.asarray([r.sid for r in rows])
+    A = np.stack([np.asarray(r.u, dtype=np.float64) for r in rows])
+    order = np.argsort(sids, kind="stable")[:n_centroids]
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in A[j]]) for i, j in enumerate(order)
+    ]
+    for _ in range(n_iters):
+        C_mat = [(cid, np.asarray(cv, dtype=np.float64)) for cid, cv in cents]
+        D = np.stack([A @ cv for _, cv in C_mat], axis=1)
+        cids = np.asarray([cid for cid, _ in C_mat])
+        assign = cids[np.argmax(D, axis=1)]
+        new_cents = []
+        for cid, old in cents:
+            members = A[assign == cid]
+            if members.shape[0] == 0:
+                new_cents.append((cid, old))  # empty cluster
+                continue
+            v = members.sum(axis=0)
+            nrm = float(np.sqrt((v * v).sum()))
+            new_cents.append(
+                (cid, [float(x) for x in v / nrm] if nrm > 0 else old)
+            )
+        cents = new_cents
+    return cents
+
+
 def _train_spherical_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -508,11 +545,35 @@ def _train_spherical_centroids(
     n = corpus.count()
     frac = min(1.0, train_sample / max(n, 1))
     unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col)))
-    sample = (
-        corpus.sample(fraction=frac, seed=seed)
-        .select(F.col(id_col).alias("sid"), unit.alias("u"))
-        .cache()
+    sample = corpus.sample(fraction=frac, seed=seed).select(
+        F.col(id_col).alias("sid"), unit.alias("u")
     )
+
+    # Bounded-collect driver fast path (round-13 session 5 — the
+    # float-pagerank treatment): the trainer is SAMPLE-bounded by
+    # construction (≤ train_sample rows whatever the corpus size), so
+    # below SPARK_GRAFT_KMEANS_TRAIN_DRIVER_ROWS the init + Lloyd
+    # rounds (each a count/collect/BatchEvalPython-assign/explode-agg
+    # job chain) collapse to numpy on the collected unit vectors (the
+    # SAME per-row `A @ cv` dot and first-max argmax the assign UDF
+    # runs; only the per-cluster float-sum ORDER differs, which the
+    # distributed shuffle never pinned either — consumers are
+    # rows-only by contract, and the driver-vs-distributed drift is
+    # tolerance-pinned in tests/test_r13_fastpaths.py). Above the
+    # dial (or with the dial 0) the distributed loop is untouched.
+    cap = int(os.environ.get("SPARK_GRAFT_KMEANS_TRAIN_DRIVER_ROWS", "200000"))
+    collected = None
+    if cap > 0:
+        probe = sample.limit(cap + 1).collect()
+        if len(probe) <= cap:
+            collected = probe
+    if collected is not None:
+        cents = _lloyd_driver(collected, n_centroids, n_iters)
+        if memo_key is not None:
+            _TRAIN_MEMO[memo_key] = [(cid, list(cv)) for cid, cv in cents]
+        return cents
+
+    sample = sample.cache()
     init = sample.orderBy("sid").limit(n_centroids).collect()
     cents: list[tuple[int, list[float]]] = [
         (i, [float(x) for x in row.u]) for i, row in enumerate(init)

@@ -217,6 +217,102 @@ def _train_rounds(
                 hit = _TRAIN_MEMO.get(memo_key)
                 if hit is not None:
                     return hit
+    result = _train_rounds_driver(docs, text_col, n_rounds)
+    if result is None:
+        result = _train_rounds_distributed(docs, text_col, n_rounds)
+    if memo_key is not None:
+        _TRAIN_MEMO[memo_key] = result
+    return result
+
+
+def _train_rounds_driver(
+    docs: DataFrame, text_col: str, n_rounds: int
+) -> tuple[DataFrame, list[DataFrame]] | None:
+    """Bounded-state driver fast path (round-13 session 5 — the
+    markov/pagerank bounded-collect dial applied to BPE training).
+
+    THE key scale property of BPE training is that after the one
+    corpus-sized word-inventory pass, every round runs on the
+    vocabulary-sized distinct-word table — state whose size is a
+    property of the LANGUAGE, not the corpus. Below
+    ``SPARK_GRAFT_BPE_DRIVER_WORDS`` distinct words the 3 rounds ×
+    (pair-count + top-1 + merge + checkpoint) driver-coordinated
+    Spark jobs collapse to pure-Python integer arithmetic on the
+    collected inventory; above the dial (or when the inventory limit
+    probe overflows) the distributed loop runs untouched. The replay
+    is bit-exact: pair counts are integer sums of BIGINT frequencies,
+    the rule argmax tiebreak (count DESC, sym_a, sym_b) compares
+    ASCII strings (WORD_RE admits only [a-z], plus the </w> marker),
+    and the left-to-right greedy scan implements exactly the
+    odd-offset island rule (merge-and-skip can never merge an even
+    offset of a same-symbol run). Returns None when the dial says
+    "too big" — the caller falls through to the distributed loop.
+    """
+    import os
+
+    cap = int(os.environ.get("SPARK_GRAFT_BPE_DRIVER_WORDS", "200000"))
+    if cap <= 0:
+        return None
+    inv = word_inventory(docs, text_col).limit(cap + 1).collect()
+    if len(inv) > cap:
+        return None
+
+    from aws_etl_spark.ops.scale import bounded_rows_df
+
+    spark = docs.sparkSession
+    words: list[tuple[str, int, list[str]]] = [
+        (r["word"], r["freq"], list(r["word"]) + [END_MARK]) for r in inv
+    ]
+    merge_rows: list[DataFrame] = []
+    merge_schema = (
+        "round bigint, sym_a string, sym_b string, "
+        "merged string, pair_count bigint"
+    )
+    for rnd in range(1, n_rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for _, freq, syms in words:
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + freq
+        if not counts:
+            break  # degenerate corpus: fully merged before n_rounds
+        (sym_a, sym_b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = sym_a + sym_b
+        merge_rows.append(
+            bounded_rows_df(
+                spark, [(rnd, sym_a, sym_b, merged, cnt)], merge_schema
+            )
+        )
+        nxt = []
+        for word, freq, syms in words:
+            out = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == sym_a and syms[i + 1] == sym_b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((word, freq, out))
+        words = nxt
+    seq_rows = [
+        (word, freq, pos + 1, sym)
+        for word, freq, syms in words
+        for pos, sym in enumerate(syms)
+    ]
+    seq = bounded_rows_df(
+        spark, seq_rows, "word string, freq bigint, pos int, sym string"
+    )
+    return seq, merge_rows
+
+
+def _train_rounds_distributed(
+    docs: DataFrame, text_col: str, n_rounds: int
+) -> tuple[DataFrame, list[DataFrame]]:
     seq = initial_symbols(word_inventory(docs, text_col)).localCheckpoint(
         eager=True
     )
@@ -238,8 +334,6 @@ def _train_rounds(
             )
         )
         seq = apply_merge(seq, best).localCheckpoint(eager=True)
-    if memo_key is not None:
-        _TRAIN_MEMO[memo_key] = (seq, merge_rows)
     return seq, merge_rows
 
 

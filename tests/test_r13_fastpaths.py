@@ -197,3 +197,222 @@ def test_float_pagerank_driver_within_contract(spark, monkeypatch):
     for n in fast:
         assert fast[n][1] == slow[n][1]
         assert abs(fast[n][0] - slow[n][0]) <= 1e-9 + 1e-6 * abs(slow[n][0])
+
+
+def test_bpe_driver_matches_distributed(spark, monkeypatch):
+    """BPE training's bounded-collect driver replay (session 5) must
+    be BIT-IDENTICAL to the distributed merge rounds: integer pair
+    counts, ASCII (count DESC, sym_a, sym_b) argmax, and the greedy
+    left-to-right merge — on all three consumers (merges, vocab, and
+    the final segmentation encode joins against)."""
+    import aws_etl_spark.text.bpe as bpe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low lower lowest"),
+            (2, "new newer newest low"),
+            (3, "aaaa aaa aa a"),  # same-symbol runs: odd-offset rule
+            (4, "x"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+    def train():
+        bpe._TRAIN_MEMO.clear()
+        merges, vocab = bpe.bpe_train(docs, "text", n_rounds=3)
+        seq = bpe.bpe_final_state(docs, "text", n_rounds=3)
+        return (
+            sorted(tuple(r) for r in merges.collect()),
+            sorted(tuple(r) for r in vocab.collect()),
+            sorted(tuple(r) for r in seq.collect()),
+        )
+
+    monkeypatch.delenv("SPARK_GRAFT_BPE_DRIVER_WORDS", raising=False)
+    fast = train()
+    monkeypatch.setenv("SPARK_GRAFT_BPE_DRIVER_WORDS", "0")
+    slow = train()
+    assert fast == slow
+    assert len(fast[0]) == 3  # three merge rules learned
+
+
+def test_bpe_driver_dial_boundary(spark, monkeypatch):
+    """cap == distinct-word count keeps the fast path; cap one below
+    forces the distributed loop (the limit probe overflows)."""
+    import aws_etl_spark.text.bpe as bpe
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "beta delta")],
+        "doc_id bigint, text string",
+    )
+    n_words = 4  # alpha beta gamma delta
+
+    def train():
+        bpe._TRAIN_MEMO.clear()
+        merges, vocab = bpe.bpe_train(docs, "text", n_rounds=2)
+        return (
+            sorted(tuple(r) for r in merges.collect()),
+            sorted(tuple(r) for r in vocab.collect()),
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_BPE_DRIVER_WORDS", str(n_words))
+    at_cap = train()
+    monkeypatch.setenv("SPARK_GRAFT_BPE_DRIVER_WORDS", str(n_words - 1))
+    below = train()
+    assert at_cap == below
+
+
+def test_minhash_group_expand_matches_join_pairs(spark):
+    """The banded-candidate group-and-expand restructure (session 5)
+    must produce exactly the historical capped self-join pair set:
+    per (band, bucket), all id_a < id_b pairs over the max_bucket
+    SMALLEST docs. Verified against a brute-force replay of the
+    banding on a corpus with dup groups and a sub-cap bound."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_spark.dedup.minhash import (
+        _minhash_near_dup_pairs_build,
+        minhash_signatures,
+    )
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog " * 3)
+        for i in range(6)
+    ] + [
+        (10 + i, f"totally unique document number {i} " * 5)
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # brute-force replay: band keys from the signatures, window cap 3
+    buckets: dict = {}
+    r = 64 // 16
+    sig_df = minhash_signatures(docs, "doc_id", "text", 3, 64, 42)
+    banded = sig_df.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice(F.col("sig"), i * r + 1, r))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.bucket").collect()
+    for row in banded:
+        buckets.setdefault((row["band"], row["bucket"]), []).append(row["doc"])
+    expect = set()
+    for docs_in in buckets.values():
+        kept = sorted(docs_in)[:3]  # max_bucket=3, smallest docs
+        for i in range(len(kept)):
+            for j in range(i + 1, len(kept)):
+                expect.add((kept[i], kept[j]))
+
+    got = {
+        (r2["id_a"], r2["id_b"])
+        for r2 in _minhash_near_dup_pairs_build(
+            docs, "doc_id", "text", 3, 64, 16, 42, 0.0, 3
+        ).collect()
+    }
+    assert got == expect and got
+
+
+def test_kmeans_train_driver_matches_distributed(spark, monkeypatch):
+    """The spherical-k-means trainer's bounded-collect fast path
+    (session 5) must agree with the distributed Lloyd loop to float
+    tolerance (the float-pagerank contract: the distributed per-
+    cluster sums are partition-order dependent, so bit-equality was
+    never pinned; both consumers are rows-only)."""
+    import aws_etl_spark.similarity.topk as topk
+    from aws_etl_spark.queries.registry import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    monkeypatch.delenv("SPARK_GRAFT_KMEANS_TRAIN_DRIVER_ROWS", raising=False)
+    topk._TRAIN_MEMO.clear()
+    fast = topk._train_spherical_centroids(emb, "vec_id", "embedding", 16, 2, 42)
+    monkeypatch.setenv("SPARK_GRAFT_KMEANS_TRAIN_DRIVER_ROWS", "0")
+    topk._TRAIN_MEMO.clear()
+    slow = topk._train_spherical_centroids(emb, "vec_id", "embedding", 16, 2, 42)
+    topk._TRAIN_MEMO.clear()
+    assert [c for c, _ in fast] == [c for c, _ in slow]
+    for (_, va), (_, vb) in zip(fast, slow):
+        assert len(va) == len(vb)
+        for x, y in zip(va, vb):
+            assert abs(x - y) <= 1e-9 + 1e-6 * abs(y)
+
+
+def test_kmeans_train_driver_dial_boundary(spark, monkeypatch):
+    """cap >= sample size keeps the fast path; a 1-row cap forces the
+    distributed loop (the limit probe overflows) — same centroids to
+    tolerance either way."""
+    import aws_etl_spark.similarity.topk as topk
+    from aws_etl_spark.queries.registry import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    monkeypatch.setenv("SPARK_GRAFT_KMEANS_TRAIN_DRIVER_ROWS", "1")
+    topk._TRAIN_MEMO.clear()
+    forced_slow = topk._train_spherical_centroids(
+        emb, "vec_id", "embedding", 8, 1, 7
+    )
+    monkeypatch.delenv("SPARK_GRAFT_KMEANS_TRAIN_DRIVER_ROWS", raising=False)
+    topk._TRAIN_MEMO.clear()
+    fast = topk._train_spherical_centroids(emb, "vec_id", "embedding", 8, 1, 7)
+    topk._TRAIN_MEMO.clear()
+    assert len(forced_slow) == len(fast) == 8
+    for (_, va), (_, vb) in zip(fast, forced_slow):
+        for x, y in zip(va, vb):
+            assert abs(x - y) <= 1e-9 + 1e-6 * abs(y)
+
+
+def test_pq_trainer_driver_matches_distributed(spark, monkeypatch):
+    """The PQ trainer's bounded-cells driver replay (session 5) must
+    be BIT-IDENTICAL to the distributed per-subspace Lloyd rounds —
+    integer arithmetic throughout, so exact equality on codebooks,
+    codes, and the downstream ADC/recall outputs."""
+    import aws_etl_spark.similarity.pq as pq
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5) * 0.3 - 0.5, float(i % 3) * 0.4,
+              float(i) * 0.05, 0.25 * (i % 2)])
+         for i in range(1, 25)],
+        "vec_id bigint, embedding array<double>",
+    )
+
+    def run():
+        pq._PQ_MEMO.clear()
+        adc, _ = pq.pq_adc_topk(emb, m=2, k=4, n_iter=2, n_queries=3, topk=3)
+        return sorted(tuple(r) for r in adc.collect())
+
+    monkeypatch.delenv("SPARK_GRAFT_PQ_DRIVER_CELLS", raising=False)
+    fast = run()
+    monkeypatch.setenv("SPARK_GRAFT_PQ_DRIVER_CELLS", "0")
+    slow = run()
+    pq._PQ_MEMO.clear()
+    assert fast and fast == slow
+
+
+def test_pq_trainer_dial_boundary(spark, monkeypatch):
+    """cap == cell count keeps the fast path; one below forces the
+    distributed loop (the gate is <=) — identical output either way."""
+    import aws_etl_spark.similarity.pq as pq
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4) * 0.2, float(i % 6) * 0.15])
+         for i in range(1, 13)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cells = 12 * 2
+
+    def run():
+        pq._PQ_MEMO.clear()
+        adc, _ = pq.pq_adc_topk(emb, m=2, k=3, n_iter=1, n_queries=2, topk=2)
+        return sorted(tuple(r) for r in adc.collect())
+
+    monkeypatch.setenv("SPARK_GRAFT_PQ_DRIVER_CELLS", str(cells))
+    at_cap = run()
+    monkeypatch.setenv("SPARK_GRAFT_PQ_DRIVER_CELLS", str(cells - 1))
+    below = run()
+    pq._PQ_MEMO.clear()
+    assert at_cap == below
