@@ -35,6 +35,18 @@ Storage lives in a per-process temp dir removed at interpreter exit.
 ``SPARK_GRAFT_NO_PAIR_CACHE=1`` disables the cache (checked per call —
 the plan-structure tests use it so they measure the pipeline, not a
 parquet scan).
+
+Scratch location (round-14, r13 verdict item 3): the default local
+tmpdir is only correct when executors share the driver's filesystem
+(local[*] / local-cluster on one machine). On a real multi-node
+cluster, set ``SPARK_GRAFT_SCRATCH_URI`` to any Hadoop-resolvable
+shared location (``hdfs://…``, ``s3a://bucket/prefix``, a shared
+``file:///mnt/…`` mount): artifacts then live under a per-process
+subdirectory of that URI, existence/commit go through the Hadoop
+FileSystem API (write to a ``.tmp-<pid>`` path, atomic-ish rename into
+place), and the subdirectory is best-effort deleted at exit while the
+session is still alive. The per-process token keeps the no-cross-run
+caching contract: a fresh process never sees another run's artifacts.
 """
 
 from __future__ import annotations
@@ -54,6 +66,8 @@ from pyspark.sql import DataFrame
 _DIR: str | None = None
 _LOCK = threading.Lock()  # guards _DIR init and the key-lock map only
 _KEY_LOCKS: dict[str, threading.Lock] = {}
+_REMOTE_ROOT: str | None = None
+_REMOTE_SPARK = None  # session used for exit-time cleanup
 
 
 def _cache_dir() -> str:
@@ -65,6 +79,48 @@ def _cache_dir() -> str:
         _DIR = tempfile.mkdtemp(prefix="aws_etl_spark_paircache_")
         atexit.register(shutil.rmtree, _DIR, ignore_errors=True)
     return _DIR
+
+
+def _scratch_uri() -> str | None:
+    """Shared-storage root for cluster deployments (see module doc);
+    None (the default) keeps the driver-local tmpdir path."""
+    return os.environ.get("SPARK_GRAFT_SCRATCH_URI") or None
+
+
+def _remote_cleanup() -> None:
+    # best-effort: the session may already be stopped at interpreter
+    # exit; shared-storage operators should also run a TTL sweep on
+    # the scratch prefix (same discipline as any Spark staging dir)
+    if _REMOTE_ROOT is None or _REMOTE_SPARK is None:
+        return
+    try:
+        fs, path = _hadoop_fs(_REMOTE_SPARK, _REMOTE_ROOT)
+        fs.delete(path, True)
+    except Exception:
+        pass
+
+
+def _remote_root(spark, uri: str) -> str:
+    # caller holds _LOCK (same init-race guard as _cache_dir)
+    global _REMOTE_ROOT, _REMOTE_SPARK
+    if _REMOTE_ROOT is None:
+        import uuid
+
+        token = f"aws_etl_spark_paircache_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        _REMOTE_ROOT = f"{uri.rstrip('/')}/{token}"
+        _REMOTE_SPARK = spark
+        atexit.register(_remote_cleanup)
+    return _REMOTE_ROOT
+
+
+def _hadoop_fs(spark, uri: str):
+    """(FileSystem, Path) for a Hadoop-resolvable URI via the session
+    JVM — the only portable existence/rename surface across file://,
+    hdfs:// and object-store schemes."""
+    jvm = spark._jvm  # noqa: SLF001
+    jpath = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return fs, jpath
 
 
 def _key_lock(key: str) -> threading.Lock:
@@ -141,6 +197,24 @@ def materialized(
     key = _fingerprint(tag, df, params)
     if key is None:
         return (fallback or build)()
+    spark = df.sparkSession
+    uri = _scratch_uri()
+    if uri is not None:
+        # shared-storage lane (multi-node clusters): existence/commit
+        # through the Hadoop FileSystem of the configured scheme
+        with _LOCK:
+            path = f"{_remote_root(spark, uri)}/{key}"
+        with _key_lock(key):
+            fs, jfinal = _hadoop_fs(spark, path)
+            if not fs.exists(jfinal):
+                tmp = f"{path}.tmp-{os.getpid()}"
+                build().write.mode("overwrite").parquet(tmp)
+                _, jtmp = _hadoop_fs(spark, tmp)
+                if not fs.rename(jtmp, jfinal):
+                    # lost a cross-process race for the same key —
+                    # the winner's artifact is equivalent by keying
+                    fs.delete(jtmp, True)
+        return spark.read.parquet(path)
     with _LOCK:
         path = os.path.join(_cache_dir(), key)
     with _key_lock(key):
@@ -148,7 +222,7 @@ def materialized(
             tmp = f"{path}.tmp-{os.getpid()}"
             build().write.mode("overwrite").parquet(tmp)
             os.replace(tmp, path)
-    return df.sparkSession.read.parquet(path)
+    return spark.read.parquet(path)
 
 
 def cache_active(df: DataFrame) -> bool:

@@ -596,79 +596,88 @@ def staged_sql_query(
 # no duplicates (asserted below — rank = {name: index} silently keeps
 # the LAST index otherwise, which broke the round-10 budget math).
 _DRIVER_ORDER = (
-    # -- block 1: the 20 never-driver-checked round-12 additions
-    #    (changed-this-round names lead)
-    "stat_friedman_test",
-    "ml_pauc_fpr10",
-    "stat_mann_kendall",
-    "stat_durbin_watson",
-    "events_dispersion_index",
-    "ml_log_loss",
-    "ml_fleiss_kappa",
-    "stat_bartlett",
-    "text_msttr",
-    "text_hapax_ratio",
-    "corpus_doclen_gini",
-    "stat_wilcoxon_signed_rank",
-    "events_pot_tail",
-    "ml_youden_threshold",
-    "ml_weighted_kappa",
-    "events_pacf_daily",
-    "events_seasonal_strength",
-    "text_yule_k",
-    "corpus_split_balance_kl",
-    "embeddings_participation_ratio",
-    # -- block 3: re-confirmation, oldest evidence first — the 25
-    #    remaining r6-vintage names in registration order
-    "func_url_parse",
-    "text_quality_score",
-    "text_lang_id",
-    "text_tf_idf",
-    "text_textrank_keywords",
-    "ann_cosine_topk_ivf_exact",
-    "similarity_mmr_rerank",
-    "embeddings_gram_matrix",
-    "embeddings_pca_power",
-    "embeddings_random_projection",
-    "agg_rollup",
-    "agg_having",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "window_ranking",
-    "window_running_sum",
-    "window_lag_lead",
-    "serve_reconcile",
-    "plan_broadcast_audit",
-    "events_tumbling_hourly",
-    "events_sessionization",
-    "events_gapfill_locf",
-    "events_dau_mau",
-    "events_seasonal_decompose",
-    # ---- end of the 45 forced round-13 window slots ----
-    # -- free slots 46..50: the round-13 mid-round additions, in the
-    #    order added (all five fit)
-    "ml_ks_separation",
-    "events_markov_entropy",
-    "text_distinct_ngrams",
-    "stat_mad_robust_z",
-    "sketch_quantile_bottomk",
-    # ---- end of the 50-query round-13 window ----
-    # Round-14 block-1 queue (window-budget rule): the round-13 LATE
-    # additions, in the order added — events_markov_entropy_chunked
-    # (the skew dial; shares events_markov_entropy's oracle, so its
-    # hash row proves plan-equivalence), text_repetition_profile,
-    # stat_tukey_fences, events_sessionization_chunked (shares
-    # events_sessionization's oracle — same plan-equivalence proof;
-    # 4 forced block-1 slots).
-    # Round-14 block-3 queue: after r13 the oldest hash evidence is
-    # r7 (43 names — the round-7 vintage: the dup-graph suite,
-    # span dedup, salted join/agg, attribution family, IVM, pHash
-    # near-dup, and the multimodal exact twins; enumerate from
-    # PROGRESS.jsonl r7 entries at rotation time). 43 names exceed
-    # one window's block-3 budget (~25-30 after block 1), so r14
-    # takes the first ~28 in registration order and r15 the rest —
-    # the invariant: no name's evidence ages past ~5 rounds.
+    # ROUND-14 WINDOW (rotated per the r13 verdict item 10 + the r13
+    # tail-comment queue; the r13 window names all went hash-green in
+    # CORRECTNESS_r13.json and rotate out).
+    # -- block 1 (4): the round-13 LATE additions, never
+    #    driver-checked, in the order added (the two *_chunked names
+    #    share their parent query's oracle, so their hash rows prove
+    #    plan-equivalence of the skew-dial forms)
+    "events_markov_entropy_chunked",
+    "text_repetition_profile",
+    "stat_tukey_fences",
+    "events_sessionization_chunked",
+    # -- block 2a (5): the round-14 optimization round's riskiest
+    #    rewrites (df>=2 shingle-join pruning, CC/minhash kernel
+    #    changes) — driver-verify THIS round's work
+    "dedup_clusters_cc",
+    "corpus_split_leakage",
+    "dedup_ngram_jaccard",
+    "dedup_incremental_index",
+    "dedup_pair_explain",
+    # -- block 2b (24): every round-13-optimizer-touched name whose
+    #    rewrite (driver replays, trainer memos, group-and-expand,
+    #    lake batched commits) has no driver hash row yet (verdict
+    #    item 10's explicit list). Three are rows-only by contract
+    #    (ann_cosine_topk_ivf, dedup_semantic, dedup_graph_pagerank —
+    #    float tolerance pins live in tests/test_dedup.py); they still
+    #    get driver rows/schema evidence.
+    "dedup_graph_pagerank_exact",
+    "dedup_graph_degrees",
+    "dedup_graph_kcore",
+    "dedup_graph_label_propagation",
+    "dedup_graph_triangles",
+    "dedup_graph_nbr_jaccard",
+    "text_bpe_encode",
+    "text_bpe_merges",
+    "text_bpe_vocab",
+    "embeddings_pq_adc",
+    "embeddings_pq_recall",
+    "customers_golden_record",
+    "join_fuzzy_blocked",
+    "dedup_containment",
+    "dedup_prefix_filter",
+    "lake_compaction_plan",
+    "lake_merge_on_read",
+    "lake_snapshot_diff",
+    "lake_time_travel_read",
+    "lake_vacuum_plan",
+    "lake_zone_map_prune",
+    "ann_cosine_topk_ivf",
+    "dedup_semantic",
+    "dedup_graph_pagerank",
+    # -- block 3 (17): re-confirmation, oldest evidence first — the
+    #    r7-vintage names (last hash row CORRECTNESS_r07.json),
+    #    oracled first, registration order; the 13 that do not fit
+    #    queue for r15 (tail comment)
+    "dedup_source_crossdup",
+    "events_cusum_changepoint",
+    "events_rolling_distinct_users",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "text_ngram_novelty",
+    "text_bigram_crossentropy",
+    "text_bm25_search",
+    "text_pmi_collocations",
+    "embeddings_isotropy_audit",
+    "embeddings_outlier_prune",
+    "embeddings_fisher_separation",
+    "search_rank_fusion",
+    "search_eval_ndcg",
+    "text_oov_rate",
+    "ml_pointintime_features",
+    "multimodal_phash_neardup_exact",
+    # ---- end of the 50-query round-14 window ----
+    # Round-15 block-3 queue (the r7-vintage remainder, oracled
+    # first then rows-only, registration order):
+    # multimodal_frame_sample_exact, evolve_schema_read,
+    # agg_approx_percentiles, dedup_minhash_lsh, dedup_simhash,
+    # sketch_hll_mergeable, multimodal_frame_sample,
+    # multimodal_phash_neardup, events_stream_live_tumbling,
+    # events_stream_closed_sessions, docs_stream_neardup_filter,
+    # events_stream_heavy_hitters, events_stream_click_attribution_live.
+    # After those, the oldest evidence is r8 (48 names) — same rule:
+    # no name's evidence ages past ~5 rounds.
 )
 
 assert len(set(_DRIVER_ORDER)) == len(_DRIVER_ORDER), (

@@ -59,25 +59,34 @@ def test_exact_decimal_rendering():
     assert raised, "non-terminating decimal must refuse to render"
 
 
-def test_r13_driver_window_math():
-    """45 forced slots: block 1 = the 20 round-12 additions (the two
-    changed-this-round names leading), block 3 = the 25 remaining
-    r6-vintage names; every ranked name exists and is oracled."""
-    assert len(_DRIVER_ORDER) >= 45
+def test_r14_driver_window_math():
+    """Round-14 rotation (r13 verdict item 10): block 1 = the 4
+    round-13 late additions (never driver-checked), block 2 = this
+    round's rewrites + every r13-optimizer-touched name without a
+    driver hash row, block 3 = r7-vintage re-confirmations; every
+    ranked name exists, and rows-only names inside the window are the
+    three contract-documented ones."""
+    assert len(_DRIVER_ORDER) == 50
     window = _driver_sorted(list(REGISTRY))[:50]
-    r12_additions = {
-        "stat_mann_kendall", "stat_durbin_watson",
-        "events_dispersion_index", "ml_log_loss", "ml_fleiss_kappa",
-        "stat_bartlett", "stat_friedman_test", "text_msttr",
-        "text_hapax_ratio", "corpus_doclen_gini",
-        "stat_wilcoxon_signed_rank", "events_pot_tail", "ml_pauc_fpr10",
-        "ml_youden_threshold", "ml_weighted_kappa", "events_pacf_daily",
-        "events_seasonal_strength", "text_yule_k",
-        "corpus_split_balance_kl", "embeddings_participation_ratio",
+    late_r13_additions = (
+        "events_markov_entropy_chunked",
+        "text_repetition_profile",
+        "stat_tukey_fences",
+        "events_sessionization_chunked",
+    )
+    assert tuple(window[:4]) == late_r13_additions
+    # this round's riskiest rewrites are driver-visible
+    assert {
+        "dedup_clusters_cc", "corpus_split_leakage",
+        "dedup_ngram_jaccard", "customers_golden_record",
+        "join_fuzzy_blocked", "dedup_containment",
+    } <= set(window)
+    rows_only_in_window = {
+        n for n in window if REGISTRY[n].oracle is None
     }
-    assert set(window[:20]) == r12_additions
-    assert window[0] == "stat_friedman_test"  # changed this round
-    assert window[1] == "ml_pauc_fpr10"  # changed this round
+    assert rows_only_in_window == {
+        "ann_cosine_topk_ivf", "dedup_semantic", "dedup_graph_pagerank"
+    }
     for name in _DRIVER_ORDER:
         assert name in REGISTRY
         assert REGISTRY[name].oracle is not None or name in window

@@ -1,0 +1,110 @@
+"""Round-14 optimization-round tests.
+
+Covers the r13-verdict infrastructure items:
+- the pair-cache scratch-URI dial (verdict item 3): artifacts
+  round-trip through a Hadoop-resolvable shared URI instead of the
+  driver-local tmpdir, both on local[*] and on a real multi-process
+  local-cluster;
+- the bench calibration sentinel (verdict item 2) is covered by the
+  existing bench-contract test via the JSON line it already parses.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _reset_remote_root():
+    """The remote scratch root is process-scoped module state; tests
+    that flip the env var must reset it so each test gets its own
+    root (a real process never flips the variable mid-run)."""
+    from aws_etl_spark.ops import pair_cache
+
+    pair_cache._REMOTE_ROOT = None
+    pair_cache._REMOTE_SPARK = None
+
+
+def test_scratch_uri_roundtrip_matches_uncached(spark, sf_dir, tmp_path,
+                                                monkeypatch):
+    """With SPARK_GRAFT_SCRATCH_URI set, materialized() writes the
+    artifact under the URI (not the local tmpdir) and serves
+    bit-identical rows to the uncached build."""
+    from aws_etl_spark.dedup.minhash import minhash_near_dup_pairs
+
+    uri_root = tmp_path / "scratch"
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_URI", f"file://{uri_root}")
+    monkeypatch.delenv("SPARK_GRAFT_NO_PAIR_CACHE", raising=False)
+    _reset_remote_root()
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cached = sorted(
+            map(tuple, minhash_near_dup_pairs(docs, "doc_id", "text").collect())
+        )
+        # artifact landed under the URI, in this process's own subdir
+        roots = list(uri_root.glob("aws_etl_spark_paircache_*"))
+        assert len(roots) == 1, roots
+        assert any(roots[0].iterdir()), "no artifact written under scratch URI"
+        # second call serves from the URI (still identical)
+        again = sorted(
+            map(tuple, minhash_near_dup_pairs(docs, "doc_id", "text").collect())
+        )
+        monkeypatch.setenv("SPARK_GRAFT_NO_PAIR_CACHE", "1")
+        ref = sorted(
+            map(tuple, minhash_near_dup_pairs(docs, "doc_id", "text").collect())
+        )
+        assert cached == ref == again
+    finally:
+        _reset_remote_root()
+
+
+def test_scratch_uri_local_cluster_roundtrip(sf_dir, tmp_path):
+    """Verdict item 3's done-criterion: a materialized() artifact
+    round-trips on local-cluster[2,4,4096] — real multi-process
+    executors writing parquet to the shared scratch URI which the
+    driver then reads back. Subprocess-isolated (its own master)."""
+    script = r"""
+import os, sys
+sf_dir, uri = sys.argv[1], sys.argv[2]
+os.environ["SPARK_GRAFT_SCRATCH_URI"] = uri
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local-cluster[2,4,4096]")
+    .appName("scratch-uri-roundtrip")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from aws_etl_spark.dedup.minhash import minhash_near_dup_pairs
+docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+cached = sorted(map(tuple, minhash_near_dup_pairs(docs, "doc_id", "text").collect()))
+os.environ["SPARK_GRAFT_NO_PAIR_CACHE"] = "1"
+ref = sorted(map(tuple, minhash_near_dup_pairs(docs, "doc_id", "text").collect()))
+assert cached == ref, f"{len(cached)} cached vs {len(ref)} uncached rows"
+assert len(cached) > 0
+print("ROUNDTRIP_OK", len(cached))
+spark.stop()
+""" % {"repo": str(REPO)}
+    uri = f"file://{tmp_path}/cluster_scratch"
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_TEST_SF="",  # not used by the script
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script, os.environ.get(
+            "SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001"), uri],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=str(REPO),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "ROUNDTRIP_OK" in out.stdout, out.stdout[-1000:]
