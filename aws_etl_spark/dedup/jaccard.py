@@ -114,6 +114,7 @@ def _capped_shingles(
     k: int,
     max_df: int | None,
     cache_key: str,
+    min_df: int = 1,
 ) -> DataFrame:
     """Shared pair-generator input: distinct (doc, shingle, n_shingles)
     with the per-doc set size computed BEFORE the hot-shingle cap, then
@@ -129,11 +130,27 @@ def _capped_shingles(
     filter generator's base, so the expensive tokenize + two windows
     run once per corpus for the WHOLE family). The uncached path (env
     hatch / in-memory inputs) keeps the historical per-consumer
-    ``.cache()`` swap."""
+    ``.cache()`` swap.
+
+    ``min_df`` (round-14, r13 verdict item 7 — the free form of
+    semi-join/Bloom pruning of the shingle self-join): a shingle with
+    document frequency 1 has exactly one (doc, shingle) row, so in any
+    pair join it can only meet itself, and every pair condition
+    requires two DISTINCT docs — pair consumers pass ``min_df=2`` and
+    the filter is provably pair-preserving (``n_shingles`` is
+    annotated before any df filter, so na/nb are unchanged). On the
+    synthetic corpus this drops 0.1% of rows (measured at sf0.1 —
+    shingles here repeat heavily); on real long-tail corpora most
+    shingles are unique and this is the dominant join-input cut. The
+    filter rides the SAME pushed parquet predicate as the max_df cap
+    (cached lane only — the uncached fallback keeps its pinned
+    historical pipeline)."""
     from aws_etl_spark.ops.pair_cache import cache_active
 
     if cache_active(df):
         ann = _annotated_shingles(df, id_col, text_col, k)
+        if min_df > 1:
+            ann = ann.filter(F.col("df_s") >= min_df)
         if max_df is not None:
             ann = ann.filter(F.col("df_s") <= max_df)
         return ann.drop("df_s")
@@ -205,7 +222,11 @@ def _raw_shingle_pairs(
     from aws_etl_spark.ops.pair_cache import materialized
 
     def build() -> DataFrame:
-        exploded = _capped_shingles(df, id_col, text_col, k, max_df, cache_key)
+        # min_df=2: a df==1 shingle can only meet itself in the
+        # self-join and a.doc < b.doc excludes that — pair-preserving
+        exploded = _capped_shingles(
+            df, id_col, text_col, k, max_df, cache_key, min_df=2
+        )
         a = exploded.alias("a")
         b = exploded.alias("b")
         return (
@@ -324,8 +345,12 @@ def incremental_jaccard_pairs(
     ``max_df`` (audit with :func:`dropped_shingle_count`), int/int
     jaccard, deterministic.
     """
+    # min_df=2 is pair-preserving here too: if a df==1 shingle's single
+    # row is an arrival, a.doc < b.doc excludes the self-match; if it
+    # is an index doc, the arrival side has no row for that shingle
     exploded = _capped_shingles(
-        df, id_col, text_col, k, max_df, "incremental_jaccard_pairs"
+        df, id_col, text_col, k, max_df, "incremental_jaccard_pairs",
+        min_df=2,
     )
     a = exploded.alias("a")  # index docs + earlier arrivals
     b = exploded.filter(is_arrival(F.col("doc"))).alias("b")

@@ -64,6 +64,53 @@ def test_scratch_uri_roundtrip_matches_uncached(spark, sf_dir, tmp_path,
         _reset_remote_root()
 
 
+def test_min_df_prune_is_pair_preserving(spark, tmp_path, monkeypatch):
+    """The cached lane drops df==1 shingles before the pair self-join
+    (round-14, verdict item 7): a crafted corpus where one whole doc
+    and several shingles are df==1 must yield IDENTICAL pair rows
+    (jaccard, containment, incremental) with the cache on (pruned
+    join) and off (historical unpruned pipeline)."""
+    from aws_etl_spark.dedup.jaccard import (
+        containment_pairs,
+        incremental_jaccard_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c x y"),
+        (3, "u v w q r"),  # every shingle df==1 — must be inert
+        (4, "a b c d e"),  # exact dup of 1
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    is_arrival = lambda c: c % 2 == 0  # noqa: E731
+
+    def all_three():
+        return (
+            sorted(map(tuple, ngram_jaccard_pairs(
+                docs, "doc_id", "text", k=3, threshold=0.1).collect())),
+            sorted(map(tuple, containment_pairs(
+                docs, "doc_id", "text", k=3, threshold=0.1).collect())),
+            sorted(map(tuple, incremental_jaccard_pairs(
+                docs, "doc_id", "text", is_arrival, k=3, threshold=0.1
+            ).collect())),
+        )
+
+    monkeypatch.delenv("SPARK_GRAFT_NO_PAIR_CACHE", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_SCRATCH_URI", raising=False)
+    cached = all_three()
+    monkeypatch.setenv("SPARK_GRAFT_NO_PAIR_CACHE", "1")
+    uncached = all_three()
+    assert cached == uncached
+    jac = cached[0]
+    assert any(r[0] == 1 and r[1] == 4 for r in jac), "exact dup pair lost"
+    assert not any(3 in (r[0], r[1]) for r in jac), "df==1 doc produced a pair"
+
+
 def test_scratch_uri_local_cluster_roundtrip(sf_dir, tmp_path):
     """Verdict item 3's done-criterion: a materialized() artifact
     round-trips on local-cluster[2,4,4096] — real multi-process
