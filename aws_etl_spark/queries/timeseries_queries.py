@@ -2634,20 +2634,54 @@ SELECT prev AS prev_type,
 FROM w GROUP BY prev
 """
 
-sql_query(
-    "events_markov_entropy",
-    _MARKOV_ENTROPY_SQL,
-    category="timeseries",
-    doc=(
-        "Per-source-type conditional entropy of the event-type "
-        "transition stream: per-user LAG transitions (user-partitioned "
-        "windows, no global sort), k x k bounded transition counts, "
-        "H(next|prev) from micro-nat FLOOR-quantized ln ratios "
-        "accumulated in DECIMAL(38,0) with one IEEE division per row; "
-        "deterministic-sequence rows read exactly 0."
-    ),
-    tables=("events",),
-)
+def _register_markov_entropy() -> None:
+    # Registered with an explicit body instead of the plain sql_query
+    # helper so the round-14 skew probe (r13 verdict item 9) can pick
+    # the form at call time: a corpus whose hottest user holds >=
+    # SPARK_GRAFT_SKEW_SHARE_PCT of events routes to the chunked twin
+    # (oracle shared verbatim — hash-identical by the driver's own
+    # proof); uniform corpora run the historical single-window text
+    # unchanged. PLAIN_SQL still carries the text for the rescan lint.
+    from aws_etl_spark.queries.registry import (
+        PLAIN_SQL,
+        register,
+        register_views,
+    )
+
+    PLAIN_SQL["events_markov_entropy"] = _MARKOV_ENTROPY_SQL
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aws_etl_spark.ops.skew_probe import pick_chunked
+        from aws_etl_spark.queries.registry import REGISTRY, load_table
+
+        events = load_table(spark, sf_dir, "events")
+        if pick_chunked(events, "user_id"):
+            return REGISTRY["events_markov_entropy_chunked"].fn(
+                spark, sf_dir
+            )
+        register_views(spark, sf_dir, ("events",))
+        return spark.sql(_MARKOV_ENTROPY_SQL)
+
+    fn.__name__ = "q_events_markov_entropy"
+    register(
+        "events_markov_entropy",
+        oracle=_MARKOV_ENTROPY_SQL,
+        category="timeseries",
+        doc=(
+            "Per-source-type conditional entropy of the event-type "
+            "transition stream: per-user LAG transitions "
+            "(user-partitioned windows, no global sort), k x k bounded "
+            "transition counts, H(next|prev) from micro-nat "
+            "FLOOR-quantized ln ratios accumulated in DECIMAL(38,0) "
+            "with one IEEE division per row; deterministic-sequence "
+            "rows read exactly 0. The skew probe routes hot-key "
+            "corpora to the chunked twin (shared oracle)."
+        ),
+        tables=("events",),
+    )(fn)
+
+
+_register_markov_entropy()
 
 
 # --------------------------------------------------------------------------

@@ -111,6 +111,61 @@ def test_min_df_prune_is_pair_preserving(spark, tmp_path, monkeypatch):
     assert not any(3 in (r[0], r[1]) for r in jac), "df==1 doc produced a pair"
 
 
+def test_skew_probe_share_and_floor(spark, tmp_path, monkeypatch):
+    """hot_key_share computes the hottest key's row share; the
+    engagement floor keeps tiny (trivially share-skewed) corpora on
+    the historical plan, and the env dials force both ends."""
+    from aws_etl_spark.ops import skew_probe
+
+    rows = [(1, i) for i in range(8)] + [(2, 100), (3, 101)]
+    src = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(rows, "user_id bigint, event_id bigint").coalesce(
+        1
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    share, tot = skew_probe.hot_key_share(df, "user_id")
+    assert tot == 10 and abs(share - 0.8) < 1e-9
+    # memoized: a second call must not launch a job — poke the memo
+    from aws_etl_spark.ops.pair_cache import _fingerprint
+
+    assert _fingerprint("hot_key_share:user_id", df, {}) in skew_probe._MEMO
+    # default floors (64 MB input / 1M rows) keep the tiny 80%-skewed
+    # frame un-chunked — and the byte floor decides WITHOUT a job
+    monkeypatch.delenv("SPARK_GRAFT_SKEW_SHARE_PCT", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_SKEW_MIN_ROWS", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_SKEW_MIN_BYTES", raising=False)
+    assert skew_probe.pick_chunked(df, "user_id") is False
+    # byte floor alone lowered: row floor still holds the line
+    monkeypatch.setenv("SPARK_GRAFT_SKEW_MIN_BYTES", "0")
+    assert skew_probe.pick_chunked(df, "user_id") is False
+    # both floors lowered -> the share decides
+    monkeypatch.setenv("SPARK_GRAFT_SKEW_MIN_ROWS", "1")
+    assert skew_probe.pick_chunked(df, "user_id") is True
+    # hard dial ends
+    monkeypatch.setenv("SPARK_GRAFT_SKEW_SHARE_PCT", "100")
+    assert skew_probe.pick_chunked(df, "user_id") is False
+    monkeypatch.setenv("SPARK_GRAFT_SKEW_SHARE_PCT", "0")
+    assert skew_probe.pick_chunked(df, "user_id") is True
+
+
+def test_skew_probe_routes_parent_to_chunked_twin(spark, sf_dir,
+                                                  monkeypatch):
+    """With the dial forced on, the PARENT queries return the chunked
+    twins' rows (hash-identical by the shared oracle); with it forced
+    off, the historical rows. Both lanes equal — the probe can never
+    change what the queries compute."""
+    from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    for name in ("events_sessionization", "events_markov_entropy"):
+        monkeypatch.setenv("SPARK_GRAFT_SKEW_SHARE_PCT", "100")
+        plain = sorted(map(tuple, REGISTRY[name].fn(spark, sf_dir).collect()))
+        monkeypatch.setenv("SPARK_GRAFT_SKEW_SHARE_PCT", "0")
+        chunked = sorted(map(tuple, REGISTRY[name].fn(spark, sf_dir).collect()))
+        assert plain == chunked, name
+        assert len(plain) > 0, name
+
+
 def test_scratch_uri_local_cluster_roundtrip(sf_dir, tmp_path):
     """Verdict item 3's done-criterion: a materialized() artifact
     round-trips on local-cluster[2,4,4096] — real multi-process
