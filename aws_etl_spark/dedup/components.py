@@ -102,14 +102,36 @@ def connected_components(
         .withColumn("comp", F.col("node"))
     )
     labels = labels.localCheckpoint(eager=True)
+    # Round-14 (r13 verdict item 5, the §1 count-gated-broadcast
+    # treatment): the node-sized label state sits behind
+    # localCheckpoint, whose LogicalRDD has no size statistics, so
+    # Catalyst planned SortMergeJoin — shuffling the EDGE table (the
+    # big side) twice per round. The node count is measured once
+    # (node count only shrinks in no iteration — the label table keys
+    # stay the full node set), and below the established
+    # SPARK_GRAFT_STATE_BCAST_ROWS cap every per-round join broadcasts
+    # the label side instead: edges are never re-shuffled. A graph
+    # whose node state exceeds the cap keeps the shuffle joins —
+    # same results. Lineage stays truncated EVERY round (not the
+    # canonical-distance 2-round cadence): the convergence count
+    # evaluates each round anyway, so skipping a checkpoint here
+    # would recompute the un-truncated round inside the next one —
+    # driver latency is not the regime this >2M-edge lane runs in.
+    from aws_etl_spark.ops.scale import broadcast_if_bounded
+
+    bcast = broadcast_if_bounded(labels.count())
 
     for _ in range(max_iterations):
         # propagate: every node adopts min(comp) over itself + neighbors
-        lab_u = labels.withColumnRenamed("node", "u").withColumnRenamed(
-            "comp", "comp_u"
+        lab_u = bcast(
+            labels.withColumnRenamed("node", "u").withColumnRenamed(
+                "comp", "comp_u"
+            )
         )
-        lab_v = labels.withColumnRenamed("node", "v").withColumnRenamed(
-            "comp", "comp_v"
+        lab_v = bcast(
+            labels.withColumnRenamed("node", "v").withColumnRenamed(
+                "comp", "comp_v"
+            )
         )
         via_edges = (
             edges.join(lab_u, "u")
@@ -138,7 +160,7 @@ def connected_components(
             F.col("node").alias("comp"), F.col("comp").alias("comp2")
         )
         new_labels = (
-            propagated.join(hop, "comp", "left")
+            propagated.join(bcast(hop), "comp", "left")
             .select(
                 "node", F.coalesce("comp2", "comp").alias("comp")
             )
