@@ -9,6 +9,12 @@ import os
 import subprocess
 import sys
 from pathlib import Path
+import pytest
+
+# Round-14 verify-budget split (r13 verdict item 1): this is one of
+# the heavyweight gate suites excluded from the driver's default
+# pytest run; builder gates run it via -m "slow or not slow".
+pytestmark = pytest.mark.slow
 
 REPO = Path(__file__).resolve().parent.parent
 

@@ -9,6 +9,11 @@ import pytest
 from aws_etl_spark.oracle import check_query
 from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
 
+# Round-14 verify-budget split (r13 verdict item 1): this is one of
+# the heavyweight gate suites excluded from the driver's default
+# pytest run; builder gates run it via -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 _ensure_loaded()
 
 

@@ -5,6 +5,8 @@ run."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from aws_etl_spark.plans import (
@@ -97,6 +99,7 @@ _CARTESIAN_OK = {
 }
 
 
+@pytest.mark.slow  # round-14 verify-budget split (r13 verdict item 1)
 def test_no_accidental_cartesian_products(spark, sf_dir):
     """Every registry query's physical plan is audited: a
     CartesianProduct outside the explicit allowlist is a planning
@@ -780,6 +783,7 @@ _RESCAN_FAMILY_BOUNDS = {
 }
 
 
+@pytest.mark.slow  # round-14 verify-budget split (r13 verdict item 1)
 def test_rescan_family_single_scan_plans(spark, sf_dir):
     import os
 

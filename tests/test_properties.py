@@ -114,6 +114,12 @@ def test_set_ops_match_multiset_model(spark, a, b):
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+import pytest
+
+# Round-14 verify-budget split (r13 verdict item 1): this is one of
+# the heavyweight gate suites excluded from the driver's default
+# pytest run; builder gates run it via -m "slow or not slow".
+pytestmark = pytest.mark.slow
 
 
 @settings(max_examples=200, deadline=None)

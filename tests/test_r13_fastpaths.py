@@ -15,6 +15,11 @@ import pytest
 
 from tests.conftest import SF_SMOKE
 
+# Round-14 verify-budget split (r13 verdict item 1): this is one of
+# the heavyweight gate suites excluded from the driver's default
+# pytest run; builder gates run it via -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 
 def _pairs(spark):
     # a small multi-component graph with asymmetric degrees so ranks

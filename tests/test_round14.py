@@ -166,6 +166,7 @@ def test_skew_probe_routes_parent_to_chunked_twin(spark, sf_dir,
         assert len(plain) > 0, name
 
 
+@pytest.mark.slow  # round-14 verify-budget split (r13 verdict item 1)
 def test_scratch_uri_local_cluster_roundtrip(sf_dir, tmp_path):
     """Verdict item 3's done-criterion: a materialized() artifact
     round-trips on local-cluster[2,4,4096] — real multi-process

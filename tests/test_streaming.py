@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import uuid
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from aws_etl_spark.queries.registry import load_table
@@ -543,6 +545,7 @@ def test_tws_gate_probe_both_branches(monkeypatch):
     assert tws.tws_available() is False
 
 
+@pytest.mark.slow  # round-14 verify-budget split (r13 verdict item 1)
 def test_closed_sessions_restart_mid_batch_equals_uninterrupted(
     spark, sf_dir, tmp_path
 ):
