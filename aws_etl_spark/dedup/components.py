@@ -77,8 +77,16 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in edges.toLocalIterator():
-            ru, rv = find(row.u), find(row.v)
+        # Round-14: one Arrow toPandas instead of toLocalIterator —
+        # the iterator ran up to one JOB PER PARTITION with per-row
+        # pickling (measured 2x slower at sf0.1's 256 edges; at the
+        # 2M-edge bound the row path pickles 2M Rows where Arrow
+        # moves two int64 columns, ~32 MB). Union-by-min is
+        # edge-order independent (the component minimum never
+        # attaches under anything), so the final labels are identical.
+        pdf = edges.toPandas()
+        for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+            ru, rv = find(u), find(v)
             if ru != rv:
                 parent[max(ru, rv)] = min(ru, rv)
         from pyspark.sql import types as T

@@ -131,6 +131,11 @@ def register(
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             spark.conf.set("spark.sql.ansi.enabled", "false")
+            # bounded driver transfers (union-find edge lists, trainer
+            # samples) go through toPandas; Arrow moves them as
+            # columns instead of pickled rows (guide §6) — off by
+            # default on a vanilla driver session
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
             _ensure_workers_importable(spark)
             return fn(spark, sf_dir)
 
