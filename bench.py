@@ -118,10 +118,45 @@ def _calibration_par_sec() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _calibration_wake_us() -> float:
+    """Thread wake-up (futex roundtrip) latency in µs — the THIRD
+    epoch axis, and the one that actually explained this host's
+    degraded epochs: CPU and memcpy calibrations read healthy
+    (1.6 s / 7.5 GB/s) in the same minutes a full corpus ran 1.7x
+    slow, while this number swung 127 → 1209 µs (healthy Linux:
+    ~10-50 µs). Spark pays a wake per task dispatch, py4j call and
+    block fetch, so scheduler-wake latency inflates every query
+    uniformly and hits many-small-job queries hardest — exactly the
+    round-13 'degraded epoch' signature (and why the 8-core run beat
+    the 32-core one there: fewer threads contending on slow wakes)."""
+    import threading
+
+    ev1, ev2 = threading.Event(), threading.Event()
+    n = 2000
+
+    def pong() -> None:
+        for _ in range(n):
+            ev1.wait()
+            ev1.clear()
+            ev2.set()
+
+    th = threading.Thread(target=pong)
+    th.start()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        ev1.set()
+        ev2.wait()
+        ev2.clear()
+    t = time.perf_counter() - t0
+    th.join()
+    return round(t * 1e6 / n, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cal_start = _calibration_sec()
     cal_par_start = _calibration_par_sec()
+    cal_wake_start = _calibration_wake_us()
     from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
     from aws_etl_spark.session import get_session
 
@@ -186,6 +221,7 @@ def main() -> None:
     total = round(sum(timings.values()), 2)
     cal_end = _calibration_sec()
     cal_par_end = _calibration_par_sec()
+    cal_wake_end = _calibration_wake_us()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -204,6 +240,8 @@ def main() -> None:
             "end": cal_end,
             "par_start": cal_par_start,
             "par_end": cal_par_end,
+            "wake_us_start": cal_wake_start,
+            "wake_us_end": cal_wake_end,
         },
         "queries": {k: timings[k] for k in HEADLINE if k in timings},
     }
