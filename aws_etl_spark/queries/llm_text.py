@@ -2246,8 +2246,18 @@ FROM f
 )
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class precision/recall/F1 of the langid heuristic vs the
-    stored labels, via one checkpointed bounded confusion matrix."""
-    docs = load_table(spark, sf_dir, "documents")
+    stored labels, via one checkpointed bounded confusion matrix.
+
+    Round-14: the scan is widened before the lang_id projection —
+    the stopword-overlap scoring is an interpreted higher-order
+    expression that ran serially on the single-row-group local scan
+    (profiler: one task, all of the query's compute), and the
+    aggregate after it is ≤(langs+1)² rows, so the §6 'widen only
+    pure map-dominant stages' rule applies (within-process A/B
+    min-of-5: 0.90 → 0.78 s; no-op at production scan widths)."""
+    from aws_etl_spark.ops.widen import widen_if_narrow
+
+    docs = widen_if_narrow(load_table(spark, sf_dir, "documents"))
     cm = (
         docs.select(
             F.col("lang").alias("lang_actual"),
