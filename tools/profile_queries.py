@@ -40,8 +40,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     evdir = Path("/tmp/spark-events-profile")
     evdir.mkdir(exist_ok=True)
+    import shutil
+
     for old in evdir.iterdir():
-        old.unlink()
+        shutil.rmtree(old) if old.is_dir() else old.unlink()
 
     from aws_etl_spark.queries.registry import REGISTRY, _ensure_loaded
     from aws_etl_spark.session import get_session
@@ -50,6 +52,7 @@ def main() -> None:
         "aws_etl_spark-profile",
         extra_conf={
             "spark.eventLog.enabled": "true",
+            "spark.eventLog.compress": "false",
             "spark.eventLog.dir": str(evdir),
             "spark.ui.enabled": "false",
         },
@@ -74,8 +77,13 @@ def main() -> None:
     app_id = sc.applicationId
     spark.stop()
 
-    # ---- parse the event log ----
-    log = next(p for p in evdir.iterdir() if app_id in p.name)
+    # ---- parse the event log (Spark 4 may write a rolling DIR) ----
+    root = next(p for p in evdir.iterdir() if app_id in p.name)
+    logs = (
+        sorted(p for p in root.iterdir() if p.name.startswith("events"))
+        if root.is_dir()
+        else [root]
+    )
     job_desc: dict[int, str] = {}
     stage_to_job: dict[int, int] = {}
     per_stage: dict[int, dict] = defaultdict(
@@ -83,8 +91,11 @@ def main() -> None:
                  "sh_read_b": 0, "sh_write_b": 0, "fetch_wait_ms": 0,
                  "input_b": 0, "name": ""}
     )
-    with open(log) as fh:
-        for line in fh:
+    import itertools
+
+    with_lines = itertools.chain.from_iterable(open(p) for p in logs)
+    if True:
+        for line in with_lines:
             ev = json.loads(line)
             t = ev.get("Event")
             if t == "SparkListenerJobStart":
